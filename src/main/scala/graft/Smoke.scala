@@ -1,0 +1,21 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Local replica of the driver's t1 smoke: SparkEntry.entry rows > 0. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    val n = df.count()
+    df.show(5, false)
+    println(s"SMOKE rows=$n ${if (n > 0) "PASS" else "FAIL"}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Core relational operators, each a pure `DataFrame => DataFrame` (or
+  * `Column`-returning) function. Every operator here re-expresses a dataflow
+  * step of the reference (SURVEY.md §2) as a declarative Spark plan so
+  * Catalyst can push, prune, and codegen it. No driver-side loops, no
+  * collects — every function composes into a single distributed plan.
+  */
+object CoreOps {
+
+  // ---------------------------------------------------------------- filters
+
+  /** F1/F2 — time-window filter, both ends inclusive-exclusive.
+    * Reference: skip records outside `[start, end)`
+    * (`reddit/lambda_function.py:44-45`, `twitter/lambda_function.py:28-29`).
+    * As a plain predicate it reaches the parquet scan (row-group skipping).
+    */
+  def timeWindowFilter(ts: Column, start: Column, end: Column): Column =
+    ts >= start && ts < end
+
+  /** F3 — length cap on text columns (`reddit/lambda_function_initial.py:49-50`). */
+  def lengthFilter(maxLen: Int, cols: Column*): Column =
+    cols.map(c => length(c) <= maxLen).reduce(_ && _)
+
+  /** F4/U4 — blacklist-term filter, case-insensitive substring semantics
+    * (wordfilter.blacklisted — `reddit/lambda_function_initial.py:29-31,51-52`).
+    * Terms are inlined into the plan as literals (effectively broadcast with
+    * the serialized plan); `contains` stays inside whole-stage codegen,
+    * unlike a 750-alternation regex or a Scala UDF.
+    */
+  def containsAnyTerm(text: Column, terms: Seq[String]): Column =
+    terms.map(t => contains(lower(text), lit(t.toLowerCase))).reduce(_ || _)
+
+  /** F8 — sentinel scrub: map `""`, `"[deleted]"`, `"None"`-style markers to
+    * real nulls (`glue/reddit_glue.py:227-252`). Returns the scrubbed column;
+    * follow with `.na.drop` or `filter(isNotNull)` for the dropna step.
+    */
+  def nullifySentinels(c: Column, sentinels: Seq[String]): Column =
+    when(c.isin(sentinels.map(_.asInstanceOf[Any]): _*), lit(null)).otherwise(c)
+
+  // ---------------------------------------------------------------- windows
+
+  /** A2/J5 — latest-wins dedup: exactly one row per key, the one with the
+    * greatest `order` columns. Re-crawl overwrite semantics
+    * (`reddit/lambda_function_aggregate.py:59-71`). One shuffle on the key;
+    * at 100 TB this is a single hash-partitioned exchange, no join needed.
+    */
+  def latestWins(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** §2.6 — top-k rows per group by `order` descending (deterministic via the
+    * caller including a unique tiebreaker in `order`). Spark plans this as a
+    * partial top-k per partition before the shuffle when k is small.
+    */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** §2.6 — per-key delta between consecutive observations (engagement delta
+    * between crawl and re-crawl: `lag(score)` over id-partitioned window).
+    */
+  def lagDelta(df: DataFrame, keys: Seq[String], order: Seq[Column],
+               valueCol: Column, outName: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn(outName, valueCol - lag(valueCol, 1).over(w))
+  }
+
+  /** Gap-based sessionization: new session when the gap to the previous event
+    * exceeds `gapSeconds`. Batch analog of the streaming `session_window` /
+    * `flatMapGroupsWithState` state machine (§2.10): two window passes over
+    * one key-partitioned sort, no self-join.
+    */
+  def sessionize(df: DataFrame, key: String, ts: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("event_id"))
+    val gap = unix_timestamp(col(ts)) - unix_timestamp(lag(col(ts), 1).over(w))
+    val isNew = when(gap.isNull || gap > gapSeconds, lit(1L)).otherwise(lit(0L))
+    df.withColumn("session_id",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  // ------------------------------------------------------------ aggregation
+
+  /** Exact integer "cents" encoding for a fixed-decimal double column.
+    *
+    * Summing doubles is order-dependent, and Spark's partial aggregation
+    * order differs from any single-threaded oracle — so money aggregates sum
+    * `round(x * 10^scale)` as longs instead. Integer addition is associative:
+    * the result is bit-identical no matter how partitions combine, at any
+    * cluster size. The same expression is used in the DuckDB oracle SQL.
+    */
+  def cents(c: Column, scale: Int = 2): Column =
+    round(c * pow(lit(10.0), lit(scale)), 0).cast(LongType)
+
+  /** A4 — engagement/measure rollup per key: count + exact sums + avg derived
+    * from exact sums (score/commentCount rollups by subreddit/user/topic/day,
+    * SURVEY.md §2.5).
+    */
+  def measureRollup(df: DataFrame, keys: Seq[Column], measure: Column): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents(measure)).as("sum_cents"),
+        (sum(cents(measure)).cast("double") / lit(100.0) / count(lit(1))).as("avg_value"))
+
+  /** 15-minute (or any) tumbling-window bucket over an event-time column —
+    * the reference's micro-batch cadence (`terraform/main.tf:200-205`)
+    * re-expressed as a groupable epoch bucket. Plain long arithmetic so the
+    * same expression exists in ANSI SQL (`epoch // width`).
+    */
+  def tumblingBucket(ts: Column, widthSeconds: Long): Column = {
+    val secs = unix_timestamp(ts)
+    secs - pmod(secs, lit(widthSeconds))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis operators for a training-data pipeline: tokenization stats,
+  * quality scoring, language-ID heuristics, fingerprinting. All are pure
+  * column expressions (codegen'd, no UDFs) so they vectorize inside
+  * whole-stage codegen and push through Catalyst untouched — at 100 TB these
+  * run at scan speed.
+  *
+  * Generalizes the reference's text handling (length caps
+  * `reddit/lambda_function_initial.py:49-50`, content cleaning
+  * `glue/reddit_glue.py:227-252`) into a reusable surface.
+  */
+object TextOps {
+
+  /** Whitespace tokens. Single-space split, matching `string_split(s, ' ')`
+    * ANSI semantics on single-spaced text.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count via whitespace split. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** BPE-ish subword count estimate: word-chunks + digits + punctuation as
+    * separate tokens (regex heuristic, no model needed).
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,6}|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast(LongType)
+
+  /** Ratio of characters drawn from `charClassRegex` (e.g. punctuation),
+    * computed as chars-removed / total via regexp_replace — no UDF.
+    */
+  def charClassRatio(text: Column, charClassRegex: String): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, charClassRegex, ""))).cast("double")
+        / length(text).cast("double"))
+
+  /** Stopword ratio over whitespace tokens: |tokens ∈ stopwords| / |tokens|. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val isStop = stopwords.map(s => (t: Column) => t === lit(s))
+      .reduce((f, g) => (t: Column) => f(t) || g(t))
+    when(tokenCount(text) === 0, lit(0.0)).otherwise(
+      size(filter(tokens(text), isStop)).cast("double") / tokenCount(text).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with a sane
+    * stopword ratio and low punctuation density. Deterministic and
+    * SQL-expressible, so it can be oracle-checked; weights are heuristic.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopScore = lit(1.0) - abs(stopwordRatio(text, stopwords) - lit(0.3))
+    val punctPenalty = lit(1.0) - charClassRatio(text, "[^A-Za-z0-9 ]")
+    (lenScore * lit(0.4) + stopScore * lit(0.4) + punctPenalty * lit(0.2))
+  }
+
+  /** Language-ID by marker-token voting: the language whose marker tokens
+    * occur most often wins; ties broken by `langs` order; no hit → "und".
+    * An n-gram/dictionary heuristic in the fastText tradition, shrunk to a
+    * pure expression. `markers` maps lang → marker tokens.
+    */
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val toks = tokens(text)
+    val scores = markers.map { case (lang, words) =>
+      val isMarker = words.map(w => (t: Column) => t === lit(w))
+        .reduce((f, g) => (t: Column) => f(t) || g(t))
+      lang -> size(filter(toks, isMarker))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // CASE WHEN chain in priority order: first lang reaching the max wins.
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Polynomial rolling-hash document fingerprint (Rabin-Karp style) over the
+    * character stream: fp = sum(code(c_i) * 31^(n-1-i)) mod 2^63 via Spark's
+    * `hash`-free arithmetic. Implemented with aggregate() over the char array
+    * so it stays an expression. Used for cheap exact-dup candidate keys.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, ch) => acc * lit(31L) + coalesce(ascii(ch).cast(LongType), lit(0L)))
+}
