@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{CoreOps, SocialOps}
+import graft.text.TextOps
+import graft.enrich.Enrich
+import graft.dedup.Dedup
+
+/** Wave 2 — text analysis, enrichment stand-ins, cleaning gates, and exact
+  * dedup (SURVEY.md §2.2 F3/F4/F8, §2.11 U1-U3, plus the training-data text
+  * operators). Lexicons are defined once here and interpolated into both the
+  * Spark plan and the DuckDB oracle so they can never drift apart.
+  *
+  * All scoring expressions are pure column arithmetic (whole-stage codegen,
+  * no UDFs) and all floating-point aggregation goes through integer
+  * micro-units so partial aggregation order can't change the result.
+  */
+object TextQueries {
+
+  val positive = Seq("fast", "small", "good")
+  val negative = Seq("slow", "big", "error")
+  val stopwords = Seq("the", "a", "of")
+  val blacklist = Seq("spark", "slow")
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"), "de" -> Seq("der", "die"),
+    "es" -> Seq("el", "la"), "fr" -> Seq("le", "les"))
+
+  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F8 sentinel scrub + dropna (null-scrub semantics of glue/reddit_glue.py:227-252).
+    "q19_sentinel_scrub" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .withColumn("event_type_clean",
+          CoreOps.nullifySentinels(col("event_type"), Seq("error")))
+        .na.drop(Seq("event_type_clean"))
+        .groupBy(col("event_type_clean")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type_clean"))
+    }),
+
+    // F3+F4 content gate: length cap then blacklist, reference filter order.
+    "q20_content_gate" -> ((s, dir) => {
+      SocialOps.contentGate(Tables.load(s, dir, "documents"), 400, blacklist, Seq("text"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
+    // U2 sentiment enrichment (lexicon stand-in), aggregated per lang.
+    "q21_sentiment" -> ((s, dir) => {
+      val scores = Enrich.sentimentScores(col("text"), positive, negative).toMap
+      Tables.load(s, dir, "documents")
+        .withColumn("pos_u", CoreOps.cents(scores("Positive"), 6))
+        .withColumn("neg_u", CoreOps.cents(scores("Negative"), 6))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("pos_u")).as("sum_pos_u"), sum(col("neg_u")).as("sum_neg_u"))
+        .withColumn("avg_pos", col("sum_pos_u").cast("double") / lit(1e6) / col("n"))
+        .orderBy(col("lang"))
+    }),
+
+    // U3 claim-worthiness top-k (deterministic stand-in, error→0 semantics).
+    "q22_claim_topk" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Enrich.claimScore(col("text")).as("claim"))
+        .orderBy(col("claim").desc, col("doc_id"))
+        .limit(10)
+    }),
+
+    // U1 translate stand-in (transliteration), aggregated checksum per source.
+    "q23_translate_stats" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("source"), Enrich.translateCol(col("text")).as("t"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(length(col("t")).cast("long")).as("sum_len"))
+        .orderBy(col("source"))
+    }),
+
+    // Language-ID by marker voting.
+    "q24_langid" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(TextOps.langId(col("text"), langMarkers).as("lang_pred"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred"))
+    }),
+
+    // Quality scoring, micro-unit aggregation per source.
+    "q25_quality" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .withColumn("q_u", CoreOps.cents(TextOps.qualityScore(col("text"), stopwords), 6))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("q_u")).as("sum_q_u"))
+        .withColumn("avg_q", col("sum_q_u").cast("double") / lit(1e6) / col("n"))
+        .orderBy(col("source"))
+    }),
+
+    // Token counting: whitespace + BPE-ish subword estimate.
+    "q26_token_stats" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(TextOps.tokenCount(col("text"))).as("sum_tokens"),
+          sum(TextOps.subwordCount(col("text"))).as("sum_subwords"))
+        .orderBy(col("source"))
+    }),
+
+    // Rolling-hash document fingerprint (exact-dup candidate key).
+    "q27_fingerprint" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact dedup: canonical min-id per identical text (hash groupBy).
+    "q28_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDedup(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .agg(count(lit(1)).as("n_unique"), sum(col("doc_id")).as("sum_min_ids"))
+    }),
+
+    // A6/A7 edge-dedup + degree: distinct (user, type) pairs → degree per type.
+    "q29_bipartite_degree" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("degree"))
+        .orderBy(col("event_type"))
+    }),
+
+    // A6 approx distinct (HLL) — no SQL oracle (sketch is engine-specific);
+    // driver records a rows-only check.
+    "q30_approx_users" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy(col("event_type"))
+    }))
+
+  private val pos = sqlList(positive)
+  private val neg = sqlList(negative)
+  private val stops = sqlList(stopwords)
+
+  val oracles: Map[String, String] = Map(
+    "q19_sentinel_scrub" ->
+      """SELECT event_type_clean, count(*) AS n FROM (
+        |  SELECT CASE WHEN event_type IN ('error') THEN NULL ELSE event_type END AS event_type_clean
+        |  FROM events)
+        |WHERE event_type_clean IS NOT NULL
+        |GROUP BY event_type_clean ORDER BY event_type_clean""".stripMargin,
+
+    "q20_content_gate" ->
+      """SELECT lang, count(*) AS n FROM documents
+        |WHERE length(text) <= 400
+        |  AND NOT (contains(lower(text), 'spark') OR contains(lower(text), 'slow'))
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q21_sentiment" ->
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x IN $pos)) AS DOUBLE) AS pn,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x IN $neg)) AS DOUBLE) AS nn
+         |  FROM documents)
+         |SELECT lang, n, sum_pos_u, sum_neg_u, CAST(sum_pos_u AS DOUBLE) / 1000000.0 / n AS avg_pos
+         |FROM (
+         |  SELECT lang, count(*) AS n,
+         |    CAST(sum(CAST(round(pn / (pn + nn + 1.0) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_pos_u,
+         |    CAST(sum(CAST(round(nn / (pn + nn + 1.0) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_neg_u
+         |  FROM t GROUP BY lang)
+         |ORDER BY lang""".stripMargin,
+
+    "q22_claim_topk" ->
+      """SELECT doc_id,
+        |  CAST((length(text) * 31 + len(string_split(text, ' ')) * 7) % 1000 AS DOUBLE) / 1000.0 AS claim
+        |FROM documents ORDER BY claim DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q23_translate_stats" ->
+      """SELECT source, count(*) AS n,
+        |  CAST(sum(length(translate(text, 'áàâäéèêëíìîïóòôöúùûüñç', 'aaaaeeeeiiiioooouuuunc'))) AS BIGINT) AS sum_len
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q24_langid" ->
+      s"""WITH c AS (
+         |  SELECT
+         |    len(list_filter(string_split(text, ' '), x -> x IN ${sqlList(langMarkers(0)._2)})) AS c_en,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ${sqlList(langMarkers(1)._2)})) AS c_de,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ${sqlList(langMarkers(2)._2)})) AS c_es,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ${sqlList(langMarkers(3)._2)})) AS c_fr
+         |  FROM documents),
+         |p AS (
+         |  SELECT CASE
+         |    WHEN c_en > 0 AND c_en = greatest(c_en, c_de, c_es, c_fr) THEN 'en'
+         |    WHEN c_de > 0 AND c_de = greatest(c_en, c_de, c_es, c_fr) THEN 'de'
+         |    WHEN c_es > 0 AND c_es = greatest(c_en, c_de, c_es, c_fr) THEN 'es'
+         |    WHEN c_fr > 0 AND c_fr = greatest(c_en, c_de, c_es, c_fr) THEN 'fr'
+         |    ELSE 'und' END AS lang_pred
+         |  FROM c)
+         |SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+    "q25_quality" ->
+      s"""WITH t AS (
+         |  SELECT source,
+         |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+         |    + (1.0 - abs(
+         |        CAST(len(list_filter(string_split(text, ' '), x -> x IN $stops)) AS DOUBLE)
+         |        / CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.3)) * 0.4
+         |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE)) * 0.2 AS q
+         |  FROM documents)
+         |SELECT source, n, sum_q_u, CAST(sum_q_u AS DOUBLE) / 1000000.0 / n AS avg_q
+         |FROM (
+         |  SELECT source, count(*) AS n,
+         |    CAST(sum(CAST(round(q * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_q_u
+         |  FROM t GROUP BY source)
+         |ORDER BY source""".stripMargin,
+
+    "q26_token_stats" ->
+      """SELECT source, count(*) AS n,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]{1,6}|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_subwords
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q27_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "q28_dedup_exact" ->
+      """SELECT count(*) AS n_unique, CAST(sum(doc_id) AS BIGINT) AS sum_min_ids FROM (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)""".stripMargin,
+
+    "q29_bipartite_degree" ->
+      """SELECT event_type, count(*) AS degree FROM (
+        |  SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

@@ -77,13 +77,15 @@ object TextOps {
   }
 
   /** Polynomial rolling-hash document fingerprint (Rabin-Karp style) over the
-    * character stream: fp = sum(code(c_i) * 31^(n-1-i)) mod 2^63 via Spark's
-    * `hash`-free arithmetic. Implemented with aggregate() over the char array
-    * so it stays an expression. Used for cheap exact-dup candidate keys.
+    * character stream: fp = fold((acc*31 + code) mod p) with p = 1e9+7.
+    * Implemented with aggregate() over the char array so it stays an
+    * expression, and kept under 2^35 at every step so the identical fold is
+    * expressible in any ANSI engine without bigint overflow (DuckDB raises on
+    * int64 overflow where Java wraps). Used for cheap exact-dup candidate keys.
     */
   def fingerprint(text: Column): Column =
     aggregate(
       split(text, ""),
       lit(0L),
-      (acc, ch) => acc * lit(31L) + coalesce(ascii(ch).cast(LongType), lit(0L)))
+      (acc, ch) => (acc * lit(31L) + coalesce(ascii(ch).cast(LongType), lit(0L))) % lit(1000000007L))
 }
