@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -9,8 +8,19 @@ import org.apache.spark.sql.types.LongType
   * SimHash, n-gram Jaccard, embedding-cosine near-dup. Every variant is a
   * shuffle-on-candidate-key plan — never an all-pairs cross join — so the
   * cost at 100 TB is O(n) map work plus one hash exchange per banding pass.
+  *
+  * All hashes are mod-prime polynomial folds kept under 2^61 at every step:
+  * deterministic, seedable, and expressible in any ANSI engine (no int64
+  * wraparound, which engines like DuckDB reject), so every operator here is
+  * oracle-checkable end to end.
   */
 object Dedup {
+
+  /** Modulus for all rolling hashes (fits squared-ish intermediates in i64). */
+  val P = 1000000007L
+  /** Affine rehash constants for the i-th hash function. */
+  def hashA(i: Int): Long = ((i + 1) * 2654435761L) % P
+  def hashB(i: Int): Long = ((i + 1) * 1013904223L) % P
 
   /** Exact dedup: keep the minimum-id row per identical key column (hash
     * groupBy — partial aggregation map-side, one shuffle).
@@ -27,36 +37,41 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
-  /** Deterministic 64-bit hash of a string expression with seed mixing —
-    * pure column arithmetic (Rabin-style polynomial over chars, then an
-    * xorshift-ish avalanche), reproducible across engines/runs.
+  /** Portable 30-bit rolling hash of a string: fold (acc*31 + code) mod P
+    * over the character stream. Pure column arithmetic, reproducible across
+    * engines and runs.
     */
-  private def polyHash(s: Column, seed: Long): Column = {
-    val base = aggregate(split(s, ""), lit(seed),
-      (acc, ch) => acc * lit(1000003L) + coalesce(ascii(ch).cast(LongType), lit(0L)))
-    // avalanche: spread low-entropy highs into the low bits
-    val x1 = base.bitwiseXOR(shiftright(base, 33))
-    val x2 = x1 * lit(-49064778989728563L) // 0xFF51AFD7ED558CCDL as signed
-    x2.bitwiseXOR(shiftright(x2, 33))
-  }
+  def charHash(s: Column): Column =
+    aggregate(split(s, ""), lit(0L),
+      (acc, ch) => (acc * lit(31L) + coalesce(ascii(ch).cast(LongType), lit(0L))) % lit(P))
+
+  /** i-th seeded hash: affine rehash (A_i * h + B_i) mod P. */
+  def seeded(h: Column, i: Int): Column = (lit(hashA(i)) * h + lit(hashB(i))) % lit(P)
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum over the doc's shingles. Returns ArrayType(Long) of length
     * `numHashes`. All expression-level — no UDF, no collect.
     */
   def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
-    val sh = shingles(text, shingleK)
+    val hs = transform(shingles(text, shingleK), s => charHash(s))
     array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => polyHash(s, 0x9E3779B9L * (i + 1))))
+      array_min(transform(hs, h => seeded(h, i)))
     }: _*)
   }
 
+  /** Fold a band's signature slice to one long key (fixed-width shuffle key
+    * instead of an array join key).
+    */
+  def bandHash(sig: Column, from: Int, len: Int): Column =
+    aggregate(slice(sig, lit(from + 1), lit(len)), lit(0L),
+      (acc, v) => (acc * lit(1000003L) + v) % lit(P))
+
   /** MinHash + LSH banded near-dup candidate pairs.
     *
-    * Signature rows are exploded into `bands` band-hash keys; docs sharing a
-    * band bucket become candidate pairs (self-join on the band key — a hash
-    * shuffle on band values, never n²). Pairs are then verified with exact
-    * shingle-set Jaccard and filtered by `threshold`.
+    * Signature rows are exploded into `bands` (band, bandHash) keys; docs
+    * sharing a band bucket become candidate pairs (self-join on the long
+    * band key — a hash shuffle on band values, never n²). Pairs are then
+    * verified with exact shingle-set Jaccard and filtered by `threshold`.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
     */
@@ -68,12 +83,12 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("text"), shingleK, numHashes))
     val banded = sig.select(col("id"), col("text"), posexplode(
       array((0 until bands).map(b =>
-        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)).as(Seq("band", "bandsig")))
-    val a = banded.select(col("band"), col("bandsig"),
+        bandHash(col("sig"), b * rowsPerBand, rowsPerBand)): _*)).as(Seq("band", "bh")))
+    val a = banded.select(col("band"), col("bh"),
       col("id").as("id_a"), col("text").as("text_a"))
-    val b = banded.select(col("band"), col("bandsig"),
+    val b = banded.select(col("band"), col("bh"),
       col("id").as("id_b"), col("text").as("text_b"))
-    val cand = a.join(b, Seq("band", "bandsig"))
+    val cand = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "text_a", "text_b").distinct()
     cand
@@ -90,22 +105,42 @@ object Dedup {
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
-  /** SimHash: 64-bit signature where bit j is the sign of the sum over
-    * tokens of (tokenHash bit j ? +1 : -1). Near-dups = small Hamming
-    * distance between signatures. Expression-only.
+  /** SimHash: 30-bit signature where bit j is set when more than half of the
+    * (distinct) token hashes have bit j set. Near-dups = small Hamming
+    * distance between signatures. Expression-only, engine-portable.
     */
-  def simhash(text: Column): Column = {
-    val toks = array_distinct(split(text, " "))
-    val hashes = transform(toks, t => polyHash(t, 0x85EBCA6BL))
-    (0 until 64).map { j =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-      when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+  def simhash(text: Column, bits: Int = 30): Column = {
+    val hs = transform(array_distinct(split(text, " ")), t => seeded(charHash(t), 0))
+    val ntok = size(hs)
+    (0 until bits).map { j =>
+      val ones = size(filter(hs, h => shiftright(h, j).bitwiseAND(lit(1L)) === lit(1L)))
+      when(ones * 2 > ntok, lit(1L << j)).otherwise(lit(0L))
     }.reduce[Column]((x, y) => x.bitwiseOR(y))
   }
 
-  /** Hamming distance between two 64-bit signatures. */
-  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+  /** Hamming distance between two bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: candidates agree on one of `bands` contiguous
+    * bit-bands of the signature (hash-join blocking, no n²), verified by
+    * Hamming distance ≤ maxHamming.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      bits: Int = 30, bands: Int = 3, maxHamming: Int = 6): DataFrame = {
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val sig = df.select(col(idCol).as("id"), simhash(col(textCol), bits).as("sig"))
+    val banded = sig.select(col("id"), col("sig"), posexplode(
+      array((0 until bands).map(b =>
+        shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*)).as(Seq("band", "bh")))
+    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /** n-gram (word) Jaccard near-dup pairs over blocking keys: candidates are
     * pairs agreeing on `blockCols` (cheap blocking join), verified by exact

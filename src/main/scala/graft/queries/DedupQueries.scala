@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+/** Wave 3 — near-dup deduplication + similarity search (the training-data
+  * operators, SURVEY.md §7.2 step 7). Every pipeline is mirrored 1:1 in a
+  * generated DuckDB oracle — including the LSH candidate generation, not
+  * just the verify step — so the hash compare covers recall behavior too.
+  */
+object DedupQueries {
+
+  private val P = Dedup.P
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // n-gram Jaccard near-dups with (lang, source) blocking.
+    "q31_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", Seq("lang", "source"), 0.7)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash(16) + LSH(4 bands) near-dup pairs, shingle-Jaccard verified.
+    "q32_minhash_neardups" -> ((s, dir) => {
+      Dedup.minhashNearDups(Tables.load(s, dir, "documents"),
+          "doc_id", "text", shingleK = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash 30-bit signatures (deterministic, portable).
+    "q33_simhash" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SimHash banded near-dup pairs, Hamming-verified.
+    "q34_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashNearDups(Tables.load(s, dir, "documents"),
+          "doc_id", "text", bits = 30, bands = 3, maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Brute-force cosine top-k (exact ANN baseline): 5 query vectors.
+    "q35_ann_brute" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Sign-LSH bucketed embedding near-dups (the 100 TB ANN path).
+    "q36_embedding_neardups" -> ((s, dir) => {
+      Dedup.embeddingNearDups(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4, planes = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }))
+
+  // ---------------------------------------------------------------- oracles
+
+  /** charHash(s) as DuckDB SQL: fold (acc*31 + ascii) mod P over chars. */
+  private def chSql(s: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (acc, c) -> (acc * 31 + c) % $P)""".stripMargin
+
+  /** Distinct 3-shingles of `text` (matches Dedup.shingles for k=3). */
+  private val shingleSql =
+    """list_distinct(list_transform(
+      |  range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+      |  i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' ')))""".stripMargin
+
+  private def jaccardSql(a: String, b: String) =
+    s"""CASE WHEN len(list_distinct(list_concat($a, $b))) = 0 THEN 0.0
+       |ELSE CAST(len(list_intersect($a, $b)) AS DOUBLE)
+       |   / CAST(len(list_distinct(list_concat($a, $b))) AS DOUBLE) END""".stripMargin
+
+  private val minhashOracle: String = {
+    val sigExprs = (0 until 16).map { i =>
+      s"list_min(list_transform(hs, h -> (${Dedup.hashA(i)} * h + ${Dedup.hashB(i)}) % $P)) AS s$i"
+    }.mkString(",\n    ")
+    def bandExpr(b: Int): String =
+      (0 until 4).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
+        s"(($acc * 1000003 + s${b * 4 + r}) % $P)"
+      }
+    s"""WITH t AS (
+       |  SELECT doc_id, text, $shingleSql AS sh FROM documents),
+       |h AS (
+       |  SELECT doc_id, text, list_transform(sh, s -> ${chSql("s")}) AS hs FROM t),
+       |sigs AS (
+       |  SELECT doc_id, text,
+       |    $sigExprs
+       |  FROM h),
+       |bands AS (
+       |  SELECT doc_id, text, unnest([0, 1, 2, 3]) AS band,
+       |    unnest([${(0 until 4).map(bandExpr).mkString(", ")}]) AS bh
+       |  FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS text_a, b.text AS text_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |sh2 AS (SELECT doc_id, sh FROM t),
+       |v AS (
+       |  SELECT id_a, id_b, ${jaccardSql("sa.sh", "sb.sh")} AS jaccard
+       |  FROM cand JOIN sh2 sa ON cand.id_a = sa.doc_id JOIN sh2 sb ON cand.id_b = sb.doc_id)
+       |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** SimHash signature SQL over a relation exposing (doc_id, text). */
+  private val simhashSigSql: String = {
+    val bitTerms = (0 until 30).map { j =>
+      s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $j) & 1 = 1)) > len(hs) THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("\n    + ")
+    s"""SELECT doc_id, $bitTerms AS sig
+       |FROM (
+       |  SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+       |    t -> (${Dedup.hashA(0)} * ${chSql("t")} + ${Dedup.hashB(0)}) % $P) AS hs
+       |  FROM documents)""".stripMargin
+  }
+
+  private val dotSql =
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  private def cosineSql(a: String, b: String) = {
+    val d = dotSql.format(a, b)
+    val na = s"sqrt(${dotSql.format(a, a)})"
+    val nb = s"sqrt(${dotSql.format(b, b)})"
+    s"CASE WHEN $na * $nb = 0.0 THEN 0.0 ELSE ($d) / ($na * $nb) END"
+  }
+
+  /** Sign-LSH bucket SQL (mirrors Similarity.signBucket for 64-dim, `planes`). */
+  private def bucketSql(v: String, planes: Int): String =
+    (0 until planes).map { p =>
+      val proj = s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+        s"i -> CAST($v[i] AS DOUBLE) * CAST(sign(sin(CAST(i * ${p + 1} AS DOUBLE))) AS DOUBLE))), (acc, x) -> acc + x)"
+      s"(CASE WHEN $proj > 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("\n    + ")
+
+  val oracles: Map[String, String] = Map(
+    "q31_ngram_jaccard" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${jaccardSql("a.toks", "b.toks")} AS jaccard
+         |FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE ${jaccardSql("a.toks", "b.toks")} >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q32_minhash_neardups" -> minhashOracle,
+
+    "q33_simhash" ->
+      s"""SELECT doc_id, sig FROM ($simhashSigSql) WHERE doc_id < 50 ORDER BY doc_id""",
+
+    "q34_simhash_pairs" ->
+      s"""WITH s AS ($simhashSigSql),
+         |bands AS (
+         |  SELECT doc_id, sig, unnest([0, 1, 2]) AS band,
+         |    unnest([(sig >> 0) & 1023, (sig >> 10) & 1023, (sig >> 20) & 1023]) AS bh
+         |  FROM s),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
+
+    "q35_ann_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, corpus_id, ${cosineSql("cv", "qv")} AS sim
+         |  FROM c CROSS JOIN q WHERE corpus_id <> query_id),
+         |ranked AS (
+         |  SELECT query_id, corpus_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, corpus_id, sim FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q36_embedding_neardups" ->
+      s"""WITH e AS (
+         |  SELECT vec_id AS id, embedding AS v, ${bucketSql("embedding", 8)} AS bucket
+         |  FROM embeddings)
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b, ${cosineSql("a.v", "b.v")} AS cosine
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.id < b.id
+         |WHERE ${cosineSql("a.v", "b.v")} >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin)
+}
