@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.CoreOps
+
+class CoreOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("timeWindowFilter keeps [start, end)") {
+    val df = Seq("2023-01-01 00:00:00", "2023-01-01 00:10:00", "2023-01-01 00:15:00")
+      .toDF("d").withColumn("ts", to_timestamp($"d"))
+    val out = df.filter(CoreOps.timeWindowFilter($"ts",
+      to_timestamp(lit("2023-01-01 00:00:00")), to_timestamp(lit("2023-01-01 00:15:00"))))
+    assert(out.count() == 2)
+  }
+
+  test("lengthFilter caps every column") {
+    val df = Seq(("ab", "x"), ("abcd", "y"), ("ab", "toolong")).toDF("a", "b")
+    assert(df.filter(CoreOps.lengthFilter(3, $"a", $"b")).count() == 1)
+  }
+
+  test("containsAnyTerm is case-insensitive substring") {
+    val df = Seq("Clean text", "has SPAMword inside", "fine").toDF("t")
+    assert(df.filter(CoreOps.containsAnyTerm($"t", Seq("spamWORD"))).count() == 1)
+  }
+
+  test("nullifySentinels maps sentinels to null and keeps the rest") {
+    val df = Seq("ok", "", "[deleted]", "None").toDF("c")
+      .select(CoreOps.nullifySentinels(col("c"), Seq("", "[deleted]")).as("c"))
+    assert(df.filter($"c".isNull).count() == 2)
+    assert(df.filter($"c" === "None").count() == 1)
+  }
+
+  test("latestWins keeps exactly one row per key, the newest") {
+    val df = Seq((1, 10, "old"), (1, 20, "new"), (2, 5, "only")).toDF("id", "ts", "v")
+    val out = CoreOps.latestWins(df, Seq("id"), Seq(col("ts"))).orderBy("id")
+    assert(out.collect().map(r => (r.getInt(0), r.getString(2))).toSeq ==
+      Seq((1, "new"), (2, "only")))
+  }
+
+  test("latestWins is idempotent") {
+    val df = Seq((1, 10), (1, 20), (2, 5)).toDF("id", "ts")
+    val once = CoreOps.latestWins(df, Seq("id"), Seq(col("ts")))
+    val twice = CoreOps.latestWins(once, Seq("id"), Seq(col("ts")))
+    assert(once.orderBy("id").collect().toSeq == twice.orderBy("id").collect().toSeq)
+  }
+
+  test("topKPerGroup returns k rows per group in rank order") {
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("g", "v")
+    val out = CoreOps.topKPerGroup(df, Seq("g"), Seq(col("v")), 2)
+    assert(out.filter($"g" === "a").count() == 2)
+    assert(out.filter($"g" === "a" && $"rk" === 1).head().getInt(1) == 3)
+  }
+
+  test("lagDelta computes per-key consecutive differences") {
+    val df = Seq((1, 1, 10.0), (1, 2, 15.0), (1, 3, 12.0)).toDF("id", "t", "v")
+    val out = CoreOps.lagDelta(df, Seq("id"), Seq(col("t")), col("v"), "d")
+      .orderBy("t").select("d").collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getDouble(0) == 5.0 && out(2).getDouble(0) == -3.0)
+  }
+
+  test("sessionize splits on gaps > gapSeconds") {
+    val df = Seq(
+      (1L, "2023-01-01 00:00:00", 1L), (1L, "2023-01-01 00:10:00", 2L),
+      (1L, "2023-01-01 02:00:00", 3L)).toDF("user_id", "d", "event_id")
+      .withColumn("ts", to_timestamp($"d"))
+    val out = CoreOps.sessionize(df, "user_id", "ts", 1800L)
+    assert(out.agg(max("session_id")).head().getLong(0) == 2L)
+  }
+
+  test("cents is exact for 2-decimal doubles, also negative") {
+    val df = Seq(1.23, -4.56, 0.0).toDF("v").agg(sum(CoreOps.cents(col("v"))))
+    assert(df.head().getLong(0) == 123L - 456L + 0L)
+  }
+
+  test("tumblingBucket floors to the window start") {
+    val df = Seq("2024-01-01 00:14:59", "2024-01-01 00:15:00").toDF("d")
+      .select(CoreOps.tumblingBucket(to_timestamp($"d"), 900L).as("b"))
+    val bs = df.collect().map(_.getLong(0))
+    assert(bs(1) - bs(0) == 900L && bs(1) % 900 == 0)
+  }
+}

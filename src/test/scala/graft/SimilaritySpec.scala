@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.similarity.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val e1 = Seq(1.0f, 0.0f, 0.0f)
+  private val e2 = Seq(0.0f, 1.0f, 0.0f)
+  private val e12 = Seq(1.0f, 1.0f, 0.0f)
+
+  test("dot/norm/cosine expressions compute expected values") {
+    val df = Seq((e1, e12)).toDF("a", "b")
+      .select(Similarity.dot($"a", $"b").as("d"),
+        Similarity.norm($"a").as("na"), Similarity.cosine($"a", $"b").as("c"))
+    val r = df.head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 1.0)
+    assert(math.abs(r.getDouble(2) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("cosine of zero vector is 0.0, not NaN") {
+    val z = Seq(0.0f, 0.0f, 0.0f)
+    val df = Seq((z, e1)).toDF("a", "b").select(Similarity.cosine($"a", $"b"))
+    assert(df.head().getDouble(0) == 0.0)
+  }
+
+  test("bucketNorm kernel matches signBucket/norm expressions") {
+    val vecs = Seq(
+      (1L, (0 until 64).map(i => math.sin(i * 0.7).toFloat)),
+      (2L, (0 until 64).map(i => math.cos(i * 1.3).toFloat)))
+    val df = vecs.toDF("vec_id", "v")
+    val expr = df.select($"vec_id",
+        Similarity.signBucket($"v", 8, 64).as("bucket"), Similarity.norm($"v").as("nrm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val kern = Similarity.bucketNorm(df, "vec_id", "v", 8, 64)
+      .select("id", "bucket", "nrm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expr == kern)
+  }
+
+  test("bruteForceTopK ranks by cosine with id tiebreak and excludes self") {
+    val df = Seq((1L, e1), (2L, e12), (3L, e2), (4L, e1)).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 1L),
+        "vec_id", "embedding", 3, dim = 3)
+      .orderBy("rank").collect()
+    // nearest to e1: its clone id=4 (cos 1), then e12 (cos .707), then e2 (cos 0)
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 2L, 3L))
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+  }
+
+  test("lshTopK only scores within matching buckets and never the query itself") {
+    val df = Seq((1L, e1), (2L, e1), (3L, e2)).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(df, df, "vec_id", "embedding", 5, planes = 4, dim = 3)
+    assert(out.filter($"query_id" === $"corpus_id").count() == 0)
+    // the two identical vectors must find each other
+    assert(out.filter($"query_id" === 1L && $"corpus_id" === 2L).count() == 1)
+  }
+}

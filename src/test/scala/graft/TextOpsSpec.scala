@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.TextOps
+import graft.enrich.Enrich
+
+class TextOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokenCount counts whitespace tokens") {
+    val df = Seq("one two three").toDF("t").select(TextOps.tokenCount($"t"))
+    assert(df.head().getLong(0) == 3L)
+  }
+
+  test("subwordCount splits long words, digits, punctuation") {
+    // "internationalization" -> 4 chunks of <=6 letters; "42" -> 2 digits; "!" -> 1
+    val df = Seq("internationalization 42!").toDF("t").select(TextOps.subwordCount($"t"))
+    assert(df.head().getLong(0) == 4L + 2L + 1L)
+  }
+
+  test("charClassRatio measures punctuation density") {
+    val df = Seq("ab!!").toDF("t").select(TextOps.charClassRatio($"t", "[^A-Za-z0-9 ]"))
+    assert(df.head().getDouble(0) == 0.5)
+  }
+
+  test("stopwordRatio and qualityScore stay in [0,1]") {
+    val df = Seq("the cat sat on the mat", "zzz", "").toDF("t")
+      .select(TextOps.stopwordRatio($"t", Seq("the", "on")).as("sr"),
+        TextOps.qualityScore($"t", Seq("the", "on")).as("q"))
+    df.collect().foreach { r =>
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+    }
+    assert(df.head().getDouble(0) == 3.0 / 6.0) // the, on, the of 6 tokens
+  }
+
+  test("langId votes by marker tokens with priority tiebreak") {
+    val markers = Seq("en" -> Seq("the"), "fr" -> Seq("le"))
+    val df = Seq("the cat", "le chat", "nothing matches", "the le tie")
+      .toDF("t").select(TextOps.langId($"t", markers).as("l"))
+    assert(df.as[String].collect().toSeq == Seq("en", "fr", "und", "en"))
+  }
+
+  test("fingerprint is deterministic and discriminates") {
+    val df = Seq("same text", "same text", "other text").toDF("t")
+      .select(TextOps.fingerprint($"t").as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("sentiment scores are a distribution over batch-25 semantics") {
+    val df = Seq("good good bad", "neutral words only").toDF("t")
+    val cols = Enrich.sentimentScores($"t", Seq("good"), Seq("bad"))
+    val out = df.select(cols.map { case (n, c) => c.as(n) }: _*).collect()
+    out.foreach { r =>
+      val sum = (0 until 4).map(r.getDouble).sum
+      assert(math.abs(sum - 1.0) < 1e-12)
+    }
+    assert(out(0).getDouble(0) == 2.0 / 4.0) // Positive = p/(p+n+1)
+  }
+
+  test("claimScore: empty/null → 0, otherwise in [0,1)") {
+    val df = Seq(Some("some claim text"), Some(""), None).toDF("t")
+      .select(Enrich.claimScore($"t").as("c"))
+    val vals = df.collect().map(_.getDouble(0))
+    assert(vals(1) == 0.0 && vals(2) == 0.0)
+    assert(vals(0) >= 0.0 && vals(0) < 1.0)
+  }
+
+  test("translateCol transliterates accents, identity on ASCII") {
+    val df = Seq("café résumé", "plain").toDF("t").select(Enrich.translateCol($"t"))
+    assert(df.as[String].collect().toSeq == Seq("cafe resume", "plain"))
+  }
+
+  test("batchEnrich appends aligned scores via mapPartitions batches") {
+    val scorer = new Enrich.LexiconScorer(Set("good"), Set("bad"))
+    val df = (1 to 60).map(i => (i.toLong, if (i % 2 == 0) "good day" else "bad day"))
+      .toDF("id", "text")
+    val out = Enrich.batchEnrich(df, "text", scorer, batchSize = 25)
+    assert(out.count() == 60)
+    // alignment: even ids scored positive, odd ids negative — no index drift
+    assert(out.filter($"id" % 2 === 0 && $"Positive" > $"Negative").count() == 30)
+    assert(out.filter($"id" % 2 === 1 && $"Negative" > $"Positive").count() == 30)
+  }
+}
