@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming re-expression of the reference's cron-based
+  * micro-batch pipeline (SURVEY.md §2.10):
+  *
+  *  - 15-min EventBridge cadence (`terraform/main.tf:200-205`) → file-source
+  *    micro-batches / `Trigger.ProcessingTime`;
+  *  - each batch covers a tumbling window of event time
+  *    (`reddit/lambda_function_initial.py:35-36,47-48`) → `window(ts, "15 minutes")`;
+  *  - the deliberate 2-day-late re-crawl that rewrites engagement counts
+  *    (`reddit/lambda_function_aggregate.py:38`) → a 2-day watermark, so
+  *    late records still update their window;
+  *  - Glue job bookmarks (`terraform/main.tf:374`) → checkpointed
+  *    exactly-once file sink;
+  *  - Cypher MERGE-on-id upsert (`glue/twitter_glue.py:76`) →
+  *    `dropDuplicatesWithinWatermark` / stateful latest-wins.
+  */
+object SocialStream {
+
+  /** Micro-batch JSON landing-zone source with a pinned schema (never
+    * inference — the stream must not change shape under a malformed file).
+    */
+  def readJsonStream(spark: SparkSession, path: String, schema: StructType,
+                     maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+
+  /** Tumbling-window engagement counts with a late-data watermark. Output
+    * columns: window_start, window_end, the group keys, n.
+    */
+  def tumblingCounts(df: DataFrame, tsCol: String, keyCols: Seq[String],
+                     windowLen: String = "15 minutes",
+                     watermark: String = "2 days"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), windowLen) +: keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"))
+      .select((Seq(col("window.start").as("window_start"),
+        col("window.end").as("window_end")) ++ keyCols.map(col) :+ col("n")): _*)
+
+  /** Streaming dedup on id across the watermark: first record wins within
+    * the watermark horizon (the MERGE-on-id idempotence of the reference's
+    * graph sink).
+    */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, idCols: Seq[String],
+                           watermark: String = "2 days"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Latest-wins engagement state per key: emits the current best (newest
+    * event-time) record for a key whenever it changes — the streaming
+    * equivalent of the 2-day re-crawl overwriting score/commentCount
+    * (`reddit/lambda_function_aggregate.py:59-71`). Custom state via
+    * flatMapGroupsWithState (update mode); state expires via event-time
+    * timeout once the watermark passes the key's newest record by
+    * `stateTimeoutMs` — the same 2-day horizon as the re-crawl.
+    */
+  case class Engagement(id: String, ts: java.sql.Timestamp, score: Int)
+
+  def latestWinsState(ds: Dataset[Engagement],
+                      watermark: String = "2 days",
+                      stateTimeoutMs: Long = 2L * 24 * 3600 * 1000): Dataset[Engagement] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", watermark)
+      .groupByKey(_.id)
+      .flatMapGroupsWithState[Engagement, Engagement](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[Engagement], state: GroupState[Engagement]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val newest = (rows ++ state.getOption.iterator)
+              .reduceOption((a, b) => if (a.ts.compareTo(b.ts) >= 0) a else b)
+            newest match {
+              case Some(n) =>
+                // timeout must be strictly beyond the current watermark
+                state.setTimeoutTimestamp(
+                  math.max(n.ts.getTime + stateTimeoutMs,
+                    state.getCurrentWatermarkMs() + 60000L))
+                if (!state.getOption.contains(n)) {
+                  state.update(n)
+                  Iterator.single(n)
+                } else Iterator.empty
+              case None => Iterator.empty
+            }
+          }
+      }
+  }
+
+  /** Checkpointed exactly-once parquet sink (bookmark semantics). */
+  def toParquetSink(df: DataFrame, path: String, checkpoint: String,
+                    trigger: Trigger = Trigger.ProcessingTime("15 minutes")): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+      .start()
+}

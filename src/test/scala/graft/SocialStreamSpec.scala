@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.SocialStream
+
+class SocialStreamSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumblingCounts aggregates into 15-minute windows with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "topic")
+    val agg = SocialStream.tumblingCounts(df, "ts", Seq("topic"))
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(
+        (ts("2023-03-25 00:01:00"), "ukraine war"),
+        (ts("2023-03-25 00:14:00"), "ukraine war"),
+        (ts("2023-03-25 00:16:00"), "ukraine war"),
+        (ts("2023-03-25 00:02:00"), "russia war"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select("window_start", "topic", "n").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        ("2023-03-25 00:00:00.0", "ukraine war", 2L),
+        ("2023-03-25 00:15:00.0", "ukraine war", 1L),
+        ("2023-03-25 00:00:00.0", "russia war", 1L)))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops re-delivered ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Int)]
+    val df = mem.toDF().toDF("ts", "id", "score")
+    val dedup = SocialStream.dedupWithinWatermark(df, "ts", Seq("id"))
+    val q = dedup.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts("2023-03-25 00:01:00"), "p1", 5))
+      q.processAllAvailable()
+      mem.addData((ts("2023-03-25 01:00:00"), "p1", 99), // re-crawl duplicate
+        (ts("2023-03-25 01:00:00"), "p2", 7))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("id").as[String].collect().sorted
+      assert(ids.toSeq == Seq("p1", "p2"))
+    } finally q.stop()
+  }
+
+  test("latestWinsState emits only when a newer record arrives") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SocialStream.Engagement]
+    val out = SocialStream.latestWinsState(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("lw")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(SocialStream.Engagement("p1", ts("2023-03-25 00:00:00"), 10))
+      q.processAllAvailable()
+      // older record for p1 → no new emission; newer → emission with score 30
+      mem.addData(
+        SocialStream.Engagement("p1", ts("2023-03-24 00:00:00"), 1),
+        SocialStream.Engagement("p2", ts("2023-03-25 00:00:00"), 20))
+      q.processAllAvailable()
+      mem.addData(SocialStream.Engagement("p1", ts("2023-03-27 00:00:00"), 30))
+      q.processAllAvailable()
+      val rows = spark.table("lw").as[SocialStream.Engagement].collect()
+      assert(rows.count(_.id == "p1") == 2) // initial + the newer one only
+      assert(rows.filter(_.id == "p1").map(_.score).toSet == Set(10, 30))
+      assert(rows.count(_.id == "p2") == 1)
+    } finally q.stop()
+  }
+
+  test("file-source micro-batches flow through a checkpointed parquet sink") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val landing = s"$tmp/landing"
+    new java.io.File(landing).mkdirs()
+    import graft.schemas.Schemas
+    // one JSON-lines file = one micro-batch (reference: one file per 15-min window)
+    val f = new java.io.PrintWriter(s"$landing/batch1.json")
+    f.write("""{"id":"p1","date":"2023-03-25 10:00:00","title":"t","content":"c","username":"u","commentCount":1,"score":2,"subreddit":"s","topic":"ukraine war","dataload":"25-03-2023"}""" + "\n")
+    f.close()
+    val stream = SocialStream.readJsonStream(spark, landing, Schemas.redditPosts)
+    val q = SocialStream.toParquetSink(
+      stream, s"$tmp/out", s"$tmp/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() == 1 && out.head().getAs[String]("id") == "p1")
+  }
+}
