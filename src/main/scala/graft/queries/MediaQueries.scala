@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Wave 4 — multimodal-column queries. The testdata has no binary table, so
+  * payloads are the UTF-8 bytes of `documents.text` (cast to binary in the
+  * plan); on ASCII text the byte hash equals the char hash, which keeps the
+  * stub decode oracle-expressible in ANSI SQL.
+  */
+object MediaQueries {
+
+  private val P = Multimodal.P
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary metadata decode (stub codec) → typed meta struct → rollup.
+    "q37_media_meta" -> ((s, dir) => {
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+      Multimodal.decodeMeta(media, "payload")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("meta.width").cast("long")).as("sum_width"),
+          sum(col("meta.height").cast("long")).as("sum_height"),
+          sum(col("meta.byte_len")).as("sum_bytes"))
+        .orderBy(col("source"))
+    }),
+
+    // Binary → fixed-dim embedding (stub features) → micro-unit rollup.
+    "q38_media_embedding" -> ((s, dir) => {
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text").cast("binary").as("payload"))
+      Multimodal.extractEmbedding(media, "payload", 8)
+        .select(col("lang"),
+          element_at(col("embedding"), 1).cast("double").as("e0"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.ops.CoreOps.cents(col("e0"), 6)).as("sum_e0_u"))
+        .orderBy(col("lang"))
+    }),
+
+    // Frame sampling (video/audio chunk shape): frames per source.
+    "q39_frame_count" -> ((s, dir) => {
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+      Multimodal.frameSample(media, "payload", frameSize = 100, stride = 50)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_frames"))
+        .orderBy(col("source"))
+    }))
+
+  private def chSql(s: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (acc, c) -> (acc * 31 + c) % $P)""".stripMargin
+
+  // embedding element 0 constants: i = 0 in Multimodal.extractEmbedding
+  private val a0 = (1L * 2654435761L) % P
+  private val b0 = (1L * 1013904223L) % P
+
+  val oracles: Map[String, String] = Map(
+    "q37_media_meta" ->
+      s"""SELECT source, count(*) AS n,
+         |  CAST(sum(h % 1024) AS BIGINT) AS sum_width,
+         |  CAST(sum((h // 1024) % 1024) AS BIGINT) AS sum_height,
+         |  CAST(sum(length(text)) AS BIGINT) AS sum_bytes
+         |FROM (SELECT source, text, ${chSql("text")} AS h FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q38_media_embedding" ->
+      s"""SELECT lang, count(*) AS n,
+         |  CAST(sum(CAST(round(CAST(CAST(CAST((($a0 * h + $b0) % $P) AS DOUBLE) / $P AS REAL) AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_e0_u
+         |FROM (SELECT lang, ${chSql("text")} AS h FROM documents)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q39_frame_count" ->
+      """SELECT source,
+        |  CAST(sum(CASE WHEN length(text) >= 100 THEN (length(text) - 100) // 50 + 1 ELSE 0 END) AS BIGINT) AS n_frames
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+}

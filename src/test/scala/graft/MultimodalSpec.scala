@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def media = Seq(
+    (1L, "abcdefghij".getBytes("UTF-8")),
+    (2L, Array.fill[Byte](250)(7)),
+    (3L, Array.emptyByteArray)).toDF("media_id", "payload")
+
+  test("decodeMeta appends a typed meta struct, null/empty-safe") {
+    val out = Multimodal.decodeMeta(media, "payload")
+    assert(out.schema("meta").dataType.typeName == "struct")
+    val r = out.filter($"media_id" === 1L).select("meta.width", "meta.height", "meta.byte_len").head()
+    assert(r.getInt(0) >= 0 && r.getInt(0) < 1024)
+    assert(r.getLong(2) == 10L)
+    assert(out.filter($"media_id" === 3L).select("meta.byte_len").head().getLong(0) == 0L)
+  }
+
+  test("decodeMeta is deterministic across runs") {
+    val a = Multimodal.decodeMeta(media, "payload").select("media_id", "meta.width").collect()
+    val b = Multimodal.decodeMeta(media, "payload").select("media_id", "meta.width").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("resizeStub emits exactly targetW*targetH bytes") {
+    val out = Multimodal.resizeStub(media, "payload", 8, 4)
+    out.select(length($"thumb")).collect().foreach(r => assert(r.getInt(0) == 32))
+  }
+
+  test("frameSample emits floor((len-frame)/stride)+1 frames of frameSize bytes") {
+    val out = Multimodal.frameSample(media, "payload", frameSize = 100, stride = 50)
+    // id=2: len 250 → (250-100)/50+1 = 4 frames; id=1 (10B) and id=3 (0B): none
+    assert(out.filter($"media_id" === 2L).count() == 4)
+    assert(out.filter($"media_id" =!= 2L).count() == 0)
+    out.filter($"media_id" === 2L).select(length($"frame")).collect()
+      .foreach(r => assert(r.getInt(0) == 100))
+  }
+
+  test("extractEmbedding yields fixed-dim [0,1) floats that feed similarity ops") {
+    val out = Multimodal.extractEmbedding(media, "payload", 16)
+    out.select($"embedding").collect().foreach { r =>
+      val e = r.getSeq[Float](0)
+      assert(e.length == 16)
+      assert(e.forall(v => v >= 0.0f && v < 1.0f))
+    }
+    // composes with the ANN path unchanged
+    val ann = graft.similarity.Similarity.bruteForceTopK(
+      out.select($"media_id", $"embedding"),
+      out.select($"media_id", $"embedding").filter($"media_id" === 1L),
+      "media_id", "embedding", 2, dim = 16)
+    assert(ann.count() == 2)
+  }
+}
