@@ -1,0 +1,24 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.CharHash
+
+/** Runtime registration of graft's native expressions into an existing
+  * session, idempotent. The sanctioned path is `graft.GraftExtensions` via
+  * `spark.sql.extensions`; this helper covers sessions that were built
+  * without it (e.g. a host application's session), which requires the
+  * `org.apache.spark.sql` package for `sessionState` access — the standard
+  * ecosystem escape hatch.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier("char_hash")
+    if (!reg.functionExists(id)) {
+      reg.registerFunction(id,
+        new ExpressionInfo(classOf[CharHash].getName, "char_hash"),
+        (children: Seq[Expression]) => CharHash(children.head))
+    }
+  }
+}

@@ -127,6 +127,17 @@ object TextQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Native Catalyst expression (codegen'd char_hash, registered at
+    // runtime): same spec as q27's HOF fold, proving expression == kernel
+    // == oracle. At scale this is the codegen path for fingerprinting.
+    "q40_charhash_native" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), call_function("char_hash", col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // A6 approx distinct (HLL) — no SQL oracle (sketch is engine-specific);
     // driver records a rows-only check.
     "q30_approx_users" -> ((s, dir) => {
@@ -220,6 +231,14 @@ object TextQueries {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q27_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "q40_charhash_native" ->
       """SELECT doc_id,
         |  list_reduce(
         |    list_prepend(CAST(0 AS BIGINT),
