@@ -147,6 +147,22 @@ object DedupQueries {
       s"(CASE WHEN $proj > 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("\n    + ")
 
+  /** Generated oracle for Similarity.lshTopK with the given query filter. */
+  def lshOracle(queryPred: String, k: Int, planes: Int): String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding", planes)} AS bucket FROM embeddings),
+       |c AS (SELECT bucket, vec_id AS corpus_id, embedding AS cv FROM b),
+       |q AS (SELECT bucket, vec_id AS query_id, embedding AS qv FROM b WHERE $queryPred),
+       |scored AS (
+       |  SELECT query_id, corpus_id, ${cosineSql("cv", "qv")} AS sim
+       |  FROM c JOIN q USING (bucket) WHERE corpus_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, corpus_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, corpus_id, sim FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q31_ngram_jaccard" ->
       s"""WITH t AS (

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.CoreOps
+import graft.enrich.Enrich
+
+/** Wave 5 — grouping sets, exact percentiles, LSH ANN, the batch-25
+  * enrichment protocol under the oracle gate, window frames, and pivot.
+  */
+object ExtraQueries {
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A4 cube: full grouping-set lattice over two dims.
+    "q41_cube_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(CoreOps.cents(col("o_totalprice"))).as("sum_price_cents"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // A5 exact interpolated percentiles (distribution surface).
+    "q42_percentiles" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // LSH-bucketed ANN top-k (the no-broadcast scale path).
+    "q43_ann_lsh" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      graft.similarity.Similarity.lshTopK(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", 5, planes = 6, dim = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // U2 batch-25 protocol (mapPartitions enrichment) under the oracle gate:
+    // same lexicon as q21 but through the batched executor-side path.
+    "q44_batch_enrich" -> ((s, dir) => {
+      val scorer = new Enrich.LexiconScorer(
+        TextQueries.positive.toSet, TextQueries.negative.toSet)
+      val enriched = Enrich.batchEnrich(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+        "text", scorer, batchSize = 25)
+      enriched.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(CoreOps.cents(col("Positive"), 6)).as("sum_pos_u"),
+          sum(CoreOps.cents(col("Negative"), 6)).as("sum_neg_u"))
+        .orderBy(col("lang"))
+    }),
+
+    // §2.6 window frame: 3-row moving sum per user (ROWS BETWEEN).
+    "q45_moving_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .filter(col("user_id") < 10)
+        .withColumn("mov3", sum(CoreOps.cents(col("value"))).over(w))
+        .select(col("user_id"), col("event_id"), col("mov3"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Pivot: event counts per user across the 5 event types.
+    "q46_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select((col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t))): _*)
+        .orderBy(col("user_id"))
+    }))
+
+  private val C = "CAST(round(%s * 100) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "q41_cube_agg" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         |  CAST(sum(${C.format("o_totalprice")}) AS BIGINT) AS sum_price_cents
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q42_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q43_ann_lsh" -> DedupQueries.lshOracle(queryPred = "vec_id < 20", k = 5, planes = 6),
+
+    "q44_batch_enrich" -> TextQueries.sentimentOracleSql,
+
+    "q45_moving_sum" ->
+      s"""SELECT user_id, event_id,
+         |  CAST(sum(${C.format("value")}) OVER (
+         |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3
+         |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin,
+
+    "q46_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

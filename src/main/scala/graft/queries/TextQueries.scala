@@ -151,6 +151,20 @@ object TextQueries {
   private val neg = sqlList(negative)
   private val stops = sqlList(stopwords)
 
+  /** Oracle for the batch-25 LexiconScorer rollup (q44): same score formula
+    * as q21's expression form, without the derived average column.
+    */
+  val sentimentOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN $pos)) AS DOUBLE) AS pn,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN $neg)) AS DOUBLE) AS nn
+       |  FROM documents)
+       |SELECT lang, count(*) AS n,
+       |  CAST(sum(CAST(round(pn / (pn + nn + 1.0) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_pos_u,
+       |  CAST(sum(CAST(round(nn / (pn + nn + 1.0) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_neg_u
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q19_sentinel_scrub" ->
       """SELECT event_type_clean, count(*) AS n FROM (
