@@ -55,6 +55,19 @@ object CoreOps {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** A2 scale path — latest-wins as a `max_by` aggregation instead of a
+    * row_number window: partial aggregation combines map-side, so the
+    * shuffle carries one candidate row per key per partition instead of
+    * every row (the difference between shuffling 100 TB and shuffling the
+    * key cardinality). `order` must be a unique composite for determinism.
+    */
+  def latestWinsAgg(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, struct(order: _*)).as("__row"))
+      .select(col("__row.*"))
+  }
+
   /** §2.6 — top-k rows per group by `order` descending (deterministic via the
     * caller including a unique tiebreaker in `order`). Spark plans this as a
     * partial top-k per partition before the shuffle when k is small.

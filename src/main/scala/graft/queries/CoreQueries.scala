@@ -148,9 +148,10 @@ object CoreQueries {
         .orderBy(col("bucket_start"), col("event_type"))
     }),
 
-    // A1/S8 max-by / top-1 per key (latest file discovery semantics).
+    // A1/S8 max-by / top-1 per key (latest file discovery semantics) — the
+    // partial-aggregable variant: map-side combine, no per-key sort.
     "q12_latest_per_type" -> ((s, dir) => {
-      CoreOps.latestWins(Tables.load(s, dir, "events"),
+      CoreOps.latestWinsAgg(Tables.load(s, dir, "events"),
           Seq("event_type"), Seq(col("ts"), col("event_id")))
         .select(col("event_type"), col("event_id"))
         .orderBy(col("event_type"))

@@ -40,6 +40,16 @@ class CoreOpsSpec extends AnyFunSuite {
       Seq((1, "new"), (2, "only")))
   }
 
+  test("latestWinsAgg (max_by) agrees with the window form") {
+    val df = Seq((1, 10, "old"), (1, 20, "new"), (2, 5, "only"), (2, 5, "dup"))
+      .toDF("id", "ts", "v").withColumn("seq", monotonically_increasing_id())
+    val win = CoreOps.latestWins(df, Seq("id"), Seq(col("ts"), col("seq")))
+      .select("id", "v").orderBy("id").collect().toSeq
+    val agg = CoreOps.latestWinsAgg(df, Seq("id"), Seq(col("ts"), col("seq")))
+      .select("id", "v").orderBy("id").collect().toSeq
+    assert(win == agg)
+  }
+
   test("latestWins is idempotent") {
     val df = Seq((1, 10), (1, 20), (2, 5)).toDF("id", "ts")
     val once = CoreOps.latestWins(df, Seq("id"), Seq(col("ts")))
