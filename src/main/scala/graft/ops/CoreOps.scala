@@ -123,6 +123,23 @@ object CoreOps {
         sum(cents(measure)).as("sum_cents"),
         (sum(cents(measure)).cast("double") / lit(100.0) / count(lit(1))).as("avg_value"))
 
+  /** Skew-resistant two-phase aggregation (SURVEY.md §4 salting): phase 1
+    * pre-aggregates on (keys, salt) so a hot key spreads over `saltBuckets`
+    * reducers; phase 2 combines the partials on the keys alone. Correct for
+    * decomposable aggregates (count + exact-cents sum here). The salt is the
+    * task partition id — deterministic within a run, and the final result is
+    * invariant to the assignment. AQE handles skewed JOINS at runtime; this
+    * is the aggregation-side answer.
+    */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], measure: Column,
+                     saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id(), lit(saltBuckets)))
+    salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(cents(measure)).as("__s"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__n")).as("n"), sum(col("__s")).as("sum_cents"))
+  }
+
   /** 15-minute (or any) tumbling-window bucket over an event-time column —
     * the reference's micro-batch cadence (`terraform/main.tf:200-205`)
     * re-expressed as a groupable epoch bucket. Plain long arithmetic so the

@@ -80,4 +80,18 @@ object SocialOps {
   /** J2-orphans — comments whose post never landed (anti join). */
   def orphanComments(comments: DataFrame, posts: DataFrame): DataFrame =
     comments.join(posts.select(col("id").as("post_id")), Seq("post_id"), "left_anti")
+
+  /** F7 — comment-expansion guard: only posts with comments feed the
+    * expansion join (`reddit/lambda_function.py:56`).
+    */
+  def commentGuard(posts: DataFrame, countCol: String = "commentCount"): DataFrame =
+    posts.filter(col(countCol) > 0)
+
+  /** P6 — schema-directed rebuild: apply `f` to exactly the columns selected
+    * by `isText`, copy the rest — the reference iterates catalog columns and
+    * translates only content/title (`translate/translate.py:56-62,88-94`).
+    */
+  def mapTextColumns(df: DataFrame, isText: String => Boolean,
+                     f: Column => Column): DataFrame =
+    df.select(df.columns.map(c => (if (isText(c)) f(col(c)) else col(c)).as(c)): _*)
 }

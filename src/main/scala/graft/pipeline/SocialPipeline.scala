@@ -24,9 +24,17 @@ import graft.ops.{CoreOps, SocialOps}
   */
 object SocialPipeline {
 
-  /** K1 — partitioned landing sink (append, hive layout). */
-  def writeLanding(df: DataFrame, root: String): Unit =
-    df.write.partitionBy("topic", "dataload").mode(SaveMode.Append).parquet(root)
+  /** K1 — partitioned landing sink (append, hive layout). `format` = parquet
+    * for the engine's own layout or json to mirror the reference's landing
+    * files byte-compatibly (`reddit/lambda_function_initial.py:45,62-63`).
+    */
+  def writeLanding(df: DataFrame, root: String, format: String = "parquet"): Unit =
+    df.write.partitionBy("topic", "dataload").mode(SaveMode.Append)
+      .format(format).save(root)
+
+  /** K2 — CSV snapshot debug/audit sink (`glue/reddit_glue.py:225-226,271-273`). */
+  def writeCsvSnapshot(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
   /** S7 — catalog-style scan with partition pushdown. */
   def scanPartition(spark: SparkSession, root: String,

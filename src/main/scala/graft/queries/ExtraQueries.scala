@@ -66,6 +66,14 @@ object ExtraQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Skew-salted two-phase aggregation: result equals a plain group-by
+    // (which is exactly what the oracle runs) at any salt assignment.
+    "q47_salted_agg" -> ((s, dir) => {
+      CoreOps.saltedSumCount(Tables.load(s, dir, "events"),
+          Seq("event_type"), col("value"), saltBuckets = 16)
+        .orderBy(col("event_type"))
+    }),
+
     // Pivot: event counts per user across the 5 event types.
     "q46_pivot" -> ((s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
@@ -102,6 +110,11 @@ object ExtraQueries {
          |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
          |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3
          |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin,
+
+    "q47_salted_agg" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(${C.format("value")}) AS BIGINT) AS sum_cents
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q46_pivot" ->
       """SELECT user_id,

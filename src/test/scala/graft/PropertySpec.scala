@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.dedup.Dedup
+import graft.ops.{CoreOps, SocialOps}
+
+/** Property-based invariants (SURVEY.md §5.3), driver-side where the
+  * property is about the scalar spec, Spark-side where it is about the plan.
+  * (scalacheck Gen sampled directly — scalatestplus isn't on the offline
+  * classpath.)
+  */
+class PropertySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(8 -> Gen.alphaNumChar, 2 -> Gen.const(' ')))
+      .map(_.mkString)
+
+  test("charHashStr is total, stable, and within [0, P)") {
+    for (s <- samples(asciiText, 200)) {
+      val h = Dedup.charHashStr(s)
+      assert(h >= 0L && h < Dedup.P)
+      assert(h == Dedup.charHashStr(s))
+    }
+  }
+
+  test("scalar jaccard invariants: bounds, symmetry, identity") {
+    val toks: Gen[Seq[String]] = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e")).map(_.distinct)
+    val xs = samples(toks, 100)
+    val ys = samples(toks, 100).reverse
+    for ((x, y) <- xs.zip(ys)) {
+      def j(a: Seq[String], b: Seq[String]): Double = {
+        val u = (a ++ b).distinct.size.toDouble
+        if (u == 0) 0.0 else a.intersect(b).size / u
+      }
+      assert(j(x, y) >= 0.0 && j(x, y) <= 1.0)
+      assert(j(x, y) == j(y, x))
+      assert(x.isEmpty || j(x, x) == 1.0)
+    }
+  }
+
+  test("nullifySentinels is idempotent on a generated frame") {
+    val vals = Seq("ok", "", "[deleted]", "None", "x", null)
+    val df = vals.toDF("c")
+    val once = df.select(CoreOps.nullifySentinels($"c", Seq("", "[deleted]")).as("c"))
+    val twice = once.select(CoreOps.nullifySentinels($"c", Seq("", "[deleted]")).as("c"))
+    assert(once.collect().toSeq == twice.collect().toSeq)
+  }
+
+  test("cents-sum is partition-count invariant (associativity in practice)") {
+    val values = (1 to 1000).map(i => (i % 7, i * 0.01 + 0.001 * (i % 3)))
+    val df1 = spark.createDataFrame(values).toDF("k", "v").repartition(1)
+    val df32 = spark.createDataFrame(values).toDF("k", "v").repartition(32)
+    def total(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"k").agg(sum(CoreOps.cents($"v")).as("s"))
+        .orderBy($"k").collect().map(_.getLong(1)).toSeq
+    assert(total(df1) == total(df32))
+  }
+
+  test("saltedSumCount equals the plain group-by at any bucket count") {
+    val df = (1 to 500).map(i => (i % 3, i * 0.5)).toDF("k", "v")
+    val plain = df.groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum(CoreOps.cents($"v")).as("sum_cents"))
+      .orderBy($"k").collect().toSeq
+    for (buckets <- Seq(1, 4, 64)) {
+      val salted = CoreOps.saltedSumCount(df, Seq("k"), $"v", buckets)
+        .orderBy($"k").collect().toSeq
+      assert(salted == plain, s"buckets=$buckets")
+    }
+  }
+
+  test("commentGuard and mapTextColumns behave per spec") {
+    val posts = Seq(("p1", 3, "Héllo"), ("p2", 0, "x")).toDF("id", "commentCount", "content")
+    assert(SocialOps.commentGuard(posts).count() == 1)
+    val mapped = SocialOps.mapTextColumns(posts, _ == "content",
+      graft.enrich.Enrich.translateCol)
+    assert(mapped.columns.toSeq == posts.columns.toSeq)
+    assert(mapped.filter($"id" === "p1").head().getAs[String]("content") == "Hello")
+  }
+}
