@@ -170,8 +170,7 @@ object Dedup {
     val cand = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b").distinct()
-    cand
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    appendJaccard(cand, "sh_a", "sh_b", "jaccard")
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -181,6 +180,32 @@ object Dedup {
     val inter = size(array_intersect(a, b)).cast("double")
     val uni = size(array_union(a, b)).cast("double")
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Kernel form of [[jaccard]] for the per-pair verify stage: appends
+    * |a∩b| / |a∪b| of two already-distinct array columns as `outName`.
+    * array_intersect/union are interpreted per pair (no codegen); at
+    * millions of candidate pairs the set arithmetic belongs in a JVM loop.
+    */
+  def appendJaccard(df: DataFrame, aCol: String, bCol: String,
+                    outName: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(outName, DoubleType, nullable = false))
+    val (ia, ib) = (df.schema.fieldIndex(aCol), df.schema.fieldIndex(bCol))
+    implicit val enc = Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val a = r.getSeq[Any](ia)
+        val b = r.getSeq[Any](ib)
+        val setA = a.toSet
+        var inter = 0
+        val itB = b.iterator
+        while (itB.hasNext) if (setA.contains(itB.next())) inter += 1
+        val union = setA.size + b.size - inter
+        val j = if (union == 0) 0.0 else inter.toDouble / union
+        Row.fromSeq(r.toSeq :+ j)
+      }
+    }(enc)
   }
 
   /** Distinct-token seeded hashes — the SimHash input (materialize this as
@@ -269,21 +294,40 @@ object Dedup {
     * token-set Jaccard ≥ threshold. For corpora where a natural blocking key
     * exists (source, length bucket); the general path is minhashNearDups.
     */
+  /** Kernel: append the distinct token-hash set of a text column. Hashing
+    * before the join shrinks the shuffled payload (8-byte longs instead of
+    * strings) and makes the per-pair verify a primitive-set operation.
+    */
+  def appendTokenHashSet(df: DataFrame, textCol: String, outName: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(outName, ArrayType(LongType, containsNull = false)))
+    val idx = df.schema.fieldIndex(textCol)
+    implicit val enc = Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val th = Option(r.getString(idx)).getOrElse("")
+          .split(" ", -1).map(charHashStr).distinct
+        Row.fromSeq(r.toSeq :+ th.toSeq)
+      }
+    }(enc)
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], threshold: Double): DataFrame = {
-    // Token sets are materialized BEFORE the blocking join: each doc is
-    // tokenized once instead of once per candidate pair (the shuffle carries
-    // the array payload, trading bytes for O(pairs·tokenize) CPU).
-    val base = df.select((idCol +: textCol +: blockCols).map(col): _*)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("toks", array_distinct(split(col(textCol), " ")))
+    // Token-hash sets are materialized BEFORE the blocking join: each doc is
+    // tokenized+hashed once, pairs compare primitive sets only.
+    val base = appendTokenHashSet(
+      df.select((idCol +: textCol +: blockCols).map(col): _*)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism),
+      textCol, "toks")
     val a = base.select(
       (Seq(col(idCol).as("id_a"), col("toks").as("toks_a")) ++ blockCols.map(col)): _*)
     val b = base.select(
       (Seq(col(idCol).as("id_b"), col("toks").as("toks_b")) ++ blockCols.map(col)): _*)
-    a.join(b, blockCols)
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+    appendJaccard(
+        a.join(b, blockCols).filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b", "toks_a", "toks_b"),
+        "toks_a", "toks_b", "jaccard")
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -166,7 +166,9 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "q31_ngram_jaccard" ->
       s"""WITH t AS (
-         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+         |  SELECT doc_id, lang, source,
+         |    list_distinct(list_transform(string_split(text, ' '), tk -> ${chSql("tk")})) AS toks
+         |  FROM documents)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${jaccardSql("a.toks", "b.toks")} AS jaccard
          |FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          |WHERE ${jaccardSql("a.toks", "b.toks")} >= 0.7

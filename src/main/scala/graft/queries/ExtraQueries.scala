@@ -66,6 +66,23 @@ object ExtraQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // §2.9 date arithmetic + array/conditional scalar coverage.
+    "q48_datetime_suite" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") <= 300)
+        .select(
+          col("o_orderkey"),
+          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+          datediff(lit("1998-12-01"), col("o_orderdate")).as("dd"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("mon"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          array_sort(array(col("o_orderkey") % 5, lit(7L), lit(2L))).as("arr"),
+          array_contains(array(col("o_orderkey") % 5, lit(7L)), 2L).as("has2"),
+          nullif(col("o_orderstatus"), lit("O")).as("st"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("st2"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Skew-salted two-phase aggregation: result equals a plain group-by
     // (which is exactly what the oracle runs) at any salt assignment.
     "q47_salted_agg" -> ((s, dir) => {
@@ -110,6 +127,18 @@ object ExtraQueries {
          |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
          |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3
          |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin,
+
+    "q48_datetime_suite" ->
+      """SELECT o_orderkey,
+        |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS INT) AS dd,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mon,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  list_sort([o_orderkey % 5, 7, 2]) AS arr,
+        |  list_contains([o_orderkey % 5, 7], 2) AS has2,
+        |  nullif(o_orderstatus, 'O') AS st,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS st2
+        |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin,
 
     "q47_salted_agg" ->
       s"""SELECT event_type, count(*) AS n,
