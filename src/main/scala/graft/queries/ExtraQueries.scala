@@ -66,6 +66,19 @@ object ExtraQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // §2.10 built-in session_window in batch mode (the stream-capable
+    // sessionization): one row per (user, session) → sessions per user.
+    // Boundary semantics: a gap of exactly the window closes the session
+    // (exclusive end) — the oracle mirrors that at microsecond precision.
+    "q49_session_window" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // §2.9 date arithmetic + array/conditional scalar coverage.
     "q48_datetime_suite" -> ((s, dir) => {
       Tables.load(s, dir, "orders")
@@ -76,7 +89,8 @@ object ExtraQueries {
           datediff(lit("1998-12-01"), col("o_orderdate")).as("dd"),
           date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("mon"),
           dayofweek(col("o_orderdate")).as("dow"),
-          array_sort(array(col("o_orderkey") % 5, lit(7L), lit(2L))).as("arr"),
+          array_join(array_sort(array(col("o_orderkey") % 5, lit(7L), lit(2L)))
+            .cast("array<string>"), ",").as("arr"),
           array_contains(array(col("o_orderkey") % 5, lit(7L)), 2L).as("has2"),
           nullif(col("o_orderstatus"), lit("O")).as("st"),
           coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("st2"))
@@ -128,13 +142,25 @@ object ExtraQueries {
          |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3
          |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin,
 
+    "q49_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |m AS (
+        |  SELECT user_id,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e)
+        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q48_datetime_suite" ->
       """SELECT o_orderkey,
         |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
         |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS INT) AS dd,
         |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mon,
         |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
-        |  list_sort([o_orderkey % 5, 7, 2]) AS arr,
+        |  array_to_string(list_sort([o_orderkey % 5, 7, 2]), ',') AS arr,
         |  list_contains([o_orderkey % 5, 7], 2) AS has2,
         |  nullif(o_orderstatus, 'O') AS st,
         |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS st2
