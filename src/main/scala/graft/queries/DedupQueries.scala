@@ -163,6 +163,50 @@ object DedupQueries {
        |SELECT query_id, rank, corpus_id, sim FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Generated oracle for Similarity.ivfTopK (true IVF: exact micro-unit
+    * centroid means, nearest-centroid assignment, nProbe fan-out).
+    */
+  def ivfOracle(queryPred: String, k: Int, nCells: Int, nProbe: Int): String = {
+    val planes = java.lang.Integer.numberOfTrailingZeros(nCells)
+    val sumExprs = (0 until 64).map(i =>
+      s"sum(CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s$i")
+      .mkString(",\n    ")
+    val centExprs = (0 until 64).map(i =>
+      s"CAST(CAST(s$i AS DOUBLE) / 1000000.0 / cnt AS REAL)").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding", planes)} AS bucket FROM embeddings),
+       |sums AS (
+       |  SELECT bucket, count(*) AS cnt,
+       |    $sumExprs
+       |  FROM base GROUP BY bucket),
+       |cent AS (SELECT bucket AS cell, [$centExprs] AS cv FROM sums),
+       |assign AS (
+       |  SELECT cell, corpus_id FROM (
+       |    SELECT c.cell, b.vec_id AS corpus_id,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${cosineSql("b.embedding", "c.cv")} DESC, c.cell) AS rn
+       |    FROM base b CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT cell, query_id FROM (
+       |    SELECT c.cell, b.vec_id AS query_id,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${cosineSql("b.embedding", "c.cv")} DESC, c.cell) AS rn
+       |    FROM base b CROSS JOIN cent c WHERE $queryPred)
+       |  WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT p.query_id, a.corpus_id, ${cosineSql("ce.embedding", "qe.embedding")} AS sim
+       |  FROM assign a JOIN probes p USING (cell)
+       |  JOIN embeddings ce ON ce.vec_id = a.corpus_id
+       |  JOIN embeddings qe ON qe.vec_id = p.query_id
+       |  WHERE a.corpus_id <> p.query_id)
+       |SELECT query_id, rank, corpus_id, sim FROM (
+       |  SELECT query_id, corpus_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q31_ngram_jaccard" ->
       s"""WITH t AS (

@@ -66,6 +66,16 @@ object ExtraQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // True IVF ANN: deterministic centroids (exact micro-unit means),
+    // nearest-centroid assignment, nProbe probing — the no-broadcast,
+    // no-all-pairs path for billion-vector corpora.
+    "q50_ann_ivf" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      graft.similarity.Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3, nCells = 16, nProbe = 4, dim = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // §2.10 built-in session_window in batch mode (the stream-capable
     // sessionization): one row per (user, session) → sessions per user.
     // Boundary semantics: a gap of exactly the window closes the session
@@ -141,6 +151,9 @@ object ExtraQueries {
          |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
          |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3
          |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin,
+
+    "q50_ann_ivf" -> DedupQueries.ivfOracle(queryPred = "b.vec_id < 5",
+      k = 3, nCells = 16, nProbe = 4),
 
     "q49_session_window" ->
       """WITH e AS (

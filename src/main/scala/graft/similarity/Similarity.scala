@@ -170,11 +170,72 @@ object Similarity {
       .select("query_id", "rank", "corpus_id", "sim")
   }
 
-  /** IVF-style ANN: the sign-LSH variant with fewer planes doubles as a
-    * coarse IVF (each bucket is a cell). Kept as a named entry point for
-    * API parity.
+  /** True IVF ANN: one deterministic k-means-lite pass.
+    *
+    *  1. coarse cells = sign-LSH buckets over log2(nCells) planes;
+    *  2. centroid per cell = exact mean via integer micro-unit sums
+    *     (order-invariant under any partitioning — the float work happens
+    *     once, after the associative long sums);
+    *  3. every corpus vector reassigned to its nearest centroid by cosine
+    *     (tie → lower cell id);
+    *  4. queries probe their `nProbe` nearest centroids and run exact
+    *     cosine top-k over just those cells' vectors.
+    *
+    * All joins are hash joins on the small centroid/cell key; the corpus is
+    * never broadcast and never compared all-pairs — the 100 TB path probes
+    * |corpus|·nProbe/nCells candidates per query.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, planes: Int = 4, dim: Int = 64): DataFrame =
-    lshTopK(corpus, queries, idCol, vecCol, k, planes, dim)
+              k: Int, nCells: Int = 16, nProbe: Int = 4, dim: Int = 64): DataFrame = {
+    require(nCells > 0 && (nCells & (nCells - 1)) == 0, "nCells must be a power of 2")
+    val planes = java.lang.Integer.numberOfTrailingZeros(nCells)
+
+    val base = bucketNorm(corpus, idCol, vecCol, planes, dim) // bucket,id,v,nrm
+    // exact centroid mean: per-dim long micro-sums, then one double division
+    val sumCols = (0 until dim).map(i =>
+      sum(round(element_at(col("v"), i + 1).cast("double") * lit(1e6), 0).cast("long")).as(s"s$i"))
+    val sums = base.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"), sumCols: _*)
+    val centroids = sums.select(col("bucket").as("cell"),
+      array((0 until dim).map(i =>
+        (col(s"s$i").cast("double") / lit(1e6) / col("cnt")).cast("float")): _*).as("cv"))
+    val centroidsN = bucketNorm(centroids, "cell", "cv", 0, dim)
+      .select(col("id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+
+    // nearest centroid per corpus vector — as a max_by aggregation, not a
+    // window: partial aggregation combines map-side, so the assignment
+    // shuffle carries one candidate per vector per partition and never
+    // sorts (tie → lower cell id via the negated key).
+    val corpusX = appendCosine(
+      base.select(col("id").as("corpus_id"), col("v"), col("nrm"))
+        .join(broadcast(centroidsN), lit(true)),
+      "v", "cv", "nrm", "cnrm", "csim")
+    val assigned = corpusX.groupBy(col("corpus_id"))
+      .agg(max_by(struct(col("cell"), col("v"), col("nrm")),
+        struct(col("csim"), -col("cell"))).as("best"))
+      .select(col("best.cell").as("cell"), col("corpus_id"),
+        col("best.v").as("cv2"), col("best.nrm").as("cnorm2"))
+
+    // nProbe nearest centroids per query
+    val queriesN = bucketNorm(queries, idCol, vecCol, 0, dim)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnorm"))
+    val queryX = appendCosine(
+      queriesN.join(broadcast(centroidsN), lit(true)),
+      "qv", "cv", "qnorm", "cnrm", "csim")
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    val probes = queryX.withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("cell"), col("query_id"), col("qv"), col("qnorm"))
+
+    // exact cosine over probed cells only, then global top-k per query
+    val scored = appendCosine(
+      assigned.join(probes, Seq("cell")).filter(col("corpus_id") =!= col("query_id")),
+      "cv2", "qv", "cnorm2", "qnorm", "sim")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "sim")
+  }
 }

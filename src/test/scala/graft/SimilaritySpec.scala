@@ -52,6 +52,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
   }
 
+  test("ivfTopK finds a planted near-duplicate via centroid probing") {
+    val mk = (seed: Int) => (0 until 64).map(i => math.sin(seed * 100 + i).toFloat)
+    val rows = (1L to 40L).map(id => (id, mk(id.toInt))) :+ (99L, mk(1)) // 99 clones 1
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(df, df.filter($"vec_id" === 1L),
+      "vec_id", "embedding", k = 1, nCells = 4, nProbe = 2, dim = 64)
+    val top = out.head()
+    assert(top.getLong(2) == 99L) // the clone is rank 1
+    assert(math.abs(top.getDouble(3) - 1.0) < 1e-9)
+  }
+
   test("lshTopK only scores within matching buckets and never the query itself") {
     val df = Seq((1L, e1), (2L, e1), (3L, e2)).toDF("vec_id", "embedding")
     val out = Similarity.lshTopK(df, df, "vec_id", "embedding", 5, planes = 4, dim = 3)
