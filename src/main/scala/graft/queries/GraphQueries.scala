@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.graph.GraphBuilder
+
+/** Wave 6 — the graph builders (SURVEY.md §2.4 J2-J4, §2.12 K3) under the
+  * oracle gate, over social-analog frames derived from the testdata:
+  * documents→posts (source as author, lang as subreddit), events→comments
+  * (user as author, FK to the post of the same doc_id bucket), click
+  * events→tweets with a synthesized mention list. The mapping is arbitrary
+  * but deterministic — what's under test is node dedup (Cypher MERGE
+  * semantics), edge projection, and the mention fan-out.
+  */
+object GraphQueries {
+
+  private def posts(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(
+      col("doc_id").cast("string").as("id"),
+      col("source").as("username"),
+      col("lang").as("subreddit"))
+
+  private def comments(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events").filter(col("event_type") === "view").select(
+      col("event_id").cast("string").as("id"),
+      concat(lit("u"), col("user_id")).as("username"),
+      (col("event_id") % 500).cast("string").as("post_id"))
+
+  private def tweets(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events").filter(col("event_type") === "click").select(
+      col("event_id").as("id"),
+      concat(lit("u"), col("user_id")).as("username"),
+      when(col("user_id") % 3 === 0, lit(null))
+        .otherwise(concat(lit("u"), col("user_id") % 7, lit(",u"), col("user_id") % 11))
+        .as("mentionedUsers"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Node tables: MERGE-on-key dedup across three sources.
+    "q51_graph_vertices" -> ((s, dir) => {
+      GraphBuilder.vertices(posts(s, dir), comments(s, dir), tweets(s, dir))
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .orderBy(col("label"))
+    }),
+
+    // Edge tables: five relations incl. null-safe mention fan-out.
+    "q52_graph_edges" -> ((s, dir) => {
+      GraphBuilder.edges(posts(s, dir), comments(s, dir), tweets(s, dir))
+        .groupBy(col("rel")).agg(count(lit(1)).as("n"))
+        .orderBy(col("rel"))
+    }))
+
+  // SQL mirrors of the builder pipelines (dedup on (id,label) / (src,dst,rel)).
+  private val postsSql =
+    "SELECT CAST(doc_id AS VARCHAR) AS id, source AS username, lang AS subreddit FROM documents"
+  private val commentsSql =
+    """SELECT CAST(event_id AS VARCHAR) AS id, 'u' || CAST(user_id AS VARCHAR) AS username,
+      |CAST(event_id % 500 AS VARCHAR) AS post_id FROM events WHERE event_type = 'view'""".stripMargin
+  private val tweetsSql =
+    """SELECT event_id AS id, 'u' || CAST(user_id AS VARCHAR) AS username,
+      |CASE WHEN user_id % 3 = 0 THEN NULL
+      |     ELSE 'u' || CAST(user_id % 7 AS VARCHAR) || ',u' || CAST(user_id % 11 AS VARCHAR) END AS mentionedUsers
+      |FROM events WHERE event_type = 'click'""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q51_graph_vertices" ->
+      s"""WITH p AS ($postsSql), c AS ($commentsSql), t AS ($tweetsSql),
+         |v AS (
+         |  SELECT DISTINCT id, label FROM (
+         |    SELECT id, 'Post' AS label FROM p
+         |    UNION ALL SELECT id, 'Comment' FROM c
+         |    UNION ALL SELECT CAST(id AS VARCHAR), 'Tweet' FROM t
+         |    UNION ALL SELECT DISTINCT username, 'User' FROM (
+         |      SELECT username FROM p UNION ALL SELECT username FROM c
+         |      UNION ALL SELECT username FROM t) WHERE username IS NOT NULL
+         |    UNION ALL SELECT DISTINCT subreddit, 'Subreddit' FROM p WHERE subreddit IS NOT NULL))
+         |SELECT label, count(*) AS n FROM v GROUP BY label ORDER BY label""".stripMargin,
+
+    "q52_graph_edges" ->
+      s"""WITH p AS ($postsSql), c AS ($commentsSql), t AS ($tweetsSql),
+         |e AS (
+         |  SELECT DISTINCT src, dst, rel FROM (
+         |    SELECT id AS src, subreddit AS dst, 'POSTED_IN' AS rel FROM p
+         |    UNION ALL SELECT id, username, 'POSTED_BY' FROM p
+         |    UNION ALL SELECT id, post_id, 'COMMENTED_ON' FROM c
+         |    UNION ALL SELECT id, username, 'COMMENTED_BY' FROM c
+         |    UNION ALL SELECT CAST(t.id AS VARCHAR), u.m, 'MENTIONS'
+         |      FROM t, UNNEST(string_split(coalesce(t.mentionedUsers, ''), ',')) AS u(m)
+         |      WHERE t.mentionedUsers IS NOT NULL AND t.mentionedUsers <> '')
+         |  WHERE dst IS NOT NULL)
+         |SELECT rel, count(*) AS n FROM e GROUP BY rel ORDER BY rel""".stripMargin)
+}

@@ -199,8 +199,26 @@ object Similarity {
     val centroids = sums.select(col("bucket").as("cell"),
       array((0 until dim).map(i =>
         (col(s"s$i").cast("double") / lit(1e6) / col("cnt")).cast("float")): _*).as("cv"))
-    val centroidsN = bucketNorm(centroids, "cell", "cv", 0, dim)
-      .select(col("id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // Materialize the centroid table once: it is model-sized (nCells rows),
+    // but computing it lazily would re-run the full corpus aggregation for
+    // each of its two broadcast uses below. This is the one place a
+    // driver-side materialization is correct — centroids are a bounded
+    // artifact (like a broadcast variable), not data. Norms are computed
+    // here in the same index-order fold as the kernels.
+    val spark = corpus.sparkSession
+    val centroidRows: Seq[Row] = centroids.collect().toSeq.map { r =>
+      val cv = r.getSeq[Float](1)
+      var sq = 0.0
+      var i = 0
+      while (i < cv.length) { sq += cv(i).toDouble * cv(i).toDouble; i += 1 }
+      Row(r.get(0), cv, math.sqrt(sq))
+    }
+    val centroidsN = spark.createDataFrame(
+      java.util.Arrays.asList(centroidRows: _*),
+      StructType(Seq(
+        StructField("cell", centroids.schema("cell").dataType),
+        StructField("cv", ArrayType(FloatType)),
+        StructField("cnrm", DoubleType, nullable = false))))
 
     // nearest centroid per corpus vector — as a max_by aggregation, not a
     // window: partial aggregation combines map-side, so the assignment
