@@ -71,6 +71,16 @@ class SocialPipelineSpec extends AnyFunSuite {
     assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
   }
 
+  test("K2 csv snapshot sink round-trips with header") {
+    val (postsRoot, _, _) = mkLanding()
+    val out = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/snap"
+    SocialPipeline.writeCsvSnapshot(
+      SocialPipeline.scanPartition(spark, postsRoot, "ukraine war", "25-03-2023")
+        .select("id", "username", "score"), out)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() == 3 && back.columns.toSeq == Seq("id", "username", "score"))
+  }
+
   test("runDaily materializes graph + rollup tables from one distributed plan") {
     val (postsRoot, commentsRoot, tweetsRoot) = mkLanding()
     val out = java.nio.file.Files.createTempDirectory("graft-out").toString
