@@ -66,6 +66,23 @@ object ExtraQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // §2.8 intersect: users who both viewed and purchased.
+    "q53_intersect" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      e.filter(col("event_type") === "view").select(col("user_id"))
+        .intersect(e.filter(col("event_type") === "purchase").select(col("user_id")))
+        .orderBy(col("user_id"))
+    }),
+
+    // §2.8 except: viewers minus users with a high-value error.
+    "q54_except" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      e.filter(col("event_type") === "view").select(col("user_id"))
+        .except(e.filter(col("event_type") === "error" && col("value") > 150.0)
+          .select(col("user_id")))
+        .orderBy(col("user_id"))
+    }),
+
     // True IVF ANN: deterministic centroids (exact micro-unit means),
     // nearest-centroid assignment, nProbe probing — the no-broadcast,
     // no-all-pairs path for billion-vector corpora.
@@ -154,6 +171,18 @@ object ExtraQueries {
 
     "q50_ann_ivf" -> DedupQueries.ivfOracle(queryPred = "b.vec_id < 5",
       k = 3, nCells = 16, nProbe = 4),
+
+    "q53_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "q54_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error' AND value > 150.0
+        |ORDER BY user_id""".stripMargin,
 
     "q49_session_window" ->
       """WITH e AS (
