@@ -104,4 +104,45 @@ object SocialStream {
       .trigger(trigger)
       .outputMode(OutputMode.Append())
       .start()
+
+  /** The full §3 lifecycle as one streaming job: JSON landing → clean →
+    * enrich → graph-as-tables, via foreachBatch. Each micro-batch appends
+    * its nodes/edges; `dropDuplicates` on the merge keys inside the batch
+    * keeps writes idempotent-shaped exactly like the Cypher MERGE the
+    * reference issues per record (`glue/twitter_glue.py:74-105`) — but as
+    * one distributed plan per batch, not per-row transactions.
+    */
+  def runPipeline(spark: SparkSession, postsLanding: String, outDir: String,
+                  blacklist: Seq[String], scorer: graft.enrich.Enrich.TextScorer,
+                  checkpoint: String,
+                  trigger: Trigger = Trigger.ProcessingTime("15 minutes")): StreamingQuery = {
+    import graft.pipeline.SocialPipeline
+    val stream = readJsonStream(spark, postsLanding, graft.schemas.Schemas.redditPosts)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val enriched = SocialPipeline.enrich(
+          SocialPipeline.cleanPosts(batch, blacklist), "content", scorer)
+        enriched.write.mode("append").parquet(s"$outDir/posts_enriched.parquet")
+        val empty = (df: DataFrame) => df.limit(0)
+        val v = graft.graph.GraphBuilder.vertices(
+          enriched, empty(enriched.withColumn("post_id", col("id"))), emptyTweets(spark))
+        val e = graft.graph.GraphBuilder.edges(
+          enriched, empty(enriched.withColumn("post_id", col("id"))), emptyTweets(spark))
+        v.write.mode("append").parquet(s"$outDir/vertices.parquet")
+        e.write.mode("append").parquet(s"$outDir/edges.parquet")
+        ()
+      }
+      .start()
+  }
+
+  private def emptyTweets(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("username", StringType),
+        StructField("mentionedUsers", StringType))))
+  }
 }

@@ -78,6 +78,45 @@ class SocialStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming pipeline output equals the batch pipeline on the same landing data") {
+    import graft.pipeline.SocialPipeline
+    import graft.schemas.Schemas
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sbatch").toString
+    val landing = s"$tmp/landing"
+    new java.io.File(landing).mkdirs()
+    val rows = Seq(
+      """{"id":"p1","date":"2023-03-25 10:00:00","title":"t1","content":"good content","username":"alice","commentCount":1,"score":5,"subreddit":"worldnews","topic":"ukraine war","dataload":"25-03-2023"}""",
+      """{"id":"p2","date":"2023-03-25 11:00:00","title":"t2","content":"[deleted]","username":"bob","commentCount":0,"score":1,"subreddit":"europe","topic":"ukraine war","dataload":"25-03-2023"}""",
+      """{"id":"p3","date":"2023-03-25 12:00:00","title":"t3","content":"more text here","username":"carol","commentCount":2,"score":9,"subreddit":"europe","topic":"ukraine war","dataload":"25-03-2023"}""")
+    // two files = two micro-batches
+    val f1 = new java.io.PrintWriter(s"$landing/b1.json"); f1.write(rows.head + "\n"); f1.close()
+    val f2 = new java.io.PrintWriter(s"$landing/b2.json"); f2.write(rows.tail.mkString("\n") + "\n"); f2.close()
+
+    val blacklist = Seq("badterm")
+    val scorer = new graft.enrich.Enrich.LexiconScorer(Set("good"), Set("bad"))
+    val q = graft.streaming.SocialStream.runPipeline(spark, landing, s"$tmp/out",
+      blacklist, scorer, s"$tmp/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    // batch reference over the identical landing files
+    val batchEnriched = SocialPipeline.enrich(
+      SocialPipeline.cleanPosts(
+        spark.read.schema(Schemas.redditPosts).json(landing), blacklist),
+      "content", scorer)
+    val streamIds = spark.read.parquet(s"$tmp/out/posts_enriched.parquet")
+      .select("id", "Positive", "claimScore").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    val batchIds = batchEnriched.select("id", "Positive", "claimScore").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(streamIds == batchIds && streamIds.map(_._1) == Set("p1", "p3"))
+    val v = spark.read.parquet(s"$tmp/out/vertices.parquet")
+    assert(v.filter($"label" === "Post").count() == 2)
+    assert(v.filter($"label" === "User").count() == 2)
+    val e = spark.read.parquet(s"$tmp/out/edges.parquet")
+    assert(e.filter($"rel" === "POSTED_IN").count() == 2)
+  }
+
   test("file-source micro-batches flow through a checkpointed parquet sink") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val landing = s"$tmp/landing"
