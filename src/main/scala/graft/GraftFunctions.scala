@@ -1,8 +1,6 @@
 package org.apache.spark.sql
 
-import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.CharHash
+import graft.GraftExtensions
 
 /** Runtime registration of graft's native expressions into an existing
   * session, idempotent. The sanctioned path is `graft.GraftExtensions` via
@@ -14,11 +12,8 @@ import graft.expressions.CharHash
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier("char_hash")
-    if (!reg.functionExists(id)) {
-      reg.registerFunction(id,
-        new ExpressionInfo(classOf[CharHash].getName, "char_hash"),
-        (children: Seq[Expression]) => CharHash(children.head))
+    GraftExtensions.registrations.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
   }
 }

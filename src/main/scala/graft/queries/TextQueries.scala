@@ -127,6 +127,15 @@ object TextQueries {
         .orderBy(col("event_type"))
     }),
 
+    // F4 at reference scale: the Aho-Corasick native expression through
+    // contentGate's large-blacklist path (one automaton pass per row).
+    "q55_native_blacklist" -> ((s, dir) => {
+      SocialOps.contentGate(Tables.load(s, dir, "documents"), 600,
+          bigBlacklist, Seq("text"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .orderBy(col("source"))
+    }),
+
     // Native Catalyst expression (codegen'd char_hash, registered at
     // runtime): same spec as q27's HOF fold, proving expression == kernel
     // == oracle. At scale this is the codegen path for fingerprinting.
@@ -146,6 +155,14 @@ object TextQueries {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy(col("event_type"))
     }))
+
+  /** A blacklist large enough to trip contentGate's native Aho-Corasick
+    * path (mix of present and absent terms, incl. multi-word substrings).
+    */
+  val bigBlacklist: Seq[String] = Seq(
+    "spark", "slowpoke", "fatal error", "merge conflict", "batch job",
+    "zzzz", "value table", "hash value", "qqq", "group order",
+    "customer query", "stream filter")
 
   private val pos = sqlList(positive)
   private val neg = sqlList(negative)
@@ -251,6 +268,14 @@ object TextQueries {
         |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "q55_native_blacklist" -> {
+      val noTerm = bigBlacklist
+        .map(t => s"contains(lower(text), '${t.toLowerCase}')").mkString(" OR ")
+      s"""SELECT source, count(*) AS n FROM documents
+         |WHERE length(text) <= 600 AND NOT ($noTerm)
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "q40_charhash_native" ->
       """SELECT doc_id,

@@ -54,4 +54,39 @@ class CharHashSpec extends AnyFunSuite {
     GraftFunctions.register(spark)
     assert(spark.sql("SELECT char_hash('x')").count() == 1)
   }
+
+  test("contains_any_term: automaton matches naive substring semantics, randomized") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc"
+    def randStr(n: Int) = (0 until n).map(_ => alphabet(rnd.nextInt(3))).mkString
+    for (_ <- 1 to 200) {
+      val terms = (1 to 1 + rnd.nextInt(5)).map(_ => randStr(1 + rnd.nextInt(4)))
+      val text = randStr(rnd.nextInt(20))
+      val expected = terms.exists(t => text.toLowerCase.contains(t.toLowerCase))
+      val ac = new graft.expressions.AhoCorasick(terms)
+      val got = ac.containsAny(org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      assert(got == expected, s"terms=$terms text=$text")
+    }
+  }
+
+  test("contains_any_term: fail-transition overlaps and case-insensitivity") {
+    val ac = new graft.expressions.AhoCorasick(Seq("abxy", "bxz"))
+    def hit(s: String) = ac.containsAny(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    assert(hit("aabxz"))   // needs the abx → bx fail link
+    assert(hit("ABXY"))    // case-insensitive
+    assert(!hit("abx"))
+    assert(!hit(""))
+  }
+
+  test("contains_any_term is usable from SQL and codegen'd") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT contains_any_term('clean SPAMword here', 'spamword', 'other') AS h").head()
+    assert(r.getBoolean(0))
+    val df = spark.range(10).select(
+      call_function("contains_any_term", $"id".cast("string"), lit("5")).as("h"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("contains_any_term")))
+    assert(df.filter($"h").count() == 1)
+  }
 }
