@@ -140,6 +140,16 @@ object CoreOps {
       .agg(sum(col("__n")).as("n"), sum(col("__s")).as("sum_cents"))
   }
 
+  /** Deterministic content-addressed sampling: keep a row when
+    * hash(key) mod `denom` < `keep`. Unlike RNG-seeded `sample`, the
+    * decision is a pure function of the key — reproducible across runs,
+    * engines, partitionings, and retries, which is what a training-data
+    * pipeline needs for stable corpus subsets (and what makes it
+    * oracle-checkable). Uses the engine's portable rolling hash.
+    */
+  def hashSample(df: DataFrame, keyCol: String, keep: Int, denom: Int = 100): DataFrame =
+    df.filter(pmod(graft.dedup.Dedup.charHash(col(keyCol).cast("string")), lit(denom.toLong)) < keep)
+
   /** 15-minute (or any) tumbling-window bucket over an event-time column —
     * the reference's micro-batch cadence (`terraform/main.tf:200-205`)
     * re-expressed as a groupable epoch bucket. Plain long arithmetic so the

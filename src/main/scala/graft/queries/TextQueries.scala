@@ -127,6 +127,30 @@ object TextQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Deterministic hash sampling (reproducible corpus subsetting).
+    "q56_hash_sample" -> ((s, dir) => {
+      CoreOps.hashSample(Tables.load(s, dir, "documents"), "doc_id", keep = 30)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
+    }),
+
+    // End-to-end training-data prep in ONE distributed plan: content gate →
+    // quality threshold → exact dedup (min-id per text) → deterministic
+    // 50% sample → token stats per lang. The 100 TB story in microcosm:
+    // every stage is a filter/agg that pushes, prunes, and partial-aggs.
+    "q57_training_prep" -> ((s, dir) => {
+      val gated = SocialOps.contentGate(Tables.load(s, dir, "documents"),
+        600, blacklist, Seq("text"))
+      val quality = gated.filter(TextOps.qualityScore(col("text"), stopwords) > 0.5)
+      val deduped = quality.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"))
+      val sampled = CoreOps.hashSample(deduped, "doc_id", keep = 50)
+      sampled.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(TextOps.tokenCount(col("text"))).as("sum_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // F4 at reference scale: the Aho-Corasick native expression through
     // contentGate's large-blacklist path (one automaton pass per row).
     "q55_native_blacklist" -> ((s, dir) => {
@@ -167,6 +191,20 @@ object TextQueries {
   private val pos = sqlList(positive)
   private val neg = sqlList(negative)
   private val stops = sqlList(stopwords)
+
+  private def chSqlOf(s: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
+
+  /** qualityScore as SQL (shared by q25 and q57 oracles). */
+  private val qualitySql =
+    s"""least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+       |    + (1.0 - abs(
+       |        CAST(len(list_filter(string_split(text, ' '), x -> x IN $stops)) AS DOUBLE)
+       |        / CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.3)) * 0.4
+       |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+       |        / CAST(length(text) AS DOUBLE)) * 0.2""".stripMargin
 
   /** Oracle for the batch-25 LexiconScorer rollup (q44): same score formula
     * as q21's expression form, without the derived average column.
@@ -268,6 +306,27 @@ object TextQueries {
         |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "q56_hash_sample" ->
+      s"""SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM documents
+         |WHERE ${chSqlOf("CAST(doc_id AS VARCHAR)")} % 100 < 30
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q57_training_prep" ->
+      s"""WITH gated AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE length(text) <= 600
+         |    AND NOT (contains(lower(text), 'spark') OR contains(lower(text), 'slow'))),
+         |quality AS (
+         |  SELECT * FROM gated WHERE $qualitySql > 0.5),
+         |dedup AS (
+         |  SELECT text, min(doc_id) AS doc_id, min(lang) AS lang FROM quality GROUP BY text),
+         |sampled AS (
+         |  SELECT * FROM dedup WHERE ${chSqlOf("CAST(doc_id AS VARCHAR)")} % 100 < 50)
+         |SELECT lang, count(*) AS n,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+         |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q55_native_blacklist" -> {
       val noTerm = bigBlacklist
