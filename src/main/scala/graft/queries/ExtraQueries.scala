@@ -66,6 +66,19 @@ object ExtraQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // §2.9 JSON construction + parse round-trip (json.dumps/loads analog):
+    // build a JSON doc from columns, re-parse it with a schema, extract.
+    "q58_json_roundtrip" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .filter(col("event_id") < 100)
+        .select(col("event_id"),
+          to_json(struct(col("event_type").as("t"), col("user_id").as("u"))).as("doc"))
+        .withColumn("t_back", get_json_object(col("doc"), "$.t"))
+        .withColumn("u_back", get_json_object(col("doc"), "$.u").cast("long"))
+        .select(col("event_id"), col("doc"), col("t_back"), col("u_back"))
+        .orderBy(col("event_id"))
+    }),
+
     // §2.8 intersect: users who both viewed and purchased.
     "q53_intersect" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
@@ -171,6 +184,16 @@ object ExtraQueries {
 
     "q50_ann_ivf" -> DedupQueries.ivfOracle(queryPred = "b.vec_id < 5",
       k = 3, nCells = 16, nProbe = 4),
+
+    "q58_json_roundtrip" ->
+      """SELECT event_id, doc,
+        |  json_extract_string(doc, '$.t') AS t_back,
+        |  CAST(json_extract_string(doc, '$.u') AS BIGINT) AS u_back
+        |FROM (
+        |  SELECT event_id,
+        |    CAST(to_json(struct_pack(t := event_type, u := user_id)) AS VARCHAR) AS doc
+        |  FROM events WHERE event_id < 100)
+        |ORDER BY event_id""".stripMargin,
 
     "q53_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'view'
