@@ -164,39 +164,49 @@ object DedupQueries {
        |ORDER BY query_id, rank""".stripMargin
 
   /** Generated oracle for Similarity.ivfTopK (true IVF: exact micro-unit
-    * centroid means, nearest-centroid assignment, nProbe fan-out).
+    * centroid means, nearest-centroid assignment, one Lloyd refinement
+    * pass, nProbe fan-out).
     */
   def ivfOracle(queryPred: String, k: Int, nCells: Int, nProbe: Int): String = {
     val planes = java.lang.Integer.numberOfTrailingZeros(nCells)
-    val sumExprs = (0 until 64).map(i =>
-      s"sum(CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s$i")
+    def sumExprs(src: String) = (0 until 64).map(i =>
+      s"sum(CAST(round(CAST($src[${i + 1}] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s$i")
       .mkString(",\n    ")
     val centExprs = (0 until 64).map(i =>
       s"CAST(CAST(s$i AS DOUBLE) / 1000000.0 / cnt AS REAL)").mkString(", ")
+    def assignSql(cent: String) =
+      s"""SELECT cell, corpus_id FROM (
+         |    SELECT c.cell, b.vec_id AS corpus_id,
+         |      row_number() OVER (PARTITION BY b.vec_id
+         |        ORDER BY ${cosineSql("b.embedding", "c.cv")} DESC, c.cell) AS rn
+         |    FROM base b CROSS JOIN $cent c)
+         |  WHERE rn = 1""".stripMargin
     s"""WITH base AS (
        |  SELECT vec_id, embedding, ${bucketSql("embedding", planes)} AS bucket FROM embeddings),
-       |sums AS (
+       |sums0 AS (
        |  SELECT bucket, count(*) AS cnt,
-       |    $sumExprs
+       |    ${sumExprs("embedding")}
        |  FROM base GROUP BY bucket),
-       |cent AS (SELECT bucket AS cell, [$centExprs] AS cv FROM sums),
-       |assign AS (
-       |  SELECT cell, corpus_id FROM (
-       |    SELECT c.cell, b.vec_id AS corpus_id,
-       |      row_number() OVER (PARTITION BY b.vec_id
-       |        ORDER BY ${cosineSql("b.embedding", "c.cv")} DESC, c.cell) AS rn
-       |    FROM base b CROSS JOIN cent c)
-       |  WHERE rn = 1),
+       |cent0 AS (SELECT bucket AS cell, [$centExprs] AS cv FROM sums0),
+       |assign0 AS (
+       |  ${assignSql("cent0")}),
+       |sums1 AS (
+       |  SELECT a.cell, count(*) AS cnt,
+       |    ${sumExprs("b.embedding")}
+       |  FROM assign0 a JOIN base b ON b.vec_id = a.corpus_id GROUP BY a.cell),
+       |cent1 AS (SELECT cell, [$centExprs] AS cv FROM sums1),
+       |assign1 AS (
+       |  ${assignSql("cent1")}),
        |probes AS (
        |  SELECT cell, query_id FROM (
        |    SELECT c.cell, b.vec_id AS query_id,
        |      row_number() OVER (PARTITION BY b.vec_id
        |        ORDER BY ${cosineSql("b.embedding", "c.cv")} DESC, c.cell) AS rn
-       |    FROM base b CROSS JOIN cent c WHERE $queryPred)
+       |    FROM base b CROSS JOIN cent1 c WHERE $queryPred)
        |  WHERE rn <= $nProbe),
        |scored AS (
        |  SELECT p.query_id, a.corpus_id, ${cosineSql("ce.embedding", "qe.embedding")} AS sim
-       |  FROM assign a JOIN probes p USING (cell)
+       |  FROM assign1 a JOIN probes p USING (cell)
        |  JOIN embeddings ce ON ce.vec_id = a.corpus_id
        |  JOIN embeddings qe ON qe.vec_id = p.query_id
        |  WHERE a.corpus_id <> p.query_id)

@@ -186,53 +186,68 @@ object Similarity {
     * |corpus|·nProbe/nCells candidates per query.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nCells: Int = 16, nProbe: Int = 4, dim: Int = 64): DataFrame = {
+              k: Int, nCells: Int = 16, nProbe: Int = 4, dim: Int = 64,
+              refinePasses: Int = 1): DataFrame = {
     require(nCells > 0 && (nCells & (nCells - 1)) == 0, "nCells must be a power of 2")
     val planes = java.lang.Integer.numberOfTrailingZeros(nCells)
+    val spark = corpus.sparkSession
 
     val base = bucketNorm(corpus, idCol, vecCol, planes, dim) // bucket,id,v,nrm
-    // exact centroid mean: per-dim long micro-sums, then one double division
-    val sumCols = (0 until dim).map(i =>
-      sum(round(element_at(col("v"), i + 1).cast("double") * lit(1e6), 0).cast("long")).as(s"s$i"))
-    val sums = base.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("cnt"), sumCols: _*)
-    val centroids = sums.select(col("bucket").as("cell"),
-      array((0 until dim).map(i =>
-        (col(s"s$i").cast("double") / lit(1e6) / col("cnt")).cast("float")): _*).as("cv"))
-    // Materialize the centroid table once: it is model-sized (nCells rows),
-    // but computing it lazily would re-run the full corpus aggregation for
-    // each of its two broadcast uses below. This is the one place a
-    // driver-side materialization is correct — centroids are a bounded
-    // artifact (like a broadcast variable), not data. Norms are computed
-    // here in the same index-order fold as the kernels.
-    val spark = corpus.sparkSession
-    val centroidRows: Seq[Row] = centroids.collect().toSeq.map { r =>
-      val cv = r.getSeq[Float](1)
-      var sq = 0.0
-      var i = 0
-      while (i < cv.length) { sq += cv(i).toDouble * cv(i).toDouble; i += 1 }
-      Row(r.get(0), cv, math.sqrt(sq))
+
+    // Exact centroid mean over (cellCol, vecCol): per-dim long micro-sums
+    // (order-invariant at any partitioning), one double division, then the
+    // model-sized table is materialized — centroids are a bounded artifact
+    // (like a broadcast variable), not data, and computing them lazily
+    // would re-run the corpus aggregation per broadcast use. Norms use the
+    // same index-order fold as the kernels.
+    def centroidTable(df: DataFrame, cellCol: String, vecCol2: String): DataFrame = {
+      val sumCols = (0 until dim).map(i =>
+        sum(round(element_at(col(vecCol2), i + 1).cast("double") * lit(1e6), 0).cast("long")).as(s"s$i"))
+      val sums = df.groupBy(col(cellCol)).agg(count(lit(1)).as("cnt"), sumCols: _*)
+      val cents = sums.select(col(cellCol).as("cell"),
+        array((0 until dim).map(i =>
+          (col(s"s$i").cast("double") / lit(1e6) / col("cnt")).cast("float")): _*).as("cv"))
+      val rows: Seq[Row] = cents.collect().toSeq.map { r =>
+        val cv = r.getSeq[Float](1)
+        var sq = 0.0
+        var i = 0
+        while (i < cv.length) { sq += cv(i).toDouble * cv(i).toDouble; i += 1 }
+        Row(r.get(0), cv, math.sqrt(sq))
+      }
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(
+          StructField("cell", cents.schema("cell").dataType),
+          StructField("cv", ArrayType(FloatType)),
+          StructField("cnrm", DoubleType, nullable = false))))
     }
-    val centroidsN = spark.createDataFrame(
-      java.util.Arrays.asList(centroidRows: _*),
-      StructType(Seq(
-        StructField("cell", centroids.schema("cell").dataType),
-        StructField("cv", ArrayType(FloatType)),
-        StructField("cnrm", DoubleType, nullable = false))))
 
     // nearest centroid per corpus vector — as a max_by aggregation, not a
     // window: partial aggregation combines map-side, so the assignment
     // shuffle carries one candidate per vector per partition and never
     // sorts (tie → lower cell id via the negated key).
-    val corpusX = appendCosine(
-      base.select(col("id").as("corpus_id"), col("v"), col("nrm"))
-        .join(broadcast(centroidsN), lit(true)),
-      "v", "cv", "nrm", "cnrm", "csim")
-    val assigned = corpusX.groupBy(col("corpus_id"))
-      .agg(max_by(struct(col("cell"), col("v"), col("nrm")),
-        struct(col("csim"), -col("cell"))).as("best"))
-      .select(col("best.cell").as("cell"), col("corpus_id"),
-        col("best.v").as("cv2"), col("best.nrm").as("cnorm2"))
+    def assign(centroidsN: DataFrame): DataFrame = {
+      val corpusX = appendCosine(
+        base.select(col("id").as("corpus_id"), col("v"), col("nrm"))
+          .join(broadcast(centroidsN), lit(true)),
+        "v", "cv", "nrm", "cnrm", "csim")
+      corpusX.groupBy(col("corpus_id"))
+        .agg(max_by(struct(col("cell"), col("v"), col("nrm")),
+          struct(col("csim"), -col("cell"))).as("best"))
+        .select(col("best.cell").as("cell"), col("corpus_id"),
+          col("best.v").as("cv2"), col("best.nrm").as("cnorm2"))
+    }
+
+    // k-means-lite: coarse LSH seeds, then `refinePasses` Lloyd iterations
+    // (centroids from the current assignment, reassign). Each centroid
+    // table is collected eagerly, so iterations never re-trigger earlier
+    // passes.
+    var centroidsN = centroidTable(base, "bucket", "v")
+    var assigned = assign(centroidsN)
+    for (_ <- 1 to refinePasses) {
+      centroidsN = centroidTable(assigned, "cell", "cv2")
+      assigned = assign(centroidsN)
+    }
 
     // nProbe nearest centroids per query
     val queriesN = bucketNorm(queries, idCol, vecCol, 0, dim)
