@@ -66,6 +66,32 @@ object ExtraQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // §2.9 string manipulation suite: pad/trim/repeat/reverse/slice.
+    "q59_string_suite" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") <= 200)
+        .select(col("o_orderkey"),
+          lpad(col("o_orderstatus"), 3, "_").as("lp"),
+          rpad(col("o_orderstatus"), 3, "*").as("rp"),
+          trim(concat(lit("  "), col("o_orderpriority"), lit("  "))).as("tr"),
+          repeat(col("o_orderstatus"), 3).as("rep"),
+          reverse(col("o_orderpriority")).as("rev"),
+          substring(col("o_orderpriority"), -3, 3).as("rgt"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Conditional aggregation: count_if / filtered sums / bool aggregates.
+    "q60_conditional_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(when(col("value") > 100.0, 1)).as("n_big"),
+          sum(when(col("user_id") % 2 === 0, CoreOps.cents(col("value"))).otherwise(0L)).as("even_cents"),
+          max(col("value") > 300.0).as("any_huge"),
+          min(col("value") >= 0.0).as("all_nonneg"))
+        .orderBy(col("event_type"))
+    }),
+
     // §2.9 JSON construction + parse round-trip (json.dumps/loads analog):
     // build a JSON doc from columns, re-parse it with a schema, extract.
     "q58_json_roundtrip" -> ((s, dir) => {
@@ -184,6 +210,24 @@ object ExtraQueries {
 
     "q50_ann_ivf" -> DedupQueries.ivfOracle(queryPred = "b.vec_id < 5",
       k = 3, nCells = 16, nProbe = 4),
+
+    "q59_string_suite" ->
+      """SELECT o_orderkey,
+        |  lpad(o_orderstatus, 3, '_') AS lp,
+        |  rpad(o_orderstatus, 3, '*') AS rp,
+        |  trim('  ' || o_orderpriority || '  ') AS tr,
+        |  repeat(o_orderstatus, 3) AS rep,
+        |  reverse(o_orderpriority) AS rev,
+        |  right(o_orderpriority, 3) AS rgt
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin,
+
+    "q60_conditional_agg" ->
+      s"""SELECT event_type,
+         |  count(CASE WHEN value > 100.0 THEN 1 END) AS n_big,
+         |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN ${C.format("value")} ELSE 0 END) AS BIGINT) AS even_cents,
+         |  bool_or(value > 300.0) AS any_huge,
+         |  bool_and(value >= 0.0) AS all_nonneg
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q58_json_roundtrip" ->
       """SELECT event_id, doc,
