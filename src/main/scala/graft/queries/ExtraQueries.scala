@@ -66,6 +66,21 @@ object ExtraQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // As-of join: each click joined to the user's latest prior-or-equal
+    // purchase (union + key-window — one shuffle, no range join).
+    "q61_asof_join" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_id"), col("value"))
+      CoreOps.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+          rightCols = Seq("p_id", "value"), rightTiebreak = "p_id")
+        .select(col("event_id"), col("user_id"),
+          col("asof_p_id"), col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // §2.9 string manipulation suite: pad/trim/repeat/reverse/slice.
     "q59_string_suite" -> ((s, dir) => {
       Tables.load(s, dir, "orders")
@@ -210,6 +225,16 @@ object ExtraQueries {
 
     "q50_ann_ivf" -> DedupQueries.ivfOracle(queryPred = "b.vec_id < 5",
       k = 3, nCells = 16, nProbe = 4),
+
+    "q61_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS p_id, value FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, p.p_id AS asof_p_id, p.value AS asof_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
 
     "q59_string_suite" ->
       """SELECT o_orderkey,

@@ -81,6 +81,25 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(out.agg(max("session_id")).head().getLong(0) == 2L)
   }
 
+  test("asofJoin: <= semantics, no-match nulls, equal-ts tiebreak") {
+    val left = Seq(
+      (1, "2024-01-01 10:00:00", 100L), (1, "2024-01-01 12:00:00", 101L),
+      (2, "2024-01-01 10:00:00", 200L)).toDF("k", "d", "lid")
+      .withColumn("ts", to_timestamp($"d")).drop("d")
+    val right = Seq(
+      (1, "2024-01-01 09:00:00", 1L, 5.0), (1, "2024-01-01 11:00:00", 2L, 7.0),
+      (1, "2024-01-01 11:00:00", 3L, 8.0), // equal-ts: greatest rid wins
+      (1, "2024-01-01 12:00:00", 4L, 9.0), // exactly at left ts: visible
+      (3, "2024-01-01 09:00:00", 9L, 1.0)).toDF("k", "d", "rid", "v")
+      .withColumn("ts", to_timestamp($"d")).drop("d")
+    val out = CoreOps.asofJoin(left, right, Seq("k"), "ts", "ts",
+        rightCols = Seq("rid", "v"), rightTiebreak = "rid")
+      .orderBy("lid").collect()
+    assert(out(0).getLong(out(0).fieldIndex("asof_rid")) == 1L)   // 10:00 → 09:00 row
+    assert(out(1).getLong(out(1).fieldIndex("asof_rid")) == 4L)   // 12:00 → equal-ts row
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_rid")))        // k=2: no match
+  }
+
   test("cents is exact for 2-decimal doubles, also negative") {
     val df = Seq(1.23, -4.56, 0.0).toDF("v").agg(sum(CoreOps.cents(col("v"))))
     assert(df.head().getLong(0) == 123L - 456L + 0L)
