@@ -66,6 +66,53 @@ object ExtraQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // §2.6 navigation window functions: lead / first / last / nth.
+    "q62_window_nav" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .filter(col("user_id") < 5)
+        .select(col("user_id"), col("event_id"),
+          lead(col("value"), 1).over(w).as("next_v"),
+          first(col("value")).over(wf).as("first_v"),
+          last(col("value")).over(wf).as("run_last_v"),
+          nth_value(col("value"), 2).over(wf).as("second_v"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // §2.6 ranking suite: dense_rank / percent_rank / cume_dist / ntile.
+    "q63_rank_suite" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.load(s, dir, "events")
+        .filter(col("user_id") < 5)
+        .select(col("user_id"), col("event_id"),
+          dense_rank().over(w).as("dr"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).as("nt"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Exact second-moment statistics via integer sums (the scale-safe way
+    // to compute variance/stddev: built-in stddev merges partial float
+    // moments in partition order and is not bit-reproducible).
+    "q64_moments" -> ((s, dir) => {
+      val c = CoreOps.cents(col("value"))
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(c).as("sum_c"), sum(c * c).as("sumsq_c"))
+        .withColumn("mean_v",
+          col("sum_c").cast("double") / lit(100.0) / col("n"))
+        .withColumn("var_v",
+          (col("sumsq_c").cast("double") - col("sum_c").cast("double") * col("sum_c").cast("double") / col("n"))
+            / (col("n") - lit(1)) / lit(10000.0))
+        .withColumn("stddev_v", sqrt(col("var_v")))
+        .orderBy(col("event_type"))
+    }),
+
     // As-of join: each click joined to the user's latest prior-or-equal
     // purchase (union + key-window — one shuffle, no range join).
     "q61_asof_join" -> ((s, dir) => {
@@ -225,6 +272,43 @@ object ExtraQueries {
 
     "q50_ann_ivf" -> DedupQueries.ivfOracle(queryPred = "b.vec_id < 5",
       k = 3, nCells = 16, nProbe = 4),
+
+    "q62_window_nav" ->
+      """SELECT user_id, event_id,
+        |  lead(value, 1) OVER w AS next_v,
+        |  first_value(value) OVER wf AS first_v,
+        |  last_value(value) OVER wf AS run_last_v,
+        |  nth_value(value, 2) OVER wf AS second_v
+        |FROM events WHERE user_id < 5
+        |WINDOW
+        |  w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id),
+        |  wf AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q63_rank_suite" ->
+      """SELECT user_id, event_id,
+        |  CAST(dense_rank() OVER w AS INT) AS dr,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(ntile(4) OVER w AS INT) AS nt
+        |FROM events WHERE user_id < 5
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q64_moments" ->
+      s"""SELECT event_type, n, sum_c, sumsq_c,
+         |  CAST(sum_c AS DOUBLE) / 100.0 / n AS mean_v,
+         |  (CAST(sumsq_c AS DOUBLE) - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE) / n)
+         |    / (n - 1) / 10000.0 AS var_v,
+         |  sqrt((CAST(sumsq_c AS DOUBLE) - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE) / n)
+         |    / (n - 1) / 10000.0) AS stddev_v
+         |FROM (
+         |  SELECT event_type, count(*) AS n,
+         |    CAST(sum(${C.format("value")}) AS BIGINT) AS sum_c,
+         |    CAST(sum(${C.format("value")} * ${C.format("value")}) AS BIGINT) AS sumsq_c
+         |  FROM events GROUP BY event_type)
+         |ORDER BY event_type""".stripMargin,
 
     "q61_asof_join" ->
       """WITH clicks AS (
