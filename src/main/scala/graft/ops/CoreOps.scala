@@ -179,6 +179,31 @@ object CoreOps {
         rightCols.map(c => col(s"__rfill.$c").as(s"$prefix$c")): _*)
   }
 
+  /** Range join: points joined to intervals containing them
+    * (`start <= ts < end`), without an equi key. A naive inequality join
+    * degenerates to broadcast-nested-loop at scale; the scalable pattern
+    * bucketizes time into `bucketSeconds` cells, emits one copy of each
+    * interval per covered bucket, equi-joins on the bucket id (hash
+    * shuffle), and post-filters the exact predicate. A point lies in
+    * exactly one bucket, so no dedup is needed; amplification is bounded
+    * by interval-length / bucketSeconds + 1 copies per interval.
+    */
+  def rangeJoin(points: DataFrame, pointTs: String,
+                ranges: DataFrame, startCol: String, endCol: String,
+                bucketSeconds: Long): DataFrame = {
+    val b = lit(bucketSeconds)
+    def bucketOf(ts: Column): Column = {
+      val s = unix_timestamp(ts)
+      ((s - pmod(s, b)) / b).cast(LongType) // exact: numerator is a multiple of b
+    }
+    val rBuckets = ranges.withColumn("__bucket",
+      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    val pBuckets = points.withColumn("__bucket", bucketOf(col(pointTs)))
+    pBuckets.join(rBuckets, Seq("__bucket"))
+      .filter(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
+      .drop("__bucket")
+  }
+
   /** Deterministic content-addressed sampling: keep a row when
     * hash(key) mod `denom` < `keep`. Unlike RNG-seeded `sample`, the
     * decision is a pure function of the key — reproducible across runs,

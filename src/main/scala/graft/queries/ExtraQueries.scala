@@ -66,6 +66,21 @@ object ExtraQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Range join (keyless interval containment, bucketized): clicks inside
+    // each signup's 6-hour window, across all users.
+    "q65_range_join" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val ranges = e.filter(col("event_type") === "signup" && col("event_id") < 400)
+        .select(col("event_id").as("signup_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 6 HOURS")).as("end_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"))
+      CoreOps.rangeJoin(clicks, "ts", ranges, "start_ts", "end_ts", 3600L)
+        .groupBy(col("signup_id"))
+        .agg(count(lit(1)).as("n_clicks"), sum(col("click_id")).as("sum_click_ids"))
+        .orderBy(col("signup_id"))
+    }),
+
     // §2.6 navigation window functions: lead / first / last / nth.
     "q62_window_nav" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -272,6 +287,18 @@ object ExtraQueries {
 
     "q50_ann_ivf" -> DedupQueries.ivfOracle(queryPred = "b.vec_id < 5",
       k = 3, nCells = 16, nProbe = 4),
+
+    "q65_range_join" ->
+      """WITH ranges AS (
+        |  SELECT event_id AS signup_id, CAST(ts AS TIMESTAMP) AS start_ts,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 6 HOUR AS end_ts
+        |  FROM events WHERE event_type = 'signup' AND event_id < 400),
+        |clicks AS (
+        |  SELECT event_id AS click_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT signup_id, count(*) AS n_clicks, CAST(sum(click_id) AS BIGINT) AS sum_click_ids
+        |FROM clicks c JOIN ranges r ON c.ts >= r.start_ts AND c.ts < r.end_ts
+        |GROUP BY signup_id ORDER BY signup_id""".stripMargin,
 
     "q62_window_nav" ->
       """SELECT user_id, event_id,
