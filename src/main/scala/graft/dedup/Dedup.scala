@@ -108,16 +108,34 @@ object Dedup {
     * repartitioned to the session default parallelism: small inputs arrive
     * as one parquet split, and the exchange doubles as an optimizer barrier.
     */
+  /** Distinct shingle hashes of one doc's token stream (shared by the
+    * banding and set kernels — identical arithmetic to [[shingleHashes]]).
+    */
+  private def shingleHashArr(toks: Array[String], shingleK: Int): Array[Long] = {
+    val th = toks.map(charHashStr)
+    val nSh = math.max(toks.length - shingleK, 0)
+    Array.tabulate(nSh + 1) { i =>
+      var acc = 0L
+      var j = i
+      val end = math.min(i + shingleK, toks.length)
+      while (j < end) { acc = (acc * 1000003L + th(j)) % P; j += 1 }
+      acc
+    }.distinct
+  }
+
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
     val in = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val idType = df.schema(idCol).dataType
+    // Band rows carry (band, bh, id) ONLY — the shingle-hash sets needed by
+    // the verify stage are joined back per candidate id later. Carrying the
+    // sets here would shuffle each doc's set `bands` times through the
+    // candidate exchange (the dominant shuffle of the whole pipeline).
     val outSchema = StructType(Seq(
       StructField("band", IntegerType, nullable = false),
       StructField("bh", LongType, nullable = false),
-      StructField("id", idType),
-      StructField("sh", ArrayType(LongType, containsNull = false))))
+      StructField("id", idType)))
     val rpb = numHashes / bands
     val as = (0 until numHashes).map(hashA).toArray
     val bs = (0 until numHashes).map(hashB).toArray
@@ -126,15 +144,7 @@ object Dedup {
       it.flatMap { r =>
         val id = r.get(0)
         val toks = Option(r.getString(1)).getOrElse("").split(" ", -1)
-        val th = toks.map(charHashStr)
-        val nSh = math.max(toks.length - shingleK, 0)
-        val sh = Array.tabulate(nSh + 1) { i =>
-          var acc = 0L
-          var j = i
-          val end = math.min(i + shingleK, toks.length)
-          while (j < end) { acc = (acc * 1000003L + th(j)) % P; j += 1 }
-          acc
-        }.distinct
+        val sh = shingleHashArr(toks, shingleK)
         val sig = Array.tabulate(numHashes) { i =>
           var m = Long.MaxValue
           var j = 0
@@ -149,28 +159,99 @@ object Dedup {
           var acc = 0L
           var r2 = 0
           while (r2 < rpb) { acc = (acc * 1000003L + sig(b * rpb + r2)) % P; r2 += 1 }
-          Row(b, acc, id, sh.toSeq)
+          Row(b, acc, id)
         }
       }
     }(enc)
   }
 
+  /** Kernel: (id, distinct shingle-hash set) per doc — the verify-side table
+    * candidates are joined back to (one row per doc, no band duplication).
+    */
+  def shingleHashSets(df: DataFrame, idCol: String, textCol: String,
+                      shingleK: Int): DataFrame = {
+    val in = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val idType = df.schema(idCol).dataType
+    val outSchema = StructType(Seq(
+      StructField("id", idType),
+      StructField("sh", ArrayType(LongType, containsNull = false))))
+    implicit val enc = Encoders.row(outSchema)
+    in.mapPartitions { it =>
+      it.map { r =>
+        val toks = Option(r.getString(1)).getOrElse("").split(" ", -1)
+        Row(r.get(0), shingleHashArr(toks, shingleK).toSeq)
+      }
+    }(enc)
+  }
+
+  // ----------------------------------------------- skew-safe bucket pairs
+
+  /** The replicated sides of a tiled bucket self-join (exposed for the
+    * hot-bucket bound spec; use [[bucketedPairs]]). Rows of each bucket are
+    * hashed into T = ceil(n/cap) tiles; side A replicates a tile-t row to
+    * tile-pair keys (t, t..T-1), side B to (0..t, t), so every unordered
+    * in-bucket pair meets in exactly one (tl ≤ tr) group and no group holds
+    * more than ~cap rows per side. Unskewed buckets (n ≤ cap) have T = 1 —
+    * zero replication, the plain bucket join.
+    */
+  def bucketedPairSides(keyed: DataFrame, keyCols: Seq[String], idCol: String,
+                        cap: Int): (DataFrame, DataFrame) = {
+    val payload = struct(keyed.columns.filterNot(keyCols.contains).map(col): _*)
+    val sizes = keyed.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n"))
+    // Join back on the bucket key: co-partitioned with the groupBy shuffle,
+    // and a hot key has ONE build row — the probe side streams through.
+    val tiled = keyed.join(sizes, keyCols)
+      .withColumn("_nt", ceil(col("_n").cast("double") / cap).cast("int"))
+      .withColumn("_tile", pmod(xxhash64(col(idCol)), col("_nt")).cast("int"))
+    val aSide = tiled
+      .withColumn("_tr", explode(sequence(col("_tile"), col("_nt") - 1)))
+      .select((keyCols.map(col) :+ col("_tile").as("_tl") :+ col("_tr") :+
+        payload.as("a")): _*)
+    val bSide = tiled
+      .withColumn("_tl", explode(sequence(lit(0), col("_tile"))))
+      .select((keyCols.map(col) :+ col("_tl") :+ col("_tile").as("_tr") :+
+        payload.as("b")): _*)
+    (aSide, bSide)
+  }
+
+  /** All unordered pairs of rows sharing a bucket key, skew-tiled.
+    *
+    * A plain self-join on the bucket key lands an n-row hot bucket's n²/2
+    * pairs on one reducer — with degenerate content (boilerplate, empty
+    * docs) that is the scale-killer of every LSH pipeline. Tiling bounds
+    * each join group at ~cap rows per side: the pair count is unchanged
+    * (it is inherent to the bucket), but the work spreads over T·(T+1)/2
+    * independent groups across the cluster, and per-task memory stays flat.
+    *
+    * Returns columns `a`, `b`: structs of the non-key input columns,
+    * normalized so a.<idCol> < b.<idCol>; same-tile groups emit both
+    * orientations, so callers must `distinct()` after projecting (they
+    * already must — a pair can share several bucket keys).
+    */
+  def bucketedPairs(keyed: DataFrame, keyCols: Seq[String], idCol: String,
+                    cap: Int = 4096): DataFrame = {
+    val (aSide, bSide) = bucketedPairSides(keyed, keyCols, idCol, cap)
+    val (ida, idb) = (col(s"a.$idCol"), col(s"b.$idCol"))
+    aSide.join(bSide, keyCols ++ Seq("_tl", "_tr"))
+      .filter(ida =!= idb)
+      .select(when(ida < idb, col("a")).otherwise(col("b")).as("a"),
+              when(ida < idb, col("b")).otherwise(col("a")).as("b"))
+  }
+
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5, bucketCap: Int = 4096): DataFrame = {
     val banded = minhashBands(df, idCol, textCol, shingleK, numHashes, bands)
-    val a = banded.select(col("band"), col("bh"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bh"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    // Self-join on the long band key: identical subplans on both sides, so
-    // ReuseExchange materializes the banding shuffle once. Shingle-hash sets
-    // ride along as attributes — the Jaccard verify below touches only
-    // already-computed arrays, never re-tokenizes.
-    val cand = a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
-    appendJaccard(cand, "sh_a", "sh_b", "jaccard")
+    // Candidate ids only through the band exchange (no set payloads), hot
+    // buckets tiled; sets join back once per side for the exact verify.
+    val cand = bucketedPairs(banded, Seq("band", "bh"), "id", bucketCap)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val sets = shingleHashSets(df, idCol, textCol, shingleK)
+    val withSets = cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    appendJaccard(withSets, "sh_a", "sh_b", "jaccard")
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -278,59 +359,42 @@ object Dedup {
     * Hamming distance ≤ maxHamming.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      bits: Int = 30, bands: Int = 3, maxHamming: Int = 6): DataFrame = {
+                      bits: Int = 30, bands: Int = 3, maxHamming: Int = 6,
+                      bucketCap: Int = 4096): DataFrame = {
     val banded = simhashBands(df, idCol, textCol, bits, bands)
-    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("hamming"))
-      .filter(col("hamming") <= maxHamming) // filter BEFORE distinct: the
-      .distinct() // dedup shuffle then carries only surviving pairs
+    // Unlike the minhash path, the signature rides through the band join —
+    // it is one long (8 bytes, not a set payload), and having it in-row
+    // lets the Hamming filter run BEFORE the distinct, so the dedup
+    // shuffle carries only surviving pairs. Hot (band, bh) buckets —
+    // guaranteed on real corpora (boilerplate, near-empty docs) — are
+    // tiled so no reducer sees more than ~cap² candidate combinations.
+    bucketedPairs(banded, Seq("band", "bh"), "id", bucketCap)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.sig"), col("b.sig")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
-  /** n-gram (word) Jaccard near-dup pairs over blocking keys: candidates are
-    * pairs agreeing on `blockCols` (cheap blocking join), verified by exact
-    * token-set Jaccard ≥ threshold. For corpora where a natural blocking key
-    * exists (source, length bucket); the general path is minhashNearDups.
+  /** n-gram (word) Jaccard near-dup pairs with CONTENT-BOUNDED blocking:
+    * candidates come from banded-minhash buckets over the token set (k = 1
+    * shingles), verified by exact token-set Jaccard ≥ threshold.
+    *
+    * Natural-key blocking (language, source) is quadratic within a block —
+    * at corpus scale a block is "all English docs", which is the whole
+    * corpus. Minhash banding blocks on content instead: bucket population
+    * is driven by actual similarity, and the one skew mode left (degenerate
+    * near-identical content) is bounded by the tiled self-join
+    * ([[bucketedPairs]]). With numHashes=16 / bands=8 (2 rows per band) a
+    * true Jaccard-0.7 pair is a candidate with p = 1-(1-0.7²)⁸ ≈ 0.996.
     */
-  /** Kernel: append the distinct token-hash set of a text column. Hashing
-    * before the join shrinks the shuffled payload (8-byte longs instead of
-    * strings) and makes the per-pair verify a primitive-set operation.
-    */
-  def appendTokenHashSet(df: DataFrame, textCol: String, outName: String): DataFrame = {
-    val schema = StructType(df.schema.fields :+
-      StructField(outName, ArrayType(LongType, containsNull = false)))
-    val idx = df.schema.fieldIndex(textCol)
-    implicit val enc = Encoders.row(schema)
-    df.mapPartitions { it =>
-      it.map { r =>
-        val th = Option(r.getString(idx)).getOrElse("")
-          .split(" ", -1).map(charHashStr).distinct
-        Row.fromSeq(r.toSeq :+ th.toSeq)
-      }
-    }(enc)
-  }
-
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        blockCols: Seq[String], threshold: Double): DataFrame = {
-    // Token-hash sets are materialized BEFORE the blocking join: each doc is
-    // tokenized+hashed once, pairs compare primitive sets only.
-    val base = appendTokenHashSet(
-      df.select((idCol +: textCol +: blockCols).map(col): _*)
-        .repartition(df.sparkSession.sparkContext.defaultParallelism),
-      textCol, "toks")
-    val a = base.select(
-      (Seq(col(idCol).as("id_a"), col("toks").as("toks_a")) ++ blockCols.map(col)): _*)
-    val b = base.select(
-      (Seq(col(idCol).as("id_b"), col("toks").as("toks_b")) ++ blockCols.map(col)): _*)
-    appendJaccard(
-        a.join(b, blockCols).filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b", "toks_a", "toks_b"),
-        "toks_a", "toks_b", "jaccard")
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
+                        threshold: Double, numHashes: Int = 16, bands: Int = 8,
+                        bucketCap: Int = 4096): DataFrame =
+    // k=1 shingle hashes ARE the distinct token hashes, so the generic
+    // minhash pipeline computes exact token-set Jaccard in its verify stage.
+    minhashNearDups(df, idCol, textCol, shingleK = 1,
+      numHashes = numHashes, bands = bands, threshold = threshold,
+      bucketCap = bucketCap)
 
   /** Embedding-cosine near-dup pairs via sign-LSH bucketing: docs whose
     * embeddings agree on the sign pattern across `planes` pseudo-random

@@ -16,10 +16,11 @@ object DedupQueries {
   private val P = Dedup.P
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // n-gram Jaccard near-dups with (lang, source) blocking.
+    // n-gram (token-set) Jaccard near-dups, content-bounded blocking:
+    // banded minhash over the token set (never quadratic in a natural key).
     "q31_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
-          "doc_id", "text", Seq("lang", "source"), 0.7)
+          "doc_id", "text", 0.7)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -81,13 +82,19 @@ object DedupQueries {
        |ELSE CAST(len(list_intersect($a, $b)) AS DOUBLE)
        |   / CAST(len(list_distinct(list_concat($a, $b))) AS DOUBLE) END""".stripMargin
 
-  private val minhashOracle: String = {
-    val sigExprs = (0 until 16).map { i =>
+  /** Generated oracle for Dedup.minhashNearDups (mirrors candidate
+    * generation too — k-shingle hashes, seeded signatures, band folds, the
+    * band self-join — not just the Jaccard verify).
+    */
+  private def minhashOracleSql(shingleK: Int, numHashes: Int, bands: Int,
+                               threshold: Double): String = {
+    val rpb = numHashes / bands
+    val sigExprs = (0 until numHashes).map { i =>
       s"list_min(list_transform(hs, h -> (${Dedup.hashA(i)} * h + ${Dedup.hashB(i)}) % $P)) AS s$i"
     }.mkString(",\n    ")
     def bandExpr(b: Int): String =
-      (0 until 4).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
-        s"(($acc * 1000003 + s${b * 4 + r}) % $P)"
+      (0 until rpb).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
+        s"(($acc * 1000003 + s${b * rpb + r}) % $P)"
       }
     s"""WITH tok AS (
        |  SELECT doc_id,
@@ -96,8 +103,8 @@ object DedupQueries {
        |h AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(
-       |      range(0, greatest(len(th) - 3, 0) + 1),
-       |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1:i+3]),
+       |      range(0, greatest(len(th) - $shingleK, 0) + 1),
+       |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1:i+$shingleK]),
        |             (acc, x) -> (acc * 1000003 + x) % $P))) AS hs
        |  FROM tok),
        |sigs AS (
@@ -105,8 +112,8 @@ object DedupQueries {
        |    $sigExprs
        |  FROM h),
        |bands AS (
-       |  SELECT doc_id, unnest([0, 1, 2, 3]) AS band,
-       |    unnest([${(0 until 4).map(bandExpr).mkString(", ")}]) AS bh
+       |  SELECT doc_id, unnest([${(0 until bands).mkString(", ")}]) AS band,
+       |    unnest([${(0 until bands).map(bandExpr).mkString(", ")}]) AS bh
        |  FROM sigs),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -114,7 +121,7 @@ object DedupQueries {
        |v AS (
        |  SELECT id_a, id_b, ${jaccardSql("sa.hs", "sb.hs")} AS jaccard
        |  FROM cand JOIN h sa ON cand.id_a = sa.doc_id JOIN h sb ON cand.id_b = sb.doc_id)
-       |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+       |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
   }
 
   /** SimHash signature SQL over a relation exposing (doc_id, text). */
@@ -218,17 +225,9 @@ object DedupQueries {
   }
 
   val oracles: Map[String, String] = Map(
-    "q31_ngram_jaccard" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, lang, source,
-         |    list_distinct(list_transform(string_split(text, ' '), tk -> ${chSql("tk")})) AS toks
-         |  FROM documents)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${jaccardSql("a.toks", "b.toks")} AS jaccard
-         |FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE ${jaccardSql("a.toks", "b.toks")} >= 0.7
-         |ORDER BY id_a, id_b""".stripMargin,
+    "q31_ngram_jaccard" -> minhashOracleSql(1, 16, 8, 0.7),
 
-    "q32_minhash_neardups" -> minhashOracle,
+    "q32_minhash_neardups" -> minhashOracleSql(3, 16, 4, 0.5),
 
     "q33_simhash" ->
       s"""SELECT doc_id, sig FROM ($simhashSigSql) WHERE doc_id < 50 ORDER BY doc_id""",

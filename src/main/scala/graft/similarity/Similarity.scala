@@ -196,58 +196,92 @@ object Similarity {
 
     // Exact centroid mean over (cellCol, vecCol): per-dim long micro-sums
     // (order-invariant at any partitioning), one double division, then the
-    // model-sized table is materialized — centroids are a bounded artifact
-    // (like a broadcast variable), not data, and computing them lazily
-    // would re-run the corpus aggregation per broadcast use. Norms use the
-    // same index-order fold as the kernels.
-    def centroidTable(df: DataFrame, cellCol: String, vecCol2: String): DataFrame = {
+    // model-sized array is materialized — centroids are a bounded artifact
+    // (≤ nCells entries, like a broadcast variable), not data, and
+    // computing them lazily would re-run the corpus aggregation per use.
+    // Norms use the same index-order fold as the kernels.
+    def centroidArray(df: DataFrame, cellCol: String, vecCol2: String): Array[(Long, Array[Float], Double)] = {
       val sumCols = (0 until dim).map(i =>
         sum(round(element_at(col(vecCol2), i + 1).cast("double") * lit(1e6), 0).cast("long")).as(s"s$i"))
       val sums = df.groupBy(col(cellCol)).agg(count(lit(1)).as("cnt"), sumCols: _*)
-      val cents = sums.select(col(cellCol).as("cell"),
+      val cents = sums.select(col(cellCol).cast("long").as("cell"),
         array((0 until dim).map(i =>
           (col(s"s$i").cast("double") / lit(1e6) / col("cnt")).cast("float")): _*).as("cv"))
-      val rows: Seq[Row] = cents.collect().toSeq.map { r =>
-        val cv = r.getSeq[Float](1)
+      cents.collect().map { r =>
+        val cv = r.getSeq[Float](1).toArray
         var sq = 0.0
         var i = 0
         while (i < cv.length) { sq += cv(i).toDouble * cv(i).toDouble; i += 1 }
-        Row(r.get(0), cv, math.sqrt(sq))
+        (r.getLong(0), cv, math.sqrt(sq))
       }
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*),
-        StructType(Seq(
-          StructField("cell", cents.schema("cell").dataType),
-          StructField("cv", ArrayType(FloatType)),
-          StructField("cnrm", DoubleType, nullable = false))))
     }
 
-    // nearest centroid per corpus vector — as a max_by aggregation, not a
-    // window: partial aggregation combines map-side, so the assignment
-    // shuffle carries one candidate per vector per partition and never
-    // sorts (tie → lower cell id via the negated key).
-    def assign(centroidsN: DataFrame): DataFrame = {
-      val corpusX = appendCosine(
-        base.select(col("id").as("corpus_id"), col("v"), col("nrm"))
-          .join(broadcast(centroidsN), lit(true)),
-        "v", "cv", "nrm", "cnrm", "csim")
-      corpusX.groupBy(col("corpus_id"))
-        .agg(max_by(struct(col("cell"), col("v"), col("nrm")),
-          struct(col("csim"), -col("cell"))).as("best"))
-        .select(col("best.cell").as("cell"), col("corpus_id"),
-          col("best.v").as("cv2"), col("best.nrm").as("cnorm2"))
+    def centroidTable(cents: Array[(Long, Array[Float], Double)]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(cents.map { case (cell, cv, cnrm) =>
+          Row(cell, cv.toSeq, cnrm)
+        }: _*),
+        StructType(Seq(
+          StructField("cell", LongType, nullable = false),
+          StructField("cv", ArrayType(FloatType)),
+          StructField("cnrm", DoubleType, nullable = false))))
+
+    // Nearest centroid per corpus vector — a per-row argmax kernel over the
+    // broadcast centroid array: zero row amplification (the previous
+    // formulation joined corpus × centroids before aggregating, i.e.
+    // materialized nCells rows per vector; at nCells ≈ √n that CPU/memory
+    // blow-up dominates). Same float arithmetic as appendCosine (index-order
+    // dot, nrm·cnrm), same tie-break (max sim, then lower cell id).
+    val assignSchema = StructType(Seq(
+      StructField("cell", LongType, nullable = false),
+      StructField("corpus_id", corpus.schema(idCol).dataType),
+      StructField("cv2", ArrayType(FloatType)),
+      StructField("cnorm2", DoubleType, nullable = false)))
+    def assign(cents: Array[(Long, Array[Float], Double)]): DataFrame = {
+      val bc = spark.sparkContext.broadcast(cents)
+      implicit val enc = Encoders.row(assignSchema)
+      base.select(col("id"), col("v"), col("nrm")).mapPartitions { it =>
+        val cs = bc.value
+        it.map { r =>
+          val v = r.getSeq[Float](1)
+          val nrm = r.getDouble(2)
+          var bestCell = 0L
+          var bestSim = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            val (cell, cv, cnrm) = cs(c)
+            val nn = nrm * cnrm
+            val sim =
+              if (nn == 0.0) 0.0
+              else {
+                var d = 0.0
+                var i = 0
+                val n = math.min(v.length, cv.length)
+                while (i < n) { d += v(i).toDouble * cv(i).toDouble; i += 1 }
+                d / nn
+              }
+            if (sim > bestSim || (sim == bestSim && cell < bestCell)) {
+              bestSim = sim
+              bestCell = cell
+            }
+            c += 1
+          }
+          Row(bestCell, r.get(0), v, nrm)
+        }
+      }(enc)
     }
 
     // k-means-lite: coarse LSH seeds, then `refinePasses` Lloyd iterations
     // (centroids from the current assignment, reassign). Each centroid
-    // table is collected eagerly, so iterations never re-trigger earlier
+    // array is collected eagerly, so iterations never re-trigger earlier
     // passes.
-    var centroidsN = centroidTable(base, "bucket", "v")
-    var assigned = assign(centroidsN)
+    var cents = centroidArray(base, "bucket", "v")
+    var assigned = assign(cents)
     for (_ <- 1 to refinePasses) {
-      centroidsN = centroidTable(assigned, "cell", "cv2")
-      assigned = assign(centroidsN)
+      cents = centroidArray(assigned, "cell", "cv2")
+      assigned = assign(cents)
     }
+    val centroidsN = centroidTable(cents)
 
     // nProbe nearest centroids per query
     val queriesN = bucketNorm(queries, idCol, vecCol, 0, dim)

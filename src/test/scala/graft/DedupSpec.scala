@@ -78,13 +78,62 @@ class DedupSpec extends AnyFunSuite {
     assert(df.collect().map(_.getDouble(0)).toSeq == Seq(1.0, 0.0, 0.0))
   }
 
-  test("ngramJaccardPairs respects blocking: cross-block dups are not candidates") {
+  test("ngramJaccardPairs: banded token-set blocking finds dups, skips distinct docs") {
     val df = Seq(
-      (1L, "same text here", "b1"), (2L, "same text here", "b1"),
-      (3L, "same text here", "b2")).toDF("doc_id", "text", "blk")
-    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", Seq("blk"), 0.9)
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(pairs.toSeq == Seq((1L, 2L)))
+    assert(pairs.toSeq == Seq((1L, 2L))) // token Jaccard 7/9 = 0.78
+  }
+
+  test("bucketedPairs: tiling preserves the exact pair set of a hot bucket") {
+    val n = 60
+    val keyed = (1L to n).map(i => (0, 0L, i)).toDF("band", "bh", "id")
+    val pairs = Dedup.bucketedPairs(keyed, Seq("band", "bh"), "id", cap = 7)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      a <- 1L to n; b <- (a + 1) to n
+    } yield (a, b)).toSet
+    assert(pairs == expected) // all C(60,2) pairs, each normalized a < b
+  }
+
+  test("bucketedPairs: no tile-pair join group exceeds the cap bound") {
+    // One hot bucket of 200 ids + one cold bucket of 3: the hot bucket must
+    // be split across tiles so no (key, tl, tr) group exceeds ~cap rows per
+    // side; the cold bucket must stay un-replicated (T = 1).
+    val hot = (1L to 200L).map(i => (0, 7L, i))
+    val cold = (201L to 203L).map(i => (0, 8L, i))
+    val keyed = (hot ++ cold).toDF("band", "bh", "id")
+    val cap = 16
+    val (aSide, bSide) = Dedup.bucketedPairSides(keyed, Seq("band", "bh"), "id", cap)
+    for (side <- Seq(aSide, bSide)) {
+      val maxGroup = side.groupBy("band", "bh", "_tl", "_tr")
+        .count().agg(max("count")).collect()(0).getLong(0)
+      // hash tiles are balanced in expectation; 3× headroom absorbs variance
+      assert(maxGroup <= 3L * cap, s"group of $maxGroup exceeds bound")
+    }
+    // cold bucket: exactly one copy per row per side (no replication)
+    val coldA = aSide.filter(col("bh") === 8L).count()
+    assert(coldA == 3L)
+    // and the tiled pair set is still exact
+    val pairs = Dedup.bucketedPairs(keyed, Seq("band", "bh"), "id", cap)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct().count()
+    assert(pairs == 200L * 199 / 2 + 3)
+  }
+
+  test("simhashNearDups with a planted hot bucket stays exact under tiling") {
+    // 40 identical docs (one degenerate band bucket) + 1 distinct: tiny cap
+    // forces tiling; the pair set must be all C(40,2) identical pairs.
+    val dup = (1L to 40L).map(i => (i, "spark spark spark spark"))
+    val docs = (dup :+ (99L, "entirely different words appear here")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text",
+        bits = 30, bands = 3, maxHamming = 0, bucketCap = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size == 40 * 39 / 2)
+    assert(pairs.forall { case (a, b) => a < b && b <= 40 })
   }
 
   test("embeddingNearDups finds the planted duplicate vector") {
