@@ -388,11 +388,15 @@ object Dedup {
     * true Jaccard-0.7 pair is a candidate with p = 1-(1-0.7²)⁸ ≈ 0.996.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        threshold: Double, numHashes: Int = 16, bands: Int = 8,
-                        bucketCap: Int = 4096): DataFrame =
-    // k=1 shingle hashes ARE the distinct token hashes, so the generic
-    // minhash pipeline computes exact token-set Jaccard in its verify stage.
-    minhashNearDups(df, idCol, textCol, shingleK = 1,
+                        threshold: Double, n: Int = 2, numHashes: Int = 16,
+                        bands: Int = 8, bucketCap: Int = 4096): DataFrame =
+    // n-gram hashes are k=n shingle hashes, so the generic minhash pipeline
+    // computes exact n-gram-set Jaccard in its verify stage. n = 1 degrades
+    // to bag-of-words Jaccard — order-insensitive, and on low-entropy
+    // corpora (tiny vocab, boilerplate) the TRUE answer is quadratic in the
+    // near-dup group sizes; n ≥ 2 keeps word order in the signal and the
+    // output proportional to genuine near-duplication.
+    minhashNearDups(df, idCol, textCol, shingleK = n,
       numHashes = numHashes, bands = bands, threshold = threshold,
       bucketCap = bucketCap)
 

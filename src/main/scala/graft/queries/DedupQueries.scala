@@ -16,8 +16,8 @@ object DedupQueries {
   private val P = Dedup.P
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // n-gram (token-set) Jaccard near-dups, content-bounded blocking:
-    // banded minhash over the token set (never quadratic in a natural key).
+    // n-gram (bigram-set) Jaccard near-dups, content-bounded blocking:
+    // banded minhash over the bigram set (never quadratic in a natural key).
     "q31_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
           "doc_id", "text", 0.7)
@@ -225,7 +225,7 @@ object DedupQueries {
   }
 
   val oracles: Map[String, String] = Map(
-    "q31_ngram_jaccard" -> minhashOracleSql(1, 16, 8, 0.7),
+    "q31_ngram_jaccard" -> minhashOracleSql(2, 16, 8, 0.7),
 
     "q32_minhash_neardups" -> minhashOracleSql(3, 16, 4, 0.5),
 

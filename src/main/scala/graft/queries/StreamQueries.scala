@@ -1,0 +1,156 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.streaming.SocialStream
+
+/** §2.10 Structured Streaming under the hard CORRECTNESS gate.
+  *
+  * Each query drives the real streaming path end-to-end: dump a JSON
+  * landing zone from the sf tables (the reference's 15-min scrape drops,
+  * `terraform/main.tf:200-205`), run a `SocialStream` operator over
+  * file-source micro-batches (`maxFilesPerTrigger=1`, so multiple batches
+  * really happen), collect the sink, and return it as a DataFrame whose
+  * oracle is plain SQL over the SAME source table. Batch analogs (q11/q49)
+  * cover the window semantics; these cover the streaming CODE — source,
+  * watermark plumbing, state store, sink — none of which the batch path
+  * touches.
+  *
+  * Determinism: the file source does not guarantee batch order, so every
+  * query here (a) reduces the sink to an order-insensitive final answer
+  * (complete-mode aggregate / latest-wins max / exactly-once dedup of
+  * identical rows) and (b) uses a far-future watermark horizon, because
+  * late-row dropping depends on which batch a row lands in. The 2-day
+  * horizon of the reference's re-crawl is exercised in SocialStreamSpec,
+  * where batch boundaries are controlled.
+  */
+object StreamQueries {
+
+  /** Never-late watermark: keeps results independent of batch splits. */
+  private val Horizon = "36500 days"
+
+  /** Dump `df` as an `n`-file JSON landing dir; returns the path. */
+  private def landing(df: DataFrame, n: Int, splitCol: String): String = {
+    val dir = Files.createTempDirectory("graft_landing_").toString
+    df.repartition(n, col(splitCol)).write.mode("overwrite").json(dir)
+    dir
+  }
+
+  private def uniq(prefix: String): String =
+    prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+
+  /** Events projected to (event_id, ts_us, event_type, value_cents):
+    * timestamps ride through JSON as epoch micros (lossless, no format
+    * ambiguity), money as integer cents (exact).
+    */
+  private def eventsFlat(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events").select(
+      col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("event_type"),
+      round(col("value") * 100, 0).cast("long").as("value_cents"))
+
+  private val eventsFlatSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("event_type", StringType),
+    StructField("value_cents", LongType)))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.10 tumbling-window counts: landing JSON → file-source micro-batches
+    // → window(15 min) + watermark agg → complete-mode memory sink.
+    "q66_stream_tumbling" -> ((s, dir) => {
+      val src = landing(eventsFlat(s, dir), 3, "event_id")
+      val stream = SocialStream
+        .readJsonStream(s, src, eventsFlatSchema, maxFilesPerTrigger = 1)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val agg = SocialStream.tumblingCounts(stream, "ts", Seq("event_type"),
+        windowLen = "15 minutes", watermark = Horizon)
+      val sink = uniq("q66_sink_")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(sink)
+        .select(unix_seconds(col("window_start")).as("bucket_start"),
+          col("event_type"), col("n"))
+        .orderBy(col("bucket_start"), col("event_type"))
+    }),
+
+    // §2.10 stateful latest-wins (flatMapGroupsWithState): the streaming
+    // form of the 2-day re-crawl overwriting engagement counts
+    // (`reddit/lambda_function_aggregate.py:59-71`). Update-mode memory
+    // sink accumulates every state change; the newest emission per key is
+    // the final state and is batch-split-invariant.
+    "q67_stream_latest" -> ((s, dir) => {
+      import s.implicits._
+      val src = landing(eventsFlat(s, dir), 3, "event_id")
+      val stream = SocialStream
+        .readJsonStream(s, src, eventsFlatSchema, maxFilesPerTrigger = 1)
+        .select(col("event_type").as("id"),
+          timestamp_micros(col("ts_us")).as("ts"),
+          col("value_cents").cast("int").as("score"))
+        .as[SocialStream.Engagement]
+      val updates = SocialStream.latestWinsState(stream, watermark = Horizon)
+      val sink = uniq("q67_sink_")
+      val q = updates.writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(sink)
+        .groupBy(col("id"))
+        .agg(max(struct(col("ts"), col("score"))).as("best"))
+        .select(col("id"), unix_micros(col("best.ts")).as("ts_us"),
+          col("best.score").as("score"))
+        .orderBy(col("id"))
+    }),
+
+    // §2.10 watermarked streaming dedup: the landing zone holds every
+    // event TWICE (the reference's re-crawl re-lands objects); the stream
+    // must emit each exactly once (MERGE-on-id idempotence,
+    // `glue/twitter_glue.py:76`).
+    "q68_stream_dedup" -> ((s, dir) => {
+      val flat = eventsFlat(s, dir)
+      val dir1 = landing(flat.unionAll(flat), 4, "event_id")
+      val stream = SocialStream
+        .readJsonStream(s, dir1, eventsFlatSchema, maxFilesPerTrigger = 1)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val deduped = SocialStream.dedupWithinWatermark(stream, "ts",
+        Seq("event_id"), watermark = Horizon)
+      val sink = uniq("q68_sink_")
+      val q = deduped.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(sink)
+        .select(col("event_id"), col("ts_us"), col("event_type"),
+          col("value_cents"))
+        .orderBy(col("event_id"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q66_stream_tumbling" ->
+      """SELECT secs - secs % 900 AS bucket_start, event_type, count(*) AS n
+        |FROM (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS secs, event_type FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q67_stream_latest" ->
+      """SELECT id, ts_us, score FROM (
+        |  SELECT event_type AS id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS INT) AS score,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC,
+        |               CAST(round(value * 100) AS BIGINT) DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY id""".stripMargin,
+
+    "q68_stream_dedup" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS value_cents
+        |FROM events ORDER BY event_id""".stripMargin)
+}

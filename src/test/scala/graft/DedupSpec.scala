@@ -85,7 +85,7 @@ class DedupSpec extends AnyFunSuite {
       (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
     val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(pairs.toSeq == Seq((1L, 2L))) // token Jaccard 7/9 = 0.78
+    assert(pairs.toSeq == Seq((1L, 2L))) // bigram Jaccard 6/8 = 0.75
   }
 
   test("bucketedPairs: tiling preserves the exact pair set of a hot bucket") {

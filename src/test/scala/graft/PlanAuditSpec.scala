@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Failing plan-property specs: the executed-plan shapes the 100 TB design
+  * depends on are ASSERTED here, so a plan regression (lost pushdown, a
+  * dim that stops broadcasting, a partial-agg that disappears, an exchange
+  * that stops being reused) fails `sbt test` instead of silently landing.
+  * `graft.PlanAudit` (the runMain) stays as the human-readable dump.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Materialize THIS query execution (collect, not a separate count) so
+    * AQE finalizes it, then return the final executed-plan string —
+    * runtime-inserted nodes (ReusedExchange, AQE joins) are only visible
+    * on the executed instance.
+    */
+  private def planOf(df: DataFrame): String = {
+    df.collect()
+    // AdaptiveSparkPlan.toString prints final AND initial plans; keep only
+    // the final section so node counts aren't doubled.
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  private def run(name: String): String =
+    planOf(SparkEntry.queries(name)(spark, dir))
+
+  test("scan pushdown: filter queries push predicates into the parquet scan") {
+    val plan = run("q02_filter_revenue")
+    assert(plan.contains("PushedFilters: ["), "no PushedFilters section in scan")
+    assert(!plan.matches("(?s).*PushedFilters: \\[\\].*"),
+      "PushedFilters is empty — predicate did not reach the parquet scan")
+  }
+
+  test("column pruning: projection-only query reads a narrow ReadSchema") {
+    // q01 touches 7 of lineitem's 16 columns; the scan must not read more.
+    val plan = run("q01_pricing_rollup")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema:"))
+      .getOrElse(fail("no ReadSchema in plan"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipmode"),
+      s"scan reads columns the query never uses: $readSchema")
+  }
+
+  test("dimension joins broadcast; fact side is never broadcast") {
+    // q06: region ⨝ nation ⨝ customer ⨝ orders ⨝ lineitem. The fixed-size
+    // dims (region, nation) must arrive via BroadcastHashJoin.
+    val plan = run("q06_region_revenue")
+    assert(plan.contains("BroadcastHashJoin"), "no broadcast join in q06")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "q06 degenerated to a nested-loop/cartesian join")
+  }
+
+  test("aggregations run partial (map-side) + final — never single-phase") {
+    // Two HashAggregates per groupBy (partial then final) with an exchange
+    // between them; partial_ prefixed functions appear in the partial stage.
+    val plan = run("q01_pricing_rollup")
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate pair, saw $aggs")
+    assert(plan.contains("partial_"), "no map-side partial aggregation in plan")
+  }
+
+  test("latest-wins (max_by) aggregates partially — no window sort fallback") {
+    val plan = run("q12_latest_per_type")
+    assert(plan.contains("partial_max_by") || plan.contains("partial_"),
+      "latest-wins lost its map-side combine")
+    assert(!plan.contains("Window"), "latest-wins regressed to a windowed sort")
+  }
+
+  test("banded self-join reuses the banding exchange instead of recomputing") {
+    // The minhash candidate join reads the SAME banding subplan on both
+    // sides; with AQE broadcast disabled the shuffle must be planned once
+    // and reused (ReusedExchange), not executed twice.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      val docs = (1L to 200L).map(i => (i, s"tok${i % 7} tok${i % 13} tok${i % 3} tail$i"))
+        .toDF("doc_id", "text")
+      val banded = graft.dedup.Dedup.minhashBands(docs, "doc_id", "text", 3, 16, 4)
+      val pairs = graft.dedup.Dedup.bucketedPairs(banded, Seq("band", "bh"), "id", 4096)
+      val plan = planOf(pairs)
+      assert(plan.contains("ReusedExchange"),
+        "tiled self-join no longer reuses the banding exchange")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("IVF assignment has no corpus×centroid row amplification") {
+    val plan = run("q50_ann_ivf")
+    assert(!plan.contains("BroadcastNestedLoopJoin") || {
+      // the only nested-loop allowed is the bounded query-side probe
+      plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1
+    }, "IVF corpus assignment reintroduced a cross join")
+  }
+
+  test("partition-pruned scan reads only the selected partition") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_pp_").toString
+    (1 to 100).map(i => (i, s"t${i % 4}")).toDF("id", "topic")
+      .write.partitionBy("topic").mode("overwrite").parquet(root)
+    val df = spark.read.parquet(root).filter(col("topic") === "t1")
+    df.count()
+    val scan = df.queryExecution.executedPlan.toString
+    // after partition pruning the scan's file listing covers 1 of 4 dirs
+    assert(scan.contains("PartitionFilters: ["), "no PartitionFilters in scan")
+    assert(scan.matches("(?s).*PartitionFilters: \\[[^\\]]*topic[^\\]]*\\].*"),
+      "partition predicate not recognized as a partition filter")
+  }
+}
