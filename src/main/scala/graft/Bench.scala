@@ -27,7 +27,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Emission must survive sbt log truncation (BENCH_r01's line was cut):
+    // persist to a file first, then print the line twice with explicit
+    // flushes so at least one copy reaches any line-oriented consumer.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(json)
+    Console.flush(); System.out.flush()
     spark.stop()
+    println(json)
+    Console.flush(); System.out.flush()
   }
 }

@@ -1,0 +1,80 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.graph.TreeOps
+import graft.pipeline.Compaction
+
+/** Table-lifecycle operators under the gate: landing-zone compaction (the
+  * MERGE/Delta-shaped gap — re-crawl re-lands updates next to originals)
+  * and recursive comment-tree flatten (depth + root attribution).
+  */
+object LifecycleQueries {
+
+  /** Events flattened to JSON-safe exact types (see StreamQueries). */
+  private def eventsFlat(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events").select(
+      col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("event_type"),
+      round(col("value") * 100, 0).cast("long").as("value_cents"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Landing zone = original events + a re-crawl batch that re-lands every
+    // third event one hour later with a bumped engagement value
+    // (`reddit/lambda_function_aggregate.py:59-71`). Compaction must keep
+    // exactly the newest version per event_id, partitioned by event_type.
+    "q69_compact_snapshot" -> ((s, dir) => {
+      val flat = eventsFlat(s, dir)
+      val recrawl = flat.filter(col("event_id") % 3 === 0)
+        .withColumn("ts_us", col("ts_us") + expr("3600000000"))
+        .withColumn("value_cents", col("value_cents") + 1)
+      val landing = Files.createTempDirectory("graft_compact_in_").toString
+      val snapshot = Files.createTempDirectory("graft_compact_out_").toString
+      flat.write.mode("overwrite").parquet(landing)
+      recrawl.write.mode("append").parquet(landing)
+      Compaction.compactLatestWins(s, landing, snapshot,
+          keys = Seq("event_id"), order = Seq(col("ts_us")),
+          partitionCols = Seq("event_type"))
+        .select(col("event_id"), col("ts_us"), col("event_type"),
+          col("value_cents"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Comment-tree flatten: a deterministic forest over documents (roots
+    // doc_id < 3, parent = (doc_id-1) div 2), resolved to (root, depth) by
+    // pointer doubling — O(log depth) joins, vs the recursive CTE the
+    // oracle runs.
+    "q70_tree_flatten" -> ((s, dir) => {
+      val nodes = Tables.load(s, dir, "documents").select(
+        col("doc_id").as("id"),
+        when(col("doc_id") < 3, lit(null).cast("long"))
+          .otherwise(expr("(doc_id - 1) div 2")).as("parent"))
+      TreeOps.treeFlatten(nodes, "id", "parent")
+        .orderBy(col("id"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q69_compact_snapshot" ->
+      """SELECT event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP))
+        |    + CASE WHEN event_id % 3 = 0 THEN 3600000000 ELSE 0 END AS ts_us,
+        |  event_type,
+        |  CAST(round(value * 100) AS BIGINT)
+        |    + CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS value_cents
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q70_tree_flatten" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id AS id, doc_id AS root_id, CAST(0 AS BIGINT) AS depth
+        |  FROM documents WHERE doc_id < 3
+        |  UNION ALL
+        |  SELECT d.doc_id, t.root_id, t.depth + 1
+        |  FROM documents d JOIN t ON (d.doc_id - 1) // 2 = t.id
+        |  WHERE d.doc_id >= 3)
+        |SELECT id, root_id, depth FROM t ORDER BY id""".stripMargin)
+}

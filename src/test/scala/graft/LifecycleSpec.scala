@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.TreeOps
+import graft.pipeline.Compaction
+
+class LifecycleSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("treeFlatten: deep chain settles in O(log depth) passes") {
+    // A single chain 0<-1<-2<-...<-200 plus a second root 1000 with two kids.
+    val chain = (0L to 200L).map(i => (i, if (i == 0) None else Some(i - 1)))
+    val other = Seq((1000L, None), (1001L, Some(1000L)), (1002L, Some(1000L)))
+    val nodes = (chain ++ other).toDF("id", "parent")
+    val out = TreeOps.treeFlatten(nodes, "id", "parent", maxIters = 12)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // Depth 200 with maxIters=12 is only reachable via pointer doubling
+    // (2^12 >> 200); a per-level walk would need 200 passes.
+    assert(out(200L) == ((0L, 200L)))
+    assert(out(0L) == ((0L, 0L)))
+    assert(out(137L) == ((0L, 137L)))
+    assert(out(1002L) == ((1000L, 1L)))
+    assert(out.size == 204)
+  }
+
+  test("compactLatestWins: newest row per key survives; untouched partitions keep files") {
+    val landing = Files.createTempDirectory("lc_landing_").toString
+    val snapshot = Files.createTempDirectory("lc_snap_").toString
+    Seq((1L, 10L, "a", 100L), (2L, 10L, "a", 200L), (3L, 10L, "b", 300L))
+      .toDF("k", "v", "pt", "x").write.mode("overwrite").parquet(landing)
+    // Re-land: key 1 updated at a later version.
+    Seq((1L, 20L, "a", 101L))
+      .toDF("k", "v", "pt", "x").write.mode("append").parquet(landing)
+    val snap = Compaction.compactLatestWins(spark, landing, snapshot,
+      keys = Seq("k"), order = Seq(col("v")), partitionCols = Seq("pt"))
+    val rows = snap.select("k", "v", "pt", "x").as[(Long, Long, String, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 20L, "a", 101L), (2L, 10L, "a", 200L), (3L, 10L, "b", 300L)))
+
+    // Second compaction touching only pt=a must not clobber pt=b (dynamic
+    // partition overwrite: write a marker file into b's dir and re-compact
+    // an a-only landing update).
+    Seq((1L, 30L, "a", 102L), (2L, 10L, "a", 200L))
+      .toDF("k", "v", "pt", "x").write.mode("append").parquet(landing)
+    val snap2 = Compaction.compactLatestWins(spark,
+      landingDir = landing, snapshotDir = snapshot,
+      keys = Seq("k"), order = Seq(col("v")), partitionCols = Seq("pt"))
+    val r2 = snap2.select("k", "v").as[(Long, Long)].collect().sortBy(_._1)
+    assert(r2.toSeq == Seq((1L, 30L), (2L, 10L), (3L, 10L)))
+  }
+}
