@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.JdbcUpsertSink
+
+/** Exactly-once-per-key semantics of the foreachPartition MERGE writer
+  * under (a) repeat upserts, (b) a replayed partition — Spark's task-retry
+  * model re-runs the whole partition iterator — and (c) a task that died
+  * mid-partition AFTER committing a batch, then got retried.
+  */
+class JdbcUpsertSinkSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftsink;create=true"
+
+  private def withTable[A](ddlCols: String)(f: String => A): A = {
+    val table = "t" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().executeUpdate(s"CREATE TABLE $table ($ddlCols)")
+      f(table)
+    } finally conn.close()
+  }
+
+  private def readAll(table: String): Seq[(Long, String, Long)] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement()
+        .executeQuery(s"SELECT k, name, score FROM $table ORDER BY k")
+      val buf = Seq.newBuilder[(Long, String, Long)]
+      while (rs.next()) buf += ((rs.getLong(1), rs.getString(2), rs.getLong(3)))
+      buf.result()
+    } finally conn.close()
+  }
+
+  private val ddl = "k BIGINT PRIMARY KEY, name VARCHAR(64), score BIGINT"
+
+  test("upsert: insert then merge-update, no duplicate keys, partition-parallel") {
+    withTable(ddl) { table =>
+      val v1 = (1L to 40L).map(i => (i, s"user$i", i * 10)).toDF("k", "name", "score")
+        .repartition(8, $"k")
+      JdbcUpsertSink.upsert(v1, url, table, Seq("k"), batchSize = 7)
+      assert(readAll(table) == (1L to 40L).map(i => (i, s"user$i", i * 10)))
+
+      // Second wave: half the keys re-land with new scores + 5 new keys.
+      val v2 = ((1L to 20L).map(i => (i, s"user$i", i * 10 + 1)) ++
+        (41L to 45L).map(i => (i, s"user$i", i * 10))).toDF("k", "name", "score")
+        .repartition(8, $"k")
+      JdbcUpsertSink.upsert(v2, url, table, Seq("k"), batchSize = 7)
+      val expect = (1L to 45L).map(i =>
+        (i, s"user$i", if (i <= 20) i * 10 + 1 else i * 10))
+      assert(readAll(table) == expect)
+    }
+  }
+
+  test("replayed partition (task retry) leaves state unchanged") {
+    withTable(ddl) { table =>
+      val rows = (1L to 10L).map(i => Row(i, s"user$i", i * 10))
+      val cols = Seq("k", "name", "score")
+      val sql = JdbcUpsertSink.mergeSql(table, cols, Seq("k"))
+      JdbcUpsertSink.writePartition(rows.iterator, url, sql, cols, Seq("k"), 3)
+      val after1 = readAll(table)
+      // Retry = identical iterator, from the top.
+      JdbcUpsertSink.writePartition(rows.iterator, url, sql, cols, Seq("k"), 3)
+      assert(readAll(table) == after1)
+      assert(after1 == (1L to 10L).map(i => (i, s"user$i", i * 10)))
+    }
+  }
+
+  test("mid-partition death after a committed batch + retry = exactly once per key") {
+    withTable(ddl) { table =>
+      val rows = (1L to 10L).map(i => Row(i, s"user$i", i * 10))
+      val cols = Seq("k", "name", "score")
+      val sql = JdbcUpsertSink.mergeSql(table, cols, Seq("k"))
+      // First attempt dies on row 5 — after batch (1,2,3) already committed.
+      val dying = rows.iterator.zipWithIndex.map { case (r, i) =>
+        if (i == 4) throw new RuntimeException("executor lost") else r
+      }
+      intercept[RuntimeException] {
+        JdbcUpsertSink.writePartition(dying, url, sql, cols, Seq("k"), 3)
+      }
+      assert(readAll(table).size >= 3) // partial state visible, as on a real store
+      // Spark reschedules the task: full iterator again.
+      JdbcUpsertSink.writePartition(rows.iterator, url, sql, cols, Seq("k"), 3)
+      assert(readAll(table) == (1L to 10L).map(i => (i, s"user$i", i * 10)))
+    }
+  }
+
+  test("all-key rows (pure set membership) degrade to insert-if-absent") {
+    withTable("k BIGINT, name VARCHAR(64), PRIMARY KEY (k, name)") { table =>
+      val cols = Seq("k", "name")
+      val sql = JdbcUpsertSink.mergeSql(table, cols, cols)
+      assert(!sql.contains("WHEN MATCHED")) // no non-key cols to update
+      val rows = Seq(Row(1L, "a"), Row(2L, "b"))
+      JdbcUpsertSink.writePartition(rows.iterator, url, sql, cols, cols, 10)
+      JdbcUpsertSink.writePartition(rows.iterator, url, sql, cols, cols, 10)
+      val conn = DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement().executeQuery(s"SELECT count(*) FROM $table")
+        rs.next(); assert(rs.getLong(1) == 2L)
+      } finally conn.close()
+    }
+  }
+}
