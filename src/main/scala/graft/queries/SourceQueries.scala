@@ -1,0 +1,94 @@
+package graft.queries
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** S1/S2 via the DataSource V2 scrape source (`sources/ScrapeSource`):
+  * the reference scraper's "newest first, stop at the limit, since the
+  * checkpoint" read (`twitter/lambda_function.py:27-29`,
+  * `reddit/lambda_function_aggregate.py:38`) as a SCAN-level plan, gated
+  * against a DuckDB oracle over the same underlying table.
+  */
+object SourceQueries {
+
+  private val DropRows = 400L
+
+  /** Materialize events as a scrape-drop directory: rows get a unique
+    * scrape sequence `ts_u` (row_number over (ts, event_id) — both sides
+    * of the gate compute it identically), chunked into time-disjoint
+    * drops of [[DropRows]] rows. Spark writes one file per drop
+    * (repartition by drop id + partitionBy); the driver then renames each
+    * part file to the `drop-<maxTs>.json` layout. maxTs per drop is known
+    * analytically (k·DropRows bounded by n), so the rename step does no
+    * data IO — O(drops) metadata ops, exactly what a scraper's landing
+    * step would have produced directly.
+    */
+  private def buildDrops(s: SparkSession, dir: String): String = {
+    val out = Files.createTempDirectory("graft_scrape_q71_").toString
+    val staged = out + "/staged"
+    val seq = Window.orderBy(col("ts"), col("event_id"))
+    val flat = Tables.load(s, dir, "events").select(
+        col("event_id"),
+        col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("value_cents"),
+        row_number().over(seq).cast("long").as("ts_u"))
+      .withColumn("drop_id", ((col("ts_u") - 1) / DropRows).cast("long"))
+    val n = flat.count()
+    val nDrops = ((n + DropRows - 1) / DropRows).toInt
+    flat.repartition(nDrops, col("drop_id"))
+      .write.mode("overwrite").partitionBy("drop_id").json(staged)
+    (0 until nDrops).foreach { k =>
+      val part = Option(new File(s"$staged/drop_id=$k").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+      require(part.length == 1, s"expected one part file for drop $k, got ${part.length}")
+      val maxTs = math.min((k + 1) * DropRows, n)
+      Files.move(part.head.toPath, Paths.get(out, s"drop-$maxTs.json"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    out
+  }
+
+  private val dropSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value_cents", LongType),
+    StructField("ts_u", LongType)))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Newest 500 since a checkpoint 60% into the history: the V2 scan
+    // plans only the files the bound + top-N allow (asserted in
+    // ScrapeSourceSpec / PlanAuditSpec; here the gate checks values).
+    "q71_scrape_source" -> ((s, dir) => {
+      val drops = buildDrops(s, dir)
+      val total = Tables.load(s, dir, "events").count()
+      val checkpoint = (total * 6) / 10
+      s.read.format("graft-scrape").schema(dropSchema)
+        .option("tsField", "ts_u").load(drops)
+        .filter(col("ts_u") >= checkpoint)
+        .orderBy(col("ts_u").desc).limit(500)
+        .select(col("event_id"), col("event_type"), col("value_cents"), col("ts_u"))
+        .orderBy(col("ts_u"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q71_scrape_source" ->
+      s"""WITH seq AS (
+         |  SELECT event_id, event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS value_cents,
+         |    CAST(row_number() OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id) AS BIGINT) AS ts_u
+         |  FROM events),
+         |topk AS (
+         |  SELECT * FROM seq
+         |  WHERE ts_u >= (SELECT (count(*) * 6) // 10 FROM events)
+         |  ORDER BY ts_u DESC LIMIT 500)
+         |SELECT event_id, event_type, value_cents, ts_u FROM topk
+         |ORDER BY ts_u""".stripMargin)
+}

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft-scrape DSv2: schema inference, file-level pruning for limit /
+  * top-N-on-ts / since-filters, column pruning — all asserted on the
+  * EXECUTED plan's scan (partitions actually planned, schema actually
+  * read), not just on results.
+  */
+class ScrapeSourceSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 5 drops × 4 rows, ts 1..20, drop k holds ts 4k+1..4k+4 (disjoint,
+    * newest file = drop-20.json).
+    */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("scrape_drops_")
+    (0 until 5).foreach { k =>
+      val rows = (4 * k + 1 to 4 * k + 4).map(t =>
+        s"""{"ts_u":$t,"event_id":${100 + t},"kind":"k${t % 3}","score":${t * 1.5}}""")
+      Files.write(d.resolve(s"drop-${4 * k + 4}.json"),
+        rows.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    d.toString
+  }
+
+  private val schema = StructType(Seq(
+    StructField("ts_u", LongType), StructField("event_id", LongType),
+    StructField("kind", StringType), StructField("score", DoubleType)))
+
+  private def read(): DataFrame =
+    spark.read.format("graft-scrape").schema(schema).option("tsField", "ts_u").load(dir)
+
+  private def scanOf(df: DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan"))
+
+  test("full read: all drops, inferSchema agrees with explicit schema") {
+    val df = read()
+    assert(df.count() == 20)
+    assert(scanOf(df).inputRDD.getNumPartitions == 5)
+    val inferred = spark.read.format("graft-scrape").option("tsField", "ts_u").load(dir)
+    assert(inferred.schema.fields.map(f => f.name -> f.dataType).toMap ==
+      Map("ts_u" -> LongType, "event_id" -> LongType,
+        "kind" -> StringType, "score" -> DoubleType))
+    assert(inferred.count() == 20)
+  }
+
+  test("limit pushdown reads only as many files as the limit") {
+    val df = read().limit(3)
+    assert(df.collect().length == 3)
+    // Row-count-blind bound: 3 newest files certainly hold ≥ 3 rows.
+    assert(scanOf(df).scan.description().contains("files=3/5"),
+      scanOf(df).scan.description())
+  }
+
+  test("top-N by ts desc prunes to the newest files") {
+    val df = read().orderBy(desc("ts_u")).limit(2)
+    assert(df.select("ts_u").as[Long].collect().toSeq == Seq(20L, 19L))
+    val d = scanOf(df).scan.description()
+    assert(d.contains("files=2/5") && d.contains("limit=2"), d)
+  }
+
+  test("top-N spanning a file boundary is exact (partial pushdown)") {
+    val df = read().orderBy(desc("ts_u")).limit(6)
+    // Rows 20..15 live in two files; the blind bound plans ≤ 6 files and
+    // Spark's retained sort+limit makes the result exact regardless.
+    assert(df.select("ts_u").as[Long].collect().toSeq == (20L to 15L by -1))
+  }
+
+  test("top-N by ts asc prunes to the oldest files and is exact") {
+    val df = read().orderBy(asc("ts_u")).limit(3)
+    assert(df.select("ts_u").as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("since-filter prunes dead files and stays exact mid-file") {
+    // ts_u >= 10: drops with maxTs 12,16,20 survive (3 files); rows 10..20.
+    val df = read().filter($"ts_u" >= 10L)
+    assert(df.select("ts_u").as[Long].collect().sorted.toSeq == (10L to 20L))
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("files=3/5"), scan.scan.description())
+    assert(scan.scan.description().contains("since=10"))
+  }
+
+  test("strict since-filter (ts > v) also prunes") {
+    val df = read().filter($"ts_u" > 16L)
+    assert(df.select("ts_u").as[Long].collect().sorted.toSeq == (17L to 20L))
+    assert(scanOf(df).scan.description().contains("files=1/5"))
+  }
+
+  test("column pruning reaches the reader schema") {
+    val df = read().select("kind")
+    assert(scanOf(df).scan.readSchema().fieldNames.toSeq == Seq("kind"))
+    assert(df.distinct().count() == 3)
+  }
+
+  test("top-N + since compose: newest-K-since-checkpoint scrape plan") {
+    // Fully-absorbed since bound leaves no Filter node, so top-N pushes
+    // through: alive files {12,16,20} → take newest 2.
+    val df = read().filter($"ts_u" >= 9L).orderBy(desc("ts_u")).limit(2)
+    assert(df.select("ts_u").as[Long].collect().toSeq == Seq(20L, 19L))
+    val d = scanOf(df).scan.description()
+    assert(d.contains("files=2/5") && d.contains("limit=2") && d.contains("since=9"), d)
+  }
+
+  test("since bound alone is row-exact without a Filter node") {
+    val df = read().filter($"ts_u" > 10L)
+    assert(df.select("ts_u").as[Long].collect().sorted.toSeq == (11L to 20L))
+    // No residual: the scan absorbed the predicate entirely.
+    val filters = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(filters.isEmpty, df.queryExecution.executedPlan.toString)
+  }
+}
