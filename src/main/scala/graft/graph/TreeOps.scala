@@ -37,7 +37,12 @@ object TreeOps {
     var prevSum = -1L
     var iter = 0
     var curSum = sumDepth(state)
-    while (curSum != prevSum && iter < maxIters) {
+    while (curSum != prevSum) {
+      // A cycle (or depth > 2^maxIters) never settles — fail loudly
+      // instead of returning a partially-resolved forest.
+      if (iter >= maxIters) throw new IllegalStateException(
+        s"treeFlatten: not settled after $maxIters passes — " +
+          "cycle in parent pointers or depth exceeds 2^maxIters")
       val t = state.select(col("id").as("t_id"), col("jump").as("t_jump"),
         col("depth").as("t_depth"))
       // jump is always some node's id (a parent pointer), so the join is

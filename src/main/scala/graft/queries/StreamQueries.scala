@@ -34,12 +34,13 @@ object StreamQueries {
   /** Never-late watermark: keeps results independent of batch splits. */
   private val Horizon = "36500 days"
 
-  /** Dump `df` as an `n`-file JSON landing dir; returns the path. */
-  private def landing(df: DataFrame, n: Int, splitCol: String): String = {
-    val dir = Files.createTempDirectory("graft_landing_").toString
-    df.repartition(n, col(splitCol)).write.mode("overwrite").json(dir)
-    dir
-  }
+  /** Dump `df` as an `n`-file JSON landing dir, once per (key, sf dir) —
+    * the landing zone is input fixture, not the operator under test. */
+  private def landing(key: String, sfDir: String, df: => DataFrame, n: Int,
+                      splitCol: String): String =
+    FixtureCache.dir(key, sfDir) { dir =>
+      df.repartition(n, col(splitCol)).write.mode("overwrite").json(dir)
+    }
 
   private def uniq(prefix: String): String =
     prefix + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -65,7 +66,7 @@ object StreamQueries {
     // §2.10 tumbling-window counts: landing JSON → file-source micro-batches
     // → window(15 min) + watermark agg → complete-mode memory sink.
     "q66_stream_tumbling" -> ((s, dir) => {
-      val src = landing(eventsFlat(s, dir), 3, "event_id")
+      val src = landing("events_x3", dir, eventsFlat(s, dir), 3, "event_id")
       val stream = SocialStream
         .readJsonStream(s, src, eventsFlatSchema, maxFilesPerTrigger = 1)
         .withColumn("ts", timestamp_micros(col("ts_us")))
@@ -89,7 +90,7 @@ object StreamQueries {
     // the final state and is batch-split-invariant.
     "q67_stream_latest" -> ((s, dir) => {
       import s.implicits._
-      val src = landing(eventsFlat(s, dir), 3, "event_id")
+      val src = landing("events_x3", dir, eventsFlat(s, dir), 3, "event_id")
       val stream = SocialStream
         .readJsonStream(s, src, eventsFlatSchema, maxFilesPerTrigger = 1)
         .select(col("event_type").as("id"),
@@ -116,7 +117,7 @@ object StreamQueries {
     // `glue/twitter_glue.py:76`).
     "q68_stream_dedup" -> ((s, dir) => {
       val flat = eventsFlat(s, dir)
-      val dir1 = landing(flat.unionAll(flat), 4, "event_id")
+      val dir1 = landing("q68_landing", dir, flat.unionAll(flat), 4, "event_id")
       val stream = SocialStream
         .readJsonStream(s, dir1, eventsFlatSchema, maxFilesPerTrigger = 1)
         .withColumn("ts", timestamp_micros(col("ts_us")))

@@ -208,9 +208,19 @@ class ScrapeScanBuilder(fullSchema: StructType, dir: String, tsField: String)
 class ScrapeScan(drops: Seq[ScrapeSource.Drop], schema: StructType,
                  totalFiles: Int, limit: Int, since: Option[Long],
                  tsField: String)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  /** Post-pruning size, so Catalyst's join planning sees what will
+    * actually be read: a newest-K or since-bounded scrape over a deep
+    * drop history is tiny and should broadcast. JSON-text bytes are a
+    * conservative (over-)estimate of row bytes. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(drops.map(_.file.length()).sum)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
   override def description(): String =
     s"graft-scrape files=${drops.size}/$totalFiles limit=$limit since=${since.getOrElse("-")}"
   override def planInputPartitions(): Array[InputPartition] =

@@ -28,6 +28,14 @@ class LifecycleSpec extends AnyFunSuite {
     assert(out.size == 204)
   }
 
+  test("treeFlatten: cycle fails loudly instead of returning partial depths") {
+    val cyclic = Seq((1L, Some(2L)), (2L, Some(1L)), (3L, None)).toDF("id", "parent")
+    val e = intercept[IllegalStateException] {
+      TreeOps.treeFlatten(cyclic, "id", "parent", maxIters = 6).collect()
+    }
+    assert(e.getMessage.contains("not settled"))
+  }
+
   test("compactLatestWins: newest row per key survives; untouched partitions keep files") {
     val landing = Files.createTempDirectory("lc_landing_").toString
     val snapshot = Files.createTempDirectory("lc_snap_").toString

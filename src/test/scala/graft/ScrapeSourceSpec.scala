@@ -102,6 +102,16 @@ class ScrapeSourceSpec extends AnyFunSuite {
     assert(df.distinct().count() == 3)
   }
 
+  test("reported statistics shrink with pruning (broadcast-ability)") {
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    def size(df: DataFrame): Long =
+      scanOf(df).scan.asInstanceOf[SupportsReportStatistics]
+        .estimateStatistics().sizeInBytes().getAsLong
+    val full = size(read())
+    val pruned = size(read().filter($"ts_u" >= 17L)) // newest file only
+    assert(full > 0 && pruned > 0 && pruned < full / 3)
+  }
+
   test("top-N + since compose: newest-K-since-checkpoint scrape plan") {
     // Fully-absorbed since bound leaves no Filter node, so top-N pushes
     // through: alive files {12,16,20} → take newest 2.
