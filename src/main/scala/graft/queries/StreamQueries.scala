@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.sinks.JdbcUpsertSink
 import graft.streaming.SocialStream
 
 /** §2.10 Structured Streaming under the hard CORRECTNESS gate.
@@ -132,6 +133,48 @@ object StreamQueries {
         .select(col("event_id"), col("ts_us"), col("event_type"),
           col("value_cents"))
         .orderBy(col("event_id"))
+    }),
+
+    // §2.10 + K3 composed: streaming micro-batches feeding an EXTERNAL
+    // serving store through `foreachBatch` + the idempotent MERGE writer —
+    // the streaming form of the reference's per-batch Neo4j load
+    // (`glue/twitter_glue.py:185-186`). The landing zone holds every event
+    // twice across batch boundaries; MERGE-on-key absorbs both the re-lands
+    // and any task/batch replay, so the final table is exactly the distinct
+    // events. Result = the store read back via the JDBC source.
+    "q72_stream_upsert" -> ((s, dir) => {
+      val flat = eventsFlat(s, dir).filter(col("event_id") % 7 === 0)
+      val src = landing("q72_landing", dir, flat.unionAll(flat), 4, "event_id")
+      // In-memory Derby: embedded stand-in for the real store; left alive
+      // for the JVM's lifetime because the returned frame reads it lazily.
+      val url = s"jdbc:derby:memory:${uniq("q72db_")};create=true"
+      val table = "events_serving"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try conn.createStatement().executeUpdate(
+        s"CREATE TABLE $table (event_id BIGINT PRIMARY KEY, ts_us BIGINT, " +
+          "event_type VARCHAR(64), value_cents BIGINT)")
+      finally conn.close()
+      val stream = SocialStream
+        .readJsonStream(s, src, eventsFlatSchema, maxFilesPerTrigger = 1)
+      val ckpt = Files.createTempDirectory("q72_ckpt_").toString
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // Keys hash to one task each: no cross-task write races on a key.
+          JdbcUpsertSink.upsert(batch.repartition(4, col("event_id")),
+            url, table, Seq("event_id"))
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.format("jdbc")
+        .option("url", url)
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("dbtable", table).load()
+        .select(col("EVENT_ID").as("event_id"), col("TS_US").as("ts_us"),
+          col("EVENT_TYPE").as("event_type"),
+          col("VALUE_CENTS").as("value_cents"))
+        .orderBy(col("event_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -153,5 +196,10 @@ object StreamQueries {
     "q68_stream_dedup" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type,
         |  CAST(round(value * 100) AS BIGINT) AS value_cents
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q72_stream_upsert" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS value_cents
+        |FROM events WHERE event_id % 7 = 0 ORDER BY event_id""".stripMargin)
 }
