@@ -1,13 +1,13 @@
 package org.apache.spark.sql
 
-import graft.GraftExtensions
+import graft.extensions.GraftExtensions
 
 /** Runtime registration of graft's native expressions into an existing
-  * session, idempotent. The sanctioned path is `graft.GraftExtensions` via
-  * `spark.sql.extensions`; this helper covers sessions that were built
-  * without it (e.g. a host application's session), which requires the
-  * `org.apache.spark.sql` package for `sessionState` access — the standard
-  * ecosystem escape hatch.
+  * session, idempotent. The sanctioned path is
+  * `graft.extensions.GraftExtensions` via `spark.sql.extensions`; this
+  * helper covers sessions that were built without it (e.g. a host
+  * application's session), which requires the `org.apache.spark.sql`
+  * package for `sessionState` access — the standard ecosystem escape hatch.
   */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {

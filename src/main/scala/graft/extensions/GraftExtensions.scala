@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.expressions.{CharHash, ContainsAnyTerm}
+import graft.expressions.{BloomMightContain, CharHash, ContainsAnyTerm}
 
 /** Session extensions for the graft engine — `spark.sql.extensions =
   * graft.extensions.GraftExtensions` (set by Verify/Bench/Smoke and the
@@ -28,8 +28,7 @@ import graft.expressions.{CharHash, ContainsAnyTerm}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.charHashFn)
-    ext.injectFunction(GraftExtensions.containsAnyTermFn)
+    GraftExtensions.registrations.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => CollapseContainsChain)
   }
 }
@@ -58,12 +57,34 @@ object GraftExtensions {
       require(args.length >= 2,
         "contains_any_term expects a string column and at least one term")
       val terms = args.tail.map {
+        // Terms fix the automaton at plan time: literals or any foldable
+        // string expression (constant-folded value), never a column.
         case Literal(t: UTF8String, StringType) if t != null => t.toString
+        case e if e.foldable && e.dataType == StringType && e.eval(null) != null =>
+          e.eval(null).toString
         case other => throw new IllegalArgumentException(
           s"contains_any_term terms must be string literals, got: ${other.sql}")
       }
       ContainsAnyTerm(args.head, terms)
     })
+
+  val bloomMightContainFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_might_contain"),
+    info("bloom_might_contain",
+      "bloom_might_contain(key, sketchBytes) - membership test against a " +
+        "serialized BloomFilter sketch (see graft.ops.BloomJoin)",
+      classOf[BloomMightContain]),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        "bloom_might_contain expects (key, sketchBytes)")
+      BloomMightContain(args.head, args(1))
+    })
+
+  /** All SQL-function registrations (shared with
+    * [[org.apache.spark.sql.GraftFunctions]]'s imperative path).
+    */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(charHashFn, containsAnyTermFn, bloomMightContainFn)
 }
 
 /** Collapse OR-chains of case-insensitive substring tests over one column,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.CoreOps
+import graft.ops.{BloomJoin, CoreOps}
 import graft.enrich.Enrich
 
 /** Wave 5 — grouping sets, exact percentiles, LSH ANN, the batch-25
@@ -13,6 +13,26 @@ import graft.enrich.Enrich
 object ExtraQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bloom semi-join reduction: revenue of one nation's suppliers. The
+    // dim is DERIVED (supplier ⋈ σ(nation)) — the shape Spark's automatic
+    // runtime filter can miss — so the fact side is pre-filtered by a
+    // sketch of the ~1/25 surviving supplier keys before its exchange.
+    // False positives are removed by the exact join; oracle = plain join.
+    "q73_bloom_join" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val sup = Tables.load(s, dir, "supplier")
+      val n = Tables.load(s, dir, "nation").filter(col("n_name") === "NATION_7")
+      val dim = sup.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      BloomJoin.reducedJoin(l, "l_suppkey", dim, "s_suppkey",
+          expectedItems = 100000L)
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(sum(CoreOps.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue_cents"),
+          count(lit(1)).as("n"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // A4 cube: full grouping-set lattice over two dims.
     "q41_cube_agg" -> ((s, dir) => {
       Tables.load(s, dir, "orders")
@@ -415,6 +435,16 @@ object ExtraQueries {
       s"""SELECT event_type, count(*) AS n,
          |  CAST(sum(${C.format("value")}) AS BIGINT) AS sum_cents
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q73_bloom_join" ->
+      s"""SELECT s_suppkey, s_name,
+         |  CAST(sum(${C.format("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS revenue_cents,
+         |  count(*) AS n
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_7'
+         |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
 
     "q46_pivot" ->
       """SELECT user_id,

@@ -151,6 +151,20 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // Sequence packing (concatenate-then-chunk): context-window pack
+    // assignment per language via prefix-sum — per-pack doc counts and
+    // token totals. A pack's tokens can exceed the budget only by its last
+    // document's spill (assignment is where the doc STARTS).
+    "q74_sequence_pack" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).as("n_tok"))
+      TextOps.packSequences(docs, Seq("lang"), "doc_id", "n_tok", budget = 512)
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"))
+        .orderBy(col("lang"), col("pack_id"))
+    }),
+
     // F4 at reference scale: the Aho-Corasick native expression through
     // contentGate's large-blacklist path (one automaton pass per row).
     "q55_native_blacklist" -> ((s, dir) => {
@@ -221,6 +235,19 @@ object TextQueries {
        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q74_sequence_pack" ->
+      """WITH toks AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |packed AS (
+        |  SELECT lang, n_tok,
+        |    CAST(floor(COALESCE(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS pack_id
+        |  FROM toks)
+        |SELECT lang, pack_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+        |FROM packed GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
+
     "q19_sentinel_scrub" ->
       """SELECT event_type_clean, count(*) AS n FROM (
         |  SELECT CASE WHEN event_type IN ('error') THEN NULL ELSE event_type END AS event_type_clean

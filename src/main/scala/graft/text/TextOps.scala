@@ -1,6 +1,7 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -88,4 +89,26 @@ object TextOps {
       split(text, ""),
       lit(0L),
       (acc, ch) => (acc * lit(31L) + coalesce(ascii(ch).cast(LongType), lit(0L))) % lit(1000000007L))
+
+  /** Sequence packing for context-window training: assign each document a
+    * `pack_id` such that concatenating documents in `orderCol` order and
+    * chunking every `budget` tokens puts the document in the pack where it
+    * STARTS (concatenate-then-chunk semantics — an over-long document spills
+    * into the next chunk rather than forcing a gap, so packs are gapless and
+    * the assignment is a pure prefix-sum, not a sequential first-fit scan).
+    *
+    * Scale shape: packing runs independently per `groupCols` group (packs
+    * never cross groups — shard/language boundaries in a real pipeline), so
+    * the window sort is one partitioned exchange, never a global sort. The
+    * cumulative sum is the standard streaming-window frame; no driver state.
+    */
+  def packSequences(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                    tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val before = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("pack_id",
+      floor(coalesce(sum(col(tokenCol)).over(before), lit(0L)) / lit(budget.toDouble))
+        .cast(LongType))
+  }
 }

@@ -84,4 +84,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.filter($"id" % 2 === 0 && $"Positive" > $"Negative").count() == 30)
     assert(out.filter($"id" % 2 === 1 && $"Negative" > $"Positive").count() == 30)
   }
+
+  test("packSequences: concatenate-then-chunk assignment, per-group isolation") {
+    import graft.text.TextOps
+    // en: sizes 300,300,300 with budget 512 -> starts at 0,300,600 -> packs 0,0,1
+    // de: sizes 600,100    -> starts at 0,600 -> packs 0,1 (over-long doc spills)
+    val df = Seq(
+      ("en", 1L, 300L), ("en", 2L, 300L), ("en", 3L, 300L),
+      ("de", 1L, 600L), ("de", 2L, 100L)).toDF("lang", "doc_id", "n_tok")
+    val out = TextOps.packSequences(df, Seq("lang"), "doc_id", "n_tok", budget = 512)
+      .select($"lang", $"doc_id", $"pack_id").as[(String, Long, Long)]
+      .collect().toSet
+    assert(out == Set(
+      ("en", 1L, 0L), ("en", 2L, 0L), ("en", 3L, 1L),
+      ("de", 1L, 0L), ("de", 2L, 1L)))
+  }
 }
