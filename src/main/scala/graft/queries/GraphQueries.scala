@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.graph.GraphBuilder
+import graft.graph.{Components, GraphBuilder}
 
 /** Wave 6 — the graph builders (SURVEY.md §2.4 J2-J4, §2.12 K3) under the
   * oracle gate, over social-analog frames derived from the testdata:
@@ -48,6 +48,20 @@ object GraphQueries {
       GraphBuilder.edges(posts(s, dir), comments(s, dir), tweets(s, dir))
         .groupBy(col("rel")).agg(count(lit(1)).as("n"))
         .orderBy(col("rel"))
+    }),
+
+    // Connected components over a sparse user↔object bipartite slice of the
+    // event graph (hash-min label propagation, O(diameter) passes) —
+    // component sizes vs the oracle's recursive-CTE transitive closure.
+    "q76_connected_components" -> ((s, dir) => {
+      val edges = Tables.load(s, dir, "events")
+        .filter(col("event_id") % 53 === 0)
+        .select(col("user_id").cast("long").as("src"),
+          (lit(1000000L) + col("event_id") % 211).as("dst"))
+        .distinct()
+      Components.connectedComponents(edges, "src", "dst")
+        .groupBy(col("component")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("component"))
     }))
 
   // SQL mirrors of the builder pipelines (dedup on (id,label) / (src,dst,rel)).
@@ -63,6 +77,20 @@ object GraphQueries {
       |FROM events WHERE event_type = 'click'""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q76_connected_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT CAST(user_id AS BIGINT) AS a,
+        |    1000000 + event_id % 211 AS b
+        |  FROM events WHERE event_id % 53 = 0),
+        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach AS (
+        |  SELECT a AS node, a AS r FROM sym
+        |  UNION
+        |  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.node = s.b),
+        |lab AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+        |SELECT component, count(*) AS n_nodes FROM lab
+        |GROUP BY component ORDER BY component""".stripMargin,
+
     "q51_graph_vertices" ->
       s"""WITH p AS ($postsSql), c AS ($commentsSql), t AS ($tweetsSql),
          |v AS (

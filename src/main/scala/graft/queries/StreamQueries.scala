@@ -46,6 +46,20 @@ object StreamQueries {
   private def uniq(prefix: String): String =
     prefix + java.util.UUID.randomUUID().toString.replace("-", "")
 
+  /** Clone of `s` (shared SparkContext, own SQLConf) with shuffle
+    * partitions sized for the stream's keyspace. Stateful operators keep
+    * one state-store partition per shuffle partition PER micro-batch —
+    * at the bench's 32-core conf that is 32 tasks + 32 state files per
+    * batch for keyspaces of a few hundred keys. Production sizing goes the
+    * same way, just up: state partitions ~ keyspace/executor-memory, set
+    * independently of the batch side's shuffle width.
+    */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2
+  }
+
   /** Events projected to (event_id, ts_us, event_type, value_cents):
     * timestamps ride through JSON as epoch micros (lossless, no format
     * ambiguity), money as integer cents (exact).
@@ -68,8 +82,9 @@ object StreamQueries {
     // → window(15 min) + watermark agg → complete-mode memory sink.
     "q66_stream_tumbling" -> ((s, dir) => {
       val src = landing("events_x3", dir, eventsFlat(s, dir), 3, "event_id")
+      val ss = streamSession(s)
       val stream = SocialStream
-        .readJsonStream(s, src, eventsFlatSchema, maxFilesPerTrigger = 1)
+        .readJsonStream(ss, src, eventsFlatSchema, maxFilesPerTrigger = 1)
         .withColumn("ts", timestamp_micros(col("ts_us")))
       val agg = SocialStream.tumblingCounts(stream, "ts", Seq("event_type"),
         windowLen = "15 minutes", watermark = Horizon)
@@ -78,7 +93,7 @@ object StreamQueries {
         .outputMode("complete").start()
       q.processAllAvailable()
       q.stop()
-      s.table(sink)
+      ss.table(sink)
         .select(unix_seconds(col("window_start")).as("bucket_start"),
           col("event_type"), col("n"))
         .orderBy(col("bucket_start"), col("event_type"))
@@ -90,10 +105,11 @@ object StreamQueries {
     // sink accumulates every state change; the newest emission per key is
     // the final state and is batch-split-invariant.
     "q67_stream_latest" -> ((s, dir) => {
-      import s.implicits._
+      val ss = streamSession(s)
+      import ss.implicits._
       val src = landing("events_x3", dir, eventsFlat(s, dir), 3, "event_id")
       val stream = SocialStream
-        .readJsonStream(s, src, eventsFlatSchema, maxFilesPerTrigger = 1)
+        .readJsonStream(ss, src, eventsFlatSchema, maxFilesPerTrigger = 1)
         .select(col("event_type").as("id"),
           timestamp_micros(col("ts_us")).as("ts"),
           col("value_cents").cast("int").as("score"))
@@ -104,7 +120,7 @@ object StreamQueries {
         .outputMode("update").start()
       q.processAllAvailable()
       q.stop()
-      s.table(sink)
+      ss.table(sink)
         .groupBy(col("id"))
         .agg(max(struct(col("ts"), col("score"))).as("best"))
         .select(col("id"), unix_micros(col("best.ts")).as("ts_us"),
@@ -119,8 +135,9 @@ object StreamQueries {
     "q68_stream_dedup" -> ((s, dir) => {
       val flat = eventsFlat(s, dir)
       val dir1 = landing("q68_landing", dir, flat.unionAll(flat), 4, "event_id")
+      val ss = streamSession(s)
       val stream = SocialStream
-        .readJsonStream(s, dir1, eventsFlatSchema, maxFilesPerTrigger = 1)
+        .readJsonStream(ss, dir1, eventsFlatSchema, maxFilesPerTrigger = 1)
         .withColumn("ts", timestamp_micros(col("ts_us")))
       val deduped = SocialStream.dedupWithinWatermark(stream, "ts",
         Seq("event_id"), watermark = Horizon)
@@ -129,7 +146,7 @@ object StreamQueries {
         .outputMode("append").start()
       q.processAllAvailable()
       q.stop()
-      s.table(sink)
+      ss.table(sink)
         .select(col("event_id"), col("ts_us"), col("event_type"),
           col("value_cents"))
         .orderBy(col("event_id"))
@@ -155,7 +172,7 @@ object StreamQueries {
           "event_type VARCHAR(64), value_cents BIGINT)")
       finally conn.close()
       val stream = SocialStream
-        .readJsonStream(s, src, eventsFlatSchema, maxFilesPerTrigger = 1)
+        .readJsonStream(streamSession(s), src, eventsFlatSchema, maxFilesPerTrigger = 1)
       val ckpt = Files.createTempDirectory("q72_ckpt_").toString
       val q = stream.writeStream
         .option("checkpointLocation", ckpt)

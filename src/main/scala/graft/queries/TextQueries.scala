@@ -151,6 +151,21 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // PII scrub: emails/URLs → typed placeholder tokens. The corpus has no
+    // organic PII, so each doc gets a deterministic synthetic contact line
+    // appended — the oracle applies the IDENTICAL construction + regexes,
+    // so the redacted strings must match byte for byte.
+    "q75_pii_redact" -> ((s, dir) => {
+      val withPii = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or https://ex"),
+          (col("doc_id") % 10).cast("string"), lit(".org/path now")).as("raw"))
+      withPii.select(col("doc_id"), TextOps.redactPii(col("raw")).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sequence packing (concatenate-then-chunk): context-window pack
     // assignment per language via prefix-sum — per-pack doc counts and
     // token totals. A pack's tokens can exceed the budget only by its last
@@ -235,6 +250,16 @@ object TextQueries {
        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q75_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com or https://ex'
+        |      || CAST(doc_id % 10 AS VARCHAR) || '.org/path now',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://\S+', '<URL>', 'g') AS clean
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
     "q74_sequence_pack" ->
       """WITH toks AS (
         |  SELECT lang, doc_id,

@@ -90,6 +90,18 @@ object TextOps {
       lit(0L),
       (acc, ch) => (acc * lit(31L) + coalesce(ascii(ch).cast(LongType), lit(0L))) % lit(1000000007L))
 
+  /** PII scrub for training corpora: replace emails then URLs with typed
+    * placeholder tokens. Patterns stay in the common RE2/Java regex subset
+    * (no lookaround) so the identical scrub is expressible in any engine;
+    * order matters only in that neither pattern can match the other's
+    * replacement token. Pure codegen'd expressions — runs at scan speed.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://\\S+"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), UrlRe, "<URL>")
+
   /** Sequence packing for context-window training: assign each document a
     * `pack_id` such that concatenating documents in `orderCol` order and
     * chunking every `budget` tokens puts the document in the pack where it
