@@ -256,6 +256,22 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Near-dup CLUSTERS: transitive closure of [[minhashNearDups]] pairs —
+    * "A≈B and B≈C" makes {A,B,C} one cluster even when A,C were never a
+    * candidate pair. Returns (node = doc id, component = min doc id of the
+    * cluster, the canonical representative to keep) for every doc that
+    * appears in at least one near-dup pair; docs with no near-dup are
+    * implicitly their own cluster. This is the composition a real corpus
+    * dedup ships: pairs alone under-delete on chains of drift.
+    */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5, bucketCap: Int = 4096): DataFrame =
+    graft.graph.Components.connectedComponents(
+      minhashNearDups(df, idCol, textCol, shingleK, numHashes, bands,
+        threshold, bucketCap),
+      "id_a", "id_b")
+
   /** Exact Jaccard similarity of two (already distinct) arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -214,6 +214,23 @@ object CoreOps {
   def hashSample(df: DataFrame, keyCol: String, keep: Int, denom: Int = 100): DataFrame =
     df.filter(pmod(graft.dedup.Dedup.charHash(col(keyCol).cast("string")), lit(denom.toLong)) < keep)
 
+  /** Stratified deterministic sampling: per-stratum keep rates over the
+    * same portable key hash as [[hashSample]] — the training-mix knob
+    * (e.g. downsample dominant languages, keep all of rare ones). Rows in
+    * strata absent from `rates` keep `defaultKeep`/denom. One codegen'd
+    * filter, no shuffle, reproducible across runs and engines.
+    */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, stratumCol: String,
+                           rates: Map[String, Int], defaultKeep: Int = 0,
+                           denom: Int = 100): DataFrame = {
+    val h = pmod(graft.dedup.Dedup.charHash(col(keyCol).cast("string")), lit(denom.toLong))
+    val keep = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultKeep)) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit(rate)).otherwise(acc)
+    }
+    df.filter(h < keep)
+  }
+
   /** 15-minute (or any) tumbling-window bucket over an event-time column —
     * the reference's micro-batch cadence (`terraform/main.tf:200-205`)
     * re-expressed as a groupable epoch bucket. Plain long arithmetic so the

@@ -31,6 +31,16 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Near-dup clustering: minhash pairs closed under transitivity
+    // (hash-min components), per-cluster sizes — the keep-one-per-cluster
+    // dedup a training corpus actually ships.
+    "q77_neardup_clusters" -> ((s, dir) => {
+      Dedup.nearDupClusters(Tables.load(s, dir, "documents"), "doc_id", "text",
+          shingleK = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("component"))
+    }),
+
     // SimHash 30-bit signatures (deterministic, portable). Token hashes are
     // materialized in their own projection so the char fold runs once per
     // row, not once per signature bit.
@@ -86,8 +96,12 @@ object DedupQueries {
     * generation too — k-shingle hashes, seeded signatures, band folds, the
     * band self-join — not just the Jaccard verify).
     */
-  private def minhashOracleSql(shingleK: Int, numHashes: Int, bands: Int,
-                               threshold: Double): String = {
+  /** The shared CTE chain `tok → h → sigs → bands → cand → v` (shingle
+    * hashes, seeded signatures, band folds, band self-join, Jaccard
+    * verify) — the full candidate-generation mirror, reused by the pair
+    * and cluster oracles.
+    */
+  private def minhashCtes(shingleK: Int, numHashes: Int, bands: Int): String = {
     val rpb = numHashes / bands
     val sigExprs = (0 until numHashes).map { i =>
       s"list_min(list_transform(hs, h -> (${Dedup.hashA(i)} * h + ${Dedup.hashB(i)}) % $P)) AS s$i"
@@ -96,7 +110,7 @@ object DedupQueries {
       (0 until rpb).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
         s"(($acc * 1000003 + s${b * rpb + r}) % $P)"
       }
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id,
        |    list_transform(string_split(text, ' '), tk -> ${chSql("tk")}) AS th
        |  FROM documents),
@@ -120,9 +134,29 @@ object DedupQueries {
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
        |v AS (
        |  SELECT id_a, id_b, ${jaccardSql("sa.hs", "sb.hs")} AS jaccard
-       |  FROM cand JOIN h sa ON cand.id_a = sa.doc_id JOIN h sb ON cand.id_b = sb.doc_id)
-       |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
+       |  FROM cand JOIN h sa ON cand.id_a = sa.doc_id JOIN h sb ON cand.id_b = sb.doc_id)""".stripMargin
   }
+
+  private def minhashOracleSql(shingleK: Int, numHashes: Int, bands: Int,
+                               threshold: Double): String =
+    s"""WITH ${minhashCtes(shingleK, numHashes, bands)}
+       |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
+
+  /** Cluster oracle: same pair pipeline, then min-label transitive closure
+    * (recursive CTE) and per-cluster sizes.
+    */
+  private def minhashClusterOracleSql(shingleK: Int, numHashes: Int,
+                                      bands: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${minhashCtes(shingleK, numHashes, bands)},
+       |p AS (SELECT id_a, id_b FROM v WHERE jaccard >= $threshold),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+       |reach AS (
+       |  SELECT a AS node, a AS r FROM sym
+       |  UNION
+       |  SELECT s2.a, reach.r FROM sym s2 JOIN reach ON reach.node = s2.b),
+       |lab AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+       |SELECT component, count(*) AS n_docs FROM lab
+       |GROUP BY component ORDER BY component""".stripMargin
 
   /** SimHash signature SQL over a relation exposing (doc_id, text). */
   private val simhashSigSql: String = {
@@ -228,6 +262,8 @@ object DedupQueries {
     "q31_ngram_jaccard" -> minhashOracleSql(2, 16, 8, 0.7),
 
     "q32_minhash_neardups" -> minhashOracleSql(3, 16, 4, 0.5),
+
+    "q77_neardup_clusters" -> minhashClusterOracleSql(3, 16, 4, 0.5),
 
     "q33_simhash" ->
       s"""SELECT doc_id, sig FROM ($simhashSigSql) WHERE doc_id < 50 ORDER BY doc_id""",

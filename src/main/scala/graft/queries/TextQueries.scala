@@ -151,6 +151,18 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // Stratified deterministic sampling: the training-mix knob — dominant
+    // language downsampled hard, rare ones kept whole, unknown strata
+    // dropped by the default rate. Same portable hash as q56.
+    "q78_stratified_sample" -> ((s, dir) => {
+      CoreOps.stratifiedHashSample(Tables.load(s, dir, "documents"),
+          "doc_id", "lang",
+          rates = Map("en" -> 20, "de" -> 100, "fr" -> 100, "es" -> 50),
+          defaultKeep = 10)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
+    }),
+
     // PII scrub: emails/URLs → typed placeholder tokens. The corpus has no
     // organic PII, so each doc gets a deterministic synthetic contact line
     // appended — the oracle applies the IDENTICAL construction + regexes,
@@ -250,6 +262,14 @@ object TextQueries {
        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q78_stratified_sample" ->
+      s"""SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM documents
+         |WHERE ${chSqlOf("CAST(doc_id AS VARCHAR)")} % 100 <
+         |  (CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 100
+         |             WHEN 'fr' THEN 100 WHEN 'es' THEN 50 ELSE 10 END)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q75_pii_redact" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(

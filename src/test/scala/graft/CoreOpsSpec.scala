@@ -111,4 +111,16 @@ class CoreOpsSpec extends AnyFunSuite {
     val bs = df.collect().map(_.getLong(0))
     assert(bs(1) - bs(0) == 900L && bs(1) % 900 == 0)
   }
+
+  test("stratifiedHashSample: per-stratum rates, default for unknown strata") {
+    import graft.ops.CoreOps
+    val df = (1L to 400L).map(i =>
+      (i, Seq("en", "de", "xx")(((i % 3)).toInt))).toDF("id", "lang")
+    val out = CoreOps.stratifiedHashSample(df, "id", "lang",
+      rates = Map("en" -> 100, "de" -> 0), defaultKeep = 0)
+    val langs = out.select("lang").distinct().as[String].collect().toSet
+    assert(langs == Set("en")) // de rate 0 and xx default 0 drop everything else
+    // en stratum keeps every row at rate 100
+    assert(out.count() == df.filter($"lang" === "en").count())
+  }
 }

@@ -145,4 +145,22 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
+
+  test("nearDupClusters closes pair chains transitively (A~B~C one cluster)") {
+    // base text long enough that one-word drift keeps Jaccard >= 0.5 for
+    // neighbors but lets A and C drift below a candidate match.
+    val words = (0 until 30).map(i => s"w$i")
+    def drift(k: Int): String =
+      words.zipWithIndex.map { case (w, i) => if (i < k) s"x$i" else w }.mkString(" ")
+    val df = Seq(
+      (1L, drift(0)), (2L, drift(4)), (3L, drift(8)),
+      (100L, (0 until 30).map(i => s"zz$i").mkString(" "))).toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(df, "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 4, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // 1,2,3 all land in component 1 (even if (1,3) was never a pair);
+    // the distinct doc 100 has no pair, so it is absent (own cluster).
+    assert(clusters.keySet == Set(1L, 2L, 3L))
+    assert(clusters.values.toSet == Set(1L))
+  }
 }
