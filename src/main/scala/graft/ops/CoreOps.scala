@@ -231,6 +231,27 @@ object CoreOps {
     df.filter(h < keep)
   }
 
+  /** Explicit salted equi-join for skewed fact keys: fact rows carry a
+    * salt derived from their INPUT partition (rows of one hot key spread
+    * across salts), the dim side replicates `salt`-ways, and the join key
+    * becomes (key, salt) — a hot key's probe work lands on `salt` reducers
+    * instead of one. Result is exactly the plain inner join; cost is
+    * salt× duplication of the (small) dim side only.
+    *
+    * AQE's skew-join split covers sort-merge shapes automatically; this is
+    * the explicit form for when the skew is known ahead of time (power-law
+    * author/mention keys in the reference's graph) or AQE is off.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, salt: Int = 8): DataFrame = {
+    val sf = fact.withColumn("__salt",
+      pmod(spark_partition_id().cast("long"), lit(salt.toLong)))
+    val sd = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salt.toLong - 1))))
+    sf.join(sd, sf(factKey) === sd(dimKey) && sf("__salt") === sd("__salt"))
+      .drop("__salt")
+  }
+
   /** 15-minute (or any) tumbling-window bucket over an event-time column —
     * the reference's micro-batch cadence (`terraform/main.tf:200-205`)
     * re-expressed as a groupable epoch bucket. Plain long arithmetic so the

@@ -33,6 +33,21 @@ object ExtraQueries {
         .orderBy(col("s_suppkey"))
     }),
 
+    // Explicit salted skew join (A4's join-side sibling): revenue per
+    // order priority through a (key, salt) equi-join — result must equal
+    // the plain join the oracle runs.
+    "q79_salted_join" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      CoreOps.saltedJoin(l, o, "l_orderkey", "o_orderkey", salt = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(CoreOps.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue_cents"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // A4 cube: full grouping-set lattice over two dims.
     "q41_cube_agg" -> ((s, dir) => {
       Tables.load(s, dir, "orders")
@@ -435,6 +450,13 @@ object ExtraQueries {
       s"""SELECT event_type, count(*) AS n,
          |  CAST(sum(${C.format("value")}) AS BIGINT) AS sum_cents
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q79_salted_join" ->
+      s"""SELECT o_orderpriority,
+         |  CAST(sum(${C.format("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS revenue_cents,
+         |  count(*) AS n
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q73_bloom_join" ->
       s"""SELECT s_suppkey, s_name,

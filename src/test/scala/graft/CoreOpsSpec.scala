@@ -123,4 +123,20 @@ class CoreOpsSpec extends AnyFunSuite {
     // en stratum keeps every row at rate 100
     assert(out.count() == df.filter($"lang" === "en").count())
   }
+
+  test("saltedJoin equals the plain join and exchanges on (key, salt)") {
+    import graft.ops.CoreOps
+    val fact = (1L to 3000L).map(i => (i, if (i % 10 == 0) 1L else i % 100))
+      .toDF("row_id", "k").repartition(6)
+    val dim = (0L until 100L).map(i => (i, s"d$i")).toDF("dk", "name")
+    val salted = CoreOps.saltedJoin(fact, dim, "k", "dk", salt = 4)
+      .select("row_id", "k", "name")
+    val plain = fact.join(dim, $"k" === $"dk").select("row_id", "k", "name")
+    assert(salted.collect().toSet == plain.collect().toSet)
+    salted.collect()
+    val planStr = salted.queryExecution.executedPlan.toString
+    val cut = planStr.indexOf("== Initial Plan ==")
+    val finalPlan = if (cut >= 0) planStr.substring(0, cut) else planStr
+    assert(finalPlan.contains("__salt"), "join key is not salted in the plan")
+  }
 }

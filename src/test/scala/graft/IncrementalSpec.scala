@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Incremental
+
+/** High-watermark batch incrementality: exactly-once per partition across
+  * runs, no advance on failure, no work on no-news.
+  */
+class IncrementalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def land(dir: String, days: Seq[String]): Unit =
+    days.foreach { d =>
+      Seq((d, s"row-$d")).toDF("dataload", "payload")
+        .write.mode("append").parquet(s"$dir/dataload=$d")
+    }
+
+  test("second run processes only partitions above the watermark") {
+    val landing = Files.createTempDirectory("inc_landing_").toString
+    val state = Files.createTempDirectory("inc_state_").toString
+    // hive-style partition dirs surface dataload as a column on read
+    Seq(("2023-03-01", 1L), ("2023-03-02", 2L)).toDF("dataload", "v")
+      .write.partitionBy("dataload").mode("append").parquet(landing)
+
+    var seen = Seq.empty[String]
+    def run(): DataFrame = Incremental.processNew(spark, landing, "dataload", state) { d =>
+      seen = seen ++ d.select("dataload").as[String].collect()
+    }
+    assert(run().count() == 2)
+    assert(seen.sorted == Seq("2023-03-01", "2023-03-02"))
+    assert(Incremental.readWatermark(state).contains("2023-03-02"))
+
+    Seq(("2023-03-03", 3L)).toDF("dataload", "v")
+      .write.partitionBy("dataload").mode("append").parquet(landing)
+    seen = Seq.empty
+    assert(run().count() == 1)
+    assert(seen == Seq("2023-03-03"))
+    assert(Incremental.readWatermark(state).contains("2023-03-03"))
+
+    // nothing new: process must not run, watermark unchanged
+    seen = Seq.empty
+    assert(run().count() == 0)
+    assert(seen.isEmpty)
+    assert(Incremental.readWatermark(state).contains("2023-03-03"))
+  }
+
+  test("a failed process does not advance the watermark; retry reprocesses") {
+    val landing = Files.createTempDirectory("inc_landing2_").toString
+    val state = Files.createTempDirectory("inc_state2_").toString
+    Seq(("2023-04-01", 1L)).toDF("dataload", "v")
+      .write.partitionBy("dataload").mode("append").parquet(landing)
+
+    intercept[RuntimeException] {
+      Incremental.processNew(spark, landing, "dataload", state) { _ =>
+        throw new RuntimeException("sink down")
+      }
+    }
+    assert(Incremental.readWatermark(state).isEmpty)
+
+    var n = 0L
+    Incremental.processNew(spark, landing, "dataload", state) { d => n = d.count() }
+    assert(n == 1L)
+    assert(Incremental.readWatermark(state).contains("2023-04-01"))
+  }
+}

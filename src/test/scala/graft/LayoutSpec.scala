@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Layout
+
+/** Clustered layout = selective scans: a point predicate on the cluster
+  * key finds its rows concentrated in one file, where a hash-shuffled
+  * layout smears them over every file.
+  */
+class LayoutSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def filesWithHits(path: String, key: Long): Long =
+    spark.read.parquet(path).filter($"user_id" === key)
+      .select(input_file_name()).distinct().count()
+
+  test("range-clustered write concentrates a key in one file; hash layout smears it") {
+    val df = (1L to 20000L).map(i => (i, i % 40, s"payload$i"))
+      .toDF("event_id", "user_id", "payload")
+
+    val clustered = Files.createTempDirectory("layout_clustered_").toString
+    Layout.writeClustered(df, clustered, Seq("user_id", "event_id"), files = 8)
+    val smeared = Files.createTempDirectory("layout_smeared_").toString
+    df.repartition(8, $"event_id").write.mode("overwrite").parquet(smeared)
+
+    // a range boundary can fall inside a key's run, so allow 2 adjacent
+    // files — the point is concentration, not exact alignment
+    assert(filesWithHits(clustered, 7L) <= 2L,
+      "cluster key 7 should live in at most two adjacent range files")
+    assert(filesWithHits(smeared, 7L) == 8L,
+      "hash-by-other-key layout should smear key 7 over all files")
+    // same rows either way
+    assert(spark.read.parquet(clustered).count() == 20000L)
+  }
+
+  test("rows are sorted within each clustered file (monotone row groups)") {
+    val df = (1L to 5000L).map(i => ((i * 7919) % 5000, i)).toDF("user_id", "event_id")
+    val dir = Files.createTempDirectory("layout_sorted_").toString
+    Layout.writeClustered(df, dir, Seq("user_id"), files = 4)
+    val violations = spark.read.parquet(dir)
+      .withColumn("file", input_file_name())
+      .withColumn("prev", lag($"user_id", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"file")
+          .orderBy(monotonically_increasing_id())))
+      .filter($"prev".isNotNull && $"prev" > $"user_id")
+    assert(violations.count() == 0)
+  }
+}
