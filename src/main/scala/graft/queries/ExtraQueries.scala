@@ -33,6 +33,22 @@ object ExtraQueries {
         .orderBy(col("s_suppkey"))
     }),
 
+    // Partial-aggregating top-k per group (§2.7 at scale): bounded-buffer
+    // aggregate ships ≤ k rows per group per map task, vs the window
+    // idiom's full-table exchange + per-group sort (q03). Same answer.
+    "q80_topk_agg" -> ((s, dir) => {
+      import graft.functions.TopKAgg
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          CoreOps.cents(col("value")).as("value_cents"))
+        .groupBy(col("event_type"))
+        .agg(TopKAgg.topK(5, col("value_cents"), col("event_id")).as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("event_id"), col("col.v").as("value_cents"))
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
     // Explicit salted skew join (A4's join-side sibling): revenue per
     // order priority through a (key, salt) equi-join — result must equal
     // the plain join the oracle runs.
@@ -450,6 +466,14 @@ object ExtraQueries {
       s"""SELECT event_type, count(*) AS n,
          |  CAST(sum(${C.format("value")}) AS BIGINT) AS sum_cents
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q80_topk_agg" ->
+      s"""SELECT event_type, rank, event_id, value_cents FROM (
+         |  SELECT event_type, event_id, ${C.format("value")} AS value_cents,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY ${C.format("value")} DESC, event_id ASC) AS rank
+         |  FROM events)
+         |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
 
     "q79_salted_join" ->
       s"""SELECT o_orderpriority,
