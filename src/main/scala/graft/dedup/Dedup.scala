@@ -123,8 +123,29 @@ object Dedup {
     }.distinct
   }
 
+  /** Banding via the native codegen'd expression
+    * ([[graft.expressions.MinhashBandKeys]]): the per-doc work happens in
+    * one static JVM call inside whole-stage codegen — no encoder
+    * round-trip, no optimizer barrier — and `posexplode` fans the band
+    * array out to (band, bh, id) rows. Arithmetic identical to
+    * [[minhashBandsKernel]] (pinned by MinhashExprSpec) and the oracle.
+    */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
+    org.apache.spark.sql.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"), coalesce(col(textCol), lit("")).as("text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), posexplode(call_function("minhash_band_keys",
+        col("text"), lit(shingleK), lit(numHashes), lit(bands))))
+      .select(col("pos").as("band"), col("col").as("bh"), col("id"))
+  }
+
+  /** The mapPartitions form of [[minhashBands]] — retained as the
+    * encoder-based reference implementation the parity specs pin the
+    * native expression against.
+    */
+  def minhashBandsKernel(df: DataFrame, idCol: String, textCol: String,
+                         shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
     val in = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val idType = df.schema(idCol).dataType
@@ -165,11 +186,22 @@ object Dedup {
     }(enc)
   }
 
-  /** Kernel: (id, distinct shingle-hash set) per doc — the verify-side table
+  /** (id, distinct shingle-hash set) per doc — the verify-side table
     * candidates are joined back to (one row per doc, no band duplication).
+    * Native expression form (see [[minhashBands]] for why).
     */
   def shingleHashSets(df: DataFrame, idCol: String, textCol: String,
                       shingleK: Int): DataFrame = {
+    org.apache.spark.sql.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"), coalesce(col(textCol), lit("")).as("text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"),
+        call_function("shingle_hashes", col("text"), lit(shingleK)).as("sh"))
+  }
+
+  /** mapPartitions reference form of [[shingleHashSets]] (parity specs). */
+  def shingleHashSetsKernel(df: DataFrame, idCol: String, textCol: String,
+                            shingleK: Int): DataFrame = {
     val in = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val idType = df.schema(idCol).dataType

@@ -1,0 +1,139 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd forms of the MinHash pipeline's per-document work —
+  * the third implementation tier after the HOF expressions (portable,
+  * interpreted, ~100× cost) and the mapPartitions kernels (fast loops,
+  * but each pays an UnsafeRow↔Row encoder round-trip per row and breaks
+  * whole-stage codegen at both edges). These run as one static JVM call
+  * per row INSIDE generated code: no encoders, no optimizer barrier, and
+  * the downstream `posexplode` is the first non-codegen node.
+  *
+  * Arithmetic is bit-identical to `Dedup.shingleHashArr` /
+  * `Dedup.minhashBands` (and therefore to the DuckDB oracle SQL):
+  * per-token charHash fold, k-step shingle fold mod 1e9+7, seeded affine
+  * min-hash, 1000003-fold band keys. Parity is pinned by MinhashExprSpec.
+  */
+object MinhashKernels {
+  private val P = 1000000007L
+
+  /** Distinct shingle hashes of a document (shared core). */
+  def shingleHashes(s: UTF8String, k: Int): Array[Long] = {
+    val text = s.toString
+    // split(" ", -1) semantics: empty tokens kept, empty text = one token
+    val toks = text.split(" ", -1)
+    val th = new Array[Long](toks.length)
+    var t = 0
+    while (t < toks.length) {
+      val str = toks(t)
+      var acc = 0L
+      var i = 0
+      while (i < str.length) { acc = (acc * 31L + str.charAt(i).toLong) % P; i += 1 }
+      th(t) = acc
+      t += 1
+    }
+    val nSh = math.max(toks.length - k, 0) + 1
+    val out = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      var acc = 0L
+      var j = i
+      val end = math.min(i + k, toks.length)
+      while (j < end) { acc = (acc * 1000003L + th(j)) % P; j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    // distinct, first-occurrence order (parity with Array.distinct)
+    val seen = new java.util.HashSet[Long]()
+    val ded = new Array[Long](nSh)
+    var n = 0
+    i = 0
+    while (i < nSh) {
+      if (seen.add(out(i))) { ded(n) = out(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(ded, n)
+  }
+
+  def shingleHashesData(s: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(shingleHashes(s, k))
+
+  /** Band keys of a document: element b = fold of rows [b·rpb, (b+1)·rpb)
+    * of the minhash signature. Index in the array IS the band id.
+    */
+  def bandKeys(s: UTF8String, k: Int, numHashes: Int, bands: Int): ArrayData = {
+    val sh = shingleHashes(s, k)
+    val rpb = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var r = 0
+      while (r < rpb) {
+        val i = b * rpb + r
+        val a = ((i + 1) * 2654435761L) % P
+        val bb = ((i + 1) * 1013904223L) % P
+        var m = Long.MaxValue
+        var j = 0
+        while (j < sh.length) {
+          val v = (a * sh(j) + bb) % P
+          if (v < m) m = v
+          j += 1
+        }
+        acc = (acc * 1000003L + m) % P
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `shingle_hashes(text, k)` — distinct k-shingle hashes as array<long>. */
+case class ShingleHashes(child: Expression, shingleK: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires STRING input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashKernels.shingleHashesData(input.asInstanceOf[UTF8String], shingleK)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.MinhashKernels.shingleHashesData($c, $shingleK)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `minhash_band_keys(text, k, numHashes, bands)` — per-band LSH keys as
+  * array<long>; the array index is the band id.
+  */
+case class MinhashBandKeys(child: Expression, shingleK: Int, numHashes: Int,
+                           bands: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_band_keys requires STRING input, got ${child.dataType.catalogString}")
+    else if (bands <= 0 || numHashes % bands != 0)
+      TypeCheckResult.TypeCheckFailure("numHashes must be a positive multiple of bands")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_band_keys"
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashKernels.bandKeys(input.asInstanceOf[UTF8String], shingleK, numHashes, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.MinhashKernels.bandKeys($c, $shingleK, $numHashes, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashBandKeys =
+    copy(child = newChild)
+}

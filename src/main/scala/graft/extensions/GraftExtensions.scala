@@ -5,10 +5,10 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Contains, Expression, ExpressionInfo, Literal, Lower, Or}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.expressions.{BloomMightContain, CharHash, ContainsAnyTerm}
+import graft.expressions.{BloomMightContain, CharHash, ContainsAnyTerm, MinhashBandKeys, ShingleHashes}
 
 /** Session extensions for the graft engine — `spark.sql.extensions =
   * graft.extensions.GraftExtensions` (set by Verify/Bench/Smoke and the
@@ -80,11 +80,42 @@ object GraftExtensions {
       BloomMightContain(args.head, args(1))
     })
 
+  private def intArg(e: Expression, name: String): Int = e match {
+    case lit if lit.foldable && lit.dataType == IntegerType && lit.eval(null) != null =>
+      lit.eval(null).asInstanceOf[Int]
+    case other => throw new IllegalArgumentException(
+      s"$name must be an INT literal, got: ${other.sql}")
+  }
+
+  val shingleHashesFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_hashes"),
+    info("shingle_hashes",
+      "shingle_hashes(text, k) - distinct k-shingle rolling hashes as array<bigint>",
+      classOf[ShingleHashes]),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "shingle_hashes expects (text, k)")
+      ShingleHashes(args.head, intArg(args(1), "shingle_hashes k"))
+    })
+
+  val minhashBandKeysFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_band_keys"),
+    info("minhash_band_keys",
+      "minhash_band_keys(text, k, numHashes, bands) - per-band LSH keys as " +
+        "array<bigint> (array index = band id)",
+      classOf[MinhashBandKeys]),
+    (args: Seq[Expression]) => {
+      require(args.length == 4,
+        "minhash_band_keys expects (text, k, numHashes, bands)")
+      MinhashBandKeys(args.head, intArg(args(1), "k"),
+        intArg(args(2), "numHashes"), intArg(args(3), "bands"))
+    })
+
   /** All SQL-function registrations (shared with
     * [[org.apache.spark.sql.GraftFunctions]]'s imperative path).
     */
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq(charHashFn, containsAnyTermFn, bloomMightContainFn)
+    Seq(charHashFn, containsAnyTermFn, bloomMightContainFn, shingleHashesFn,
+      minhashBandKeysFn)
 }
 
 /** Collapse OR-chains of case-insensitive substring tests over one column,

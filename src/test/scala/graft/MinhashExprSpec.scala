@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+
+/** Native minhash expressions pinned bit-for-bit to the mapPartitions
+  * kernels (and, transitively, to the HOF forms and the DuckDB oracle).
+  */
+class MinhashExprSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "pack my box with five dozen liquor jugs"),
+    (3L, ""),                       // empty text: one empty token
+    (4L, "a  double  space"),       // empty tokens preserved (split -1)
+    (5L, "short"),                  // fewer tokens than k
+    (6L, "the quick brown fox jumps over the lazy dog")) // dup of 1
+    .toDF("doc_id", "text")
+
+  test("minhash_band_keys expression == mapPartitions kernel, all edge docs") {
+    val expr = Dedup.minhashBands(docs, "doc_id", "text", 3, 16, 4)
+      .collect().map(r => (r.getLong(2), r.getInt(0), r.getLong(1))).toSet
+    val kernel = Dedup.minhashBandsKernel(docs, "doc_id", "text", 3, 16, 4)
+      .collect().map(r => (r.getLong(2), r.getInt(0), r.getLong(1))).toSet
+    assert(expr == kernel)
+    assert(expr.size == 6 * 4)
+  }
+
+  test("shingle_hashes expression == mapPartitions kernel") {
+    val expr = Dedup.shingleHashSets(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toMap
+    val kernel = Dedup.shingleHashSetsKernel(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toMap
+    assert(expr == kernel)
+    assert(expr(1L) == expr(6L)) // identical docs, identical sets
+  }
+
+  test("banding runs inside whole-stage codegen up to the explode") {
+    val q = Dedup.minhashBands(docs, "doc_id", "text", 3, 16, 4)
+    q.collect()
+    val s = q.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    val plan = if (cut >= 0) s.substring(0, cut) else s
+    assert(plan.contains("minhash_band_keys"), s"expression not in plan:\n$plan")
+    assert(!plan.contains("mapPartitions") && !plan.contains("DeserializeToObject"),
+      "expression path must not pay the object/encoder round-trip")
+  }
+
+  test("functions are SQL-callable with literal parameters only") {
+    val r = spark.sql(
+      "SELECT size(shingle_hashes('a b c d', 2)) AS n, " +
+        "size(minhash_band_keys('a b c d', 2, 16, 4)) AS b").head()
+    assert(r.getInt(0) == 3 && r.getInt(1) == 4)
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_band_keys(t, 2, 16, CAST(id AS INT)) " +
+        "FROM VALUES ('x', 1) AS v(t, id)").collect()
+    }
+    assert(e.getMessage.contains("INT literal"))
+  }
+}
