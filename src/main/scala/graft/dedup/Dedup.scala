@@ -362,11 +362,29 @@ object Dedup {
   /** Hamming distance between two bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Per-partition SimHash banding kernel: (id, text) → `bands` rows of
-    * (band, bh, id, sig). Same rationale as [[minhashBands]].
+  /** SimHash banding via the native `simhash_sig` expression: one codegen'd
+    * call computes the signature; band keys are plain bit arithmetic on the
+    * long — no arrays, no encoder round-trip (see [[minhashBands]]).
+    * Output shape (band, bh, id, sig), identical to the kernel form.
     */
   def simhashBands(df: DataFrame, idCol: String, textCol: String,
                    bits: Int, bands: Int): DataFrame = {
+    org.apache.spark.sql.GraftFunctions.register(df.sparkSession)
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    df.select(col(idCol).as("id"), coalesce(col(textCol), lit("")).as("text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), call_function("simhash_sig", col("text"), lit(bits)).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "bh")))
+      .select(col("band"), col("bh"), col("id"), col("sig"))
+  }
+
+  /** mapPartitions reference form of [[simhashBands]] (parity specs). */
+  def simhashBandsKernel(df: DataFrame, idCol: String, textCol: String,
+                         bits: Int, bands: Int): DataFrame = {
     val in = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val idType = df.schema(idCol).dataType

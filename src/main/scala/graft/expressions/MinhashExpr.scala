@@ -64,6 +64,41 @@ object MinhashKernels {
   def shingleHashesData(s: UTF8String, k: Int): ArrayData =
     new GenericArrayData(shingleHashes(s, k))
 
+  /** SimHash signature: majority vote per bit over distinct-token seeded
+    * hashes — seed 0 affine rehash of the per-token charHash fold,
+    * identical to `Dedup.tokenHashes` + `simhashFromHashes`.
+    */
+  def simhashSig(s: UTF8String, bits: Int): Long = {
+    val toks = s.toString.split(" ", -1)
+    val seen = new java.util.HashSet[String]()
+    val hs = new Array[Long](toks.length)
+    var n = 0
+    val a0 = 2654435761L % P
+    val b0 = 1013904223L % P
+    var t = 0
+    while (t < toks.length) {
+      val str = toks(t)
+      if (seen.add(str)) {
+        var acc = 0L
+        var i = 0
+        while (i < str.length) { acc = (acc * 31L + str.charAt(i).toLong) % P; i += 1 }
+        hs(n) = (a0 * acc + b0) % P
+        n += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      var ones = 0
+      var i = 0
+      while (i < n) { if (((hs(i) >> j) & 1L) == 1L) ones += 1; i += 1 }
+      if (2 * ones > n) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
   /** Band keys of a document: element b = fold of rows [b·rpb, (b+1)·rpb)
     * of the minhash signature. Index in the array IS the band id.
     */
@@ -94,6 +129,29 @@ object MinhashKernels {
     }
     new GenericArrayData(out)
   }
+}
+
+/** `simhash_sig(text, bits)` — SimHash signature as one long: bit j set
+  * when more than half of the distinct-token seeded hashes have bit j set.
+  * Same arithmetic as `Dedup.simhashFromHashes` (HOF form) and
+  * `Dedup.simhashBandsKernel`. Band keys are then plain bit arithmetic on
+  * the signature column — fully codegen'd, no arrays at all.
+  */
+case class SimhashSig(child: Expression, bits: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash_sig requires STRING input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashKernels.simhashSig(input.asInstanceOf[UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.MinhashKernels.simhashSig($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SimhashSig =
+    copy(child = newChild)
 }
 
 /** `shingle_hashes(text, k)` — distinct k-shingle hashes as array<long>. */

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.expressions.{BloomMightContain, CharHash, ContainsAnyTerm, MinhashBandKeys, ShingleHashes}
+import graft.expressions.{BloomMightContain, CharHash, ContainsAnyTerm, MinhashBandKeys, ShingleHashes, SimhashSig}
 
 /** Session extensions for the graft engine — `spark.sql.extensions =
   * graft.extensions.GraftExtensions` (set by Verify/Bench/Smoke and the
@@ -113,9 +113,20 @@ object GraftExtensions {
   /** All SQL-function registrations (shared with
     * [[org.apache.spark.sql.GraftFunctions]]'s imperative path).
     */
+  val simhashSigFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash_sig"),
+    info("simhash_sig",
+      "simhash_sig(text, bits) - SimHash signature (majority bit vote over " +
+        "distinct-token hashes) as BIGINT",
+      classOf[SimhashSig]),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "simhash_sig expects (text, bits)")
+      SimhashSig(args.head, intArg(args(1), "simhash_sig bits"))
+    })
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(charHashFn, containsAnyTermFn, bloomMightContainFn, shingleHashesFn,
-      minhashBandKeysFn)
+      minhashBandKeysFn, simhashSigFn)
 }
 
 /** Collapse OR-chains of case-insensitive substring tests over one column,

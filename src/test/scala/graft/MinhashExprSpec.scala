@@ -50,6 +50,15 @@ class MinhashExprSpec extends AnyFunSuite {
       "expression path must not pay the object/encoder round-trip")
   }
 
+  test("simhash_sig expression == mapPartitions kernel, incl. sig payload") {
+    val expr = Dedup.simhashBands(docs, "doc_id", "text", 30, 3)
+      .collect().map(r => (r.getLong(2), r.getInt(0), r.getLong(1), r.getLong(3))).toSet
+    val kernel = Dedup.simhashBandsKernel(docs, "doc_id", "text", 30, 3)
+      .collect().map(r => (r.getLong(2), r.getInt(0), r.getLong(1), r.getLong(3))).toSet
+    assert(expr == kernel)
+    assert(expr.size == 6 * 3)
+  }
+
   test("functions are SQL-callable with literal parameters only") {
     val r = spark.sql(
       "SELECT size(shingle_hashes('a b c d', 2)) AS n, " +
