@@ -55,4 +55,77 @@ object Components {
 
   private def sumLabels(labels: DataFrame): Long =
     labels.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
+
+  // ---------------------------------------------------- O(log n) variant
+
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"): alternating edge
+    * rewrites that connect every node's neighborhood to its minimum,
+    * halving tree heights each round — O(log n) rounds on ANY graph,
+    * where hash-min needs O(diameter). Use this for adversarial long-path
+    * graphs; [[connectedComponents]] stays the cheaper choice for
+    * small-diameter social graphs.
+    *
+    * Per round: two (agg + join) passes over the edge list, both hash
+    * exchanges on node id — no collect_list (a star graph's hot node
+    * never materializes its whole neighborhood in one buffer; min is a
+    * partial aggregate).
+    */
+  def connectedComponentsLogN(edges: DataFrame, srcCol: String, dstCol: String,
+                              maxIters: Int = 30): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val nodes = e0.select(col("a").as("node"))
+      .union(e0.select(col("b").as("node"))).distinct().localCheckpoint()
+    var cur = e0.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var prevSig = (-1L, -1L)
+    var curSig = sig(cur)
+    var iter = 0
+    while (curSig != prevSig) {
+      if (iter >= maxIters) throw new IllegalStateException(
+        s"connectedComponentsLogN: not settled after $maxIters rounds")
+      cur = star(star(cur, large = true), large = false).localCheckpoint()
+      prevSig = curSig
+      curSig = sig(cur)
+      iter += 1
+    }
+    // Converged edges form a star in canonical (a < b) form: a = the
+    // component minimum, b = a member. Roots and isolated nodes label
+    // themselves.
+    nodes.join(cur, nodes("node") === cur("b"), "left")
+      .select(col("node"), coalesce(col("a"), col("node")).as("component"))
+  }
+
+  /** One star rewrite. m(u) = min(Γ(u) ∪ {u}). Large: (v, m(u)) for
+    * neighbors v > u. Small: (v, m(u)) for neighbors v ≤ u (v ≠ m) plus
+    * the (u, m(u)) parent edge itself.
+    */
+  private def star(e: DataFrame, large: Boolean): DataFrame = {
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val mins = und.groupBy(col("a")).agg(min(col("b")).as("mnb"))
+      .select(col("a").as("u"), least(col("a"), col("mnb")).as("m"))
+    val j = und.join(mins, col("a") === col("u"))
+    val out =
+      if (large) j.filter(col("b") > col("a"))
+        .select(col("b").as("na"), col("m").as("nb"))
+      else j.filter(col("b") <= col("a") && col("b") =!= col("m"))
+        .select(col("b").as("na"), col("m").as("nb"))
+        .union(mins.select(col("u").as("na"), col("m").as("nb")))
+    out.filter(col("na") =!= col("nb"))
+      .select(least(col("na"), col("nb")).as("a"),
+        greatest(col("na"), col("nb")).as("b"))
+      .distinct()
+  }
+
+  /** Cheap two-part signature of a canonical edge set (count + keyed sum):
+    * stable across partitioning, changes whenever the set changes.
+    */
+  private def sig(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)).as("n"),
+      coalesce(sum(pmod(xxhash64(col("a"), col("b")), lit(1000000007L))), lit(0L))
+        .as("h")).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
 }

@@ -64,6 +64,21 @@ object ExtraQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Explicit GROUPING SETS (the general lattice form of cube/rollup)
+    // with grouping_id disambiguating the aggregation level.
+    "q81_grouping_sets" -> ((s, dir) => {
+      val df = Tables.load(s, dir, "events")
+        .withColumn("user_bucket", col("user_id") % 10)
+      df.groupingSets(
+          Seq(Seq(col("event_type"), col("user_bucket")),
+            Seq(col("event_type")), Seq.empty),
+          col("event_type"), col("user_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(CoreOps.cents(col("value"))).as("sum_cents"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("event_type"), col("user_bucket"))
+    }),
+
     // A4 cube: full grouping-set lattice over two dims.
     "q41_cube_agg" -> ((s, dir) => {
       Tables.load(s, dir, "orders")
@@ -466,6 +481,14 @@ object ExtraQueries {
       s"""SELECT event_type, count(*) AS n,
          |  CAST(sum(${C.format("value")}) AS BIGINT) AS sum_cents
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q81_grouping_sets" ->
+      s"""SELECT event_type, user_bucket, count(*) AS n,
+         |  CAST(sum(${C.format("value")}) AS BIGINT) AS sum_cents,
+         |  CAST(GROUPING(event_type, user_bucket) AS BIGINT) AS gid
+         |FROM (SELECT event_type, user_id % 10 AS user_bucket, value FROM events)
+         |GROUP BY GROUPING SETS ((event_type, user_bucket), (event_type), ())
+         |ORDER BY gid, event_type NULLS FIRST, user_bucket NULLS FIRST""".stripMargin,
 
     "q80_topk_agg" ->
       s"""SELECT event_type, rank, event_id, value_cents FROM (

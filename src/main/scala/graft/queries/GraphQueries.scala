@@ -62,6 +62,19 @@ object GraphQueries {
       Components.connectedComponents(edges, "src", "dst")
         .groupBy(col("component")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("component"))
+    }),
+
+    // Same components via the O(log n) large-star/small-star rewrite —
+    // the adversarial-graph path, against the identical oracle.
+    "q82_cc_logn" -> ((s, dir) => {
+      val edges = Tables.load(s, dir, "events")
+        .filter(col("event_id") % 53 === 0)
+        .select(col("user_id").cast("long").as("src"),
+          (lit(1000000L) + col("event_id") % 211).as("dst"))
+        .distinct()
+      Components.connectedComponentsLogN(edges, "src", "dst")
+        .groupBy(col("component")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("component"))
     }))
 
   // SQL mirrors of the builder pipelines (dedup on (id,label) / (src,dst,rel)).
@@ -76,7 +89,26 @@ object GraphQueries {
       |     ELSE 'u' || CAST(user_id % 7 AS VARCHAR) || ',u' || CAST(user_id % 11 AS VARCHAR) END AS mentionedUsers
       |FROM events WHERE event_type = 'click'""".stripMargin
 
+  /** Shared CC oracle: both the hash-min and log-n variants must produce
+    * identical component-size tables.
+    */
+  private val ccOracle =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT CAST(user_id AS BIGINT) AS a,
+      |    1000000 + event_id % 211 AS b
+      |  FROM events WHERE event_id % 53 = 0),
+      |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      |reach AS (
+      |  SELECT a AS node, a AS r FROM sym
+      |  UNION
+      |  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.node = s.b),
+      |lab AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+      |SELECT component, count(*) AS n_nodes FROM lab
+      |GROUP BY component ORDER BY component""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q82_cc_logn" -> ccOracle,
+
     "q76_connected_components" ->
       """WITH RECURSIVE e AS (
         |  SELECT DISTINCT CAST(user_id AS BIGINT) AS a,

@@ -49,4 +49,32 @@ class ComponentsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("not settled"))
   }
+
+  test("logN variant matches hash-min on a mixed graph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (30L, 30L)).toDF("src", "dst")
+    val a = Components.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val b = Components.connectedComponentsLogN(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("logN settles a 300-node path in logarithmic rounds") {
+    val n = 300L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    // hash-min would need ~n passes; 15 rounds ≈ 2·log2(300) is plenty
+    val out = Components.connectedComponentsLogN(edges, "src", "dst", maxIters = 15)
+      .as[(Long, Long)].collect()
+    assert(out.length == n)
+    assert(out.forall(_._2 == 1L))
+  }
+
+  test("logN handles a hot star hub without materializing its neighborhood") {
+    val edges = (2L to 2000L).map(i => (1L, i)).toDF("src", "dst")
+    val out = Components.connectedComponentsLogN(edges, "src", "dst")
+      .as[(Long, Long)].collect()
+    assert(out.length == 2000)
+    assert(out.forall(_._2 == 1L))
+  }
 }
