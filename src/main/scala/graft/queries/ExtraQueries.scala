@@ -323,6 +323,43 @@ object ExtraQueries {
         .agg(count(lit(1)))
       p.select((col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t))): _*)
         .orderBy(col("user_id"))
+    }),
+
+    // SCD2 dimension build: each (user, event_type) observation becomes a
+    // validity interval [valid_from, valid_to) via lead(); the open row
+    // per key is current. The warehouse form of the reference's 2-day
+    // re-crawl history (engagement evolving over snapshots).
+    "q83_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .filter(col("user_id") < 10)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          CoreOps.cents(col("value")).as("value_cents"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value_cents"),
+          col("ts_us").as("valid_from"),
+          lead(col("ts_us"), 1).over(w).as("valid_to"),
+          lead(col("ts_us"), 1).over(w).isNull.as("is_current"))
+        .orderBy(col("user_id"), col("event_type"), col("valid_from"),
+          col("event_id"))
+    }),
+
+    // Unpivot (melt): wide per-user event-type counts back to long form —
+    // the inverse of q46, built-in `unpivot`, no UDTF.
+    "q84_unpivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      val filled = wide.select(
+        (col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t))): _*)
+      filled.unpivot(Array(col("user_id")), types.map(col).toArray,
+          "event_type", "n")
+        .filter(col("n") > 0)
+        .orderBy(col("user_id"), col("event_type"))
     }))
 
   private val C = "CAST(round(%s * 100) AS BIGINT)"
@@ -481,6 +518,22 @@ object ExtraQueries {
       s"""SELECT event_type, count(*) AS n,
          |  CAST(sum(${C.format("value")}) AS BIGINT) AS sum_cents
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q83_scd2" ->
+      s"""SELECT user_id, event_type, event_id, ${C.format("value")} AS value_cents,
+         |  epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from,
+         |  lead(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w AS valid_to,
+         |  (lead(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w) IS NULL AS is_current
+         |FROM events WHERE user_id < 10
+         |WINDOW w AS (PARTITION BY user_id, event_type
+         |             ORDER BY CAST(ts AS TIMESTAMP), event_id)
+         |ORDER BY user_id, event_type, valid_from, event_id""".stripMargin,
+
+    "q84_unpivot" ->
+      """SELECT user_id, event_type, n FROM (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id, event_type)
+        |WHERE n > 0 ORDER BY user_id, event_type""".stripMargin,
 
     "q81_grouping_sets" ->
       s"""SELECT event_type, user_bucket, count(*) AS n,
