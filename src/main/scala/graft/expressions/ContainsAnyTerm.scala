@@ -50,11 +50,16 @@ final class AhoCorasick(terms: Seq[String]) extends Serializable {
 
   def containsAny(s: UTF8String): Boolean = {
     if (lower.isEmpty) return false
-    val text = s.toString
+    // Full-STRING lowercase, not per-char: String.toLowerCase applies
+    // locale-independent full case mappings (İ → i̇, two chars) that
+    // Character.toLowerCase cannot — per-char folding would make this
+    // expression disagree with `contains(lower(col), term)` on such
+    // inputs, and CollapseContainsChain rewrites one into the other.
+    val text = s.toString.toLowerCase
     var state = 0
     var i = 0
     while (i < text.length) {
-      val c = Character.toLowerCase(text.charAt(i))
+      val c = text.charAt(i)
       while (state != 0 && !gotoMap(state).contains(c)) state = fail(state)
       state = gotoMap(state).getOrElse(c, 0)
       if (isTerminal(state)) return true

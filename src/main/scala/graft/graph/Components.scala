@@ -23,8 +23,8 @@ object Components {
   /** (node, component) for every node in `edges`, where component = the
     * minimum node id reachable over undirected edges. State is
     * localCheckpoint-ed per pass (lineage truncation, as in
-    * [[TreeOps.treeFlatten]]); labels decrease monotonically, so the state
-    * is settled exactly when sum(label) stops moving.
+    * [[TreeOps.treeFlatten]]); settled exactly when no node's label moved
+    * in a pass (exact changed-row check, any id type).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIters: Int = 50): DataFrame = {
@@ -34,27 +34,27 @@ object Components {
       .distinct().localCheckpoint()
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
-    var prevSum = -1L
-    var curSum = sumLabels(labels)
+    var changed = true
     var iter = 0
-    while (curSum != prevSum) {
+    while (changed) {
       if (iter >= maxIters) throw new IllegalStateException(
         s"connectedComponents: not settled after $maxIters passes " +
           "(graph diameter exceeds maxIters)")
       val nbr = und.join(labels, col("b") === col("node"))
         .select(col("a").as("node"), col("label"))
-      labels = labels.union(nbr)
+      val next = labels.union(nbr)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      prevSum = curSum
-      curSum = sumLabels(labels)
+      // Exact, type-agnostic convergence: count rows whose label moved.
+      // (A sum-of-labels shortcut overflows 64-bit id spaces under ANSI
+      // and silently breaks for non-numeric node ids.)
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") =!= col("prev")).limit(1).count() > 0
+      labels = next
       iter += 1
     }
     labels.select(col("node"), col("label").as("component"))
   }
-
-  private def sumLabels(labels: DataFrame): Long =
-    labels.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
 
   // ---------------------------------------------------- O(log n) variant
 
@@ -80,15 +80,17 @@ object Components {
     var cur = e0.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
-    var prevSig = (-1L, -1L)
-    var curSig = sig(cur)
+    var changed = true
     var iter = 0
-    while (curSig != prevSig) {
+    while (changed) {
       if (iter >= maxIters) throw new IllegalStateException(
         s"connectedComponentsLogN: not settled after $maxIters rounds")
-      cur = star(star(cur, large = true), large = false).localCheckpoint()
-      prevSig = curSig
-      curSig = sig(cur)
+      val next = star(star(cur, large = true), large = false).localCheckpoint()
+      // Exact set comparison of two checkpointed canonical edge lists:
+      // same count and no edge in next that was absent from cur.
+      changed = next.count() != cur.count() ||
+        next.join(cur, Seq("a", "b"), "left_anti").limit(1).count() > 0
+      cur = next
       iter += 1
     }
     // Converged edges form a star in canonical (a < b) form: a = the
@@ -117,15 +119,5 @@ object Components {
       .select(least(col("na"), col("nb")).as("a"),
         greatest(col("na"), col("nb")).as("b"))
       .distinct()
-  }
-
-  /** Cheap two-part signature of a canonical edge set (count + keyed sum):
-    * stable across partitioning, changes whenever the set changes.
-    */
-  private def sig(e: DataFrame): (Long, Long) = {
-    val r = e.agg(count(lit(1)).as("n"),
-      coalesce(sum(pmod(xxhash64(col("a"), col("b")), lit(1000000007L))), lit(0L))
-        .as("h")).collect()(0)
-    (r.getLong(0), r.getLong(1))
   }
 }

@@ -45,12 +45,16 @@ object TreeOps {
           "cycle in parent pointers or depth exceeds 2^maxIters")
       val t = state.select(col("id").as("t_id"), col("jump").as("t_jump"),
         col("depth").as("t_depth"))
-      // jump is always some node's id (a parent pointer), so the join is
-      // total; roots self-point with depth 0, making the update a no-op
-      // for settled rows — no branching needed.
-      state = state.join(t, col("jump") === col("t_id"))
-        .select(col("id"), col("t_jump").as("jump"),
-          (col("depth") + col("t_depth")).as("depth"))
+      // LEFT join: a jump normally resolves to some node's row (roots
+      // self-point with depth 0, so settled rows no-op), but scraped data
+      // has DANGLING parents — comments whose parent never landed. Those
+      // settle where they are (root_id = the missing ancestor's id) instead
+      // of silently vanishing from the output, as an inner join would make
+      // them.
+      state = state.join(t, col("jump") === col("t_id"), "left")
+        .select(col("id"),
+          coalesce(col("t_jump"), col("jump")).as("jump"),
+          (col("depth") + coalesce(col("t_depth"), lit(0L))).as("depth"))
         .localCheckpoint()
       prevSum = curSum
       curSum = sumDepth(state)

@@ -63,7 +63,9 @@ object BloomJoin {
                   dimKey: String, expectedItems: Long,
                   fpp: Double = 0.03): DataFrame = {
     val sketch = buildSketch(dim, dimKey, expectedItems, fpp)
-    fact.filter(mightContain(fact, col(factKey), sketch))
-      .join(dim, col(factKey) === dim(dimKey))
+    val filtered = fact.filter(mightContain(fact, fact(factKey), sketch))
+    // dataframe-qualified keys: unqualified col(factKey) is ambiguous
+    // whenever fact and dim share the key column name
+    filtered.join(dim, filtered(factKey) === dim(dimKey))
   }
 }

@@ -35,16 +35,13 @@ object Compaction {
                         partitionCols: Seq[String] = Nil): DataFrame = {
     val landing = spark.read.parquet(landingDir)
     val compacted = CoreOps.latestWinsAgg(landing, keys, order)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      val writer = compacted.write.mode("overwrite")
-      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
-       else writer).parquet(snapshotDir)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // Per-write option, NOT a session-conf set/restore: Verify runs
+    // queries concurrently on one session, and a temporarily mutated conf
+    // would leak dynamic-overwrite semantics into unrelated writes.
+    val writer = compacted.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(snapshotDir)
     spark.read.parquet(snapshotDir)
   }
 }

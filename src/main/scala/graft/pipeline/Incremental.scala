@@ -37,14 +37,21 @@ object Incremental {
                  stateDir: String)(process: DataFrame => Unit): DataFrame = {
     val wm = readWatermark(stateDir)
     val all = spark.read.parquet(landing)
-    val delta = wm match {
-      case Some(v) => all.filter(col(partCol) > lit(v))
+    // Compare in the column's NATIVE type (the stored string is cast back):
+    // a string max would order numeric batch ids lexicographically
+    // ("10" < "2") and re-process old partitions forever.
+    val partType = all.schema(partCol).dataType
+    val delta0 = wm match {
+      case Some(v) => all.filter(col(partCol) > lit(v).cast(partType))
       case None => all
     }
-    val hi = delta.agg(max(col(partCol).cast("string"))).collect()(0).getString(0)
-    if (hi != null) {
+    // Materialize the delta once: watermark, process(), and the returned
+    // frame all see the identical row set, and the landing scan runs once.
+    val delta = delta0.localCheckpoint()
+    val hiRow = delta.agg(max(col(partCol))).collect()(0)
+    if (!hiRow.isNullAt(0)) {
       process(delta)
-      writeWatermark(stateDir, hi) // only after process succeeds
+      writeWatermark(stateDir, hiRow.get(0).toString) // only after success
     }
     delta
   }

@@ -315,15 +315,7 @@ object ExtraQueries {
     }),
 
     // Pivot: event counts per user across the 5 event types.
-    "q46_pivot" -> ((s, dir) => {
-      val types = Seq("click", "error", "purchase", "signup", "view")
-      val p = Tables.load(s, dir, "events")
-        .groupBy(col("user_id"))
-        .pivot("event_type", types)
-        .agg(count(lit(1)))
-      p.select((col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t))): _*)
-        .orderBy(col("user_id"))
-    }),
+    "q46_pivot" -> ((s, dir) => pivotWide(s, dir).orderBy(col("user_id"))),
 
     // SCD2 dimension build: each (user, event_type) observation becomes a
     // validity interval [valid_from, valid_to) via lead(); the open row
@@ -346,21 +338,30 @@ object ExtraQueries {
           col("event_id"))
     }),
 
-    // Unpivot (melt): wide per-user event-type counts back to long form —
-    // the inverse of q46, built-in `unpivot`, no UDTF.
+    // Unpivot (melt): q46's wide frame back to long form — built-in
+    // `unpivot` over the SAME builder, so the melt provably inverts the
+    // pivot it claims to.
     "q84_unpivot" -> ((s, dir) => {
-      val types = Seq("click", "error", "purchase", "signup", "view")
-      val wide = Tables.load(s, dir, "events")
-        .groupBy(col("user_id"))
-        .pivot("event_type", types)
-        .agg(count(lit(1)))
-      val filled = wide.select(
-        (col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t))): _*)
-      filled.unpivot(Array(col("user_id")), types.map(col).toArray,
+      pivotWide(s, dir)
+        .unpivot(Array(col("user_id")), EventTypes.map(col).toArray,
           "event_type", "n")
         .filter(col("n") > 0)
         .orderBy(col("user_id"), col("event_type"))
     }))
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Wide per-user event-type count frame (zero-filled) — pivoted form
+    * shared by q46 (forward) and q84 (inverse).
+    */
+  private def pivotWide(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    p.select((col("user_id") +:
+      EventTypes.map(t => coalesce(col(t), lit(0L)).as(t))): _*)
+  }
 
   private val C = "CAST(round(%s * 100) AS BIGINT)"
 

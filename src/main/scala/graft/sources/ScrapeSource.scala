@@ -147,7 +147,13 @@ class ScrapeScanBuilder(fullSchema: StructType, dir: String, tsField: String)
     orders match {
       case Array(o) =>
         o.expression() match {
-          case ref: NamedReference if ref.fieldNames().sameElements(Array(tsField)) =>
+          case ref: NamedReference if ref.fieldNames().sameElements(Array(tsField)) &&
+              // File pruning keeps the n newest/oldest files by ts: a
+              // null-ts row in a PRUNED file would be lost even though
+              // NULLS FIRST puts it in the top — only safe when nulls sort
+              // last, or when a pushed since-bound excludes them entirely.
+              (since.isDefined ||
+                o.nullOrdering() == org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_LAST) =>
             limit = n
             newestFirst = o.direction() == SortDirection.DESCENDING
             true

@@ -76,8 +76,14 @@ object SocialStream {
             state.remove()
             Iterator.empty
           } else {
+            // Total order (ts, score): an arrival-order tie-break would
+            // make the emitted state depend on batch splits and partition
+            // iteration order — unverifiable against any oracle.
             val newest = (rows ++ state.getOption.iterator)
-              .reduceOption((a, b) => if (a.ts.compareTo(b.ts) >= 0) a else b)
+              .reduceOption { (a, b) =>
+                val c = a.ts.compareTo(b.ts)
+                if (c > 0 || (c == 0 && a.score >= b.score)) a else b
+              }
             newest match {
               case Some(n) =>
                 // timeout must be strictly beyond the current watermark

@@ -75,4 +75,11 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(plan.contains("bloom_might_contain(key#"),
       s"no bloom pre-filter on the fact key:\n$plan")
   }
+
+  test("same-named key columns on both sides resolve (qualified join refs)") {
+    val fact = onDisk((1L to 100L).map(i => (i, i % 5)).toDF("row_id", "id"))
+    val dim = onDisk(Seq((1L, "x"), (2L, "y")).toDF("id", "name"))
+    val out = BloomJoin.reducedJoin(fact, "id", dim, "id", expectedItems = 10L)
+    assert(out.count() == 40)
+  }
 }

@@ -77,4 +77,26 @@ class ComponentsSpec extends AnyFunSuite {
     assert(out.length == 2000)
     assert(out.forall(_._2 == 1L))
   }
+
+  test("64-bit-scale ids do not overflow the convergence check (both variants)") {
+    val big = Long.MaxValue
+    val edges = Seq((big, big - 1), (big - 1, big - 2), (5L, 4L))
+      .toDF("src", "dst")
+    val a = Components.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(a == Map(big -> (big - 2), (big - 1) -> (big - 2),
+      (big - 2) -> (big - 2), 5L -> 4L, 4L -> 4L))
+    val b = Components.connectedComponentsLogN(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("string node ids work (no numeric-sum convergence assumption)") {
+    val edges = Seq(("t3_b", "t3_a"), ("t3_b", "t3_c"), ("t1_x", "t1_y"))
+      .toDF("src", "dst")
+    val out = Components.connectedComponents(edges, "src", "dst")
+      .as[(String, String)].collect().toMap
+    assert(out == Map("t3_a" -> "t3_a", "t3_b" -> "t3_a", "t3_c" -> "t3_a",
+      "t1_x" -> "t1_x", "t1_y" -> "t1_x"))
+  }
 }

@@ -106,4 +106,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(filters.nonEmpty)
     assert(filters.head.condition.exists(_.isInstanceOf[ContainsAnyTerm]))
   }
+
+  test("rewrite preserves full-string Unicode lowercasing (Turkish dotted I)") {
+    // String.toLowerCase maps \u0130 to i + combining dot; per-char folding
+    // would map it to plain i and CHANGE the match result after rewrite.
+    val docs = onDisk(Seq("\u0130STANBUL", "plain istanbul").toDF("t"))
+    val chain = docs.filter(
+      lower($"t").contains("ist") || lower($"t").contains("izm"))
+    assert(optimizedHasAutomaton(chain))
+    assert(chain.as[String].collect().toSet ==
+      Set("plain istanbul")) // \u0130STANBUL lowercases to i\u0307stanbul: no "ist"
+  }
 }

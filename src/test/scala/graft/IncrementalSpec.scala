@@ -67,4 +67,19 @@ class IncrementalSpec extends AnyFunSuite {
     assert(n == 1L)
     assert(Incremental.readWatermark(state).contains("2023-04-01"))
   }
+
+  test("numeric partition ids advance the watermark numerically, not lexically") {
+    val landing = Files.createTempDirectory("inc_landing3_").toString
+    val state = Files.createTempDirectory("inc_state3_").toString
+    Seq((2L, "a"), (10L, "b")).toDF("batch_id", "v")
+      .write.partitionBy("batch_id").mode("append").parquet(landing)
+    var n = -1L
+    Incremental.processNew(spark, landing, "batch_id", state) { d => n = d.count() }
+    assert(n == 2L)
+    assert(Incremental.readWatermark(state).contains("10")) // not "2"
+    // nothing new: batch 10 must NOT be re-selected ("10" < "2" lexically)
+    var ran = false
+    val delta = Incremental.processNew(spark, landing, "batch_id", state) { _ => ran = true }
+    assert(delta.count() == 0 && !ran)
+  }
 }

@@ -61,4 +61,12 @@ class LifecycleSpec extends AnyFunSuite {
     val r2 = snap2.select("k", "v").as[(Long, Long)].collect().sortBy(_._1)
     assert(r2.toSeq == Seq((1L, 30L), (2L, 10L), (3L, 10L)))
   }
+
+  test("treeFlatten: dangling parent settles at the break, not silently dropped") {
+    // node 2's parent (1) never landed; 3 hangs off 2
+    val nodes = Seq((2L, Some(1L)), (3L, Some(2L)), (9L, None)).toDF("id", "parent")
+    val out = TreeOps.treeFlatten(nodes, "id", "parent")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((2L, 1L, 1L), (3L, 1L, 2L), (9L, 9L, 0L)))
+  }
 }
