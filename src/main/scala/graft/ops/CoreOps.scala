@@ -231,6 +231,31 @@ object CoreOps {
     df.filter(h < keep)
   }
 
+  /** One-pass column profile: per column, row/null/distinct counts and
+    * min/max (stringified for a uniform shape) — the data-quality sweep a
+    * corpus pipeline runs before training prep. One aggregate job over
+    * the table (the exact multi-distinct uses Spark's Expand, ×|cols|
+    * map-side amplification — at extreme widths swap `count_distinct` for
+    * `approx_count_distinct`, same shape); the one-row result is then
+    * fanned out to a row per column driver-side (bytes, not data).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val aggCols = count(lit(1)).as("__n") +: cols.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      count_distinct(col(c)).as(s"__dist_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")) }
+    // single tiny row, checkpointed so the per-column fan-out below does
+    // not replay the aggregate once per branch
+    val row = df.agg(aggCols.head, aggCols.tail: _*).localCheckpoint()
+    cols.map { c =>
+      row.select(lit(c).as("column"), col("__n").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"), col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"), col(s"__max_$c").as("max_value"))
+    }.reduce(_ unionAll _).orderBy(col("column"))
+  }
+
   /** Explicit salted equi-join for skewed fact keys: fact rows carry a
     * salt derived from their INPUT partition (rows of one hot key spread
     * across salts), the dim side replicates `salt`-ways, and the join key

@@ -151,6 +151,13 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // One-pass corpus profile: per-column row/null/distinct/min/max — the
+    // data-quality sweep before training prep.
+    "q85_profile" -> ((s, dir) => {
+      CoreOps.profile(Tables.load(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))
+    }),
+
     // Stratified deterministic sampling: the training-mix knob — dominant
     // language downsampled hard, rare ones kept whole, unknown strata
     // dropped by the default rate. Same portable hash as q56.
@@ -262,6 +269,18 @@ object TextQueries {
        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q85_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value
+           |FROM documents""".stripMargin
+      Seq("doc_id", "lang", "source", "n_chars").map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+
     "q78_stratified_sample" ->
       s"""SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM documents

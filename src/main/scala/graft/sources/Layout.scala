@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Data-layout writer: range-cluster rows across files and sort within
@@ -29,4 +29,44 @@ object Layout {
     df.repartitionByRange(files, clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Bit-interleave two already-bucketized dimensions (values in
+    * [0, 2^bits)) into one Z-value. Pure built-in bit arithmetic — a
+    * 2·bits-term expression tree that whole-stage-codegens; no custom
+    * expression needed (SURVEY §7.3 preference: compose first).
+    */
+  def zValue2(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { j =>
+      shiftleft(shiftright(a, j).bitwiseAND(lit(1L)), 2 * j)
+        .bitwiseOR(shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), 2 * j + 1))
+    }.reduce[Column](_ bitwiseOR _)
+
+  /** Z-order (Morton-curve) clustering over TWO numeric dimensions:
+    * lexicographic range clustering prunes on the leading column only —
+    * a predicate on the second column still touches every file. The
+    * Z-curve interleaves the dimensions' bits, so files cover compact
+    * rectangles of the (a, b) space and range predicates on EITHER
+    * column skip most files. This is the lakehouse OPTIMIZE ZORDER BY
+    * discipline on plain parquet.
+    *
+    * Dimensions are scaled to [0, 2^bits) by their min/max (one scalar
+    * aggregate — two driver doubles, not data); ties and skew are handled
+    * by the range partitioner's sampling on the z-value.
+    */
+  def writeZOrdered(df: DataFrame, path: String, aCol: String, bCol: String,
+                    bits: Int, files: Int): Unit = {
+    require(bits > 0 && 2 * bits <= 62, "bits must be in [1, 31]")
+    val r = df.agg(min(col(aCol)).cast("double"), max(col(aCol)).cast("double"),
+      min(col(bCol)).cast("double"), max(col(bCol)).cast("double")).head()
+    def bucket(c: Column, lo: Double, hi: Double): Column = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
+      least(lit((1L << bits) - 1), greatest(lit(0L),
+        floor((c.cast("double") - lit(lo)) / lit(span) * lit((1L << bits) - 1))
+          .cast("long")))
+    }
+    val z = zValue2(bucket(col(aCol), r.getDouble(0), r.getDouble(1)),
+      bucket(col(bCol), r.getDouble(2), r.getDouble(3)), bits)
+    df.repartitionByRange(files, z).sortWithinPartitions(z)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

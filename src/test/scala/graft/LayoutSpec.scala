@@ -38,6 +38,38 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(clustered).count() == 20000L)
   }
 
+  test("z-order prunes on BOTH dimensions; lexicographic prunes only the first") {
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+
+    val zdir = Files.createTempDirectory("layout_z_").toString
+    Layout.writeZOrdered(grid, zdir, "x", "y", bits = 6, files = 16)
+    val lexdir = Files.createTempDirectory("layout_lex_").toString
+    Layout.writeClustered(grid, lexdir, Seq("x", "y"), files = 16)
+
+    def hits(path: String, cond: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).filter(cond)
+        .select(input_file_name()).distinct().count()
+
+    // x-range: both layouts prune
+    assert(hits(zdir, $"x".between(8, 15)) <= 8)
+    assert(hits(lexdir, $"x".between(8, 15)) <= 8)
+    // y-range: lexicographic smears y across every file; Z keeps it local
+    val zY = hits(zdir, $"y".between(8, 15))
+    val lexY = hits(lexdir, $"y".between(8, 15))
+    assert(lexY == 16, s"expected y-range to touch all lex files, got $lexY")
+    assert(zY <= 8, s"z layout should localize the y range, touched $zY files")
+    // same rows either way
+    assert(spark.read.parquet(zdir).count() == 64 * 64)
+  }
+
+  test("zValue2 interleaves bits (locality-preserving Morton codes)") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L), (3L, 3L))
+      .toDF("a", "b")
+    val z = df.select(Layout.zValue2($"a", $"b", 2).as("z")).as[Long].collect()
+    assert(z.toSeq == Seq(0L, 1L, 2L, 3L, 4L, 15L))
+  }
+
   test("rows are sorted within each clustered file (monotone row groups)") {
     val df = (1L to 5000L).map(i => ((i * 7919) % 5000, i)).toDF("user_id", "event_id")
     val dir = Files.createTempDirectory("layout_sorted_").toString
