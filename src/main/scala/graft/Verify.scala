@@ -18,8 +18,9 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Queries run on a small thread pool: Spark schedules concurrent jobs
     // from one context fine, and the per-query fixed costs (planning, small
-    // stages) overlap — roughly halves t2 wall-clock at 52 queries.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // stages, streaming micro-batch lifecycles) overlap — cuts t2
+    // wall-clock roughly in half. Sized for the 85-query suite.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
