@@ -231,6 +231,27 @@ object CoreOps {
     df.filter(h < keep)
   }
 
+  /** Mergeable distinct-count rollup (A6 at warehouse scale): per-group
+    * HLL sketches materialized as a TABLE, so coarser rollups merge the
+    * sketches instead of rescanning the fact data — the only way
+    * `COUNT(DISTINCT)` composes incrementally (a new day's partition adds
+    * one sketch row; the all-time estimate is a union over sketch rows,
+    * O(groups), not O(events)). Estimates are Datasketches HLL (Spark
+    * built-ins), mergeable losslessly across any grouping.
+    */
+  def distinctSketches(df: DataFrame, groupCols: Seq[String],
+                       keyCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(keyCol)).as("sketch"))
+
+  /** Merge sketch rows up to a coarser grouping and estimate. */
+  def sketchRollup(sketches: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val merged = hll_sketch_estimate(hll_union_agg(col("sketch")))
+      .as("n_distinct")
+    if (groupCols.isEmpty) sketches.agg(merged)
+    else sketches.groupBy(groupCols.map(col): _*).agg(merged)
+  }
+
   /** One-pass column profile: per column, row/null/distinct counts and
     * min/max (stringified for a uniform shape) — the data-quality sweep a
     * corpus pipeline runs before training prep. One aggregate job over

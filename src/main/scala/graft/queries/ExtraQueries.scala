@@ -64,6 +64,21 @@ object ExtraQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Mergeable HLL sketch rollup (A6 incremental): per-(type, day)
+    // sketches merged up to per-type WITHOUT rescanning events. At this
+    // cardinality (150 users) the Datasketches HLL is in its exact sparse
+    // regime, so the estimate hash-matches COUNT(DISTINCT) — the sketch
+    // PATH under the hard gate; q30 covers the approximate regime
+    // rows-only.
+    "q86_sketch_rollup" -> ((s, dir) => {
+      val daily = CoreOps.distinctSketches(
+        Tables.load(s, dir, "events")
+          .withColumn("day", to_date(col("ts"))),
+        Seq("event_type", "day"), "user_id")
+      CoreOps.sketchRollup(daily, Seq("event_type"))
+        .orderBy(col("event_type"))
+    }),
+
     // Explicit GROUPING SETS (the general lattice form of cube/rollup)
     // with grouping_id disambiguating the aggregation level.
     "q81_grouping_sets" -> ((s, dir) => {
@@ -519,6 +534,10 @@ object ExtraQueries {
       s"""SELECT event_type, count(*) AS n,
          |  CAST(sum(${C.format("value")}) AS BIGINT) AS sum_cents
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q86_sketch_rollup" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q83_scd2" ->
       s"""SELECT user_id, event_type, event_id, ${C.format("value")} AS value_cents,

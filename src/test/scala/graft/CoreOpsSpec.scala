@@ -139,4 +139,28 @@ class CoreOpsSpec extends AnyFunSuite {
     val finalPlan = if (cut >= 0) planStr.substring(0, cut) else planStr
     assert(finalPlan.contains("__salt"), "join key is not salted in the plan")
   }
+
+  test("HLL sketch rollup: day sketches merge to the same estimate as a direct pass") {
+    import graft.ops.CoreOps
+    val df = (1L to 3000L)
+      .map(i => (s"t${i % 3}", s"day${i % 5}", i % 100))
+      .toDF("event_type", "day", "user_id").repartition(6)
+    // fine-grained sketch table: one row per (event_type, day)
+    val daily = CoreOps.distinctSketches(df, Seq("event_type", "day"), "user_id")
+    assert(daily.count() == 15)
+    // rollup by merging sketches only — no rescan of df
+    val merged = CoreOps.sketchRollup(daily, Seq("event_type"))
+      .orderBy($"event_type").as[(String, Long)].collect()
+    // direct estimate over the raw data
+    val direct = CoreOps.sketchRollup(
+        CoreOps.distinctSketches(df, Seq("event_type"), "user_id"),
+        Seq("event_type"))
+      .orderBy($"event_type").as[(String, Long)].collect()
+    assert(merged.toSeq == direct.toSeq)
+    // at this cardinality HLL is exact: 100 distinct users per type
+    assert(merged.forall(_._2 == 100L))
+    // global rollup from the same sketch table
+    val all = CoreOps.sketchRollup(daily, Nil).as[Long].head()
+    assert(all == 100L)
+  }
 }
