@@ -24,6 +24,35 @@ import graft.ops.CoreOps
   */
 object Compaction {
 
+  /** Snapshot reconciliation: row-level diff of two table versions on a
+    * key — the check a compaction/backfill job runs before swapping a
+    * snapshot in ("what did this rewrite actually change?"). One full
+    * outer join on the key; change detection compares the named value
+    * columns null-safely. Returns (keys..., change ∈ added|removed|changed)
+    * — unchanged rows are dropped, so the output is O(delta) not O(table).
+    */
+  def tableDiff(before: DataFrame, after: DataFrame, keys: Seq[String],
+                valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // Value columns renamed per side: both inputs often share lineage
+    // (two versions of one table), where dataframe-qualified refs are
+    // ambiguous under Spark's self-join analysis.
+    val b = before.select(keys.map(col) ++
+      valueCols.map(c => col(c).as(s"__b_$c")) :+ lit(1).as("__b"): _*)
+    val a = after.select(keys.map(col) ++
+      valueCols.map(c => col(c).as(s"__a_$c")) :+ lit(1).as("__a"): _*)
+    val changed = valueCols
+      .map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    b.join(a, keys, "full_outer")
+      .withColumn("change",
+        when(col("__b").isNull, lit("added"))
+          .when(col("__a").isNull, lit("removed"))
+          .when(changed, lit("changed")))
+      .filter(col("change").isNotNull)
+      .select((keys.map(col) :+ col("change")): _*)
+  }
+
   /** Compact `landingDir` (parquet) into `snapshotDir`: newest row per
     * `keys` under `order` (must be a unique composite for determinism),
     * hive-partitioned by `partitionCols`. Returns the snapshot DataFrame

@@ -24,6 +24,24 @@ object LifecycleQueries {
       round(col("value") * 100, 0).cast("long").as("value_cents"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Snapshot reconciliation: the row-level diff a compaction/backfill
+    // job runs before swapping a snapshot in — removals (%5), additions
+    // (the 3000-3100 band), value changes (%7), everything else silent.
+    "q87_table_diff" -> ((s, dir) => {
+      val flat = eventsFlat(s, dir)
+        .select(col("event_id"), col("event_type"), col("value_cents"))
+      val before = flat.filter(col("event_id") < 3000)
+      val after = flat
+        .filter((col("event_id") < 3000 && col("event_id") % 5 =!= 0) ||
+          (col("event_id") >= 3000 && col("event_id") < 3100))
+        .withColumn("value_cents",
+          when(col("event_id") % 7 === 0, col("value_cents") + 1)
+            .otherwise(col("value_cents")))
+      Compaction.tableDiff(before, after, Seq("event_id"),
+          Seq("event_type", "value_cents"))
+        .orderBy(col("event_id"))
+    }),
+
     // Landing zone = original events + a re-crawl batch that re-lands every
     // third event one hour later with a bumped engagement value
     // (`reddit/lambda_function_aggregate.py:59-71`). Compaction must keep
@@ -62,6 +80,29 @@ object LifecycleQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q87_table_diff" ->
+      """WITH flat AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS value_cents
+        |  FROM events),
+        |b AS (SELECT * FROM flat WHERE event_id < 3000),
+        |a AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN value_cents + 1
+        |         ELSE value_cents END AS value_cents
+        |  FROM flat
+        |  WHERE (event_id < 3000 AND event_id % 5 <> 0)
+        |     OR (event_id >= 3000 AND event_id < 3100))
+        |SELECT event_id, change FROM (
+        |  SELECT COALESCE(b.event_id, a.event_id) AS event_id,
+        |    CASE WHEN b.event_id IS NULL THEN 'added'
+        |         WHEN a.event_id IS NULL THEN 'removed'
+        |         WHEN b.value_cents IS DISTINCT FROM a.value_cents
+        |           OR b.event_type IS DISTINCT FROM a.event_type THEN 'changed'
+        |    END AS change
+        |  FROM b FULL OUTER JOIN a ON b.event_id = a.event_id)
+        |WHERE change IS NOT NULL ORDER BY event_id""".stripMargin,
+
     "q69_compact_snapshot" ->
       """SELECT event_id,
         |  epoch_us(CAST(ts AS TIMESTAMP))

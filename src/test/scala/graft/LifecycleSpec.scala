@@ -69,4 +69,20 @@ class LifecycleSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out == Set((2L, 1L, 1L), (3L, 1L, 2L), (9L, 9L, 0L)))
   }
+
+  test("tableDiff: added/removed/changed classification, null-safe values") {
+    import graft.pipeline.Compaction
+    val before = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L),
+      (3L, None: Option[String], 30L), (4L, Some("d"), 40L))
+      .toDF("k", "name", "v")
+    val after = Seq((2L, Some("b"), 21L), (3L, None: Option[String], 30L),
+      (4L, None: Option[String], 40L), (5L, Some("e"), 50L))
+      .toDF("k", "name", "v")
+    val out = Compaction.tableDiff(before, after, Seq("k"), Seq("name", "v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // 1 removed, 2 changed (v), 3 unchanged (null == null), 4 changed
+    // (name d -> null), 5 added
+    assert(out == Map(1L -> "removed", 2L -> "changed", 4L -> "changed",
+      5L -> "added"))
+  }
 }
