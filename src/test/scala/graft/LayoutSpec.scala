@@ -82,4 +82,20 @@ class LayoutSpec extends AnyFunSuite {
       .filter($"prev".isNotNull && $"prev" > $"user_id")
     assert(violations.count() == 0)
   }
+
+  test("ORC sink/source roundtrip with predicate pushdown (format breadth)") {
+    val dir = Files.createTempDirectory("layout_orc_").toString
+    val df = (1L to 1000L).map(i => (i, s"name$i", i % 7)).toDF("id", "name", "grp")
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    // files store everything nullable; names and types must round-trip
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.count() == 1000)
+    val q = back.filter($"id" > 990)
+    assert(q.count() == 10)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && !plan.matches("(?s).*PushedFilters: \\[\\].*"),
+      "ORC scan did not receive the pushed predicate")
+  }
 }
