@@ -304,6 +304,34 @@ object Dedup {
         threshold, bucketCap),
       "id_a", "id_b")
 
+  /** Benchmark decontamination: flag corpus documents that share at least
+    * `minOverlap` distinct k-gram shingles with ANY benchmark document —
+    * the leakage check an LLM training pipeline runs against its eval
+    * sets. Returns (id, n_overlap, contaminated).
+    *
+    * Shape at 100 TB: the benchmark shingle set is small (eval sets are
+    * thousands of docs) and arrives distinct — the join is corpus-shingles
+    * ⋈ broadcast-or-hash on the shingle hash; the corpus side explodes to
+    * one row per distinct shingle but aggregates straight back to one row
+    * per doc (partial count). Shingle hashing is the native codegen'd
+    * expression; no text ever crosses the join.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, shingleK: Int = 5,
+                    minOverlap: Int = 1): DataFrame = {
+    val benchShingles = shingleHashSets(benchmark, idCol, textCol, shingleK)
+      .select(explode(col("sh")).as("h")).distinct()
+    val corpusShingles = shingleHashSets(corpus, idCol, textCol, shingleK)
+      .select(col("id"), explode(col("sh")).as("h"))
+    val overlaps = corpusShingles.join(benchShingles, "h")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(idCol).as("id"))
+      .join(overlaps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
   /** Exact Jaccard similarity of two (already distinct) arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

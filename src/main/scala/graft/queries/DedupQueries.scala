@@ -31,6 +31,22 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Benchmark decontamination: corpus docs sharing >= 2 distinct
+    // 3-gram shingles with the held-out benchmark slice (doc_id % 97)
+    // are flagged — per-lang contamination counts.
+    "q88_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      Dedup.decontaminate(corpus, bench, "doc_id", "text",
+          shingleK = 3, minOverlap = 2)
+        .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"))
+        .orderBy(col("lang"))
+    }),
+
     // Near-dup clustering: minhash pairs closed under transitivity
     // (hash-min components), per-cluster sizes — the keep-one-per-cluster
     // dedup a training corpus actually ships.
@@ -264,6 +280,30 @@ object DedupQueries {
     "q32_minhash_neardups" -> minhashOracleSql(3, 16, 4, 0.5),
 
     "q77_neardup_clusters" -> minhashClusterOracleSql(3, 16, 4, 0.5),
+
+    "q88_decontaminate" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |    list_transform(string_split(text, ' '), tk -> ${chSql("tk")}) AS th
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, lang,
+         |    list_distinct(list_transform(
+         |      range(0, greatest(len(th) - 3, 0) + 1),
+         |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1:i+3]),
+         |             (acc, x) -> (acc * 1000003 + x) % $P))) AS hs
+         |  FROM tok),
+         |bench AS (SELECT DISTINCT unnest(hs) AS bh FROM sh WHERE doc_id % 97 = 0),
+         |corp AS (SELECT doc_id, unnest(hs) AS ch FROM sh WHERE doc_id % 97 <> 0),
+         |ov AS (
+         |  SELECT doc_id, count(*) AS n_overlap
+         |  FROM corp JOIN bench ON corp.ch = bench.bh GROUP BY doc_id)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN COALESCE(ov.n_overlap, 0) >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminated
+         |FROM sh LEFT JOIN ov USING (doc_id)
+         |WHERE doc_id % 97 <> 0
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q33_simhash" ->
       s"""SELECT doc_id, sig FROM ($simhashSigSql) WHERE doc_id < 50 ORDER BY doc_id""",

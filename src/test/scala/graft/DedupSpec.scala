@@ -163,4 +163,17 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters.keySet == Set(1L, 2L, 3L))
     assert(clusters.values.toSet == Set(1L))
   }
+
+  test("decontaminate flags the planted benchmark overlap, spares clean docs") {
+    val bench = Seq((100L, "the capital of france is paris obviously"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "quiz answer the capital of france is paris obviously end"),
+      (2L, "completely different words about gardening and soil"),
+      (3L, "the capital city question")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+        shingleK = 5, minOverlap = 1)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false))
+  }
 }
