@@ -108,10 +108,6 @@ object DedupQueries {
        |ELSE CAST(len(list_intersect($a, $b)) AS DOUBLE)
        |   / CAST(len(list_distinct(list_concat($a, $b))) AS DOUBLE) END""".stripMargin
 
-  /** Generated oracle for Dedup.minhashNearDups (mirrors candidate
-    * generation too — k-shingle hashes, seeded signatures, band folds, the
-    * band self-join — not just the Jaccard verify).
-    */
   /** The shared CTE chain `tok → h → sigs → bands → cand → v` (shingle
     * hashes, seeded signatures, band folds, band self-join, Jaccard
     * verify) — the full candidate-generation mirror, reused by the pair

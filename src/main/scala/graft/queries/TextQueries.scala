@@ -151,6 +151,22 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // Corpus vocabulary: top-5 tokens per language by frequency (count
+    // desc, token asc tiebreak) — wordcount + partial top-k, the two
+    // canonical distributed aggregations composed.
+    "q89_vocab" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("token"))
+      toks.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("rank"), col("token"), col("n"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // One-pass corpus profile: per-column row/null/distinct/min/max — the
     // data-quality sweep before training prep.
     "q85_profile" -> ((s, dir) => {
@@ -269,6 +285,15 @@ object TextQueries {
        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q89_vocab" ->
+      """SELECT lang, rank, token, n FROM (
+        |  SELECT lang, token, CAST(count(*) AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token) AS rank
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE len(token) > 0
+        |  GROUP BY lang, token)
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
     "q85_profile" -> {
       def one(c: String) =
         s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
