@@ -19,7 +19,7 @@ object Verify {
     // Queries run on a small thread pool: Spark schedules concurrent jobs
     // from one context fine, and the per-query fixed costs (planning, small
     // stages, streaming micro-batch lifecycles) overlap — cuts t2
-    // wall-clock roughly in half. Sized for the 85-query suite.
+    // wall-clock roughly in half across the full query suite.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {

@@ -14,7 +14,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * SURVEY.md §4's "custom Catalyst work actually warranted" candidate.
   */
 final class AhoCorasick(terms: Seq[String]) extends Serializable {
-  private val lower = terms.map(_.toLowerCase).filter(_.nonEmpty).distinct
+  // Locale.ROOT everywhere: default-locale toLowerCase would turn ASCII
+  // "I" into dotless ı under tr/az JVMs, diverging from Spark's
+  // locale-independent lower() (UTF8String uses Locale.ROOT).
+  private val lower = terms.map(_.toLowerCase(java.util.Locale.ROOT))
+    .filter(_.nonEmpty).distinct
   // goto/fail/output tables over a dense trie
   private val (gotoMap, fail, isTerminal) = {
     val children = scala.collection.mutable.ArrayBuffer(
@@ -50,12 +54,11 @@ final class AhoCorasick(terms: Seq[String]) extends Serializable {
 
   def containsAny(s: UTF8String): Boolean = {
     if (lower.isEmpty) return false
-    // Full-STRING lowercase, not per-char: String.toLowerCase applies
-    // locale-independent full case mappings (İ → i̇, two chars) that
-    // Character.toLowerCase cannot — per-char folding would make this
-    // expression disagree with `contains(lower(col), term)` on such
-    // inputs, and CollapseContainsChain rewrites one into the other.
-    val text = s.toString.toLowerCase
+    // Full-STRING lowercase with Locale.ROOT, not per-char: full case
+    // mappings (İ → i̇, two chars) are what `contains(lower(col), term)`
+    // computes, and CollapseContainsChain rewrites one into the other —
+    // the two must agree on every input, under any JVM default locale.
+    val text = s.toString.toLowerCase(java.util.Locale.ROOT)
     var state = 0
     var i = 0
     while (i < text.length) {

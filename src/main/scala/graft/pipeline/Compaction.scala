@@ -33,7 +33,6 @@ object Compaction {
     */
   def tableDiff(before: DataFrame, after: DataFrame, keys: Seq[String],
                 valueCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions._
     // Value columns renamed per side: both inputs often share lineage
     // (two versions of one table), where dataframe-qualified refs are
     // ambiguous under Spark's self-join analysis.

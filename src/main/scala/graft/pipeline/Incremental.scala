@@ -45,9 +45,13 @@ object Incremental {
       case Some(v) => all.filter(col(partCol) > lit(v).cast(partType))
       case None => all
     }
-    // Materialize the delta once: watermark, process(), and the returned
-    // frame all see the identical row set, and the landing scan runs once.
-    val delta = delta0.localCheckpoint()
+    // With a watermark, the delta is one cadence's partitions — materialize
+    // it once so the watermark, process(), and the returned frame see the
+    // identical row set and the landing scan runs once. The FIRST run's
+    // delta is the whole table (a backfill): stay lazy there — the file
+    // listing is pinned by the shared plan either way, and checkpointing
+    // years of history before processing would double its IO.
+    val delta = if (wm.isDefined) delta0.localCheckpoint() else delta0
     val hiRow = delta.agg(max(col(partCol))).collect()(0)
     if (!hiRow.isNullAt(0)) {
       process(delta)

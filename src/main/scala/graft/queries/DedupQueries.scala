@@ -108,6 +108,25 @@ object DedupQueries {
        |ELSE CAST(len(list_intersect($a, $b)) AS DOUBLE)
        |   / CAST(len(list_distinct(list_concat($a, $b))) AS DOUBLE) END""".stripMargin
 
+  /** `tok → h` CTEs: per-doc distinct k-shingle hashes — the arithmetic
+    * mirror of [[graft.expressions.ShingleHashes]], shared by the minhash
+    * family and the decontamination oracle so the fold can never
+    * desynchronize between them. `extraCols` rides extra projection
+    * columns through (e.g. `" lang,"`).
+    */
+  private def shingleCtes(shingleK: Int, extraCols: String = ""): String =
+    s"""tok AS (
+       |  SELECT doc_id,$extraCols
+       |    list_transform(string_split(text, ' '), tk -> ${chSql("tk")}) AS th
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,$extraCols
+       |    list_distinct(list_transform(
+       |      range(0, greatest(len(th) - $shingleK, 0) + 1),
+       |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1:i+$shingleK]),
+       |             (acc, x) -> (acc * 1000003 + x) % $P))) AS hs
+       |  FROM tok)""".stripMargin
+
   /** The shared CTE chain `tok → h → sigs → bands → cand → v` (shingle
     * hashes, seeded signatures, band folds, band self-join, Jaccard
     * verify) — the full candidate-generation mirror, reused by the pair
@@ -122,17 +141,7 @@ object DedupQueries {
       (0 until rpb).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
         s"(($acc * 1000003 + s${b * rpb + r}) % $P)"
       }
-    s"""tok AS (
-       |  SELECT doc_id,
-       |    list_transform(string_split(text, ' '), tk -> ${chSql("tk")}) AS th
-       |  FROM documents),
-       |h AS (
-       |  SELECT doc_id,
-       |    list_distinct(list_transform(
-       |      range(0, greatest(len(th) - $shingleK, 0) + 1),
-       |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1:i+$shingleK]),
-       |             (acc, x) -> (acc * 1000003 + x) % $P))) AS hs
-       |  FROM tok),
+    s"""${shingleCtes(shingleK)},
        |sigs AS (
        |  SELECT doc_id,
        |    $sigExprs
@@ -278,26 +287,16 @@ object DedupQueries {
     "q77_neardup_clusters" -> minhashClusterOracleSql(3, 16, 4, 0.5),
 
     "q88_decontaminate" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, lang,
-         |    list_transform(string_split(text, ' '), tk -> ${chSql("tk")}) AS th
-         |  FROM documents),
-         |sh AS (
-         |  SELECT doc_id, lang,
-         |    list_distinct(list_transform(
-         |      range(0, greatest(len(th) - 3, 0) + 1),
-         |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1:i+3]),
-         |             (acc, x) -> (acc * 1000003 + x) % $P))) AS hs
-         |  FROM tok),
-         |bench AS (SELECT DISTINCT unnest(hs) AS bh FROM sh WHERE doc_id % 97 = 0),
-         |corp AS (SELECT doc_id, unnest(hs) AS ch FROM sh WHERE doc_id % 97 <> 0),
+      s"""WITH ${shingleCtes(3, " lang,")},
+         |bench AS (SELECT DISTINCT unnest(hs) AS bh FROM h WHERE doc_id % 97 = 0),
+         |corp AS (SELECT doc_id, unnest(hs) AS ch FROM h WHERE doc_id % 97 <> 0),
          |ov AS (
          |  SELECT doc_id, count(*) AS n_overlap
          |  FROM corp JOIN bench ON corp.ch = bench.bh GROUP BY doc_id)
          |SELECT lang, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN COALESCE(ov.n_overlap, 0) >= 2 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_contaminated
-         |FROM sh LEFT JOIN ov USING (doc_id)
+         |FROM h LEFT JOIN ov USING (doc_id)
          |WHERE doc_id % 97 <> 0
          |GROUP BY lang ORDER BY lang""".stripMargin,
 

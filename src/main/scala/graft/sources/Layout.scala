@@ -58,6 +58,12 @@ object Layout {
     require(bits > 0 && 2 * bits <= 62, "bits must be in [1, 31]")
     val r = df.agg(min(col(aCol)).cast("double"), max(col(aCol)).cast("double"),
       min(col(bCol)).cast("double"), max(col(bCol)).cast("double")).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      // empty input (or an all-null dimension): nothing to cluster —
+      // write the empty/degenerate dataset instead of NPE-ing on the stats
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
     def bucket(c: Column, lo: Double, hi: Double): Column = {
       val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
       least(lit((1L << bits) - 1), greatest(lit(0L),

@@ -139,7 +139,7 @@ class ScrapeScanBuilder(fullSchema: StructType, dir: String, tsField: String)
     * newest-first). Partially pushed — Spark's limit stays for exactness. */
   override def pushLimit(n: Int): Boolean = { limit = n; true }
 
-  /** `ORDER BY tsField DESC|ASC LIMIT n`: time-disjoint files make the
+  /** `ORDER BY tsField DESC (or ASC NULLS LAST) LIMIT n`: time-disjoint files make the
     * newest (resp. oldest) n files a superset of the top n rows. Only a
     * single-key ordering on the drop field is claimable — anything else
     * must be sorted by Spark from a full scan. */

@@ -76,9 +76,19 @@ class ScrapeSourceSpec extends AnyFunSuite {
     assert(df.select("ts_u").as[Long].collect().toSeq == (20L to 15L by -1))
   }
 
-  test("top-N by ts asc prunes to the oldest files and is exact") {
-    val df = read().orderBy(asc("ts_u")).limit(3)
-    assert(df.select("ts_u").as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+  test("top-N by ts asc: NULLS LAST prunes to the oldest files; default NULLS FIRST falls back to full scan") {
+    // asc_nulls_last: a null-ts row can never be in the top-N, pruning safe
+    val pruned = read().orderBy(asc_nulls_last("ts_u")).limit(3)
+    assert(pruned.select("ts_u").as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    assert(scanOf(pruned).scan.description().contains("limit=3"),
+      scanOf(pruned).scan.description())
+    // plain asc = NULLS FIRST: a null-ts row in a pruned file would be
+    // silently lost, so the scan must refuse and read everything — the
+    // result stays exact either way
+    val full = read().orderBy(asc("ts_u")).limit(3)
+    assert(full.select("ts_u").as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    assert(scanOf(full).scan.description().contains("limit=-1"),
+      scanOf(full).scan.description())
   }
 
   test("since-filter prunes dead files and stays exact mid-file") {
