@@ -136,6 +136,23 @@ object ExtraQueries {
     }),
 
     // §2.6 window frame: 3-row moving sum per user (ROWS BETWEEN).
+    // RANGE frame (value-based, not row-count): per-user rolling sum over
+    // the trailing hour of EVENT TIME — ties share a frame, gaps shrink
+    // it, which a ROWS frame (q45) cannot express.
+    "q90_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .filter(col("user_id") < 10)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          CoreOps.cents(col("value")).as("cents"))
+        .withColumn("hour_sum", sum(col("cents")).over(w))
+        .select(col("user_id"), col("event_id"), col("hour_sum"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     "q45_moving_sum" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -534,6 +551,15 @@ object ExtraQueries {
       s"""SELECT event_type, count(*) AS n,
          |  CAST(sum(${C.format("value")}) AS BIGINT) AS sum_cents
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q90_range_frame" ->
+      s"""SELECT user_id, event_id,
+         |  CAST(sum(${C.format("value")}) OVER (
+         |    PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS hour_sum
+         |FROM events WHERE user_id < 10
+         |ORDER BY user_id, event_id""".stripMargin,
 
     "q86_sketch_rollup" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct

@@ -16,9 +16,15 @@ class JdbcUpsertSinkSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
-  private val url = "jdbc:derby:memory:graftsink;create=true"
+  // One in-memory DB per test (not a shared one): sbt runs suites in
+  // parallel, and db-level lock contention in a shared Derby instance can
+  // flake an otherwise-correct test.
+  private var url: String = _
 
   private def withTable[A](ddlCols: String)(f: String => A): A = {
+    url = "jdbc:derby:memory:sink" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12) +
+      ";create=true"
     val table = "t" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val conn = DriverManager.getConnection(url)
     try {
