@@ -34,6 +34,7 @@ object Components {
       .distinct().localCheckpoint()
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
+    val labelType = labels.schema("label").dataType
     var changed = true
     var iter = 0
     while (changed) {
@@ -41,16 +42,20 @@ object Components {
         s"connectedComponents: not settled after $maxIters passes " +
           "(graph diameter exceeds maxIters)")
       val nbr = und.join(labels, col("b") === col("node"))
-        .select(col("a").as("node"), col("label"))
-      val next = labels.union(nbr)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .select(col("a").as("node"), col("label"),
+          lit(null).cast(labelType).as("prev"))
+      // The node's previous label rides through the min-agg (each node has
+      // exactly one labels row, so min(prev) skips the nbr nulls and
+      // recovers it) — convergence becomes a filter over the checkpointed
+      // pass output instead of a second join+shuffle job per pass. Exact
+      // and type-agnostic: no sum-of-labels overflow, any id type.
+      val next = labels.select(col("node"), col("label"), col("label").as("prev"))
+        .union(nbr)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
         .localCheckpoint()
-      // Exact, type-agnostic convergence: count rows whose label moved.
-      // (A sum-of-labels shortcut overflows 64-bit id spaces under ANSI
-      // and silently breaks for non-numeric node ids.)
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") =!= col("prev")).limit(1).count() > 0
-      labels = next
+      changed = next.filter(col("label") =!= col("prev")).limit(1).count() > 0
+      labels = next.select(col("node"), col("label"))
       iter += 1
     }
     labels.select(col("node"), col("label").as("component"))
@@ -86,10 +91,14 @@ object Components {
       if (iter >= maxIters) throw new IllegalStateException(
         s"connectedComponentsLogN: not settled after $maxIters rounds")
       val next = star(star(cur, large = true), large = false).localCheckpoint()
-      // Exact set comparison of two checkpointed canonical edge lists:
-      // same count and no edge in next that was absent from cur.
-      changed = next.count() != cur.count() ||
-        next.join(cur, Seq("a", "b"), "left_anti").limit(1).count() > 0
+      // Exact set comparison of two checkpointed canonical edge lists in
+      // ONE job: tag next rows +1 / cur rows -1 and look for any key whose
+      // tags don't cancel (both lists are distinct, so multiset = set).
+      // Replaces the count() + left_anti pair — one shuffle, one action.
+      changed = next.select(col("a"), col("b"), lit(1L).as("t"))
+        .union(cur.select(col("a"), col("b"), lit(-1L).as("t")))
+        .groupBy(col("a"), col("b")).agg(sum(col("t")).as("d"))
+        .filter(col("d") =!= 0L).limit(1).count() > 0
       cur = next
       iter += 1
     }

@@ -52,6 +52,43 @@ object Compaction {
       .select((keys.map(col) :+ col("change")): _*)
   }
 
+  /** MERGE a change batch into a base table — the Delta/Iceberg `MERGE
+    * INTO` re-expressed over plain DataFrames: change rows replace matched
+    * base rows (UPDATE), unmatched change rows are inserted (INSERT), and
+    * change rows whose `deleteCol` is true tombstone their key (DELETE).
+    * Base rows with no matching change pass through untouched.
+    *
+    * The reference's 2-day re-crawl (`reddit/lambda_function_aggregate
+    * .py:59-71`) is exactly this shape: a small change batch against a big
+    * accumulated table. Implementation is one keyed shuffle: both sides
+    * union with a precedence rank (changes outrank base), `max_by` keeps
+    * the winning row per key (partial-aggregable — map-side combine, no
+    * window sort), then tombstones drop out. At 100 TB: scan + one
+    * shuffle, no join, no driver-side state.
+    *
+    * Precondition (same as Delta's MERGE): `changes` has at most one row
+    * per key — multiple change rows for one key would be order-ambiguous.
+    * Pass `changeOrder` to break such ties deterministically instead.
+    */
+  def merge(base: DataFrame, changes: DataFrame, keys: Seq[String],
+            deleteCol: Option[String] = None,
+            changeOrder: Seq[Column] = Nil): DataFrame = {
+    val dataCols = base.columns.toSeq
+    val del = deleteCol.map(c => coalesce(col(c), lit(false)))
+      .getOrElse(lit(false))
+    val ch = changes
+      .withColumn("__graft_del", del)
+      .withColumn("__graft_rank", lit(1))
+      .select((dataCols ++ Seq("__graft_del", "__graft_rank")).map(col): _*)
+    val ba = base
+      .withColumn("__graft_del", lit(false))
+      .withColumn("__graft_rank", lit(0))
+    val merged = CoreOps.latestWinsAgg(ba.unionByName(ch), keys,
+      col("__graft_rank") +: changeOrder)
+    merged.filter(!col("__graft_del"))
+      .select(dataCols.map(col): _*)
+  }
+
   /** Compact `landingDir` (parquet) into `snapshotDir`: newest row per
     * `keys` under `order` (must be a unique composite for determinism),
     * hive-partitioned by `partitionCols`. Returns the snapshot DataFrame

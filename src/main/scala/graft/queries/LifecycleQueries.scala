@@ -66,6 +66,27 @@ object LifecycleQueries {
         .orderBy(col("event_id"))
     }),
 
+    // MERGE INTO semantics over plain DataFrames: a change batch carrying
+    // updates (%3, bal+100), deletes (%7) and inserts (%11, shifted keys)
+    // merged into the customer snapshot in one keyed shuffle — the
+    // Delta-shaped answer to the reference's 2-day re-crawl.
+    "q91_merge_upsert" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "customer").select(
+        col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"))
+      val changes =
+        base.filter(col("k") % 3 === 0 && col("k") % 7 =!= 0)
+          .withColumn("bal_cents", col("bal_cents") + 100)
+          .withColumn("del", lit(false))
+        .unionByName(base.filter(col("k") % 7 === 0)
+          .withColumn("del", lit(true)))
+        .unionByName(base.filter(col("k") % 11 === 0)
+          .withColumn("k", col("k") + 10000000L)
+          .withColumn("del", lit(false)))
+      Compaction.merge(base, changes, Seq("k"), deleteCol = Some("del"))
+        .orderBy(col("k"))
+    }),
+
     // Comment-tree flatten: a deterministic forest over documents (roots
     // doc_id < 3, parent = (doc_id-1) div 2), resolved to (root, depth) by
     // pointer doubling — O(log depth) joins, vs the recursive CTE the
@@ -111,6 +132,26 @@ object LifecycleQueries {
         |  CAST(round(value * 100) AS BIGINT)
         |    + CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS value_cents
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q91_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |changes AS (
+        |  SELECT k, seg, bal_cents + 100 AS bal_cents, FALSE AS del
+        |  FROM base WHERE k % 3 = 0 AND k % 7 <> 0
+        |  UNION ALL
+        |  SELECT k, seg, bal_cents, TRUE AS del FROM base WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k + 10000000, seg, bal_cents, FALSE AS del
+        |  FROM base WHERE k % 11 = 0)
+        |SELECT k, seg, bal_cents FROM (
+        |  SELECT b.k, b.seg, b.bal_cents FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.k = b.k)
+        |  UNION ALL
+        |  SELECT k, seg, bal_cents FROM changes WHERE NOT del)
+        |ORDER BY k""".stripMargin,
 
     "q70_tree_flatten" ->
       """WITH RECURSIVE t AS (

@@ -70,6 +70,31 @@ class LifecycleSpec extends AnyFunSuite {
     assert(out == Set((2L, 1L, 1L), (3L, 1L, 2L), (9L, 9L, 0L)))
   }
 
+  test("merge: update/insert/delete in one pass; unmatched base rows untouched") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("k", "name", "v")
+    val changes = Seq(
+      (2L, "b2", 21L, false), // UPDATE
+      (3L, "c", 30L, true),   // DELETE (values ignored)
+      (5L, "e", 50L, false))  // INSERT
+      .toDF("k", "name", "v", "del")
+    val out = Compaction.merge(base, changes, Seq("k"), deleteCol = Some("del"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set((1L, "a", 10L), (2L, "b2", 21L), (4L, "d", 40L),
+      (5L, "e", 50L)))
+  }
+
+  test("merge: null delete flag means upsert; no deleteCol means pure upsert") {
+    val base = Seq((1L, 10L)).toDF("k", "v")
+    val nullDel = Seq((1L, 11L, None: Option[Boolean])).toDF("k", "v", "del")
+    val a = Compaction.merge(base, nullDel, Seq("k"), deleteCol = Some("del"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == Set((1L, 11L)))
+    val b = Compaction.merge(base, Seq((1L, 12L)).toDF("k", "v"), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b == Set((1L, 12L)))
+  }
+
   test("tableDiff: added/removed/changed classification, null-safe values") {
     import graft.pipeline.Compaction
     val before = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L),
