@@ -25,13 +25,17 @@ object Bench {
     val p1 = timedPass()
     val p2 = timedPass()
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Compact emission: the driver captures only a bounded tail of sbt
+    // output (BENCH_r01/r02 lines were cut mid-JSON and parsed as null).
+    // Millisecond precision + basename sf keeps the whole line under the
+    // observed ~3 KB tail window; it is printed LAST so the tail always
+    // contains one complete copy. Full-precision copy goes to a file.
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Emission must survive sbt log truncation (BENCH_r01's line was cut):
-    // persist to a file first, then print the line twice with explicit
-    // flushes so at least one copy reaches any line-oriented consumer.
+    val sfName = new java.io.File(sfDir).getName
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -1,0 +1,142 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative / combinatorial graph analytics over edge lists — the
+  * ranking and structure queries the reference serves from its Neo4j
+  * mention graph (`neo4j_insert/neo4j_twitter_insert.py:60-82` MENTIONS,
+  * `glue/reddit_glue.py:112-125` COMMENTED_ON): influence ranking,
+  * community structure, conversation reach. Re-expressed as relational
+  * fixpoints: every pass is a hash join + partial-aggregable `min`/`sum`
+  * per key, nothing driver-side but the convergence counter.
+  */
+object GraphAlgos {
+
+  /** Per-node triangle participation counts over an undirected edge list.
+    *
+    * Node-iterator with degree ordering (Suri & Vassilvitskii, "Counting
+    * Triangles and the Curse of the Last Reducer"): direct every edge from
+    * its lower-(degree, id) endpoint to the higher one, enumerate wedges
+    * only at each edge's LOW endpoint, and close them against the directed
+    * edge list. A hot hub with degree d contributes O(d) directed
+    * out-edges only when it is the *smaller* endpoint, so wedge fan-out
+    * per node is bounded by O(sqrt(m)) — the star-graph reducer that kills
+    * the naive a-b-c self-join never materializes. Ordering is by the
+    * (degree, id) struct directly; no global rank assignment (a
+    * row_number over a single ordering would serialize on one partition
+    * at 100 TB).
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    // Directed edge (lo → hi) by (degree, id); both endpoints keep their
+    // (deg, id) struct so downstream ordering needs no re-join.
+    val dir = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .filter(struct(col("da"), col("a")) < struct(col("db"), col("b")))
+      .select(col("a").as("lo"), col("b").as("hi"),
+        struct(col("db"), col("b")).as("rhi"))
+    // Wedges at the low endpoint, canonicalized rhi1 < rhi2; the closing
+    // edge must then run hi1 → hi2 in the same ordering.
+    val x = dir.select(col("lo"), col("hi").as("h1"), col("rhi").as("r1"))
+    val y = dir.select(col("lo"), col("hi").as("h2"), col("rhi").as("r2"))
+    val wedges = x.join(y, Seq("lo")).filter(col("r1") < col("r2"))
+    val tri = wedges.join(dir.select(col("lo").as("h1"), col("hi").as("h2")),
+      Seq("h1", "h2"))
+    tri.select(explode(array(col("lo"), col("h1"), col("h2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Fixed-iteration PageRank in integer micro-units — deterministic and
+    * oracle-exact (no float summation order): ranks are BIGINT micros
+    * (1.0 = 1,000,000), each pass is
+    * `r'(v) = base + (dampNum * Σ_{u→v} (r(u) div outdeg(u))) div 100`
+    * with floor integer division on both levels, so Spark and any SQL
+    * engine agree bit-for-bit. Defaults encode the classic 0.15 + 0.85·Σ.
+    *
+    * Per pass: one hash join (edges × ranks, both keyed on src — the
+    * outdegree join is pre-merged into the rank table so the loop body is
+    * a single exchange) + one partial-aggregable sum keyed on dst. Rank
+    * state is localCheckpoint-ed per pass (lineage truncation). Dangling
+    * nodes (no out-edges) keep receiving the base term; their outbound
+    * mass is dropped, the standard simplification — callers who need
+    * mass conservation can add the dangling-sum redistribution as one
+    * more aggregate per pass.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 4, base: Long = 150000L, dampNum: Long = 85L): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    // Rank table carries outdeg so each pass joins once, not twice.
+    var r = nodes.join(outdeg, Seq("node"), "left")
+      .select(col("node"), lit(1000000L).as("r"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .filter(col("outdeg") > 0)
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = r.join(contrib, r("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"),
+          col("outdeg"))
+        .localCheckpoint()
+    }
+    r.select(col("node"), col("r").as("rank_micros"))
+  }
+
+  /** Minimum hop-distance from a seed set over an undirected edge list —
+    * multi-source BFS as Bellman-Ford relaxation: every pass each node
+    * takes `min(own depth, min over neighbors (depth + 1))`, settling in
+    * O(eccentricity) passes. Same single-shuffle pass shape as
+    * [[Components.connectedComponents]]: the node's previous depth rides
+    * through the min-aggregate (each node has exactly one state row, so
+    * `min` over the union recovers it past the neighbor rows' nulls) and
+    * convergence is a filter over the pass output — one join + one
+    * aggregate + one bounded count per pass, no second convergence join.
+    * Unreached nodes are dropped (depth stays null).
+    */
+  def bfsDepths(edges: DataFrame, srcCol: String, dstCol: String,
+                seeds: DataFrame, seedCol: String,
+                maxIters: Int = 50): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    val nodes = und.select(col("a").as("node")).distinct()
+    val seed = seeds.select(col(seedCol).as("node")).distinct()
+    var d = nodes.join(seed.withColumn("z", lit(0L)), Seq("node"), "left")
+      .select(col("node"), col("z").as("depth"))
+      .localCheckpoint()
+    var changed = true
+    var iter = 0
+    while (changed) {
+      if (iter >= maxIters) throw new IllegalStateException(
+        s"bfsDepths: not settled after $maxIters passes")
+      val nbr = und.join(d, col("a") === col("node"))
+        .filter(col("depth").isNotNull)
+        .select(col("b").as("node"), (col("depth") + 1).as("depth"),
+          lit(null).cast("long").as("prev"))
+      val next = d.select(col("node"), col("depth"), col("depth").as("prev"))
+        .union(nbr)
+        .groupBy(col("node"))
+        .agg(min(col("depth")).as("depth"), min(col("prev")).as("prev"))
+        .localCheckpoint()
+      changed = next.filter(!(col("depth") <=> col("prev"))).limit(1).count() > 0
+      d = next.select(col("node"), col("depth"))
+      iter += 1
+    }
+    d.filter(col("depth").isNotNull)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.graph.{Components, GraphBuilder}
+import graft.graph.{Components, GraphAlgos, GraphBuilder}
 
 /** Wave 6 — the graph builders (SURVEY.md §2.4 J2-J4, §2.12 K3) under the
   * oracle gate, over social-analog frames derived from the testdata:
@@ -64,6 +64,42 @@ object GraphQueries {
         .orderBy(col("component"))
     }),
 
+    // Triangle participation per node — degree-ordered node-iterator, so
+    // no reducer ever sees a hot hub's full neighborhood. Deterministic
+    // ring-with-chords graph (offsets +1..+5 mod 60) derived from events.
+    "q92_triangles" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events").select(
+        (col("user_id") % 60).cast("long").as("x"),
+        ((col("user_id") % 60 + 1 + col("event_id") % 5) % 60).cast("long").as("y"))
+      GraphAlgos.triangleCounts(raw, "x", "y")
+        .orderBy(col("node"))
+    }),
+
+    // Fixed-iteration PageRank in integer micro-units — bit-exact vs the
+    // oracle's unrolled CTE chain (floor division both levels, no float
+    // summation anywhere).
+    "q93_pagerank" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(
+        (col("user_id") % 50).cast("long").as("src"),
+        (((col("user_id") % 50) * 7 + col("event_id") % 11) % 50).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      GraphAlgos.pageRank(e, "src", "dst", iters = 4)
+        .orderBy(col("node"))
+    }),
+
+    // Multi-source BFS depths (seeds = node % 10 = 0) over the same
+    // chord-ring graph — Bellman-Ford relaxation, one shuffle per pass.
+    "q94_bfs_depth" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events").select(
+        (col("user_id") % 60).cast("long").as("x"),
+        ((col("user_id") % 60 + 1 + col("event_id") % 5) % 60).cast("long").as("y"))
+      val seeds = raw.select(col("x").as("node"))
+        .union(raw.select(col("y").as("node")))
+        .distinct().filter(col("node") % 10 === 0)
+      GraphAlgos.bfsDepths(raw, "x", "y", seeds, "node")
+        .orderBy(col("node"))
+    }),
+
     // Same components via the O(log n) large-star/small-star rewrite —
     // the adversarial-graph path, against the identical oracle.
     "q82_cc_logn" -> ((s, dir) => {
@@ -106,8 +142,70 @@ object GraphQueries {
       |SELECT component, count(*) AS n_nodes FROM lab
       |GROUP BY component ORDER BY component""".stripMargin
 
+  /** Unrolled integer-micro PageRank: pr0..pr{iters} CTE chain, floor
+    * division (`//`) at both levels, HUGEINT sums cast back to BIGINT.
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val prs = (1 to iters).map { k =>
+      s"""pr$k AS (
+         |  SELECT n.node,
+         |    CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM(p.r // d.outdeg) AS BIGINT) AS s
+         |    FROM e JOIN pr${k - 1} p ON p.node = e.src
+         |           JOIN od d ON d.node = e.src
+         |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(user_id % 50 AS BIGINT) AS src,
+       |    CAST(((user_id % 50) * 7 + event_id % 11) % 50 AS BIGINT) AS dst
+       |  FROM events
+       |  WHERE (user_id % 50) <> ((user_id % 50) * 7 + event_id % 11) % 50),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+       |       FROM e GROUP BY src),
+       |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$prs
+       |SELECT node, r AS rank_micros FROM pr$iters ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q82_cc_logn" -> ccOracle,
+
+    "q92_triangles" ->
+      """WITH raw AS (
+        |  SELECT CAST(user_id % 60 AS BIGINT) AS x,
+        |    CAST((user_id % 60 + 1 + event_id % 5) % 60 AS BIGINT) AS y
+        |  FROM events),
+        |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |      FROM raw WHERE x <> y),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |n AS (SELECT unnest([x, y, z]) AS node FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM n
+        |GROUP BY node ORDER BY node""".stripMargin,
+
+    "q93_pagerank" -> pageRankOracle(4),
+
+    "q94_bfs_depth" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT CAST(user_id % 60 AS BIGINT) AS x,
+        |    CAST((user_id % 60 + 1 + event_id % 5) % 60 AS BIGINT) AS y
+        |  FROM events),
+        |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |      FROM raw WHERE x <> y),
+        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |seeds AS (SELECT DISTINCT a AS node FROM sym WHERE a % 10 = 0),
+        |reach AS (
+        |  SELECT node, CAST(0 AS BIGINT) AS d FROM seeds
+        |  UNION
+        |  SELECT s.b, r.d + 1 FROM sym s JOIN reach r ON r.node = s.a
+        |  WHERE r.d < 30)
+        |SELECT node, min(d) AS depth FROM reach
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     "q76_connected_components" ->
       """WITH RECURSIVE e AS (

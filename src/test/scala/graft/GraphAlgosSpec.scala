@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.GraphAlgos
+
+class GraphAlgosSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------ triangles
+
+  test("K4 has four triangles, three per node") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = GraphAlgos.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("hot hub with one chord: only the closed wedge counts") {
+    // star hub 100 → 1..10, plus chord (1,2): exactly one triangle.
+    val edges = ((1L to 10L).map(i => (100L, i)) :+ (1L, 2L)).toDF("src", "dst")
+    val out = GraphAlgos.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(100L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("duplicate / reversed / self-loop edges do not change counts") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (1L, 3L), (3L, 3L))
+      .toDF("src", "dst")
+    val out = GraphAlgos.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  // ------------------------------------------------------------- pagerank
+
+  test("2-cycle is a fixed point at exactly 1.0 (integer micros)") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = GraphAlgos.pageRank(edges, "src", "dst", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("dangling sink: hand-computed two-iteration values match exactly") {
+    // a → b, b dangling. r0 = 1e6 both.
+    // it1: b = 150000 + 85*1000000//100 = 1000000 ; a = 150000
+    // it2: b = 150000 + 85*150000//100  = 277500  ; a = 150000
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = GraphAlgos.pageRank(edges, "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 150000L, 2L -> 277500L))
+  }
+
+  // ------------------------------------------------------------------ bfs
+
+  test("path graph depths from a single seed; unreachable nodes dropped") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = GraphAlgos.bfsDepths(edges, "src", "dst", seeds, "node")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("multi-source: each node takes the nearest seed's distance") {
+    // path 1-2-3-4-5-6, seeds {1, 6}: depths 0,1,2,2,1,0
+    val edges = (1L until 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    val seeds = Seq(1L, 6L).toDF("node")
+    val out = GraphAlgos.bfsDepths(edges, "src", "dst", seeds, "node")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 0L))
+  }
+
+  test("bfs maxIters guard fails loudly") {
+    val edges = (1L until 60L).map(i => (i, i + 1)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    intercept[IllegalStateException] {
+      GraphAlgos.bfsDepths(edges, "src", "dst", seeds, "node", maxIters = 5).count()
+    }
+  }
+}
