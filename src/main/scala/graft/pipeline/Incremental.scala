@@ -60,6 +60,33 @@ object Incremental {
     delta
   }
 
+  /** Incremental VIEW MAINTENANCE for distributive aggregates: fold a new
+    * batch of raw rows into an aggregate snapshot WITHOUT re-scanning
+    * history — `O(batch + snapshot)`, not `O(all rows ever)`.
+    *
+    * `snapshot` holds one row per key with partial sums in `sumCols`
+    * (counts are just `lit(1)` sums — include an `n` column in the batch
+    * projection); `batch` holds raw rows with the same column names. Both
+    * union into ONE hash aggregate: map-side partials collapse the raw
+    * batch rows before the shuffle, and the snapshot contributes one row
+    * per key — the exchange carries `O(batch keys + snapshot keys)` rows.
+    * Averages/rates derive at read time from (sum, n); min/max work the
+    * same way (any commutative monoid); EXACT percentiles do not — route
+    * those to the full recompute.
+    *
+    * Pairs with [[processNew]]: the watermark picks the batch, this folds
+    * it in, and the snapshot overwrite is idempotent under re-runs.
+    */
+  def mergeAggregate(snapshot: DataFrame, batch: DataFrame,
+                     keys: Seq[String], sumCols: Seq[String]): DataFrame = {
+    val cols = keys ++ sumCols
+    val proj = batch.select(cols.map(col): _*)
+    snapshot.select(cols.map(col): _*).unionByName(proj)
+      .groupBy(keys.map(col): _*)
+      .agg(sumCols.map(c => sum(col(c)).as(c)).head,
+        sumCols.map(c => sum(col(c)).as(c)).tail: _*)
+  }
+
   def readWatermark(stateDir: String): Option[String] = {
     val f = Paths.get(stateDir, "watermark")
     if (Files.exists(f)) Some(Files.readString(f).trim) else None

@@ -13,6 +13,23 @@ import graft.enrich.Enrich
 object ExtraQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact heavy hitters without a full-cardinality shuffle: planted
+    // skew (user_id % 10 < 3 collapses to three hot keys, the long tail
+    // stays per-user) → Misra-Gries partition summaries prune to ≤ k·P
+    // candidates → broadcast semi-join + exact recount > n/k. Oracle is
+    // the plain HAVING — approximation prunes, never decides.
+    "q96_heavy_hitters" -> ((s, dir) => {
+      import graft.ops.HeavyHitters
+      val keyed = Tables.load(s, dir, "events").select(
+        when(col("user_id") % 10 < 3,
+            concat(lit("hot"), (col("user_id") % 3).cast("string")))
+          .otherwise(concat(lit("u"), col("user_id").cast("string")))
+          .as("k"))
+      HeavyHitters.heavyHitters(keyed, "k", k = 20)
+        .withColumnRenamed("key", "k")
+        .orderBy(col("k"))
+    }),
+
     // Bloom semi-join reduction: revenue of one nation's suppliers. The
     // dim is DERIVED (supplier ⋈ σ(nation)) — the shape Spark's automatic
     // runtime filter can miss — so the fact side is pre-filtered by a
@@ -398,6 +415,17 @@ object ExtraQueries {
   private val C = "CAST(round(%s * 100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q96_heavy_hitters" ->
+      """WITH keyed AS (
+        |  SELECT CASE WHEN user_id % 10 < 3
+        |    THEN 'hot' || CAST(user_id % 3 AS VARCHAR)
+        |    ELSE 'u' || CAST(user_id AS VARCHAR) END AS k
+        |  FROM events)
+        |SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM keyed
+        |GROUP BY k
+        |HAVING count(*) * 20 > (SELECT count(*) FROM keyed)
+        |ORDER BY k""".stripMargin,
+
     "q41_cube_agg" ->
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          |  CAST(sum(${C.format("o_totalprice")}) AS BIGINT) AS sum_price_cents

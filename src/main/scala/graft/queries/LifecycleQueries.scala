@@ -2,11 +2,12 @@ package graft.queries
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.graph.TreeOps
+import graft.ops.CoreOps
 import graft.pipeline.Compaction
 
 /** Table-lifecycle operators under the gate: landing-zone compaction (the
@@ -87,6 +88,30 @@ object LifecycleQueries {
         .orderBy(col("k"))
     }),
 
+    // Incremental view maintenance: the per-key (sum, n) snapshot is built
+    // from the first third of events, then two change batches fold in via
+    // partial-sum merge — history is never re-scanned. Oracle = the full
+    // recompute, which must agree exactly (integer cents).
+    "q97_incr_agg" -> ((s, dir) => {
+      import graft.pipeline.Incremental
+      val ev = Tables.load(s, dir, "events").select(
+        (col("user_id") % 25).as("k"),
+        CoreOps.cents(col("value")).as("val_cents"),
+        lit(1L).as("n"),
+        col("event_id"))
+      def slice(lo: Column, hi: Column) =
+        ev.filter(col("event_id") % 3 >= lo && col("event_id") % 3 < hi)
+          .drop("event_id")
+      val keys = Seq("k")
+      val sums = Seq("val_cents", "n")
+      val snap0 = slice(lit(0), lit(1))
+        .groupBy(col("k"))
+        .agg(sum(col("val_cents")).as("val_cents"), sum(col("n")).as("n"))
+      val snap1 = Incremental.mergeAggregate(snap0, slice(lit(1), lit(2)), keys, sums)
+      val snap2 = Incremental.mergeAggregate(snap1, slice(lit(2), lit(3)), keys, sums)
+      snap2.orderBy(col("k"))
+    }),
+
     // Comment-tree flatten: a deterministic forest over documents (roots
     // doc_id < 3, parent = (doc_id-1) div 2), resolved to (root, depth) by
     // pointer doubling — O(log depth) joins, vs the recursive CTE the
@@ -101,6 +126,12 @@ object LifecycleQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q97_incr_agg" ->
+      """SELECT user_id % 25 AS k,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS val_cents,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id % 25 ORDER BY k""".stripMargin,
+
     "q87_table_diff" ->
       """WITH flat AS (
         |  SELECT event_id, event_type,

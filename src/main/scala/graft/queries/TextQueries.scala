@@ -154,6 +154,16 @@ object TextQueries {
     // Corpus vocabulary: top-5 tokens per language by frequency (count
     // desc, token asc tiebreak) — wordcount + partial top-k, the two
     // canonical distributed aggregations composed.
+    // Top-3 TF-IDF terms per document — integer-exact scoring (monotone
+    // in tf·N/df), df over the FULL corpus, output restricted to the
+    // doc_id % 17 slice to keep the gate compact.
+    "q95_tfidf" -> ((s, dir) => {
+      TextOps.tfidfTopTerms(Tables.load(s, dir, "documents"),
+          "doc_id", "text", k = 3)
+        .filter(col("doc_id") % 17 === 0)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     "q89_vocab" -> ((s, dir) => {
       val toks = Tables.load(s, dir, "documents")
         .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
@@ -285,6 +295,30 @@ object TextQueries {
        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q95_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks WHERE len(token) > 0 GROUP BY doc_id, token),
+        |dfreq AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |      FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |    CAST((tf.tf * 1000000 * n.n_docs) // dfreq.df AS BIGINT) AS score_micros
+        |  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, token, tf, df, score_micros,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_micros DESC, token) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, token, tf, df, score_micros FROM ranked
+        |WHERE rank <= 3 AND doc_id % 17 = 0
+        |ORDER BY doc_id, rank""".stripMargin,
+
     "q89_vocab" ->
       """SELECT lang, rank, token, n FROM (
         |  SELECT lang, token, CAST(count(*) AS BIGINT) AS n,

@@ -123,4 +123,35 @@ object TextOps {
       floor(coalesce(sum(col(tokenCol)).over(before), lit(0L)) / lit(budget.toDouble))
         .cast(LongType))
   }
+
+  /** Top-k TF-IDF terms per document, scored in exact integers so any SQL
+    * engine reproduces the ranking bit-for-bit:
+    * `score_micros = (tf * 1,000,000 * n_docs) div df` — a monotone
+    * transform of tf·(N/df), floor-divided once (ties broken by token).
+    *
+    * Scale shape: tf is one hash aggregate keyed (doc, token); df is a
+    * second aggregate over tf's output (already one row per doc-term, no
+    * distinct needed); the corpus size joins in as a broadcast 1-row
+    * frame; the ranking window partitions by doc_id — no global sort, no
+    * driver-side vocabulary. The tf→df join is a plain hash join keyed on
+    * token; both sides are aggregates, so AQE sizes the exchange.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score_micros", expr("(tf * 1000000 * n_docs) div df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micros").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("score_micros"))
+  }
 }
