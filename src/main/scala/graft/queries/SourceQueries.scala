@@ -77,6 +77,29 @@ object SourceQueries {
         .orderBy(col("ts_u").desc).limit(500)
         .select(col("event_id"), col("event_type"), col("value_cents"), col("ts_u"))
         .orderBy(col("ts_u"))
+    }),
+
+    // Manifest-based data skipping: events range-clustered into 16 files
+    // on event_id, a min/max manifest built once, then a 10%-selective
+    // range query planned off the manifest — reads ~2 of 16 files
+    // (asserted in DataSkippingSpec; the gate checks values). Oracle is
+    // the unpruned filter: skipping must be invisible to results.
+    "q99_manifest_skip" -> ((s, dir) => {
+      import graft.sources.{DataSkipping, Layout}
+      val clustered = FixtureCache.dir("q99_clustered", dir) { out =>
+        Layout.writeClustered(
+          Tables.load(s, dir, "events").select(
+            col("event_id"), col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("value_cents")),
+          out, Seq("event_id"), files = 16)
+      }
+      val manifest = DataSkipping.buildManifest(s, clustered, "event_id")
+      DataSkipping.prunedRead(s, clustered, manifest, "event_id",
+          lo = 3000L, hi = 3999L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -91,5 +114,12 @@ object SourceQueries {
          |  WHERE ts_u >= (SELECT (count(*) * 6) // 10 FROM events)
          |  ORDER BY ts_u DESC LIMIT 500)
          |SELECT event_id, event_type, value_cents, ts_u FROM topk
-         |ORDER BY ts_u""".stripMargin)
+         |ORDER BY ts_u""".stripMargin,
+
+    "q99_manifest_skip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events WHERE event_id >= 3000 AND event_id <= 3999
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

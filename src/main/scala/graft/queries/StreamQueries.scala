@@ -152,6 +152,43 @@ object StreamQueries {
         .orderBy(col("event_id"))
     }),
 
+    // §2.10 stream-stream interval join: views and clicks land as two
+    // separate streaming sources; each view matches same-user clicks
+    // within the next 2 hours. Inner join in append mode — the match set
+    // is batch-split-invariant with a never-late watermark, and the
+    // time-range predicate is what bounds the join state at scale.
+    "q98_stream_join" -> ((s, dir) => {
+      val ss = streamSession(s)
+      def side(t: String, key: String) = {
+        val src = landing(key, dir,
+          Tables.load(s, dir, "events").filter(col("event_type") === t)
+            .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+              col("user_id")),
+          3, "event_id")
+        SocialStream.readJsonStream(ss, src, StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts_us", LongType),
+          StructField("user_id", LongType))), maxFilesPerTrigger = 1)
+      }
+      val views = side("view", "q98_views").select(
+        col("event_id").as("v_id"), col("user_id").as("v_user"),
+        timestamp_micros(col("ts_us")).as("v_ts"))
+      val clicks = side("click", "q98_clicks").select(
+        col("event_id").as("c_id"), col("user_id").as("c_user"),
+        timestamp_micros(col("ts_us")).as("c_ts"))
+      val joined = SocialStream.intervalJoin(views, clicks,
+        "v_user", "c_user", "v_ts", "c_ts",
+        maxGap = "2 hours", watermark = Horizon)
+      val sink = uniq("q98_sink_")
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      ss.table(sink)
+        .select(col("v_id"), col("c_id"), col("v_user").as("user_id"))
+        .orderBy(col("v_id"), col("c_id"))
+    }),
+
     // §2.10 + K3 composed: streaming micro-batches feeding an EXTERNAL
     // serving store through `foreachBatch` + the idempotent MERGE writer —
     // the streaming form of the reference's per-batch Neo4j load
@@ -218,5 +255,14 @@ object StreamQueries {
     "q72_stream_upsert" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type,
         |  CAST(round(value * 100) AS BIGINT) AS value_cents
-        |FROM events WHERE event_id % 7 = 0 ORDER BY event_id""".stripMargin)
+        |FROM events WHERE event_id % 7 = 0 ORDER BY event_id""".stripMargin,
+
+    "q98_stream_join" ->
+      """SELECT v.event_id AS v_id, c.event_id AS c_id, v.user_id
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 2 HOUR
+        |ORDER BY v_id, c_id""".stripMargin)
 }

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level data skipping via an explicit min/max stats manifest — the
+  * table-format half of what [[Layout.writeClustered]] sets up: clustering
+  * makes per-file key ranges disjoint; the manifest makes them *visible to
+  * planning* without opening a single parquet footer.
+  *
+  * This is the Delta/Iceberg "file statistics in the transaction log"
+  * pattern over plain directories: one manifest row per data file holding
+  * `min(col)`/`max(col)`. A range query consults the manifest first and
+  * hands Spark only the overlapping files — at 100 TB with a clustered
+  * layout, a point/range query plans in manifest-scan time (one row per
+  * file, thousands of rows) and reads a handful of files instead of
+  * listing and footer-probing the whole table. The manifest path collects
+  * the surviving file list on the driver, which is exactly what Spark's
+  * own `InMemoryFileIndex` does with EVERY file path — this one is
+  * strictly smaller (post-pruning survivors only).
+  *
+  * Exactness: pruning uses the closed interval `[min, max]` per file, so
+  * a file is skipped only when it provably holds no matching row; the
+  * exact predicate is re-applied to the surviving rows, making the result
+  * identical to the unpruned scan for any predicate.
+  */
+object DataSkipping {
+
+  /** Build the stats manifest for the parquet files under `dir`: one row
+    * per file with min/max of `statCol`. One distributed scan of the
+    * stat column only (column-pruned), one partial-aggregable min/max per
+    * file — rerun after layout changes (compaction owns this in a real
+    * pipeline).
+    */
+  def buildManifest(spark: SparkSession, dir: String, statCol: String): DataFrame =
+    spark.read.parquet(dir)
+      .select(input_file_name().as("file"), col(statCol))
+      .groupBy(col("file"))
+      .agg(min(col(statCol)).as("min_v"), max(col(statCol)).as("max_v"))
+
+  /** Read only the files whose `[min_v, max_v]` interval intersects
+    * `[lo, hi]`, then re-apply the exact range predicate. `manifest` is
+    * typically the persisted output of [[buildManifest]] read back — the
+    * collect here is the pruned file list (≤ one string per surviving
+    * file). Returns an empty, correctly-typed frame when nothing
+    * survives.
+    */
+  def prunedRead(spark: SparkSession, dir: String, manifest: DataFrame,
+                 statCol: String, lo: Long, hi: Long): DataFrame = {
+    val files = manifest
+      .filter(col("max_v") >= lo && col("min_v") <= hi)
+      .select(col("file")).collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty)
+        spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(statCol) >= lo && col(statCol) <= hi)
+  }
+}

@@ -53,6 +53,31 @@ object SocialStream {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Stream-stream event-time interval join: `left` rows match `right`
+    * rows with the same key whose timestamp falls in
+    * `[left.ts, left.ts + maxGap]` — the attribution join (view→click,
+    * post→comment) the reference answers by re-scanning accumulated
+    * tables every cadence; here both sides are unbounded streams and Spark
+    * buffers only the watermark-bounded tail of each in the state store.
+    * Both sides MUST carry distinct column names (rename before calling).
+    *
+    * The time-range predicate is what makes state finite: with watermark
+    * `w`, left rows older than `w + maxGap` past the max event time and
+    * right rows older than `w` are evicted. An equality-only stream-stream
+    * join would buffer forever.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   maxGap: String, watermark: String = "2 days"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxGap"))
+  }
+
   /** Latest-wins engagement state per key: emits the current best (newest
     * event-time) record for a key whenever it changes — the streaming
     * equivalent of the 2-day re-crawl overwriting score/commentCount
