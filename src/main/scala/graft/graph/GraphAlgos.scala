@@ -13,6 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object GraphAlgos {
 
+  /** Truncate lineage between iterative passes. `localCheckpoint` (the
+    * default) is executor-local and non-replicated — fastest, but an
+    * executor loss aborts the job mid-iteration. Passing a checkpoint
+    * dir switches to RELIABLE checkpoints under it (a distributed-FS
+    * path on a real cluster), the standard hardening for long iterative
+    * chains: a lost executor recomputes from the checkpoint, not from
+    * the start.
+    */
+  private def truncate(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(d) =>
+        df.sparkSession.sparkContext.setCheckpointDir(d)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
   /** Per-node triangle participation counts over an undirected edge list.
     *
     * Node-iterator with degree ordering (Suri & Vassilvitskii, "Counting
@@ -63,35 +79,71 @@ object GraphAlgos {
     * Per pass: one hash join (edges × ranks, both keyed on src — the
     * outdegree join is pre-merged into the rank table so the loop body is
     * a single exchange) + one partial-aggregable sum keyed on dst. Rank
-    * state is localCheckpoint-ed per pass (lineage truncation). Dangling
-    * nodes (no out-edges) keep receiving the base term; their outbound
-    * mass is dropped, the standard simplification — callers who need
-    * mass conservation can add the dangling-sum redistribution as one
-    * more aggregate per pass.
+    * state is lineage-truncated per pass (localCheckpoint, or reliable
+    * checkpoints under `checkpointDir`).
+    *
+    * Dangling nodes (no out-edges) keep receiving the base term; by
+    * default their outbound mass is dropped (the standard
+    * simplification). With `redistributeDangling` the pass conserves
+    * mass: the dangling nodes' total rank is split evenly across all
+    * nodes — `r'(v) = base + (dampNum * (Σ + D div N)) div 100` where
+    * `D = Σ_{outdeg(u)=0} r(u)` — one extra partial-aggregable sum per
+    * pass, still integer-exact (floor division both levels, so any SQL
+    * engine reproduces it bit-for-bit).
+    *
+    * `tolMicros` adds an early stop: iteration ends once
+    * `max_v |r'(v) - r(v)| <= tol` (one extra bounded-scalar aggregate
+    * per pass). The driver holds only that scalar. Fixed-`iters` runs
+    * (tol = None) stay exactly reproducible for oracles.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 4, base: Long = 150000L, dampNum: Long = 85L): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+               iters: Int = 4, base: Long = 150000L, dampNum: Long = 85L,
+               redistributeDangling: Boolean = false,
+               tolMicros: Option[Long] = None,
+               checkpointDir: Option[String] = None): DataFrame = {
+    val e = truncate(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .distinct(), checkpointDir)
+    val nodes = truncate(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct(), checkpointDir)
+    val nNodes = nodes.count()
     val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
     // Rank table carries outdeg so each pass joins once, not twice.
-    var r = nodes.join(outdeg, Seq("node"), "left")
+    var r = truncate(nodes.join(outdeg, Seq("node"), "left")
       .select(col("node"), lit(1000000L).as("r"),
-        coalesce(col("outdeg"), lit(0L)).as("outdeg"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
+        coalesce(col("outdeg"), lit(0L)).as("outdeg")), checkpointDir)
+    var iter = 0
+    var converged = false
+    while (iter < iters && !converged) {
       val contrib = e.join(r, e("src") === r("node"))
         .filter(col("outdeg") > 0)
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = r.join(contrib, r("node") === contrib("dst"), "left")
+      val joined = r.join(contrib, r("node") === contrib("dst"), "left")
+      val withShare =
+        if (!redistributeDangling) joined.withColumn("dshare", lit(0L))
+        else {
+          // D = total rank parked on dangling nodes this pass; its even
+          // share joins in as a broadcast 1-row frame (one extra
+          // partial-aggregable sum, no driver-side data).
+          val dang = r.filter(col("outdeg") === 0)
+            .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
+            .select(expr(s"dmass div CAST($nNodes AS BIGINT)").as("dshare"))
+          joined.crossJoin(broadcast(dang))
+        }
+      val next = truncate(withShare
         .select(col("node"),
-          (lit(base) + expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"),
-          col("outdeg"))
-        .localCheckpoint()
+          (lit(base) + expr(
+            s"($dampNum * (coalesce(s, CAST(0 AS BIGINT)) + dshare)) div 100")).as("r"),
+          col("outdeg"), col("r").as("r_prev")), checkpointDir)
+      converged = tolMicros match {
+        case Some(tol) =>
+          next.agg(coalesce(max(abs(col("r") - col("r_prev"))), lit(0L)).as("d"))
+            .head.getLong(0) <= tol
+        case None => false
+      }
+      r = next.drop("r_prev")
+      iter += 1
     }
     r.select(col("node"), col("r").as("rank_micros"))
   }
@@ -109,16 +161,16 @@ object GraphAlgos {
     */
   def bfsDepths(edges: DataFrame, srcCol: String, dstCol: String,
                 seeds: DataFrame, seedCol: String,
-                maxIters: Int = 50): DataFrame = {
+                maxIters: Int = 50,
+                checkpointDir: Option[String] = None): DataFrame = {
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
+    val und = truncate(e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct(), checkpointDir)
     val nodes = und.select(col("a").as("node")).distinct()
     val seed = seeds.select(col(seedCol).as("node")).distinct()
-    var d = nodes.join(seed.withColumn("z", lit(0L)), Seq("node"), "left")
-      .select(col("node"), col("z").as("depth"))
-      .localCheckpoint()
+    var d = truncate(nodes.join(seed.withColumn("z", lit(0L)), Seq("node"), "left")
+      .select(col("node"), col("z").as("depth")), checkpointDir)
     var changed = true
     var iter = 0
     while (changed) {
@@ -128,11 +180,12 @@ object GraphAlgos {
         .filter(col("depth").isNotNull)
         .select(col("b").as("node"), (col("depth") + 1).as("depth"),
           lit(null).cast("long").as("prev"))
-      val next = d.select(col("node"), col("depth"), col("depth").as("prev"))
-        .union(nbr)
-        .groupBy(col("node"))
-        .agg(min(col("depth")).as("depth"), min(col("prev")).as("prev"))
-        .localCheckpoint()
+      val next = truncate(
+        d.select(col("node"), col("depth"), col("depth").as("prev"))
+          .union(nbr)
+          .groupBy(col("node"))
+          .agg(min(col("depth")).as("depth"), min(col("prev")).as("prev")),
+        checkpointDir)
       changed = next.filter(!(col("depth") <=> col("prev"))).limit(1).count() > 0
       d = next.select(col("node"), col("depth"))
       iter += 1

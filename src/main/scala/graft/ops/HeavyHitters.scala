@@ -31,6 +31,14 @@ object HeavyHitters {
   /** Keys of `keyCol` (any type; compared via its string form) with count
     * strictly greater than n/k, with exact counts. Null keys are excluded
     * (a null can't carry equi-join/group identity). Output: (key, cnt).
+    *
+    * Exactly TWO scans of the input: the MG pass also emits one
+    * per-partition row-count row (key = null sentinel; real null keys are
+    * filtered before the kernel), so the global total rides out of the
+    * same pass instead of a third scan. The summary is bounded —
+    * ≤ (k+1)·partitions rows — so collecting it is the same scale class
+    * as the candidate broadcast phase 2 needs anyway; the driver never
+    * holds more than the summaries.
     */
   def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
@@ -38,9 +46,12 @@ object HeavyHitters {
     import spark.implicits._
     val keys = df.select(col(keyCol).cast("string").as("key"))
       .filter(col("key").isNotNull)
-    val candidates = keys.as[String].mapPartitions { it =>
+    // Scan 1: per-partition Misra-Gries summaries + the partition row count.
+    val summaries: Array[(String, Long)] = keys.as[String].mapPartitions { it =>
+      var nPart = 0L
       val counters = mutable.HashMap.empty[String, Long]
       it.foreach { x =>
+        nPart += 1
         if (counters.contains(x)) counters(x) += 1
         else if (counters.size < k) counters(x) = 1
         else {
@@ -53,13 +64,17 @@ object HeavyHitters {
           dead.foreach(counters.remove)
         }
       }
-      counters.keysIterator
-    }.toDF("key").distinct()
-    val n = keys.agg(count(lit(1)).as("n_total"))
+      Iterator.single((null: String, nPart)) ++
+        counters.keysIterator.map(c => (c, 0L))
+    }.collect()
+    val nTotal = summaries.iterator.filter(_._1 == null).map(_._2).sum
+    val candidates = summaries.iterator.collect {
+      case (c, _) if c != null => c
+    }.toSeq.distinct.toDF("key")
+    // Scan 2: exact recount of the candidate superset, exact threshold.
     keys.join(broadcast(candidates), Seq("key"), "left_semi")
       .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(n))
-      .filter(col("cnt") * k > col("n_total"))
+      .filter(col("cnt") * k > lit(nTotal))
       .select(col("key"), col("cnt"))
   }
 }

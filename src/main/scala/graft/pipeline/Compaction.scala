@@ -68,11 +68,27 @@ object Compaction {
     *
     * Precondition (same as Delta's MERGE): `changes` has at most one row
     * per key — multiple change rows for one key would be order-ambiguous.
-    * Pass `changeOrder` to break such ties deterministically instead.
+    * Pass `changeOrder` to break such ties deterministically, or
+    * `strict = true` to ENFORCE the precondition the way Delta does
+    * (raise on duplicate change keys) instead of documenting it: strict
+    * mode runs one extra aggregate over the change batch (the small
+    * side) before merging.
     */
   def merge(base: DataFrame, changes: DataFrame, keys: Seq[String],
             deleteCol: Option[String] = None,
-            changeOrder: Seq[Column] = Nil): DataFrame = {
+            changeOrder: Seq[Column] = Nil,
+            strict: Boolean = false): DataFrame = {
+    if (strict && changeOrder.isEmpty) {
+      val dup = changes.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__graft_n"))
+        .filter(col("__graft_n") > 1)
+        .limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalArgumentException(
+          s"merge: multiple change rows share key ${dup.head.toSeq.init.mkString("(", ", ", ")")} " +
+            "and no changeOrder was given — the surviving row would be " +
+            "nondeterministic. Deduplicate the batch or pass changeOrder.")
+    }
     val dataCols = base.columns.toSeq
     val del = deleteCol.map(c => coalesce(col(c), lit(false)))
       .getOrElse(lit(false))
@@ -108,5 +124,48 @@ object Compaction {
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(snapshotDir)
     spark.read.parquet(snapshotDir)
+  }
+
+  /** [[compactLatestWins]] + data-skipping manifest rebuild in one unit:
+    * compaction rewrites the file layout, which INVALIDATES any manifest
+    * built over the landing zone — a pruned read against a stale
+    * manifest would list files that no longer exist. So the manifest is
+    * derived from the files the compaction just wrote, staged to a side
+    * dir, and swapped in with an atomic rename AFTER the snapshot write
+    * completes: a reader that wins the race sees either the old manifest
+    * (over the old snapshot, if it read that first) or the new pair,
+    * never a manifest describing half-written files. (On object stores
+    * the swap is a metastore pointer flip; the rename models it.)
+    *
+    * Returns the snapshot read back; the manifest lands at `manifestDir`
+    * for [[graft.sources.DataSkipping.prunedRead]].
+    */
+  def compactWithManifest(spark: SparkSession, landingDir: String,
+                          snapshotDir: String, manifestDir: String,
+                          keys: Seq[String], order: Seq[Column],
+                          statCol: String,
+                          partitionCols: Seq[String] = Nil): DataFrame = {
+    val snapshot = compactLatestWins(spark, landingDir, snapshotDir,
+      keys, order, partitionCols)
+    val staging = manifestDir + ".staging-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    graft.sources.DataSkipping.buildManifest(spark, snapshotDir, statCol)
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val fs = new java.io.File(manifestDir)
+    if (fs.exists()) {
+      val old = new java.io.File(manifestDir + ".old-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      if (!fs.renameTo(old))
+        throw new java.io.IOException(s"could not retire old manifest $manifestDir")
+      deleteRecursive(old)
+    }
+    if (!new java.io.File(staging).renameTo(fs))
+      throw new java.io.IOException(s"could not publish manifest $manifestDir")
+    snapshot
+  }
+
+  private def deleteRecursive(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursive))
+    f.delete(): Unit
   }
 }

@@ -79,6 +79,7 @@ object Incremental {
     */
   def mergeAggregate(snapshot: DataFrame, batch: DataFrame,
                      keys: Seq[String], sumCols: Seq[String]): DataFrame = {
+    require(sumCols.nonEmpty, "mergeAggregate needs at least one sum column")
     val cols = keys ++ sumCols
     val proj = batch.select(cols.map(col): _*)
     snapshot.select(cols.map(col): _*).unionByName(proj)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.graph.{Components, GraphAlgos, GraphBuilder}
+import graft.graph.{Components, GraphAlgos, GraphBuilder, Motifs}
 
 /** Wave 6 — the graph builders (SURVEY.md §2.4 J2-J4, §2.12 K3) under the
   * oracle gate, over social-analog frames derived from the testdata:
@@ -14,6 +14,12 @@ import graft.graph.{Components, GraphAlgos, GraphBuilder}
   * semantics), edge projection, and the mention fan-out.
   */
 object GraphQueries {
+
+  /** q94's depth cap, shared by the engine call (maxIters) and the
+    * oracle's recursive-CTE bound so neither can silently truncate
+    * deeper than the other.
+    */
+  private val bfsDepthBound = 30
 
   private def posts(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents").select(
@@ -77,14 +83,65 @@ object GraphQueries {
 
     // Fixed-iteration PageRank in integer micro-units — bit-exact vs the
     // oracle's unrolled CTE chain (floor division both levels, no float
-    // summation anywhere).
+    // summation anywhere). Dangling redistribution stays ON: this graph
+    // has no dangling nodes (every residue 0..49 sources an edge), so the
+    // conserving pass must reproduce the plain oracle exactly — the
+    // no-op case of the feature under the same gate q105 drives the
+    // active case through.
     "q93_pagerank" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events").select(
         (col("user_id") % 50).cast("long").as("src"),
         (((col("user_id") % 50) * 7 + col("event_id") % 11) % 50).cast("long").as("dst"))
         .filter(col("src") =!= col("dst"))
-      GraphAlgos.pageRank(e, "src", "dst", iters = 4)
+      GraphAlgos.pageRank(e, "src", "dst", iters = 4,
+          redistributeDangling = true)
         .orderBy(col("node"))
+    }),
+
+    // PageRank with REAL dangling nodes (nodes ≡ 0 mod 9 lose their
+    // out-edges but keep receiving) and mass-conserving redistribution —
+    // each pass folds the dangling total back in as an even share,
+    // integer-exact vs the oracle's extended CTE. Runs under RELIABLE
+    // checkpoints (a checkpoint dir, not localCheckpoint) to gate the
+    // fault-tolerant lineage-truncation path.
+    "q105_pagerank_dangling" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(
+        (col("user_id") % 50).cast("long").as("src"),
+        (((col("user_id") % 50) * 7 + col("event_id") % 11) % 50).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst") && col("src") % 9 =!= 0)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_pr_ckpt_").toString
+      GraphAlgos.pageRank(e, "src", "dst", iters = 4,
+          redistributeDangling = true, checkpointDir = Some(ckpt))
+        .orderBy(col("node"))
+    }),
+
+    // 2-hop motif ("users mentioned by the users X mentions") over the
+    // chord graph, midpoint-degree-bounded — the composable edge-join
+    // answer to the reference's Neo4j pattern queries
+    // (`neo4j_insert/neo4j_twitter_insert.py:60-82`).
+    "q103_two_hop" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(
+        (col("user_id") % 50).cast("long").as("src"),
+        (((col("user_id") % 50) * 7 + col("event_id") % 11) % 50).cast("long").as("dst"))
+      Motifs.twoHopCounts(e, "src", "dst", maxMidDegree = Some(21))
+        .orderBy(col("a"))
+    }),
+
+    // Co-commenter motif ("users engaging the same items") over a
+    // bipartite (user, item) projection with three planted viral items
+    // (degree 40 — every user) and structural cold items shared by user
+    // pairs; the degree cap must prune exactly the viral ones before the
+    // pair join (`glue/reddit_glue.py:92-99` COMMENTED_ON).
+    "q106_co_comment" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(
+        (col("user_id") % 40).cast("long").as("u"),
+        when(col("event_id") % 5 === 0, col("user_id") % 3)
+          .otherwise(expr("10 + ((user_id % 40) div 2 * 7 + event_id % 7) % 590"))
+          .cast("long").as("item"))
+      Motifs.coOccurrence(e, "u", "item",
+          minShared = 5L, maxItemDegree = Some(35L))
+        .orderBy(col("u1"), col("u2"))
     }),
 
     // Multi-source BFS depths (seeds = node % 10 = 0) over the same
@@ -96,7 +153,8 @@ object GraphQueries {
       val seeds = raw.select(col("x").as("node"))
         .union(raw.select(col("y").as("node")))
         .distinct().filter(col("node") % 10 === 0)
-      GraphAlgos.bfsDepths(raw, "x", "y", seeds, "node")
+      GraphAlgos.bfsDepths(raw, "x", "y", seeds, "node",
+          maxIters = bfsDepthBound)
         .orderBy(col("node"))
     }),
 
@@ -169,8 +227,80 @@ object GraphQueries {
        |SELECT node, r AS rank_micros FROM pr$iters ORDER BY node""".stripMargin
   }
 
+  /** q105's oracle: the unrolled PageRank CTE extended with the
+    * dangling-mass term — per pass, the rank total parked on nodes with
+    * no out-edges splits evenly (floor division) across all nodes before
+    * damping. Same integer-micros arithmetic as [[pageRankOracle]].
+    */
+  private def pageRankDanglingOracle(iters: Int): String = {
+    val prs = (1 to iters).map { k =>
+      s"""dang$k AS (
+         |  SELECT CAST(COALESCE(sum(p.r), 0) AS BIGINT)
+         |      // (SELECT nn FROM n) AS dshare
+         |  FROM pr${k - 1} p LEFT JOIN od d ON d.node = p.node
+         |  WHERE d.node IS NULL),
+         |pr$k AS (
+         |  SELECT nd.node,
+         |    CAST(150000 + (85 * (COALESCE(s.s, 0)
+         |      + (SELECT dshare FROM dang$k))) // 100 AS BIGINT) AS r
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM(p.r // d.outdeg) AS BIGINT) AS s
+         |    FROM e JOIN pr${k - 1} p ON p.node = e.src
+         |           JOIN od d ON d.node = e.src
+         |    GROUP BY e.dst) s ON s.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(user_id % 50 AS BIGINT) AS src,
+       |    CAST(((user_id % 50) * 7 + event_id % 11) % 50 AS BIGINT) AS dst
+       |  FROM events
+       |  WHERE (user_id % 50) <> ((user_id % 50) * 7 + event_id % 11) % 50
+       |    AND (user_id % 50) % 9 <> 0),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+       |od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+       |       FROM e GROUP BY src),
+       |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$prs
+       |SELECT node, r AS rank_micros FROM pr$iters ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q82_cc_logn" -> ccOracle,
+
+    "q105_pagerank_dangling" -> pageRankDanglingOracle(4),
+
+    "q103_two_hop" ->
+      """WITH raw AS (
+        |  SELECT CAST(user_id % 50 AS BIGINT) AS src,
+        |    CAST(((user_id % 50) * 7 + event_id % 11) % 50 AS BIGINT) AS dst
+        |  FROM events),
+        |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |deg AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        |  GROUP BY node),
+        |f AS (SELECT src, dst FROM e
+        |      WHERE dst IN (SELECT node FROM deg WHERE d <= 21)),
+        |h AS (SELECT DISTINCT f.src AS a, s.dst AS c
+        |      FROM f JOIN e s ON s.src = f.dst WHERE s.dst <> f.src)
+        |SELECT a, CAST(count(*) AS BIGINT) AS n_two_hop FROM h
+        |GROUP BY a ORDER BY a""".stripMargin,
+
+    "q106_co_comment" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(user_id % 40 AS BIGINT) AS u,
+        |    CAST(CASE WHEN event_id % 5 = 0 THEN user_id % 3
+        |         ELSE 10 + ((user_id % 40) // 2 * 7 + event_id % 7) % 590
+        |         END AS BIGINT) AS item
+        |  FROM events),
+        |b AS (SELECT u, item FROM e WHERE item IN (
+        |  SELECT item FROM (SELECT item, count(*) AS dd FROM e GROUP BY item)
+        |  WHERE dd <= 35))
+        |SELECT u1, u2, n_shared FROM (
+        |  SELECT l.u AS u1, r.u AS u2, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM b l JOIN b r ON l.item = r.item AND l.u < r.u
+        |  GROUP BY l.u, r.u)
+        |WHERE n_shared >= 5 ORDER BY u1, u2""".stripMargin,
 
     "q92_triangles" ->
       """WITH raw AS (
@@ -191,21 +321,21 @@ object GraphQueries {
     "q93_pagerank" -> pageRankOracle(4),
 
     "q94_bfs_depth" ->
-      """WITH RECURSIVE raw AS (
-        |  SELECT CAST(user_id % 60 AS BIGINT) AS x,
-        |    CAST((user_id % 60 + 1 + event_id % 5) % 60 AS BIGINT) AS y
-        |  FROM events),
-        |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
-        |      FROM raw WHERE x <> y),
-        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-        |seeds AS (SELECT DISTINCT a AS node FROM sym WHERE a % 10 = 0),
-        |reach AS (
-        |  SELECT node, CAST(0 AS BIGINT) AS d FROM seeds
-        |  UNION
-        |  SELECT s.b, r.d + 1 FROM sym s JOIN reach r ON r.node = s.a
-        |  WHERE r.d < 30)
-        |SELECT node, min(d) AS depth FROM reach
-        |GROUP BY node ORDER BY node""".stripMargin,
+      s"""WITH RECURSIVE raw AS (
+         |  SELECT CAST(user_id % 60 AS BIGINT) AS x,
+         |    CAST((user_id % 60 + 1 + event_id % 5) % 60 AS BIGINT) AS y
+         |  FROM events),
+         |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+         |      FROM raw WHERE x <> y),
+         |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |seeds AS (SELECT DISTINCT a AS node FROM sym WHERE a % 10 = 0),
+         |reach AS (
+         |  SELECT node, CAST(0 AS BIGINT) AS d FROM seeds
+         |  UNION
+         |  SELECT s.b, r.d + 1 FROM sym s JOIN reach r ON r.node = s.a
+         |  WHERE r.d < $bfsDepthBound)
+         |SELECT node, min(d) AS depth FROM reach
+         |GROUP BY node ORDER BY node""".stripMargin,
 
     "q76_connected_components" ->
       """WITH RECURSIVE e AS (

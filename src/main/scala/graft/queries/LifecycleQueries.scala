@@ -67,6 +67,32 @@ object LifecycleQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Compaction ↔ data-skipping integration: compacting the landing zone
+    // rewrites the file layout, so the skipping manifest MUST be rebuilt
+    // with it (a stale one lists dead files). compactWithManifest swaps
+    // the rebuilt manifest in atomically after the snapshot write; the
+    // pruned range read over the compacted table must then be exact.
+    "q102_compact_manifest" -> ((s, dir) => {
+      val flat = eventsFlat(s, dir)
+      val recrawl = flat.filter(col("event_id") % 3 === 0)
+        .withColumn("ts_us", col("ts_us") + expr("3600000000"))
+        .withColumn("value_cents", col("value_cents") + 1)
+      val landing = FixtureCache.dir("q69_landing", dir) { d =>
+        flat.write.mode("overwrite").parquet(d)
+        recrawl.write.mode("append").parquet(d)
+      }
+      val snapshot = Files.createTempDirectory("graft_cm_snap_").toString
+      val manifestDir = snapshot + "_manifest"
+      graft.pipeline.Compaction.compactWithManifest(s, landing, snapshot,
+        manifestDir, keys = Seq("event_id"), order = Seq(col("ts_us")),
+        statCol = "event_id")
+      graft.sources.DataSkipping.prunedRead(s, snapshot,
+          s.read.parquet(manifestDir), "event_id", 1000L, 2000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
+        .orderBy(col("event_type"))
+    }),
+
     // MERGE INTO semantics over plain DataFrames: a change batch carrying
     // updates (%3, bal+100), deletes (%7) and inserts (%11, shifted keys)
     // merged into the customer snapshot in one keyed shuffle — the
@@ -126,6 +152,17 @@ object LifecycleQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q102_compact_manifest" ->
+      """WITH latest AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT)
+        |      + CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS value_cents
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value_cents) AS BIGINT) AS sum_cents
+        |FROM latest WHERE event_id BETWEEN 1000 AND 2000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q97_incr_agg" ->
       """SELECT user_id % 25 AS k,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS val_cents,

@@ -152,6 +152,48 @@ object StreamQueries {
         .orderBy(col("event_id"))
     }),
 
+    // §2.10 streaming SESSION windows — the one stateful shape the other
+    // stream gates don't touch (merging-session state, append-mode
+    // emission on watermark passage). Determinism: ALL real rows land as
+    // ONE file → one micro-batch → nothing is ever late; then a far-future
+    // sentinel row lands as batch 2, driving the watermark past every real
+    // session so append mode flushes them (the no-data micro-batch after
+    // it emits the tail). The sentinel's own open session never closes and
+    // is filtered out. Oracle = q49's lag-based batch sessionization.
+    "q104_stream_sessions" -> ((s, dir) => {
+      val ss = streamSession(s)
+      val rows = Tables.load(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val maxTs = rows.agg(max(col("ts_us"))).head.getLong(0)
+      val src = Files.createTempDirectory("graft_q104_").toString
+      rows.coalesce(1).write.mode("append").json(src)
+      val schema = StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("ts_us", LongType)))
+      val stream = SocialStream
+        .readJsonStream(ss, src, schema, maxFilesPerTrigger = 1)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val sessions = SocialStream.sessionCounts(stream, "ts",
+        Seq("user_id"), gap = "30 minutes", watermark = "0 seconds")
+      val sink = uniq("q104_sink_")
+      val q = sessions.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      // Sentinel: one row ~400 days past the data flushes every real
+      // session through the 0-second watermark.
+      ss.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(-1L,
+            maxTs + 400L * 86400L * 1000000L)), schema)
+        .coalesce(1).write.mode("append").json(src)
+      q.processAllAvailable()
+      q.stop()
+      ss.table(sink)
+        .filter(col("user_id") =!= -1L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // §2.10 stream-stream interval join: views and clicks land as two
     // separate streaming sources; each view matches same-user clicks
     // within the next 2 hours. Inner join in append mode — the match set
@@ -232,6 +274,21 @@ object StreamQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // Same sessionization semantics as q49's batch oracle: a session
+    // breaks when the gap to the previous event reaches 30 minutes.
+    "q104_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |m AS (
+        |  SELECT user_id,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e)
+        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q66_stream_tumbling" ->
       """SELECT secs - secs % 900 AS bucket_start, event_type, count(*) AS n
         |FROM (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS secs, event_type FROM events)

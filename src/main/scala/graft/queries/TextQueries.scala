@@ -245,12 +245,23 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // A6 approx distinct (HLL) — no SQL oracle (sketch is engine-specific);
-    // driver records a rows-only check.
+    // A6 approx distinct (HLL) under the hard gate: the sketch estimate is
+    // engine-specific, so the query emits the EXACT count plus a boolean
+    // tolerance check of the HLL estimate against it (rsd=0.05 → the
+    // estimate must land within 5%). DuckDB oracles the exact count and
+    // `within_5pct = true`, putting the approximate path itself under the
+    // hash-match gate instead of a weaker rows-only check.
     "q30_approx_users" -> ((s, dir) => {
       Tables.load(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
+        .select(
+          col("event_type"),
+          col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * lit(0.05)).as("within_5pct"))
         .orderBy(col("event_type"))
     }))
 
@@ -295,6 +306,15 @@ object TextQueries {
        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q30: oracle the exact distinct count; the HLL estimate is checked
+    // in-query against the 5% tolerance and surfaces only as a boolean,
+    // so the approximate path sits under the hash gate too.
+    "q30_approx_users" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  true AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q95_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -49,11 +49,28 @@ object DataSkipping {
                  statCol: String, lo: Long, hi: Long): DataFrame = {
     val files = manifest
       .filter(col("max_v") >= lo && col("min_v") <= hi)
-      .select(col("file")).collect().map(_.getString(0))
+      .select(col("file")).collect().map(r => globSafe(r.getString(0)))
     val base =
       if (files.isEmpty)
         spark.read.parquet(dir).limit(0)
       else spark.read.parquet(files.toIndexedSeq: _*)
     base.filter(col(statCol) >= lo && col(statCol) <= hi)
+  }
+
+  /** `input_file_name()` yields percent-ENCODED URIs, while
+    * `spark.read.parquet(paths)` treats each string as a GLOB pattern —
+    * a file named `a b[1].parquet` would round-trip as `a%20b[1].parquet`
+    * and then match nothing (or the wrong file). Decode the URI, then
+    * backslash-escape Hadoop's glob metacharacters so the re-read matches
+    * the surviving files literally.
+    */
+  private[graft] def globSafe(fileUri: String): String = {
+    val decoded =
+      try {
+        val u = new java.net.URI(fileUri)
+        if (u.getScheme == null) fileUri
+        else u.getScheme + "://" + Option(u.getAuthority).getOrElse("") + u.getPath
+      } catch { case _: java.net.URISyntaxException => fileUri }
+    decoded.replaceAll("""([\[\]{}*?\\])""", """\\$1""")
   }
 }

@@ -44,6 +44,28 @@ object SocialStream {
       .select((Seq(col("window.start").as("window_start"),
         col("window.end").as("window_end")) ++ keyCols.map(col) :+ col("n")): _*)
 
+  /** Streaming sessionization: per-key event counts per activity session,
+    * where a session extends while consecutive events arrive within
+    * `gap`. The stateful streaming twin of the batch `session_window`
+    * aggregate (q10/q49's shape): Spark keeps one merging-session state
+    * per key, so out-of-order events within the watermark can FUSE two
+    * open sessions — state the batch path never exercises. Output (in
+    * append mode, once the watermark passes a session's end):
+    * session_start, session_end, the key columns, n.
+    *
+    * Append mode only emits CLOSED sessions — drive the watermark past
+    * the data (e.g. a sentinel row far in the future) to flush the tail.
+    */
+  def sessionCounts(df: DataFrame, tsCol: String, keyCols: Seq[String],
+                    gap: String = "30 minutes",
+                    watermark: String = "0 seconds"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy((session_window(col(tsCol), gap) +: keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"))
+      .select((Seq(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end")) ++
+        keyCols.map(col) :+ col("n")): _*)
+
   /** Streaming dedup on id across the watermark: first record wins within
     * the watermark horizon (the MERGE-on-id idempotence of the reference's
     * graph sink).

@@ -144,9 +144,17 @@ object TextOps {
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    // The product is computed in DecimalType: 64-bit `tf * 1000000 *
+    // n_docs` silently wraps in non-ANSI mode once tf·n_docs exceeds
+    // ~9.2e12 (easily reached at web-corpus scale), corrupting the
+    // ranking. DECIMAL(38,0) holds any realistic product (tf ≤ 1e15,
+    // n_docs ≤ 1e12 → 1e33 < 1e38); `div` truncates back to BIGINT, and
+    // an out-of-long quotient surfaces as NULL instead of a wrapped
+    // wrong score.
     val scored = tf.join(dfreq, "token")
       .crossJoin(broadcast(n))
-      .withColumn("score_micros", expr("(tf * 1000000 * n_docs) div df"))
+      .withColumn("score_micros",
+        expr("(CAST(tf AS DECIMAL(38,0)) * 1000000 * n_docs) div df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_micros").desc, col("token"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))

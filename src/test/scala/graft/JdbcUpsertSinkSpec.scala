@@ -16,15 +16,17 @@ class JdbcUpsertSinkSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
-  // One in-memory DB per test (not a shared one): sbt runs suites in
-  // parallel, and db-level lock contention in a shared Derby instance can
-  // flake an otherwise-correct test.
+  // One FILE-BACKED DB per test: Derby's in-memory storage factory has a
+  // known race class under concurrent batch work (NPE in
+  // BaseContainerHandle.deleteObserver, seen once in a loaded parallel
+  // run); the directory-backed store does not. Each test gets a fresh
+  // temp dir, so there is no cross-test contention either. The suite also
+  // runs in its own forked JVM (build.sbt testGrouping).
   private var url: String = _
 
   private def withTable[A](ddlCols: String)(f: String => A): A = {
-    url = "jdbc:derby:memory:sink" +
-      java.util.UUID.randomUUID().toString.replace("-", "").take(12) +
-      ";create=true"
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-derby-").resolve("db")
+    url = s"jdbc:derby:${dbDir.toAbsolutePath};create=true"
     val table = "t" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val conn = DriverManager.getConnection(url)
     try {
