@@ -80,4 +80,51 @@ class GraphAlgosSpec extends AnyFunSuite {
       GraphAlgos.bfsDepths(edges, "src", "dst", seeds, "node", maxIters = 5).count()
     }
   }
+
+  // -------------------------------------------- pagerank: dangling mass
+
+  test("redistributeDangling conserves total mass; hand-computed values") {
+    // 1 → 2, node 2 dangling, N = 2. Per pass D = r(2), dshare = D div 2:
+    // it1: r(1) = 150000 + 85*(0 + 500000) div 100        = 575000
+    //      r(2) = 150000 + 85*(1000000 + 500000) div 100  = 1425000
+    // it2: dshare = 1425000 div 2 = 712500
+    //      r(1) = 150000 + 85*712500 div 100              = 755625
+    //      r(2) = 150000 + 85*(575000 + 712500) div 100   = 1244375
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = GraphAlgos.pageRank(edges, "src", "dst", iters = 2,
+      redistributeDangling = true).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 755625L, 2L -> 1244375L))
+    assert(out.values.sum == 2000000L) // mass conserved exactly
+  }
+
+  test("redistribution on a graph with no dangling nodes is a no-op") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val plain = GraphAlgos.pageRank(edges, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val redis = GraphAlgos.pageRank(edges, "src", "dst", iters = 3,
+      redistributeDangling = true).as[(Long, Long)].collect().toMap
+    assert(plain == redis)
+  }
+
+  test("tolMicros early stop lands on the same fixed point as a long run") {
+    // 2-cycle reaches its fixed point after one pass; tol-stop at 50
+    // iters must equal the plain 4-iter run.
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val stopped = GraphAlgos.pageRank(edges, "src", "dst", iters = 50,
+      tolMicros = Some(0L)).as[(Long, Long)].collect().toMap
+    assert(stopped == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("reliable checkpointDir: same results, checkpoint files materialize") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val local = GraphAlgos.pageRank(edges, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val reliable = GraphAlgos.pageRank(edges, "src", "dst", iters = 3,
+      checkpointDir = Some(dir)).as[(Long, Long)].collect().toMap
+    assert(local == reliable)
+    def anyFile(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles()).exists(_.exists(anyFile))
+    assert(anyFile(new java.io.File(dir))) // lineage actually hit the dir
+  }
 }

@@ -95,6 +95,54 @@ class LifecycleSpec extends AnyFunSuite {
     assert(b == Set((1L, 12L)))
   }
 
+  test("merge strict: duplicate change keys raise; changeOrder makes them legal") {
+    val base = Seq((1L, 10L)).toDF("k", "v")
+    val dups = Seq((1L, 11L), (1L, 12L)).toDF("k", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Compaction.merge(base, dups, Seq("k"), strict = true)
+    }
+    assert(ex.getMessage.contains("changeOrder"))
+    // With a tie-break order the same batch merges deterministically.
+    val out = Compaction.merge(base, dups, Seq("k"),
+      changeOrder = Seq(col("v")), strict = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 12L)))
+    // Strict with unique keys is a plain merge.
+    val ok = Compaction.merge(base, Seq((1L, 13L)).toDF("k", "v"),
+      Seq("k"), strict = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ok == Set((1L, 13L)))
+  }
+
+  test("compactWithManifest: pruned read over the fresh manifest stays exact") {
+    import graft.sources.DataSkipping
+    val landing = Files.createTempDirectory("cm_landing_").toString
+    val snapshot = Files.createTempDirectory("cm_snap_").toString
+    val manifest = Files.createTempDirectory("cm_manifest_").toString + "/m"
+    Seq((1L, 1L, 100L), (2L, 1L, 250L), (3L, 1L, 900L))
+      .toDF("k", "v", "x").write.mode("overwrite").parquet(landing)
+    Compaction.compactWithManifest(spark, landing, snapshot, manifest,
+      keys = Seq("k"), order = Seq(col("v")), statCol = "x")
+    val m1 = spark.read.parquet(manifest)
+    val pruned1 = DataSkipping.prunedRead(spark, snapshot, m1, "x", 0L, 300L)
+      .select("k").as[Long].collect().sorted
+    assert(pruned1.toSeq == Seq(1L, 2L))
+
+    // Re-land an update that moves key 2 out of range and re-compact: the
+    // manifest must describe the NEW snapshot files, not the old ones.
+    Seq((2L, 2L, 950L)).toDF("k", "v", "x")
+      .write.mode("append").parquet(landing)
+    Compaction.compactWithManifest(spark, landing, snapshot, manifest,
+      keys = Seq("k"), order = Seq(col("v")), statCol = "x")
+    val m2 = spark.read.parquet(manifest)
+    val pruned2 = DataSkipping.prunedRead(spark, snapshot, m2, "x", 0L, 300L)
+      .select("k").as[Long].collect().sorted
+    assert(pruned2.toSeq == Seq(1L))
+    val full = DataSkipping.prunedRead(spark, snapshot, m2, "x", 0L, 1000L)
+      .select("k", "x").as[(Long, Long)].collect().toSet
+    assert(full == Set((1L, 100L), (2L, 950L), (3L, 900L)))
+  }
+
   test("tableDiff: added/removed/changed classification, null-safe values") {
     import graft.pipeline.Compaction
     val before = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L),

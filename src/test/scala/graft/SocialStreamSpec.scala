@@ -117,6 +117,38 @@ class SocialStreamSpec extends AnyFunSuite {
     assert(e.filter($"rel" === "POSTED_IN").count() == 2)
   }
 
+  test("sessionCounts: late event fuses two open sessions; watermark closes them") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "topic")
+    val agg = SocialStream.sessionCounts(df, "ts", Seq("topic"),
+      gap = "30 minutes", watermark = "2 hours")
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Two sessions 30+ min apart...
+      mem.addData(
+        (ts("2023-03-25 00:00:00"), "b"),
+        (ts("2023-03-25 00:50:00"), "b"),
+        (ts("2023-03-25 00:00:00"), "a"))
+      q.processAllAvailable()
+      // ...bridged by an out-of-order event inside the watermark: 00:25
+      // extends session 1 to 00:55, overlapping session 2 → one session.
+      mem.addData((ts("2023-03-25 00:25:00"), "b"))
+      q.processAllAvailable()
+      // Sentinel drives the watermark past both sessions' ends.
+      mem.addData((ts("2023-03-25 12:00:00"), "zz"))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("session_start", "session_end", "topic", "n").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+          r.getString(2), r.getLong(3))).toSet
+      assert(rows == Set(
+        ("2023-03-25 00:00:00.0", "2023-03-25 01:20:00.0", "b", 3L),
+        ("2023-03-25 00:00:00.0", "2023-03-25 00:30:00.0", "a", 1L)))
+    } finally q.stop()
+  }
+
   test("file-source micro-batches flow through a checkpointed parquet sink") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val landing = s"$tmp/landing"
