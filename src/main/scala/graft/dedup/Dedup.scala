@@ -332,6 +332,48 @@ object Dedup {
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /** Compact content fingerprints of a corpus — the only thing exact
+    * incremental dedup needs to retain about history. Three independent
+    * components per distinct text: byte length, `xxhash64`, and the
+    * mod-prime [[charHash]] — ~2^-120 collision odds, the practical
+    * equivalent of the 128-bit content address production systems keep.
+    * One column-pruned scan + one distinct; the result is O(distinct
+    * texts) rows of 24 bytes, not the corpus.
+    */
+  def fingerprints(history: DataFrame, textCol: String): DataFrame =
+    history.select(length(col(textCol)).cast(LongType).as("fp_len"),
+        xxhash64(col(textCol)).as("fp_x"),
+        charHash(col(textCol)).as("fp_c"))
+      .distinct()
+
+  /** Incremental exact dedup: the rows of `batch` whose text does NOT
+    * already appear in history — without rescanning history (pass its
+    * persisted [[fingerprints]]). The 100 TB shape: a Bloom sketch of the
+    * history hashes gates the batch first, so rows that are certainly new
+    * (the common case for a healthy crawl) never enter the anti-join
+    * exchange; only Bloom-positives (true dups + fpp false positives)
+    * shuffle against the fingerprint table.
+    *
+    * `expectedHistory` sizes the sketch (≈1.2 MB per million history
+    * texts at 3% fpp — broadcast as a literal).
+    */
+  def dedupAgainstHistory(batch: DataFrame, historyFp: DataFrame,
+                          textCol: String,
+                          expectedHistory: Long): DataFrame = {
+    val b = batch
+      .withColumn("fp_len", length(col(textCol)).cast(LongType))
+      .withColumn("fp_x", xxhash64(col(textCol)))
+      .withColumn("fp_c", charHash(col(textCol)))
+    val sketch = graft.ops.BloomJoin.buildSketch(historyFp, "fp_x",
+      expectedHistory)
+    val gate = graft.ops.BloomJoin.mightContain(b, col("fp_x"), sketch)
+    val certainlyNew = b.filter(!gate)
+    val verified = b.filter(gate)
+      .join(historyFp, Seq("fp_len", "fp_x", "fp_c"), "left_anti")
+    certainlyNew.unionByName(verified)
+      .drop("fp_len", "fp_x", "fp_c")
+  }
+
   /** Exact Jaccard similarity of two (already distinct) arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

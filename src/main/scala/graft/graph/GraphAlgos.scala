@@ -139,7 +139,7 @@ object GraphAlgos {
       converged = tolMicros match {
         case Some(tol) =>
           next.agg(coalesce(max(abs(col("r") - col("r_prev"))), lit(0L)).as("d"))
-            .head.getLong(0) <= tol
+            .head().getLong(0) <= tol
         case None => false
       }
       r = next.drop("r_prev")

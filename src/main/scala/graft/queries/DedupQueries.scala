@@ -31,6 +31,25 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Incremental exact dedup: a simulated nightly batch (a re-crawl
+    // slice = byte-identical dups of history, plus updated docs = new
+    // content under new ids) deduped against the corpus's persisted
+    // fingerprints — Bloom gate, then fingerprint anti-join; history
+    // text is never rescanned. Survivors = the updated docs only.
+    "q109_incr_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val recrawl = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"), col("lang"))
+      val updated = docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" update v2")).as("text"), col("lang"))
+      val batch = recrawl.unionByName(updated)
+      Dedup.dedupAgainstHistory(batch, Dedup.fingerprints(docs, "text"),
+          "text", expectedHistory = 100000L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: corpus docs sharing >= 2 distinct
     // 3-gram shingles with the held-out benchmark slice (doc_id % 97)
     // are flagged — per-lang contamination counts.
@@ -114,7 +133,7 @@ object DedupQueries {
     * desynchronize between them. `extraCols` rides extra projection
     * columns through (e.g. `" lang,"`).
     */
-  private def shingleCtes(shingleK: Int, extraCols: String = ""): String =
+  private[queries] def shingleCtes(shingleK: Int, extraCols: String = ""): String =
     s"""tok AS (
        |  SELECT doc_id,$extraCols
        |    list_transform(string_split(text, ' '), tk -> ${chSql("tk")}) AS th
@@ -285,6 +304,20 @@ object DedupQueries {
     "q32_minhash_neardups" -> minhashOracleSql(3, 16, 4, 0.5),
 
     "q77_neardup_clusters" -> minhashClusterOracleSql(3, 16, 4, 0.5),
+
+    // Text-equality semantics: the engine dedups on a 3-component
+    // content fingerprint (len, xxhash64, charHash); the oracle states
+    // the contract directly as a NOT EXISTS on the text.
+    "q109_incr_dedup" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 100000 AS doc_id, text, lang FROM documents
+        |  WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text || ' update v2' AS text, lang
+        |  FROM documents WHERE doc_id % 7 = 3)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM documents h WHERE h.text = b.text)
+        |ORDER BY doc_id""".stripMargin,
 
     "q88_decontaminate" ->
       s"""WITH ${shingleCtes(3, " lang,")},

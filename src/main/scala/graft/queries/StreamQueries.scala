@@ -164,7 +164,7 @@ object StreamQueries {
       val ss = streamSession(s)
       val rows = Tables.load(s, dir, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
-      val maxTs = rows.agg(max(col("ts_us"))).head.getLong(0)
+      val maxTs = rows.agg(max(col("ts_us"))).head().getLong(0)
       val src = Files.createTempDirectory("graft_q104_").toString
       rows.coalesce(1).write.mode("append").json(src)
       val schema = StructType(Seq(

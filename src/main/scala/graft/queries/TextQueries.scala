@@ -164,6 +164,27 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // Gopher-style repetition quality gate: per-doc top-token and
+    // duplicate-bigram mass in integer basis points, plus the composed
+    // "repetitive" flag (thresholds sit near the corpus p80/p95 so the
+    // gate splits the data non-trivially at every SF).
+    "q107_repetition" -> ((s, dir) => {
+      TextOps.repetitionStats(Tables.load(s, dir, "documents"),
+          "doc_id", "text")
+        .withColumn("repetitive",
+          col("top_token_bp") >= 1200 || col("dup_bigram_bp") >= 800)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-doc boilerplate shingles per source: 3-token shingles shared
+    // by >= 3 docs of one source are the exact-substring header/footer
+    // class a crawl pipeline strips; per-source occurrence totals.
+    "q108_boilerplate" -> ((s, dir) => {
+      TextOps.boilerplateStats(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "source", k = 3, minDocs = 3L)
+        .orderBy(col("source"))
+    }),
+
     "q89_vocab" -> ((s, dir) => {
       val toks = Tables.load(s, dir, "documents")
         .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
@@ -314,6 +335,42 @@ object TextQueries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         |  true AS within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q107_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |unic AS (SELECT doc_id, t, count(*) AS c
+        |         FROM (SELECT doc_id, unnest(w) AS t FROM toks) GROUP BY 1, 2),
+        |uni AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |          CAST(count(*) AS BIGINT) AS n_distinct,
+        |          CAST(max(c) AS BIGINT) AS top_c
+        |        FROM unic GROUP BY 1),
+        |bgc AS (SELECT doc_id, bg, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i+1])) AS bg FROM toks) GROUP BY 1, 2),
+        |bi AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+        |         CAST(count(*) AS BIGINT) AS ndb FROM bgc GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  CAST(top_c * 10000 // n_tokens AS BIGINT) AS top_token_bp,
+        |  CAST(COALESCE((nb - ndb) * 10000 // nb, 0) AS BIGINT) AS dup_bigram_bp,
+        |  (top_c * 10000 // n_tokens >= 1200
+        |    OR COALESCE((nb - ndb) * 10000 // nb, 0) >= 800) AS repetitive
+        |FROM uni LEFT JOIN bi USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Shingle identity is the shared hashed form (DedupQueries.shingleCtes
+    // mirrors the engine's shingle_hashes expression exactly), so the
+    // exchange key is a long on both sides.
+    "q108_boilerplate" ->
+      s"""WITH ${DedupQueries.shingleCtes(3, " source,")},
+         |occ AS (SELECT source, hh, CAST(count(*) AS BIGINT) AS nds
+         |        FROM (SELECT source, unnest(hs) AS hh FROM h) GROUP BY 1, 2),
+         |agg AS (SELECT source, CAST(sum(nds) AS BIGINT) AS n_shingle_occ,
+         |          CAST(sum(CASE WHEN nds >= 3 THEN nds ELSE 0 END) AS BIGINT)
+         |            AS n_boiler_occ
+         |        FROM occ GROUP BY 1),
+         |nd AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |       FROM documents GROUP BY 1)
+         |SELECT agg.source, n_shingle_occ, n_boiler_occ, n_docs
+         |FROM agg JOIN nd USING (source) ORDER BY source""".stripMargin,
 
     "q95_tfidf" ->
       """WITH toks AS (

@@ -162,4 +162,82 @@ object TextOps {
       .select(col("doc_id"), col("rank"), col("token"), col("tf"),
         col("df"), col("score_micros"))
   }
+
+  /** Per-document repetition metrics, Gopher-rule style (Rae et al. 2021
+    * §A1.1: repetitious documents are low-quality): the fraction of mass
+    * held by the most frequent token and the fraction of duplicate
+    * bigram occurrences, both in integer basis points (×10000, floor
+    * division — oracle-exact, no float summation).
+    *
+    * Output: (doc_id, n_tokens, n_distinct, top_token_bp, dup_bigram_bp).
+    * A quality gate composes on top: e.g. `top_token_bp >= 1200 OR
+    * dup_bigram_bp >= 800` flags the repetitive tail.
+    *
+    * Scale shape: two explode → hash-aggregate chains (unigrams,
+    * bigrams), each keyed (doc, gram) then (doc) — all partial-aggregable,
+    * no windows, no driver state; the final join is keyed on doc_id and
+    * both sides arrive hash-partitioned on it. Docs with one token have
+    * no bigrams — the left join fills dup_bigram_bp = 0.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+    val uni = toks.select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+    // sequence(1, 0) DESCENDS in Spark, so the single-token case must be
+    // an explicit empty array (explode then drops the row; the left join
+    // below restores the doc with dup_bigram_bp = 0).
+    val bigrams = toks.select(col("doc_id"),
+      explode(when(size(col("w")) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))))
+        .as("bg"))
+    val bi = bigrams
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("nb"), count(lit(1)).as("ndb"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        expr("top_c * 10000 div n_tokens").as("top_token_bp"),
+        coalesce(expr("(nb - ndb) * 10000 div nb"), lit(0L)).as("dup_bigram_bp"))
+  }
+
+  /** Cross-document boilerplate detection per source: a k-token shingle
+    * occurring in ≥ `minDocs` distinct documents OF THE SAME SOURCE is
+    * boilerplate (the exact-substring header/footer/navigation class a
+    * crawl pipeline strips before training). Returns per-source totals:
+    * shingle occurrences, boilerplate occurrences, doc count — the
+    * corpus-health dashboard row; the per-doc strip composes from the
+    * same join.
+    *
+    * Scale shape: shingles travel as 8-byte hashes (the codegen'd
+    * `shingle_hashes` expression, distinct per doc — never the strings),
+    * so the single exchange is keyed (source, long). Both totals fold
+    * out of the (source, shingle)-count table itself — `n_shingle_occ =
+    * Σ nds`, `n_boiler_occ = Σ nds where nds ≥ minDocs` — so there is NO
+    * join back to the exploded rows; the per-source doc count is a
+    * second tiny aggregate broadcast into the 1-row-per-source result.
+    * Hot shingles skew the reducer at most by docs-per-source — bounded,
+    * and no pair join anywhere (exact-match boilerplate needs no
+    * candidate generation, unlike minhash).
+    */
+  def boilerplateStats(docs: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, k: Int = 3,
+                       minDocs: Long = 3L): DataFrame = {
+    org.apache.spark.sql.GraftFunctions.register(docs.sparkSession)
+    val sh = docs.select(col(sourceCol).as("source"),
+      explode(call_function("shingle_hashes", col(textCol), lit(k))).as("h"))
+    // shingle_hashes is distinct-per-doc, so count(*) = docs sharing it.
+    val cnt = sh.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("nds"))
+    val occ = cnt.groupBy(col("source"))
+      .agg(sum(col("nds")).as("n_shingle_occ"),
+        sum(when(col("nds") >= minDocs, col("nds")).otherwise(0L))
+          .as("n_boiler_occ"))
+    val nd = docs.groupBy(col(sourceCol).as("source"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    occ.join(nd, Seq("source"))
+  }
 }

@@ -176,4 +176,18 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
     assert(out == Map(1L -> true, 2L -> false, 3L -> false))
   }
+  test("dedupAgainstHistory: re-landed texts drop, new texts survive, empty history passes all") {
+    val history = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha beta"), (11L, "epsilon zeta"),
+      (12L, "gamma delta"), (13L, "eta theta")).toDF("doc_id", "text")
+    val fp = Dedup.fingerprints(history, "text")
+    assert(fp.columns.toSeq == Seq("fp_len", "fp_x", "fp_c")) // no text retained
+    val out = Dedup.dedupAgainstHistory(batch, fp, "text", expectedHistory = 100L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(11L, 13L))
+    val none = Dedup.fingerprints(history.limit(0), "text")
+    val all = Dedup.dedupAgainstHistory(batch, none, "text", expectedHistory = 100L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(all.toSeq == Seq(10L, 11L, 12L, 13L))
+  }
 }

@@ -99,4 +99,29 @@ class TextOpsSpec extends AnyFunSuite {
       ("en", 1L, 0L), ("en", 2L, 0L), ("en", 3L, 1L),
       ("de", 1L, 0L), ("de", 2L, 1L)))
   }
+  test("repetitionStats: hand-computed basis points; single-token doc has no bigrams") {
+    import graft.text.TextOps
+    // doc 1 "a a a b": 4 tokens, 2 distinct, top 3 -> 7500 bp;
+    //   bigrams (a a)(a a)(a b): 3 occ, 2 distinct -> 3333 bp.
+    // doc 2 "x": 1 token -> 10000 bp, zero bigrams -> 0 bp.
+    val docs = Seq((1L, "a a a b"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 4L, 2L, 7500L, 3333L), (2L, 1L, 1L, 10000L, 0L)))
+  }
+
+  test("boilerplateStats: shared shingle within a source counts, across sources does not") {
+    import graft.text.TextOps
+    // src A: "h f g" appears in all 3 docs -> boilerplate at minDocs=3.
+    // src B: same shingle but only 1 doc there -> not boilerplate in B.
+    val docs = Seq(
+      (1L, "h f g a", "A"), (2L, "h f g b", "A"), (3L, "h f g c", "A"),
+      (4L, "h f g d", "B")).toDF("doc_id", "text", "source")
+    val out = TextOps.boilerplateStats(docs, "doc_id", "text", "source",
+        k = 3, minDocs = 3L)
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (s, a, b, c) => s -> ((a, b, c)) }.toMap
+    // each doc has 2 distinct 3-shingles -> A: 6 occ, 3 boiler ("h f g" x3)
+    assert(out == Map("A" -> (6L, 3L, 3L), "B" -> (2L, 0L, 1L)))
+  }
 }
