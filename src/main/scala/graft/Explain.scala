@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Explain: print the executed plan of named SparkEntry queries —
+  * `runMain graft.Explain <sfDir> <qname>...` (plan-audit tooling).
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = args.drop(1)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (name <- names) {
+      println(s"===== $name")
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // materialize so AQE settles on the final plan
+      println(df.queryExecution.executedPlan.toString)
+    }
+    spark.stop()
+  }
+}

@@ -340,11 +340,13 @@ object Dedup {
     * One column-pruned scan + one distinct; the result is O(distinct
     * texts) rows of 24 bytes, not the corpus.
     */
-  def fingerprints(history: DataFrame, textCol: String): DataFrame =
+  def fingerprints(history: DataFrame, textCol: String): DataFrame = {
+    org.apache.spark.sql.GraftFunctions.register(history.sparkSession)
     history.select(length(col(textCol)).cast(LongType).as("fp_len"),
         xxhash64(col(textCol)).as("fp_x"),
-        charHash(col(textCol)).as("fp_c"))
+        call_function("char_hash", col(textCol)).as("fp_c"))
       .distinct()
+  }
 
   /** Incremental exact dedup: the rows of `batch` whose text does NOT
     * already appear in history — without rescanning history (pass its
@@ -360,10 +362,11 @@ object Dedup {
   def dedupAgainstHistory(batch: DataFrame, historyFp: DataFrame,
                           textCol: String,
                           expectedHistory: Long): DataFrame = {
+    org.apache.spark.sql.GraftFunctions.register(batch.sparkSession)
     val b = batch
       .withColumn("fp_len", length(col(textCol)).cast(LongType))
       .withColumn("fp_x", xxhash64(col(textCol)))
-      .withColumn("fp_c", charHash(col(textCol)))
+      .withColumn("fp_c", call_function("char_hash", col(textCol)))
     val sketch = graft.ops.BloomJoin.buildSketch(historyFp, "fp_x",
       expectedHistory)
     val gate = graft.ops.BloomJoin.mightContain(b, col("fp_x"), sketch)

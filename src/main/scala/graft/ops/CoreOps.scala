@@ -231,6 +231,37 @@ object CoreOps {
     df.filter(h < keep)
   }
 
+  /** Exact-N balanced downsample: every stratum contributes EXACTLY
+    * `min(stratum count)` rows — the "equalize the training mix" knob
+    * when proportional rates ([[stratifiedHashSample]]) aren't enough.
+    * Selection is deterministic: the keys with the largest portable hash
+    * win, ties to the smaller key — reproducible across runs, engines,
+    * and partitionings, no RNG.
+    *
+    * Scale shape: the floor count is one strata-sized aggregate (driver
+    * holds one scalar); selection is the k-bounded top-k AGGREGATOR, not
+    * a window — each map task ships ≤ n_min rows per stratum, so the
+    * exchange is O(strata · n_min) rather than the whole table, and
+    * nothing is globally sorted. For an n_min too large for an executor
+    * buffer, fall back to [[stratifiedHashSample]] with rate
+    * ≈ n_min/count (proportional, not exact).
+    *
+    * Returns (stratum, key) pairs; join back on the key for payloads.
+    */
+  def balancedSample(df: DataFrame, stratumCol: String, keyCol: String): DataFrame = {
+    org.apache.spark.sql.GraftFunctions.register(df.sparkSession)
+    val nMin = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .agg(min(col("n"))).head().getLong(0)
+    require(nMin <= Int.MaxValue, s"per-stratum floor $nMin exceeds buffer bound")
+    df.select(col(stratumCol).as("stratum"),
+        call_function("char_hash", col(keyCol).cast("string")).as("h"),
+        col(keyCol).as("k"))
+      .groupBy(col("stratum"))
+      .agg(graft.functions.TopKAgg.topK(nMin.toInt, col("h"), col("k")).as("top"))
+      .select(col("stratum"), explode(col("top")).as("e"))
+      .select(col("stratum"), col("e.id").as(keyCol))
+  }
+
   /** Mergeable distinct-count rollup (A6 at warehouse scale): per-group
     * HLL sketches materialized as a TABLE, so coarser rollups merge the
     * sketches instead of rescanning the fact data — the only way

@@ -194,6 +194,40 @@ object StreamQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Schema-drift quarantine ON THE STREAM: the landing writer drops a
+    // malformed line for every event_id % 13 = 0 (truncated upload);
+    // PERMISSIVE streaming JSON keeps the pipeline alive and routes the
+    // bad lines into _corrupt_record; the running quarantine/bucket
+    // summary aggregates in complete mode. Order-insensitive by
+    // construction (one final aggregate), so batch splits don't matter.
+    "q111_stream_drift" -> ((s, dir) => {
+      val ss = streamSession(s)
+      // Raw text lines (not a json writer): corrupt lines must land as
+      // they would from a truncated upload, byte for byte.
+      val src = FixtureCache.dir("q111_drift", dir) { d =>
+        Tables.load(s, dir, "events")
+          .select(when(col("event_id") % 13 === 0,
+              concat(lit("{\"event_id\": "), col("event_id").cast("string"),
+                lit(", \"event_type\": \"tru")))
+            .otherwise(to_json(struct(col("event_id"), col("event_type"))))
+            .as("value"))
+          .repartition(3, col("value"))
+          .write.mode("overwrite").text(d)
+      }
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType)))
+      val parsed = graft.sources.DriftIngest.readQuarantinedStream(
+        ss, src, schema, maxFilesPerTrigger = 1)
+      val summary = graft.sources.DriftIngest.quarantineSummary(parsed, "event_type")
+      val sink = uniq("q111_sink_")
+      val q = summary.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      q.stop()
+      ss.table(sink).orderBy(col("bucket"))
+    }),
+
     // §2.10 stream-stream interval join: views and clicks land as two
     // separate streaming sources; each view matches same-user clicks
     // within the next 2 hours. Inner join in append mode — the match set
@@ -274,6 +308,15 @@ object StreamQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // The quarantine split restated over the clean parquet: the writer
+    // corrupted exactly the event_id % 13 = 0 lines.
+    "q111_stream_drift" ->
+      """SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT CASE WHEN event_id % 13 = 0 THEN '__quarantined__'
+        |              ELSE COALESCE(event_type, '__null__') END AS bucket
+        |  FROM events)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     // Same sessionization semantics as q49's batch oracle: a session
     // breaks when the gap to the previous event reaches 30 minutes.
     "q104_stream_sessions" ->

@@ -185,6 +185,15 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // Exact-N balanced mix: every language contributes exactly
+    // min-stratum-count docs, chosen by largest portable hash — the
+    // equalize-the-mix knob, selection via the k-bounded top-k aggregate
+    // (map-side combine), never a full-table window sort.
+    "q110_balanced_sample" -> ((s, dir) => {
+      CoreOps.balancedSample(Tables.load(s, dir, "documents"), "lang", "doc_id")
+        .orderBy(col("stratum"), col("doc_id"))
+    }),
+
     "q89_vocab" -> ((s, dir) => {
       val toks = Tables.load(s, dir, "documents")
         .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
@@ -335,6 +344,17 @@ object TextQueries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         |  true AS within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q110_balanced_sample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |m AS (SELECT min(n) AS k FROM c),
+         |r AS (SELECT lang AS stratum, doc_id,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY ${chSqlOf("CAST(doc_id AS VARCHAR)")} DESC, doc_id)
+         |          AS rn
+         |      FROM documents)
+         |SELECT stratum, doc_id FROM r, m WHERE rn <= m.k
+         |ORDER BY stratum, doc_id""".stripMargin,
 
     "q107_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

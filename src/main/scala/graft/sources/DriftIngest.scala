@@ -75,4 +75,24 @@ object DriftIngest {
     */
   def readEvolved(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(dir)
+
+  /** Streaming twin of [[readQuarantined]]: a live scraper drops JSON
+    * lines that can go malformed mid-stream (truncated uploads, schema
+    * drift); PERMISSIVE parsing keeps the pipeline running and the
+    * quarantine column flowing into the same [[quarantineSummary]]
+    * aggregation (complete mode) or a quarantine sink. Same scan-time
+    * semantics as batch — no extra shuffle, no job failure on bad input.
+    */
+  def readQuarantinedStream(spark: SparkSession, dir: String,
+                            schema: StructType,
+                            maxFilesPerTrigger: Int = 1): DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "readQuarantinedStream adds _corrupt_record itself")
+    spark.readStream
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .json(dir)
+  }
 }

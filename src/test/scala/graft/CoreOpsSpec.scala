@@ -163,4 +163,18 @@ class CoreOpsSpec extends AnyFunSuite {
     val all = CoreOps.sketchRollup(daily, Nil).as[Long].head()
     assert(all == 100L)
   }
+  test("balancedSample: exactly min-stratum-count per stratum, largest-hash keys win") {
+    import graft.dedup.Dedup
+    // A has 4 keys, B has 2 -> floor is 2 per stratum.
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("A", 4L),
+      ("B", 10L), ("B", 11L)).toDF("lang", "doc_id")
+    val out = CoreOps.balancedSample(df, "lang", "doc_id")
+      .as[(String, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toSeq).toMap
+    val expectA = Seq(1L, 2L, 3L, 4L)
+      .sortBy(id => (-Dedup.charHashStr(id.toString), id)).take(2).sorted
+    assert(out("A") == expectA)
+    assert(out("B") == Seq(10L, 11L))
+    assert(out.values.forall(_.length == 2)) // exact N, not approximate
+  }
 }

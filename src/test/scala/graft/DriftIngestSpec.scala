@@ -77,4 +77,22 @@ class DriftIngestSpec extends AnyFunSuite {
       .collect().toMap
     assert(byId == Map(1L -> None, 2L -> None, 3L -> Some("fr")))
   }
+  test("readQuarantinedStream: corrupt lines quarantine without killing the stream") {
+    val dir = tmp("drift_stream_")
+    Files.write(java.nio.file.Paths.get(dir, "a.json"),
+      """{"id": 1, "text": "ok", "lang": "en"}
+        |{"id": 2, "text": "truncat
+        |{"id": 3, "text": "ok too", "lang": "en"}
+        |""".stripMargin.getBytes("UTF-8"))
+    val parsed = DriftIngest.readQuarantinedStream(spark, dir, wide)
+    val summary = DriftIngest.quarantineSummary(parsed, "lang")
+    val q = summary.writeStream.format("memory").queryName("drift_stream_sink")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("drift_stream_sink")
+        .as[(String, Long)].collect().toMap
+      assert(rows == Map("en" -> 2L, DriftIngest.QuarantinedBucket -> 1L))
+    } finally q.stop()
+  }
 }
