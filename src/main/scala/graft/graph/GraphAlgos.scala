@@ -192,4 +192,89 @@ object GraphAlgos {
     }
     d.filter(col("depth").isNotNull)
   }
+
+  /** Synchronous label propagation (community detection): every node
+    * starts labeled with itself; each pass it adopts the most frequent
+    * label among its neighbors, ties to the smallest label. Fixed
+    * `iters` keeps the run deterministic AND oracle-reproducible —
+    * synchronous LPA can oscillate on bipartite structures, so a
+    * convergence stop would be data-dependent; fixed passes are the
+    * standard distributed form (Raghavan et al. 2007 §3, the GraphX
+    * variant).
+    *
+    * Per pass: one hash join (symmetrized edges × labels, keyed on the
+    * neighbor) + one count aggregate keyed (node, label) + one argmax
+    * aggregate keyed (node) — `max_by(label, (count, -label))` makes the
+    * tie-break part of the aggregate, so no window, no sort, all
+    * partial-aggregable. Labels are lineage-truncated per pass.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 3,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val sym = truncate(
+      e0.union(e0.select(col("b").as("a"), col("a").as("b"))).distinct(),
+      checkpointDir)
+    var lab = truncate(sym.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lab")), checkpointDir)
+    for (_ <- 1 to iters) {
+      val cnt = sym.join(lab, sym("b") === lab("node"))
+        .groupBy(sym("a").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      lab = truncate(cnt.groupBy(col("node"))
+        .agg(max_by(col("lab"), struct(col("c"), -col("lab"))).as("lab")),
+        checkpointDir)
+    }
+    lab.select(col("node"), col("lab").as("label"))
+  }
+
+  /** k-core decomposition by simultaneous peeling: repeatedly drop every
+    * node with degree < k (and its edges) until stable; the survivors
+    * are the maximal subgraph where every node keeps ≥ k neighbors — the
+    * standard spam/noise filter before community analysis. Returns
+    * (node, degree) within the core.
+    *
+    * Per round: one degree aggregate over the symmetrized survivors +
+    * two left-semi joins back onto the edge list — all keyed shuffles,
+    * partial-aggregable, nothing driver-side except the edge-count
+    * convergence scalar. Rounds are O(peel depth), which is O(log n) on
+    * real social graphs (each round strips a whole shell, not one node —
+    * the distributed form of Matula-Beck peeling). Loud failure at
+    * `maxIters` rather than a silent partial core.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Long,
+            maxIters: Int = 30,
+            checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    var e = truncate(edges.select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct(), checkpointDir)
+    var nEdges = e.count()
+    var changed = true
+    var iter = 0
+    while (changed) {
+      if (iter >= maxIters)
+        throw new IllegalStateException(
+          s"kCore did not stabilize within $maxIters rounds")
+      val keep = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("node"))
+      val next = truncate(
+        e.join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b")),
+        checkpointDir)
+      val n2 = next.count()
+      changed = n2 != nEdges
+      nEdges = n2
+      e = next
+      iter += 1
+    }
+    e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+  }
 }

@@ -144,6 +144,42 @@ object GraphQueries {
         .orderBy(col("u1"), col("u2"))
     }),
 
+    // Label-propagation communities over two 12-cliques + one bridge
+    // edge (built from the saturated event_id residue domain, so the
+    // graph is identical at every SF): 3 synchronous passes, argmax by
+    // (count, min label) — clique labels collapse, the bridge does not
+    // leak them across.
+    "q112_label_prop" -> ((s, dir) => {
+      val i = Tables.load(s, dir, "events")
+        .select((col("event_id") % 997).as("i")).distinct()
+      val cliqueA = i.filter(col("i") < 144)
+        .select((col("i") % 12).cast("long").as("x"),
+          expr("(i div 12) % 12").cast("long").as("y"))
+      val cliqueB = i.filter(col("i") < 144)
+        .select((col("i") % 12 + 12).cast("long").as("x"),
+          expr("(i div 12) % 12 + 12").cast("long").as("y"))
+      val bridge = s.range(1).select(lit(0L).as("x"), lit(12L).as("y"))
+      GraphAlgos.labelPropagation(
+          cliqueA.unionAll(cliqueB).unionAll(bridge), "x", "y", iters = 3)
+        .orderBy(col("node"))
+    }),
+
+    // k-core: simultaneous peeling of the sparse quadratic-chord graph
+    // with an embedded 12-clique — fringe shells peel over 3 rounds, the
+    // clique survives as the 3-core (same graph at every SF: the edge
+    // set saturates the residue domain).
+    "q113_kcore" -> ((s, dir) => {
+      val i = Tables.load(s, dir, "events")
+        .select((col("event_id") % 997).as("i")).distinct()
+      val quad = i.select((col("i") % 240).cast("long").as("x"),
+        ((col("i") * col("i") + col("i") * 3) % 240).cast("long").as("y"))
+      val clique = i.filter(col("i") < 144)
+        .select((col("i") % 12).cast("long").as("x"),
+          expr("(i div 12) % 12").cast("long").as("y"))
+      GraphAlgos.kCore(quad.unionAll(clique), "x", "y", k = 3L)
+        .orderBy(col("node"))
+    }),
+
     // Multi-source BFS depths (seeds = node % 10 = 0) over the same
     // chord-ring graph — Bellman-Ford relaxation, one shuffle per pass.
     "q94_bfs_depth" -> ((s, dir) => {
@@ -264,8 +300,71 @@ object GraphQueries {
        |SELECT node, r AS rank_micros FROM pr$iters ORDER BY node""".stripMargin
   }
 
+  /** q112's oracle: synchronous LPA unrolled — per pass, neighbor-label
+    * counts then the (count DESC, label ASC) argmax via row_number.
+    */
+  private def lpaOracle(iters: Int): String = {
+    val passes = (1 to iters).map { r =>
+      s"""cnt$r AS (
+         |  SELECT s.a AS node, p.lab AS lab, count(*) AS c
+         |  FROM sym s JOIN lp${r - 1} p ON p.node = s.b GROUP BY 1, 2),
+         |lp$r AS (
+         |  SELECT node, lab FROM (
+         |    SELECT node, lab,
+         |      row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+         |    FROM cnt$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH i AS (SELECT DISTINCT event_id % 997 AS i FROM events),
+       |raw AS (
+       |  SELECT CAST(i % 12 AS BIGINT) AS x, CAST((i // 12) % 12 AS BIGINT) AS y
+       |  FROM i WHERE i < 144
+       |  UNION ALL
+       |  SELECT CAST(i % 12 + 12 AS BIGINT), CAST((i // 12) % 12 + 12 AS BIGINT)
+       |  FROM i WHERE i < 144
+       |  UNION ALL SELECT CAST(0 AS BIGINT), CAST(12 AS BIGINT)),
+       |rawf AS (SELECT x, y FROM raw WHERE x <> y),
+       |sym AS (SELECT x AS a, y AS b FROM rawf UNION SELECT y, x FROM rawf),
+       |lp0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
+       |$passes
+       |SELECT node, lab AS label FROM lp$iters ORDER BY node""".stripMargin
+  }
+
+  /** q113's oracle: simultaneous k-core peeling unrolled one CTE pair per
+    * round (the fixture stabilizes in 4; 5 rounds proves the fixpoint).
+    */
+  private def kcoreOracle(k: Long, rounds: Int): String = {
+    val passes = (1 to rounds).map { r =>
+      val prev = if (r == 1) "e" else s"e${r - 1}"
+      s"""keep$r AS (
+         |  SELECT node FROM (
+         |    SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
+         |  GROUP BY node HAVING count(*) >= $k),
+         |e$r AS (
+         |  SELECT t.a, t.b FROM $prev t
+         |  JOIN keep$r ka ON ka.node = t.a
+         |  JOIN keep$r kb ON kb.node = t.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH i AS (SELECT DISTINCT event_id % 997 AS i FROM events),
+       |raw AS (
+       |  SELECT CAST(i % 240 AS BIGINT) AS x,
+       |    CAST((i*i + 3*i) % 240 AS BIGINT) AS y FROM i
+       |  UNION ALL
+       |  SELECT CAST(i % 12 AS BIGINT), CAST((i // 12) % 12 AS BIGINT)
+       |  FROM i WHERE i < 144),
+       |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+       |      FROM raw WHERE x <> y),
+       |$passes
+       |SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+       |  SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       |GROUP BY node ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q82_cc_logn" -> ccOracle,
+
+    "q112_label_prop" -> lpaOracle(3),
+
+    "q113_kcore" -> kcoreOracle(3L, 5),
 
     "q105_pagerank_dangling" -> pageRankDanglingOracle(4),
 
