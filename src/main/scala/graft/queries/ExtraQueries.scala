@@ -18,6 +18,33 @@ object ExtraQueries {
     // stays per-user) → Misra-Gries partition summaries prune to ≤ k·P
     // candidates → broadcast semi-join + exact recount > n/k. Oracle is
     // the plain HAVING — approximation prunes, never decides.
+    // Mergeable quantile sketch under the hard gate (q30's pattern):
+    // exact p25/p50/p75 over integer micro-values are hash-gated against
+    // the oracle (quarter quantiles interpolate exactly in binary, so
+    // engines can't diverge in the last ulp), while the approx_percentile
+    // sketch — the single-pass mergeable path a 100 TB profile actually
+    // runs — surfaces as an in-query tolerance boolean. Accuracy 10000 →
+    // rank error ≤ n/10000, far inside the 5%+0.1 value tolerance.
+    "q114_quantile_sketch" -> ((s, dir) => {
+      def tol(ap: org.apache.spark.sql.Column, ex: org.apache.spark.sql.Column) =
+        abs(ap - ex) <= abs(ex) * lit(0.05) + lit(1e5)
+      Tables.load(s, dir, "events")
+        .withColumn("v_u", round(col("value") * lit(1e6), 0).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(v_u, array(0.25D, 0.5D, 0.75D))").as("ex"),
+          expr("approx_percentile(v_u, array(0.25D, 0.5D, 0.75D), 10000)").as("ap"))
+        .select(col("event_type"), col("n"),
+          element_at(col("ex"), 1).as("p25"),
+          element_at(col("ex"), 2).as("p50"),
+          element_at(col("ex"), 3).as("p75"),
+          (tol(element_at(col("ap"), 1).cast("double"), element_at(col("ex"), 1)) &&
+            tol(element_at(col("ap"), 2).cast("double"), element_at(col("ex"), 2)) &&
+            tol(element_at(col("ap"), 3).cast("double"), element_at(col("ex"), 3)))
+            .as("approx_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     "q96_heavy_hitters" -> ((s, dir) => {
       import graft.ops.HeavyHitters
       val keyed = Tables.load(s, dir, "events").select(
@@ -415,6 +442,16 @@ object ExtraQueries {
   private val C = "CAST(round(%s * 100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q114_quantile_sketch" ->
+      """SELECT event_type, count(*) AS n,
+        |  quantile_cont(v_u, 0.25) AS p25,
+        |  quantile_cont(v_u, 0.5)  AS p50,
+        |  quantile_cont(v_u, 0.75) AS p75,
+        |  true AS approx_ok
+        |FROM (SELECT event_type,
+        |        CAST(round(value * 1000000.0) AS BIGINT) AS v_u FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q96_heavy_hitters" ->
       """WITH keyed AS (
         |  SELECT CASE WHEN user_id % 10 < 3

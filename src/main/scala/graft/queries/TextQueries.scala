@@ -194,6 +194,44 @@ object TextQueries {
         .orderBy(col("stratum"), col("doc_id"))
     }),
 
+    // Curriculum binning: quality-score deciles per language (the
+    // easy→hard training-order knob). ntile over the exact micro-unit
+    // score with doc_id tiebreak — fully deterministic, one window sort
+    // partitioned by lang (each partition sorts independently; no global
+    // sort at any scale).
+    "q119_curriculum" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("q_u"), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .withColumn("q_u", CoreOps.cents(TextOps.qualityScore(col("text"), stopwords), 6))
+        .withColumn("bin", ntile(10).over(w).cast("int"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("q_u")).as("min_q_u"), max(col("q_u")).as("max_q_u"))
+        .orderBy(col("lang"), col("bin"))
+    }),
+
+    // Crawl URL dedup: deterministic messy-URL fixture (4 surface variants
+    // per logical page: www prefix, trailing slash, host case + utm param,
+    // fragment) collapsed by [[TextOps.canonicalizeUrl]]; one logical page
+    // survives with its lowest doc_id. One hash-shuffle on the canonical
+    // key; the canonicalizer itself is pure codegen'd string ops.
+    "q121_url_dedup" -> ((s, dir) => {
+      val urls = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat(
+          element_at(array(lit("https://www.news-example.com/"),
+            lit("https://news-example.com/"),
+            lit("HTTPS://NEWS-EXAMPLE.COM/"),
+            lit("https://news-example.com/")), (col("doc_id") % 4 + 1).cast("int")),
+          col("source"), lit("/"), (col("doc_id") % 50).cast("string"),
+          element_at(array(lit(""), lit("/"), lit("?utm_campaign=x"),
+            lit("#section-2")), (col("doc_id") % 4 + 1).cast("int"))).as("url"))
+      urls.withColumn("canonical_url", TextOps.canonicalizeUrl(col("url")))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
+        .orderBy(col("canonical_url"))
+    }),
+
     "q89_vocab" -> ((s, dir) => {
       val toks = Tables.load(s, dir, "documents")
         .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
@@ -344,6 +382,50 @@ object TextQueries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         |  true AS within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q119_curriculum" ->
+      s"""WITH t AS (
+         |  SELECT lang, doc_id,
+         |    CAST(round(($qualitySql) * 1000000.0) AS BIGINT) AS q_u
+         |  FROM documents),
+         |b AS (
+         |  SELECT lang, q_u,
+         |    CAST(ntile(10) OVER (PARTITION BY lang ORDER BY q_u, doc_id) AS INT) AS bin
+         |  FROM t)
+         |SELECT lang, bin, count(*) AS n,
+         |  min(q_u) AS min_q_u, max(q_u) AS max_q_u
+         |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "q121_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE doc_id % 4
+        |       WHEN 0 THEN 'https://www.news-example.com/'
+        |       WHEN 1 THEN 'https://news-example.com/'
+        |       WHEN 2 THEN 'HTTPS://NEWS-EXAMPLE.COM/'
+        |       ELSE 'https://news-example.com/' END)
+        |    || source || '/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || (CASE doc_id % 4
+        |       WHEN 0 THEN '' WHEN 1 THEN '/'
+        |       WHEN 2 THEN '?utm_campaign=x' ELSE '#section-2' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              lower(regexp_extract(url, '^([^/]*//[^/]*)', 1))
+        |                || regexp_replace(url, '^[^/]*//[^/]*', ''),
+        |              '://www\.', '://'),
+        |            '#.*', ''),
+        |          '\?utm_[^&#]*&', '?'),
+        |        '[?&]utm_[^&#]*', ''),
+        |      '/$', '') AS canonical_url
+        |  FROM u)
+        |SELECT canonical_url, count(*) AS n_dups, min(doc_id) AS keeper
+        |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
 
     "q110_balanced_sample" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),

@@ -240,4 +240,26 @@ object TextOps {
       .agg(countDistinct(col(idCol)).as("n_docs"))
     occ.join(nd, Seq("source"))
   }
+
+  /** URL canonicalization for crawl dedup (the same-page-many-URLs class:
+    * scheme/host case, `www.` prefix, tracking params, fragments, trailing
+    * slashes). Pure regexp_replace chain — whole-stage codegen, engine-
+    * portable regexes (each pattern matches at most once, so engines that
+    * default to first-match-only agree with replace-all engines).
+    * Canonical form: lowercased scheme://host, no `www.`, no `utm_*`
+    * params, no fragment, no trailing slash.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    // lowercase only the scheme://host prefix; path case is significant
+    val hostLowered = concat(
+      lower(regexp_extract(url, "^([^/]*//[^/]*)", 1)),
+      regexp_replace(url, "^[^/]*//[^/]*", ""))
+    val noWww = regexp_replace(hostLowered, "://www\\.", "://")
+    val noFragment = regexp_replace(noWww, "#.*", "")
+    // tracking params: drop `utm_*` whether first (`?utm_x=1&id=2`) or
+    // trailing (`?id=2&utm_x=1`); repair the separator in the first case
+    val noUtmLead = regexp_replace(noFragment, "\\?utm_[^&#]*&", "?")
+    val noUtm = regexp_replace(noUtmLead, "[?&]utm_[^&#]*", "")
+    regexp_replace(noUtm, "/$", "")
+  }
 }

@@ -124,4 +124,25 @@ class TextOpsSpec extends AnyFunSuite {
     // each doc has 2 distinct 3-shingles -> A: 6 occ, 3 boiler ("h f g" x3)
     assert(out == Map("A" -> (6L, 3L, 3L), "B" -> (2L, 0L, 1L)))
   }
+
+  test("canonicalizeUrl: case, www, utm params, fragments, trailing slash") {
+    val cases = Seq(
+      // host case + www fold; path case preserved
+      "HTTPS://WWW.Example.COM/Path/One" -> "https://example.com/Path/One",
+      // trailing slash
+      "https://example.com/a/" -> "https://example.com/a",
+      // fragment
+      "https://example.com/a#frag" -> "https://example.com/a",
+      // lone utm param: '?' goes too
+      "https://example.com/a?utm_src=x" -> "https://example.com/a",
+      // leading utm param keeps the survivor reachable via '?'
+      "https://example.com/a?utm_s=1&id=2" -> "https://example.com/a?id=2",
+      // trailing utm param after a real one
+      "https://example.com/a?id=2&utm_s=1" -> "https://example.com/a?id=2",
+      // non-utm params survive untouched
+      "https://example.com/a?id=2" -> "https://example.com/a?id=2")
+    val out = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalizeUrl(col("url"))).as[String].collect()
+    assert(out.toSeq == cases.map(_._2))
+  }
 }
