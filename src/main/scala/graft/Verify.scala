@@ -21,7 +21,14 @@ object Verify {
     // stages, streaming micro-batch lifecycles) overlap — cuts t2
     // wall-clock roughly in half across the full query suite.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Builder-local iteration aid: SPARK_GRAFT_ONLY=q01_x,q02_y restricts
+    // the run (and the dumped oracle map) to those queries. The driver
+    // never sets it, so the contract run is always the full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected[A](m: Map[String, A]): Map[String, A] =
+      only.fold(m)(names => m.view.filterKeys(names).toMap)
+    val tasks = selected(SparkEntry.queries).toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -45,7 +52,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = selected(SparkEntry.oracleSql)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

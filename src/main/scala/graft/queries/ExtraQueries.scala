@@ -45,6 +45,40 @@ object ExtraQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Count-min sketch under the hard gate: per event_type, a 4×1024
+    // mergeable sketch of user_id frequencies (map-side combine of 32 KiB
+    // buffers — the 100 TB shuffle carries sketches, never keys), probed
+    // at 10 literal keys. Exact counts are hash-gated; the sketch
+    // surfaces as two booleans — never-undercounts (a CMS theorem, so
+    // `true` unconditionally) and within the e·N/width slack (checked in
+    // pure integer arithmetic; deterministic for fixed data + hashes).
+    "q115_cms_freq" -> ((s, dir) => {
+      import graft.functions.CountMin
+      val (depth, width) = (4, 1024)
+      val events = Tables.load(s, dir, "events")
+      val sk = events.groupBy(col("event_type"))
+        .agg(CountMin.sketch(depth, width)(col("user_id")).as("sk"),
+          count(lit(1)).as("total"))
+      val probeStructs = (0L until 10L).map { k =>
+        struct(lit(k).as("probe_key"),
+          CountMin.estimate(col("sk"), k, depth, width).as("cms_est"))
+      }
+      val est = sk.select(col("event_type"), col("total"),
+          explode(array(probeStructs: _*)).as("p"))
+        .select(col("event_type"), col("total"),
+          col("p.probe_key").as("probe_key"), col("p.cms_est").as("cms_est"))
+      val exact = events.filter(col("user_id") < 10)
+        .groupBy(col("event_type"), col("user_id").as("probe_key"))
+        .agg(count(lit(1)).as("exact_n"))
+      est.join(exact, Seq("event_type", "probe_key"), "left")
+        .withColumn("exact_n", coalesce(col("exact_n"), lit(0L)))
+        .select(col("event_type"), col("probe_key"), col("exact_n"),
+          (col("cms_est") >= col("exact_n")).as("ge_ok"),
+          ((col("cms_est") - col("exact_n")) * lit(width.toLong) <=
+            col("total") * lit(6L)).as("slack_ok"))
+        .orderBy(col("event_type"), col("probe_key"))
+    }),
+
     "q96_heavy_hitters" -> ((s, dir) => {
       import graft.ops.HeavyHitters
       val keyed = Tables.load(s, dir, "events").select(
@@ -451,6 +485,19 @@ object ExtraQueries {
         |FROM (SELECT event_type,
         |        CAST(round(value * 1000000.0) AS BIGINT) AS v_u FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q115_cms_freq" ->
+      """WITH et AS (SELECT event_type FROM events GROUP BY 1),
+        |probes AS (SELECT unnest(range(0, 10)) AS probe_key),
+        |exact AS (SELECT event_type, user_id AS probe_key, count(*) AS exact_n
+        |          FROM events WHERE user_id < 10 GROUP BY 1, 2)
+        |SELECT et.event_type, p.probe_key,
+        |  CAST(coalesce(exact_n, 0) AS BIGINT) AS exact_n,
+        |  true AS ge_ok, true AS slack_ok
+        |FROM et CROSS JOIN probes p
+        |LEFT JOIN exact ON exact.event_type = et.event_type
+        |  AND exact.probe_key = p.probe_key
+        |ORDER BY et.event_type, p.probe_key""".stripMargin,
 
     "q96_heavy_hitters" ->
       """WITH keyed AS (
