@@ -555,4 +555,41 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine").distinct()
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means-cluster the embedding corpus, compare pairs only WITHIN a
+    * cluster, and drop every doc that has a lower-id neighbor at cosine ≥
+    * `threshold` in its cluster. Complements [[embeddingNearDups]]: LSH
+    * buckets catch sign-pattern-identical vectors; centroid clustering
+    * catches the "same meaning, different surface" band SemDeDup targets.
+    *
+    * Returns one row per doc: (id, cell, keep).
+    *
+    * Scale shape: clustering is [[graft.similarity.Similarity.kmeansAssign]]
+    * (integer-exact centroid means, per-row argmax kernel over the
+    * broadcast centroid array); the pair stage is an equi-join on `cell`,
+    * so work is Σ|cell|² — size nCells ≈ √n (SemDeDup's own regime) to
+    * keep per-cell pair counts ~n. No all-pairs comparison anywhere; the
+    * keep decision is a per-pair rule (lower id survives), not a
+    * transitive closure, so no iteration.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nCells: Int = 16, dim: Int = 64,
+                    refinePasses: Int = 1): DataFrame = {
+    import graft.similarity.Similarity.{appendCosine, kmeansAssign}
+    val (assigned, _) = kmeansAssign(df, idCol, vecCol, nCells, dim, refinePasses)
+    val a = assigned.select(col("cell"), col("corpus_id").as("id_a"),
+      col("cv2").as("v_a"), col("cnorm2").as("nrm_a"))
+    val b = assigned.select(col("cell"), col("corpus_id").as("id_b"),
+      col("cv2").as("v_b"), col("cnorm2").as("nrm_b"))
+    val dropped = appendCosine(
+        a.join(b, Seq("cell")).filter(col("id_a") < col("id_b")),
+        "v_a", "v_b", "nrm_a", "nrm_b", "cosine")
+      .filter(col("cosine") >= threshold)
+      .select(col("cell"), col("id_b").as("id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.select(col("corpus_id").as("id"), col("cell"))
+      .join(dropped, Seq("cell", "id"), "left")
+      .select(col("id"), col("cell"), coalesce(!col("is_dup"), lit(true)).as("keep"))
+  }
 }

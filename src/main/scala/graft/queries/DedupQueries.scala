@@ -106,6 +106,15 @@ object DedupQueries {
       Dedup.embeddingNearDups(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.4, planes = 8)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SemDeDup: k-means-cluster embeddings, drop docs with a lower-id
+    // cosine-0.4 neighbor in their cluster. The clustering is the SAME
+    // deterministic k-means-lite the IVF index uses (shared oracle CTEs).
+    "q116_semantic_dedup" -> ((s, dir) => {
+      Dedup.semanticDedup(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4, nCells = 16)
+        .orderBy(col("id"))
     }))
 
   // ---------------------------------------------------------------- oracles
@@ -248,7 +257,13 @@ object DedupQueries {
     * centroid means, nearest-centroid assignment, one Lloyd refinement
     * pass, nProbe fan-out).
     */
-  def ivfOracle(queryPred: String, k: Int, nCells: Int, nProbe: Int): String = {
+  /** WITH-body CTEs replicating [[graft.similarity.Similarity.kmeansAssign]]
+    * at one refine pass: LSH-seeded integer-micro centroid means, argmax
+    * reassignment — terminating in `assign1(cell, corpus_id)`. Shared by
+    * the IVF and SemDeDup oracles so the clustering can never drift
+    * between them.
+    */
+  private def kmeansCtes(nCells: Int): String = {
     val planes = java.lang.Integer.numberOfTrailingZeros(nCells)
     def sumExprs(src: String) = (0 until 64).map(i =>
       s"sum(CAST(round(CAST($src[${i + 1}] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s$i")
@@ -262,7 +277,7 @@ object DedupQueries {
          |        ORDER BY ${cosineSql("b.embedding", "c.cv")} DESC, c.cell) AS rn
          |    FROM base b CROSS JOIN $cent c)
          |  WHERE rn = 1""".stripMargin
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT vec_id, embedding, ${bucketSql("embedding", planes)} AS bucket FROM embeddings),
        |sums0 AS (
        |  SELECT bucket, count(*) AS cnt,
@@ -277,7 +292,11 @@ object DedupQueries {
        |  FROM assign0 a JOIN base b ON b.vec_id = a.corpus_id GROUP BY a.cell),
        |cent1 AS (SELECT cell, [$centExprs] AS cv FROM sums1),
        |assign1 AS (
-       |  ${assignSql("cent1")}),
+       |  ${assignSql("cent1")})""".stripMargin
+  }
+
+  def ivfOracle(queryPred: String, k: Int, nCells: Int, nProbe: Int): String = {
+    s"""WITH ${kmeansCtes(nCells)},
        |probes AS (
        |  SELECT cell, query_id FROM (
        |    SELECT c.cell, b.vec_id AS query_id,
@@ -360,6 +379,23 @@ object DedupQueries {
          |  FROM scored)
          |SELECT query_id, rank, corpus_id, sim FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+
+    "q116_semantic_dedup" ->
+      s"""WITH ${kmeansCtes(16)},
+         |pairs AS (
+         |  SELECT a.cell, a.corpus_id AS id_a, b.corpus_id AS id_b
+         |  FROM assign1 a JOIN assign1 b
+         |    ON a.cell = b.cell AND a.corpus_id < b.corpus_id),
+         |pc AS (
+         |  SELECT p.cell, p.id_b, ${cosineSql("ea.embedding", "eb.embedding")} AS c
+         |  FROM pairs p
+         |  JOIN embeddings ea ON ea.vec_id = p.id_a
+         |  JOIN embeddings eb ON eb.vec_id = p.id_b),
+         |dropped AS (SELECT DISTINCT cell, id_b AS id FROM pc WHERE c >= 0.4)
+         |SELECT s.corpus_id AS id, s.cell, (d.id IS NULL) AS keep
+         |FROM assign1 s LEFT JOIN dropped d
+         |  ON d.cell = s.cell AND d.id = s.corpus_id
+         |ORDER BY id""".stripMargin,
 
     "q36_embedding_neardups" ->
       s"""WITH e AS (

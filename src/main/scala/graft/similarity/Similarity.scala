@@ -188,6 +188,21 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nCells: Int = 16, nProbe: Int = 4, dim: Int = 64,
               refinePasses: Int = 1): DataFrame = {
+    val (assigned, centroidsN) =
+      kmeansAssign(corpus, idCol, vecCol, nCells, dim, refinePasses)
+    ivfSearch(assigned, centroidsN, queries, idCol, vecCol, k, nProbe, dim)
+  }
+
+  /** Deterministic k-means-lite clustering of an embedding corpus — steps
+    * 1-3 of [[ivfTopK]], exposed for cluster-blocked operators (SemDeDup,
+    * per-cluster curriculum stats): coarse sign-LSH seeds → exact
+    * integer-micro centroid means → `refinePasses` Lloyd reassignments.
+    * Returns `(assigned, centroids)`: assigned = (cell, corpus_id,
+    * cv2 = the original vector, cnorm2); centroids = (cell, cv, cnrm).
+    */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                   nCells: Int = 16, dim: Int = 64,
+                   refinePasses: Int = 1): (DataFrame, DataFrame) = {
     require(nCells > 0 && (nCells & (nCells - 1)) == 0, "nCells must be a power of 2")
     val planes = java.lang.Integer.numberOfTrailingZeros(nCells)
     val spark = corpus.sparkSession
@@ -281,8 +296,15 @@ object Similarity {
       cents = centroidArray(assigned, "cell", "cv2")
       assigned = assign(cents)
     }
-    val centroidsN = centroidTable(cents)
+    (assigned, centroidTable(cents))
+  }
 
+  /** Probe + exact-rescore stage of [[ivfTopK]] over a prebuilt
+    * clustering from [[kmeansAssign]].
+    */
+  private def ivfSearch(assigned: DataFrame, centroidsN: DataFrame,
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        k: Int, nProbe: Int, dim: Int): DataFrame = {
     // nProbe nearest centroids per query
     val queriesN = bucketNorm(queries, idCol, vecCol, 0, dim)
       .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnorm"))

@@ -190,4 +190,21 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted
     assert(all.toSeq == Seq(10L, 11L, 12L, 13L))
   }
+
+  test("semanticDedup: planted near-identical vector drops, orthogonal ones keep") {
+    val dim = 8
+    def vec(xs: Double*): Seq[Float] =
+      (xs ++ Seq.fill(dim - xs.length)(0.0)).map(_.toFloat)
+    val df = Seq(
+      (1L, vec(1, 0, 0)),           // keeper (lowest id of the dup pair)
+      (2L, vec(0.99, 0.01, 0)),     // near-identical to 1 -> dropped
+      (3L, vec(0, 1, 0)),           // orthogonal -> kept
+      (4L, vec(0, 0, 1))            // orthogonal -> kept
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.9, nCells = 2, dim = dim)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(1L) && !out(2L) && out(3L) && out(4L))
+    assert(out.size == 4)
+  }
 }
