@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative / combinatorial graph analytics over edge lists — the
@@ -95,12 +95,22 @@ object GraphAlgos {
     * `max_v |r'(v) - r(v)| <= tol` (one extra bounded-scalar aggregate
     * per pass). The driver holds only that scalar. Fixed-`iters` runs
     * (tol = None) stay exactly reproducible for oracles.
+    *
+    * `personalization` switches to PERSONALIZED PageRank (the
+    * random-walk-with-restart ranking behind "related to X" queries):
+    * the whole teleport mass concentrates on the seed set — seeds get
+    * `(base · N) div |S|`, everyone else 0 — and, when redistributing,
+    * the dangling mass returns to the seeds (`D div |S|`) instead of
+    * spreading evenly, exactly the restart-vector semantics. Same
+    * integer-floor arithmetic, same one-exchange pass shape; the seed
+    * flag rides the rank table like outdeg does.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 4, base: Long = 150000L, dampNum: Long = 85L,
                redistributeDangling: Boolean = false,
                tolMicros: Option[Long] = None,
-               checkpointDir: Option[String] = None): DataFrame = {
+               checkpointDir: Option[String] = None,
+               personalization: Option[(DataFrame, String)] = None): DataFrame = {
     val e = truncate(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct(), checkpointDir)
@@ -108,10 +118,29 @@ object GraphAlgos {
       .union(e.select(col("dst").as("node"))).distinct(), checkpointDir)
     val nNodes = nodes.count()
     val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
-    // Rank table carries outdeg so each pass joins once, not twice.
-    var r = truncate(nodes.join(outdeg, Seq("node"), "left")
+    val seedFlagged = personalization match {
+      case Some((sdf, scol)) =>
+        nodes.join(sdf.select(col(scol).as("node")).distinct()
+          .withColumn("is_seed", lit(true)), Seq("node"), "left")
+      case None => nodes.withColumn("is_seed", lit(false))
+    }
+    val nSeeds = personalization.map(_ =>
+      seedFlagged.filter(col("is_seed")).count()).getOrElse(0L)
+    require(personalization.isEmpty || nSeeds > 0,
+      "personalizedPageRank: no seed is a graph node")
+    // Per-node teleport term: uniform `base`, or the seed-concentrated
+    // share (floor division, mirrored by the oracle's `//`).
+    def baseCol: Column = personalization match {
+      case Some(_) => when(col("is_seed"), lit(base * nNodes / nSeeds))
+        .otherwise(lit(0L))
+      case None => lit(base)
+    }
+    // Rank table carries outdeg (and the seed flag) so each pass joins
+    // once, not twice.
+    var r = truncate(seedFlagged.join(outdeg, Seq("node"), "left")
       .select(col("node"), lit(1000000L).as("r"),
-        coalesce(col("outdeg"), lit(0L)).as("outdeg")), checkpointDir)
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed")), checkpointDir)
     var iter = 0
     var converged = false
     while (iter < iters && !converged) {
@@ -124,18 +153,23 @@ object GraphAlgos {
         if (!redistributeDangling) joined.withColumn("dshare", lit(0L))
         else {
           // D = total rank parked on dangling nodes this pass; its even
-          // share joins in as a broadcast 1-row frame (one extra
-          // partial-aggregable sum, no driver-side data).
+          // (or seed-directed) share joins in as a broadcast 1-row frame
+          // (one extra partial-aggregable sum, no driver-side data).
+          val denom = if (personalization.isDefined) nSeeds else nNodes
           val dang = r.filter(col("outdeg") === 0)
             .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
-            .select(expr(s"dmass div CAST($nNodes AS BIGINT)").as("dshare"))
+            .select(expr(s"dmass div CAST($denom AS BIGINT)").as("dshareAll"))
           joined.crossJoin(broadcast(dang))
+            .withColumn("dshare",
+              if (personalization.isDefined)
+                when(col("is_seed"), col("dshareAll")).otherwise(lit(0L))
+              else col("dshareAll"))
         }
       val next = truncate(withShare
         .select(col("node"),
-          (lit(base) + expr(
+          (baseCol + expr(
             s"($dampNum * (coalesce(s, CAST(0 AS BIGINT)) + dshare)) div 100")).as("r"),
-          col("outdeg"), col("r").as("r_prev")), checkpointDir)
+          col("outdeg"), col("is_seed"), col("r").as("r_prev")), checkpointDir)
       converged = tolMicros match {
         case Some(tol) =>
           next.agg(coalesce(max(abs(col("r") - col("r_prev"))), lit(0L)).as("d"))

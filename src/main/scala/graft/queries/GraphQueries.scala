@@ -116,6 +116,23 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // Personalized PageRank ("influence relative to THESE accounts" —
+    // the random-walk-with-restart form of the reference's Neo4j
+    // influencer ranking): teleport mass concentrated on seeds ≡ 0 mod
+    // 10, dangling mass returning to the seeds, over the chord graph
+    // with real dangling nodes (src ≡ 0 mod 9 emit nothing).
+    "q117_ppr" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(
+        (col("user_id") % 50).cast("long").as("src"),
+        (((col("user_id") % 50) * 7 + col("event_id") % 11) % 50).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst") && col("src") % 9 =!= 0)
+      val seeds = e.sparkSession.range(5).select((col("id") * 10).as("node"))
+      GraphAlgos.pageRank(e, "src", "dst", iters = 4,
+          redistributeDangling = true,
+          personalization = Some((seeds, "node")))
+        .orderBy(col("node"))
+    }),
+
     // 2-hop motif ("users mentioned by the users X mentions") over the
     // chord graph, midpoint-degree-bounded — the composable edge-join
     // answer to the reference's Neo4j pattern queries
@@ -300,6 +317,48 @@ object GraphQueries {
        |SELECT node, r AS rank_micros FROM pr$iters ORDER BY node""".stripMargin
   }
 
+  /** q117's oracle: the dangling-PageRank CTE with the teleport and
+    * dangling terms concentrated on the seed residue class (node ≡ 0 mod
+    * 10) — personalized PageRank in the same integer-micros arithmetic.
+    */
+  private def pprOracle(iters: Int): String = {
+    val prs = (1 to iters).map { k =>
+      s"""dang$k AS (
+         |  SELECT CAST(COALESCE(sum(p.r), 0) AS BIGINT)
+         |      // (SELECT ns FROM sn) AS dshare
+         |  FROM pr${k - 1} p LEFT JOIN od d ON d.node = p.node
+         |  WHERE d.node IS NULL),
+         |pr$k AS (
+         |  SELECT nd.node,
+         |    CAST((CASE WHEN nd.node % 10 = 0
+         |        THEN (150000 * (SELECT nn FROM n)) // (SELECT ns FROM sn)
+         |        ELSE 0 END)
+         |      + (85 * (COALESCE(s.s, 0)
+         |      + CASE WHEN nd.node % 10 = 0 THEN (SELECT dshare FROM dang$k)
+         |        ELSE 0 END)) // 100 AS BIGINT) AS r
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM(p.r // d.outdeg) AS BIGINT) AS s
+         |    FROM e JOIN pr${k - 1} p ON p.node = e.src
+         |           JOIN od d ON d.node = e.src
+         |    GROUP BY e.dst) s ON s.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(user_id % 50 AS BIGINT) AS src,
+       |    CAST(((user_id % 50) * 7 + event_id % 11) % 50 AS BIGINT) AS dst
+       |  FROM events
+       |  WHERE (user_id % 50) <> ((user_id % 50) * 7 + event_id % 11) % 50
+       |    AND (user_id % 50) % 9 <> 0),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+       |sn AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM nodes
+       |       WHERE node % 10 = 0),
+       |od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+       |       FROM e GROUP BY src),
+       |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$prs
+       |SELECT node, r AS rank_micros FROM pr$iters ORDER BY node""".stripMargin
+  }
+
   /** q112's oracle: synchronous LPA unrolled — per pass, neighbor-label
     * counts then the (count DESC, label ASC) argmax via row_number.
     */
@@ -367,6 +426,8 @@ object GraphQueries {
     "q113_kcore" -> kcoreOracle(3L, 5),
 
     "q105_pagerank_dangling" -> pageRankDanglingOracle(4),
+
+    "q117_ppr" -> pprOracle(4),
 
     "q103_two_hop" ->
       """WITH raw AS (

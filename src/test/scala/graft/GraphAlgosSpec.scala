@@ -127,4 +127,37 @@ class GraphAlgosSpec extends AnyFunSuite {
       f.isFile || Option(f.listFiles()).exists(_.exists(anyFile))
     assert(anyFile(new java.io.File(dir))) // lineage actually hit the dir
   }
+
+  test("personalized pageRank: teleport mass lands only on seeds") {
+    // 1 -> 2 -> 3 (3 dangling), seed = {1}. N = 3, S = 1.
+    // pass 1: r(1) = 150000*3 = 450000 (contrib 0);
+    //         r(2) = 0.85 * 1e6 = 850000; r(3) = 850000.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = GraphAlgos.pageRank(edges, "src", "dst", iters = 1,
+        personalization = Some((seeds, "node")))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 450000L, 2L -> 850000L, 3L -> 850000L))
+  }
+
+  test("personalized pageRank: dangling mass returns to the seeds") {
+    // Same chain with redistribution: dangling node 3 parks 1e6 in pass
+    // 1 -> seed 1 additionally gets 0.85 * 1e6.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = GraphAlgos.pageRank(edges, "src", "dst", iters = 1,
+        redistributeDangling = true,
+        personalization = Some((seeds, "node")))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1300000L, 2L -> 850000L, 3L -> 850000L))
+  }
+
+  test("personalized pageRank requires a seed that is a graph node") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(99L).toDF("node")
+    intercept[IllegalArgumentException] {
+      GraphAlgos.pageRank(edges, "src", "dst", iters = 1,
+        personalization = Some((seeds, "node")))
+    }
+  }
 }
