@@ -88,6 +88,36 @@ object Incremental {
         sumCols.map(c => sum(col(c)).as(c)).tail: _*)
   }
 
+  /** Incremental maintenance of a JOIN view under deltas on BOTH sides —
+    * the classic IVM algebra: with fact = F ∪ ΔF and dim = D ∪ ΔD,
+    *
+    *   Δ(fact ⋈ dim) = (ΔF ⋈ D) ∪ (F ⋈ ΔD) ∪ (ΔF ⋈ ΔD)
+    *
+    * so the refreshed view is `old view ∪ deltaJoin(...)` and history is
+    * joined only against deltas, never against itself.
+    *
+    * Scale shape: the ΔF terms scan just the batch. The F ⋈ ΔD term must
+    * touch old facts — unavoidable when new dim rows can match old facts
+    * — but ΔD is small by definition, so F is pre-filtered by a Bloom
+    * sketch of ΔD's keys ([[graft.ops.BloomJoin]]): the full-history scan
+    * feeds ~selectivity·|F| rows into the exchange, not |F|. All three
+    * terms are plain inner equi-joins (AQE broadcasts the delta sides).
+    *
+    * Append-only deltas (inserts; updates/deletes route through
+    * [[Compaction.merge]] first). Column names must match across F/ΔF and
+    * D/ΔD; `expectedDimDelta` sizes the Bloom sketch.
+    */
+  def deltaJoin(factOld: DataFrame, factDelta: DataFrame,
+                dimOld: DataFrame, dimDelta: DataFrame,
+                factKey: String, dimKey: String,
+                expectedDimDelta: Long = 1000000L): DataFrame = {
+    val t1 = factDelta.join(dimOld, factDelta(factKey) === dimOld(dimKey))
+    val t2 = graft.ops.BloomJoin.reducedJoin(
+      factOld, factKey, dimDelta, dimKey, expectedDimDelta)
+    val t3 = factDelta.join(dimDelta, factDelta(factKey) === dimDelta(dimKey))
+    t1.unionByName(t2).unionByName(t3)
+  }
+
   def readWatermark(stateDir: String): Option[String] = {
     val f = Paths.get(stateDir, "watermark")
     if (Files.exists(f)) Some(Files.readString(f).trim) else None

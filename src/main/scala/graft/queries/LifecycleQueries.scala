@@ -138,6 +138,34 @@ object LifecycleQueries {
       snap2.orderBy(col("k"))
     }),
 
+    // Incremental JOIN-view maintenance with deltas on BOTH sides:
+    // orders ≡ 7 mod 10 and customers ≡ 3 mod 20 arrive as tonight's
+    // batch; the refreshed view = old view ∪ the three IVM delta terms
+    // (history never joins history — its only touch is a Bloom-pruned
+    // probe against the new dim keys). The gate proves the algebra
+    // reconstitutes the full join bit-for-bit: oracle = plain join over
+    // the full tables.
+    "q120_delta_join" -> ((s, dir) => {
+      import graft.pipeline.Incremental
+      val fact = Tables.load(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        CoreOps.cents(col("o_totalprice")).as("price_cents"))
+      val dim = Tables.load(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"))
+      val factDelta = fact.filter(col("o_orderkey") % 10 === 7)
+      val factOld = fact.filter(col("o_orderkey") % 10 =!= 7)
+      val dimDelta = dim.filter(col("c_custkey") % 20 === 3)
+      val dimOld = dim.filter(col("c_custkey") % 20 =!= 3)
+      val oldView = factOld.join(dimOld,
+        factOld("o_custkey") === dimOld("c_custkey"))
+      val refreshed = oldView.unionByName(
+        Incremental.deltaJoin(factOld, factDelta, dimOld, dimDelta,
+          "o_custkey", "c_custkey", expectedDimDelta = 10000L))
+      refreshed.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Comment-tree flatten: a deterministic forest over documents (roots
     // doc_id < 3, parent = (doc_id-1) div 2), resolved to (root, depth) by
     // pointer doubling — O(log depth) joins, vs the recursive CTE the
@@ -162,6 +190,12 @@ object LifecycleQueries {
         |  CAST(sum(value_cents) AS BIGINT) AS sum_cents
         |FROM latest WHERE event_id BETWEEN 1000 AND 2000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q120_delta_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q97_incr_agg" ->
       """SELECT user_id % 25 AS k,

@@ -194,6 +194,38 @@ object StreamQueries {
         .orderBy(col("user_id"))
     }),
 
+    // §2.10 stream-STATIC enrichment: micro-batched events joined to a
+    // bounded dimension (nation, broadcast — no shuffle of the stream
+    // side, no state store for the join; the dim is re-planned per batch,
+    // which is exactly how a slowly-changing lookup behaves in prod).
+    // Complete-mode rollup per dim attribute is batch-split-invariant.
+    "q118_stream_static" -> ((s, dir) => {
+      val ss = streamSession(s)
+      val src = landing("events_uid", dir,
+        Tables.load(s, dir, "events").select(
+          col("event_id"), col("user_id"),
+          round(col("value") * 100, 0).cast("long").as("value_cents")),
+        3, "event_id")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("value_cents", LongType)))
+      val stream = SocialStream
+        .readJsonStream(ss, src, schema, maxFilesPerTrigger = 1)
+      val dim = Tables.load(ss, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val agg = stream.withColumn("nk", col("user_id") % 25)
+        .join(broadcast(dim), col("nk") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
+      val sink = uniq("q118_sink_")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      q.stop()
+      ss.table(sink).orderBy(col("n_name"))
+    }),
+
     // Schema-drift quarantine ON THE STREAM: the landing writer drops a
     // malformed line for every event_id % 13 = 0 (truncated upload);
     // PERMISSIVE streaming JSON keeps the pipeline alive and routes the
@@ -308,6 +340,12 @@ object StreamQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q118_stream_static" ->
+      """SELECT n_name, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events e JOIN nation nn ON e.user_id % 25 = nn.n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
     // The quarantine split restated over the clean parquet: the writer
     // corrupted exactly the event_id % 13 = 0 lines.
     "q111_stream_drift" ->

@@ -82,4 +82,21 @@ class IncrementalSpec extends AnyFunSuite {
     val delta = Incremental.processNew(spark, landing, "batch_id", state) { _ => ran = true }
     assert(delta.count() == 0 && !ran)
   }
+
+  test("deltaJoin: old∪delta view equals the full-recompute join, no dup terms") {
+    val factOld = Seq((1L, "A"), (2L, "B")).toDF("oid", "fk")
+    val factDelta = Seq((3L, "A"), (4L, "C")).toDF("oid", "fk")
+    val dimOld = Seq(("A", "a")).toDF("dk", "attr")
+    val dimDelta = Seq(("B", "b"), ("C", "c")).toDF("dk", "attr")
+    val oldView = factOld.join(dimOld, factOld("fk") === dimOld("dk"))
+    val refreshed = oldView.unionByName(
+        Incremental.deltaJoin(factOld, factDelta, dimOld, dimDelta,
+          "fk", "dk", expectedDimDelta = 100L))
+      .select("oid", "attr").as[(Long, String)].collect().toSet
+    val full = factOld.unionByName(factDelta)
+      .join(dimOld.unionByName(dimDelta), $"fk" === $"dk")
+      .select("oid", "attr").as[(Long, String)].collect().toSet
+    assert(refreshed == full)
+    assert(refreshed == Set((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c")))
+  }
 }
