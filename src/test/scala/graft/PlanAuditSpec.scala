@@ -98,6 +98,37 @@ class PlanAuditSpec extends AnyFunSuite {
     }, "IVF corpus assignment reintroduced a cross join")
   }
 
+  test("CMS aggregate runs partial + final (sketches merge map-side)") {
+    // ObjectHashAggregate must appear twice (partial, final) around one
+    // exchange — the whole point of a mergeable sketch at 100 TB.
+    val plan = run("q115_cms_freq")
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      "count-min sketch no longer partially aggregates before the exchange")
+  }
+
+  test("deltaJoin's history scan carries the bloom pre-filter") {
+    // The F ⋈ ΔD term is the only history touch; its fact scan must be
+    // bloom-gated below the join so the exchange carries survivors only.
+    val plan = run("q120_delta_join")
+    assert(plan.contains("bloom_might_contain"),
+      "deltaJoin history side lost its Bloom pre-filter")
+  }
+
+  test("stream-static dim joins as broadcast on the batch plan") {
+    // Batch-side shape of q118's join: nation must broadcast, never
+    // shuffle the fact side. (The streaming micro-batch planner reuses
+    // the same join strategy per batch.)
+    val events = graft.Tables.load(spark, dir, "events")
+      .withColumn("nk", col("user_id") % 25)
+    val dim = graft.Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val joined = events.join(broadcast(dim), col("nk") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+    val plan = planOf(joined)
+    assert(plan.contains("BroadcastHashJoin"), "dim join is not broadcast")
+    assert(!plan.contains("SortMergeJoin"), "stream-static shape shuffled the fact side")
+  }
+
   test("partition-pruned scan reads only the selected partition") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_pp_").toString
