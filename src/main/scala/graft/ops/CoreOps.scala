@@ -262,6 +262,38 @@ object CoreOps {
       .select(col("stratum"), col("e.id").as(keyCol))
   }
 
+  /** Temperature-smoothed mixture resampling — the α=0.5 data-mix knob
+    * (multilingual-LM tradition: upweight rare sources, damp dominant
+    * ones, without the hard equalization of [[balancedSample]]). Each
+    * stratum's target is the GEOMETRIC interpolation between its natural
+    * count and the equal share `e = N/k`:
+    * `rate_s = min(1, sqrt(e / n_s))` — strata below the equal share keep
+    * everything, larger strata keep `√(e/n_s)` of their rows.
+    *
+    * Determinism & oracle-safety: every float op is per-stratum
+    * (int/int division, one IEEE-exact sqrt, one floor to basis points) —
+    * no cross-stratum float sum whose order could differ between engines.
+    * Selection = portable char_hash mod `denomBp` vs the stratum's rate,
+    * the same keyed coin as [[stratifiedHashSample]].
+    *
+    * Scale shape: one strata-sized aggregate (broadcast back), then a
+    * scan-local filter — no shuffle of the data itself.
+    */
+  def temperatureSample(df: DataFrame, stratumCol: String, keyCol: String,
+                        denomBp: Int = 10000): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_s"))
+    val totals = counts.agg(sum(col("n_s")).as("n_total"),
+      count(lit(1)).as("k_strata"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col(stratumCol),
+        floor(least(lit(1.0),
+          sqrt((col("n_total").cast("double") / col("k_strata")) / col("n_s")))
+          * lit(denomBp.toDouble)).cast("long").as("rate_bp"))
+    val h = pmod(graft.dedup.Dedup.charHash(col(keyCol).cast("string")),
+      lit(denomBp.toLong))
+    df.join(broadcast(rates), Seq(stratumCol)).filter(h < col("rate_bp"))
+  }
+
   /** Mergeable distinct-count rollup (A6 at warehouse scale): per-group
     * HLL sketches materialized as a TABLE, so coarser rollups merge the
     * sketches instead of rescanning the fact data — the only way

@@ -115,6 +115,15 @@ object DedupQueries {
       Dedup.semanticDedup(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.4, nCells = 16)
         .orderBy(col("id"))
+    }),
+
+    // Int8 scalar quantization of the embedding store (4× compression for
+    // the 100 TB vector shelf): exact integer code stats hash-gated; the
+    // reconstruction-cosine floor surfaces as the tolerance boolean.
+    "q122_sq8_quantize" -> ((s, dir) => {
+      Similarity.scalarQuantize(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, levels = 255, minCosine = 0.995)
+        .orderBy(col("id"))
     }))
 
   // ---------------------------------------------------------------- oracles
@@ -379,6 +388,27 @@ object DedupQueries {
          |  FROM scored)
          |SELECT query_id, rank, corpus_id, sim FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+
+    "q122_sq8_quantize" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+        |stats AS (
+        |  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |         max(CAST(embedding[i] AS DOUBLE)) AS mx
+        |  FROM embeddings, dims GROUP BY i),
+        |sarr AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+        |         FROM stats),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1, 65), i ->
+        |      CASE WHEN mxs[i] = mns[i] THEN 0
+        |        ELSE CAST(round((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255
+        |          / (mxs[i] - mns[i])) AS BIGINT) END) AS cs
+        |  FROM embeddings CROSS JOIN sarr)
+        |SELECT vec_id AS id, CAST(list_sum(cs) AS BIGINT) AS code_sum,
+        |  CAST(list_min(cs) AS BIGINT) AS code_min,
+        |  CAST(list_max(cs) AS BIGINT) AS code_max,
+        |  true AS cos_ok
+        |FROM q ORDER BY id""".stripMargin,
 
     "q116_semantic_dedup" ->
       s"""WITH ${kmeansCtes(16)},

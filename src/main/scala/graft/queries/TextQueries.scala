@@ -194,6 +194,23 @@ object TextQueries {
         .orderBy(col("stratum"), col("doc_id"))
     }),
 
+    // Temperature-smoothed mixture resampling (α = 0.5): dominant
+    // sources damp toward the equal share (rate = √(e/n_s)), rare ones
+    // keep everything — the soft data-mix knob between proportional
+    // (q56) and hard-equalized (q110) sampling. The synthetic corpus is
+    // per-source uniform, so the mix is a structural residue split
+    // (50/30/10/10) — the damping is non-trivial at every SF.
+    "q123_temperature_mix" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").withColumn("mix_src",
+        when(col("doc_id") % 10 < 5, lit("common"))
+          .when(col("doc_id") % 10 < 8, lit("mid"))
+          .otherwise(concat(lit("rare"), (col("doc_id") % 2).cast("string"))))
+      CoreOps.temperatureSample(docs, "mix_src", "doc_id")
+        .groupBy(col("mix_src"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("mix_src"))
+    }),
+
     // Curriculum binning: quality-score deciles per language (the
     // easy→hard training-order knob). ntile over the exact micro-unit
     // score with doc_id tiebreak — fully deterministic, one window sort
@@ -382,6 +399,26 @@ object TextQueries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         |  true AS within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q123_temperature_mix" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 < 5 THEN 'common'
+         |         WHEN doc_id % 10 < 8 THEN 'mid'
+         |         ELSE 'rare' || CAST(doc_id % 2 AS VARCHAR) END AS mix_src
+         |  FROM documents),
+         |c AS (SELECT mix_src, count(*) AS n_s FROM d GROUP BY mix_src),
+         |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+         |             CAST(count(*) AS BIGINT) AS k_strata FROM c),
+         |r AS (SELECT mix_src,
+         |        CAST(floor(least(1.0,
+         |          sqrt((CAST(n_total AS DOUBLE) / k_strata) / n_s)) * 10000)
+         |          AS BIGINT) AS rate_bp
+         |      FROM c, t)
+         |SELECT mix_src, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM d JOIN r USING (mix_src)
+         |WHERE ${chSqlOf("CAST(doc_id AS VARCHAR)")} % 10000 < rate_bp
+         |GROUP BY mix_src ORDER BY mix_src""".stripMargin,
 
     "q119_curriculum" ->
       s"""WITH t AS (

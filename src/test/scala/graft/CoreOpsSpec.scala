@@ -177,4 +177,21 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(out("B") == Seq(10L, 11L))
     assert(out.values.forall(_.length == 2)) // exact N, not approximate
   }
+
+  test("temperatureSample: sub-equal-share strata keep everything, big ones damp by √(e/n)") {
+    import graft.dedup.Dedup
+    // strata: big = 900 rows, small = 100 rows. e = 500.
+    // rate(small) = min(1, √(500/100)) = 1 — every row survives.
+    // rate(big) = √(500/900) = 0.745… → rate_bp = 7453.
+    val rows = (0L until 900L).map(i => ("big", i)) ++
+      (1000L until 1100L).map(i => ("small", i))
+    val df = rows.toDF("src", "id")
+    val out = CoreOps.temperatureSample(df, "src", "id")
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(out("small") == 100L)
+    val expectedBig = (0L until 900L).count(i =>
+      math.floorMod(Dedup.charHashStr(i.toString), 10000L) < 7453L)
+    assert(out("big") == expectedBig)
+    assert(out("big") < 900L && out("big") > 0L)
+  }
 }

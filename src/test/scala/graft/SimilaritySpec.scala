@@ -70,4 +70,20 @@ class SimilaritySpec extends AnyFunSuite {
     // the two identical vectors must find each other
     assert(out.filter($"query_id" === 1L && $"corpus_id" === 2L).count() == 1)
   }
+
+  test("scalarQuantize: hand-computed codes, extremes exact, flat dim codes 0") {
+    // dim stats: d1 in [0,1], d2 in [0,2], d3 flat (all 7).
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f, 7.0f)),
+      (2L, Seq(1.0f, 2.0f, 7.0f)),
+      (3L, Seq(0.5f, 1.0f, 7.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.scalarQuantize(df, "vec_id", "embedding",
+        dim = 3, levels = 10, minCosine = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // codes: v1 = (0,0,0) sum 0; v2 = (10,10,0) sum 20; v3 = (5,5,0) sum 10
+    assert(out(1L) == ((0L, 0L, 0L, true)))
+    assert(out(2L) == ((20L, 0L, 10L, true)))
+    assert(out(3L) == ((10L, 0L, 5L, true)))
+  }
 }
