@@ -124,6 +124,27 @@ object DedupQueries {
       Similarity.scalarQuantize(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", dim = 64, levels = 255, minCosine = 0.995)
         .orderBy(col("id"))
+    }),
+
+    // ANN recall@5 evaluation — the harness that justifies shipping the
+    // LSH path at 100 TB: per query, |lsh top-5 ∩ brute-force top-5| as
+    // an exact integer. Both rankings share the (sim DESC, id ASC)
+    // tiebreak, so the intersection is deterministic; the oracle replays
+    // BOTH retrieval paths and the same intersection.
+    "q124_ann_recall" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("corpus_id"))
+      val approx = Similarity.lshTopK(e, qs, "vec_id", "embedding", 5,
+          planes = 4, dim = 64)
+        .select(col("query_id"), col("corpus_id"))
+      val hits = exact.join(approx, Seq("query_id", "corpus_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .orderBy(col("query_id"))
     }))
 
   // ---------------------------------------------------------------- oracles
@@ -388,6 +409,34 @@ object DedupQueries {
          |  FROM scored)
          |SELECT query_id, rank, corpus_id, sim FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+
+    "q124_ann_recall" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qb
+         |      FROM b WHERE vec_id < 20),
+         |exact AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT q.query_id, c.vec_id AS corpus_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosineSql("c.embedding", "q.qv")} DESC, c.vec_id) AS rn
+         |    FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+         |  WHERE rn <= 5),
+         |approx AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT q.query_id, c2.vec_id AS corpus_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosineSql("c2.embedding", "q.qv")} DESC, c2.vec_id) AS rn
+         |    FROM b c2 JOIN q ON c2.bucket = q.qb WHERE c2.vec_id <> q.query_id)
+         |  WHERE rn <= 5),
+         |hits AS (
+         |  SELECT e.query_id, count(*) AS n_hits FROM exact e JOIN approx a
+         |  ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+         |  GROUP BY e.query_id)
+         |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+         |FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin,
 
     "q122_sq8_quantize" ->
       """WITH dims AS (SELECT unnest(range(1, 65)) AS i),

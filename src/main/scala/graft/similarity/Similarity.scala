@@ -351,8 +351,12 @@ object Similarity {
     val maxExprs = (0 until dim).map(i =>
       max(element_at(col(vecCol), i + 1).cast("double")).as(s"mx$i"))
     val statsRow = df.agg(minExprs.head, (minExprs.tail ++ maxExprs): _*).head()
-    val mns = Array.tabulate(dim)(i => statsRow.getDouble(i))
-    val mxs = Array.tabulate(dim)(i => statsRow.getDouble(dim + i))
+    // Empty corpus → null stats; treat every dim as flat at 0 (all rows —
+    // there are none — would code to 0) instead of NPEing in getDouble.
+    def statAt(i: Int): Double =
+      if (statsRow.isNullAt(i)) 0.0 else statsRow.getDouble(i)
+    val mns = Array.tabulate(dim)(i => statAt(i))
+    val mxs = Array.tabulate(dim)(i => statAt(dim + i))
     val bc = df.sparkSession.sparkContext.broadcast((mns, mxs))
     val schema = StructType(Seq(
       StructField("id", df.schema(idCol).dataType),
