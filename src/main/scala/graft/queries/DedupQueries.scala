@@ -126,6 +126,26 @@ object DedupQueries {
         .orderBy(col("id"))
     }),
 
+    // The dedup decision a corpus ships: keep the BEST-quality doc per
+    // near-dup cluster — (quality micros DESC, id ASC) argmax instead of
+    // lowest-id. One tiny aggregate over the cluster table (clusters ≪
+    // docs); unclustered docs are untouched by construction.
+    "q125_keep_best" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      val qual = docs.select(col("doc_id").as("node"),
+        graft.ops.CoreOps.cents(graft.text.TextOps.qualityScore(
+          col("text"), TextQueries.stopwords), 6).as("q_u"))
+      clusters.join(qual, Seq("node"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct(col("q_u"), (-col("node")).as("nid"))).as("b"))
+        .select(col("component"), col("n_docs"),
+          (-col("b.nid")).as("keeper"), col("b.q_u").as("keeper_q_u"))
+        .orderBy(col("component"))
+    }),
+
     // ANN recall@5 evaluation — the harness that justifies shipping the
     // LSH path at 100 TB: per query, |lsh top-5 ∩ brute-force top-5| as
     // an exact integer. Both rankings share the (sim DESC, id ASC)
@@ -236,6 +256,32 @@ object DedupQueries {
        |lab AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
        |SELECT component, count(*) AS n_docs FROM lab
        |GROUP BY component ORDER BY component""".stripMargin
+
+  /** q125's oracle: the cluster closure of [[minhashClusterOracleSql]]
+    * joined to the shared quality formula, argmax by (q_u DESC, id ASC).
+    */
+  private def minhashKeepBestOracleSql(shingleK: Int, numHashes: Int,
+                                       bands: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${minhashCtes(shingleK, numHashes, bands)},
+       |p AS (SELECT id_a, id_b FROM v WHERE jaccard >= $threshold),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+       |reach AS (
+       |  SELECT a AS node, a AS r FROM sym
+       |  UNION
+       |  SELECT s2.a, reach.r FROM sym s2 JOIN reach ON reach.node = s2.b),
+       |lab AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+       |qual AS (
+       |  SELECT doc_id, CAST(round((${TextQueries.qualitySql}) * 1000000.0) AS BIGINT) AS q_u
+       |  FROM documents),
+       |sel AS (
+       |  SELECT component, node, q_u,
+       |    row_number() OVER (PARTITION BY component
+       |      ORDER BY q_u DESC, node ASC) AS rn,
+       |    count(*) OVER (PARTITION BY component) AS n_docs
+       |  FROM lab JOIN qual ON qual.doc_id = lab.node)
+       |SELECT component, CAST(n_docs AS BIGINT) AS n_docs,
+       |  node AS keeper, q_u AS keeper_q_u
+       |FROM sel WHERE rn = 1 ORDER BY component""".stripMargin
 
   /** SimHash signature SQL over a relation exposing (doc_id, text). */
   private val simhashSigSql: String = {
@@ -353,6 +399,8 @@ object DedupQueries {
     "q32_minhash_neardups" -> minhashOracleSql(3, 16, 4, 0.5),
 
     "q77_neardup_clusters" -> minhashClusterOracleSql(3, 16, 4, 0.5),
+
+    "q125_keep_best" -> minhashKeepBestOracleSql(3, 16, 4, 0.5),
 
     // Text-equality semantics: the engine dedups on a 3-component
     // content fingerprint (len, xxhash64, charHash); the oracle states

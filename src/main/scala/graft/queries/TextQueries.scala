@@ -367,8 +367,8 @@ object TextQueries {
        |  list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))),
        |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
 
-  /** qualityScore as SQL (shared by q25 and q57 oracles). */
-  private val qualitySql =
+  /** qualityScore as SQL (shared by q25/q57/q119/q125 oracles). */
+  private[queries] val qualitySql =
     s"""least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
        |    + (1.0 - abs(
        |        CAST(len(list_filter(string_split(text, ' '), x -> x IN $stops)) AS DOUBLE)
