@@ -297,6 +297,59 @@ object StreamQueries {
         .orderBy(col("v_id"), col("c_id"))
     }),
 
+    // §2.10 stream-stream LEFT OUTER interval join — the missing half of
+    // q98: views with NO click inside the 2-hour horizon must emit with
+    // null once the watermark passes their deadline (state eviction =
+    // null emission). Determinism: all real rows land as ONE file per
+    // side (one batch each, nothing late), then a far-future sentinel on
+    // BOTH sides drives the global watermark past every deadline so the
+    // outer rows flush; the sentinels (user −1) match nothing and are
+    // filtered.
+    "q126_stream_outer_join" -> ((s, dir) => {
+      val ss = streamSession(s)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts_us", LongType),
+        StructField("user_id", LongType)))
+      def mk(t: String): (String, Long) = {
+        val rows = Tables.load(s, dir, "events")
+          .filter(col("event_type") === t)
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"))
+        val src = Files.createTempDirectory(s"graft_q126_${t}_").toString
+        rows.coalesce(1).write.mode("append").json(src)
+        (src, rows.agg(max(col("ts_us"))).head().getLong(0))
+      }
+      val (vSrc, vMax) = mk("view")
+      val (cSrc, cMax) = mk("click")
+      val views = SocialStream.readJsonStream(ss, vSrc, schema, 1).select(
+        col("event_id").as("v_id"), col("user_id").as("v_user"),
+        timestamp_micros(col("ts_us")).as("v_ts"))
+      val clicks = SocialStream.readJsonStream(ss, cSrc, schema, 1).select(
+        col("event_id").as("c_id"), col("user_id").as("c_user"),
+        timestamp_micros(col("ts_us")).as("c_ts"))
+      val joined = SocialStream.intervalJoin(views, clicks,
+        "v_user", "c_user", "v_ts", "c_ts",
+        maxGap = "2 hours", watermark = "0 seconds",
+        joinType = "left_outer")
+      val sink = uniq("q126_sink_")
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      val far = math.max(vMax, cMax) + 400L * 86400L * 1000000L
+      Seq(vSrc, cSrc).foreach { src =>
+        ss.createDataFrame(
+            java.util.List.of(org.apache.spark.sql.Row(-1L, far, -1L)), schema)
+          .coalesce(1).write.mode("append").json(src)
+      }
+      q.processAllAvailable()
+      q.stop()
+      ss.table(sink)
+        .filter(col("v_user") =!= -1L)
+        .select(col("v_id"), col("c_id"), col("v_user").as("user_id"))
+        .orderBy(col("v_id"), col("c_id"))
+    }),
+
     // §2.10 + K3 composed: streaming micro-batches feeding an EXTERNAL
     // serving store through `foreachBatch` + the idempotent MERGE writer —
     // the streaming form of the reference's per-batch Neo4j load
@@ -402,5 +455,16 @@ object StreamQueries {
         | AND v.event_type = 'view' AND c.event_type = 'click'
         | AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
         | AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 2 HOUR
-        |ORDER BY v_id, c_id""".stripMargin)
+        |ORDER BY v_id, c_id""".stripMargin,
+
+    "q126_stream_outer_join" ->
+      """WITH v AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+        |      FROM events WHERE event_type = 'click')
+        |SELECT v.event_id AS v_id, c.event_id AS c_id, v.user_id
+        |FROM v LEFT JOIN c
+        |  ON v.user_id = c.user_id
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+        |ORDER BY v_id, c_id NULLS FIRST""".stripMargin)
 }

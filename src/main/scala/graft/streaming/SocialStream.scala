@@ -91,13 +91,19 @@ object SocialStream {
   def intervalJoin(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
                    leftTs: String, rightTs: String,
-                   maxGap: String, watermark: String = "2 days"): DataFrame = {
+                   maxGap: String, watermark: String = "2 days",
+                   joinType: String = "inner"): DataFrame = {
+    // Outer variants need BOTH the watermarks and the time-range bound
+    // (present here by construction): an unmatched left row emits with
+    // nulls once the watermark passes `leftTs + maxGap` — the state
+    // eviction deadline doubles as the null-emission trigger.
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r,
       col(leftKey) === col(rightKey) &&
         col(rightTs) >= col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxGap"))
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxGap"),
+      joinType)
   }
 
   /** Latest-wins engagement state per key: emits the current best (newest
