@@ -577,7 +577,12 @@ object Dedup {
                     threshold: Double, nCells: Int = 16, dim: Int = 64,
                     refinePasses: Int = 1): DataFrame = {
     import graft.similarity.Similarity.{appendCosine, kmeansAssign}
-    val (assigned, _) = kmeansAssign(df, idCol, vecCol, nCells, dim, refinePasses)
+    // The assignment feeds three consumers (both pair sides + the final
+    // keep join) and ends in a kernel, not an exchange — nothing for
+    // Spark to reuse. Pin it once so the corpus isn't re-scanned and
+    // re-assigned 3×.
+    val (assigned0, _) = kmeansAssign(df, idCol, vecCol, nCells, dim, refinePasses)
+    val assigned = assigned0.localCheckpoint()
     val a = assigned.select(col("cell"), col("corpus_id").as("id_a"),
       col("cv2").as("v_a"), col("cnorm2").as("nrm_a"))
     val b = assigned.select(col("cell"), col("corpus_id").as("id_b"),

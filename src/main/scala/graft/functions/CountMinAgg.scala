@@ -65,10 +65,16 @@ object CountMin {
   private val P = 2147483647L // 2^31 − 1
 
   /** Row-d counter slot for `key` — shared by the update path and the
-    * literal-probe estimate so they can never disagree.
+    * literal-probe estimate so they can never disagree. The key folds
+    * into [0, P) BEFORE the multiply: A(d) < 2^32 and (key mod P) < 2^31,
+    * so the product stays inside a signed 64-bit long — no silent wrap
+    * for snowflake-scale ids, the (a·k+b) mod p family keeps its
+    * pairwise-independence bound.
     */
-  def slot(d: Int, key: Long, width: Int): Int =
-    (java.lang.Math.floorMod(A(d) * key + B(d), P) % width).toInt
+  def slot(d: Int, key: Long, width: Int): Int = {
+    val k = java.lang.Math.floorMod(key, P)
+    (((A(d) * k + B(d)) % P) % width).toInt
+  }
 
   /** `count_min(keyCol)` aggregate column: the depth×width sketch as one
     * flat array<bigint> (row-major).

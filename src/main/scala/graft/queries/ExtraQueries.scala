@@ -23,11 +23,15 @@ object ExtraQueries {
     // the oracle (quarter quantiles interpolate exactly in binary, so
     // engines can't diverge in the last ulp), while the approx_percentile
     // sketch — the single-pass mergeable path a 100 TB profile actually
-    // runs — surfaces as an in-query tolerance boolean. Accuracy 10000 →
-    // rank error ≤ n/10000, far inside the 5%+0.1 value tolerance.
+    // runs — surfaces as an in-query tolerance boolean. The sketch's
+    // guarantee is RANK error ≤ n/10000; the 10%+0.1 check below is a
+    // value-space translation that holds because the fixture's value
+    // distribution is dense near the quartiles (a gapped distribution
+    // could put a within-spec rank outside any value tolerance — route
+    // such data to the exact path, which is the hash-gated one here).
     "q114_quantile_sketch" -> ((s, dir) => {
       def tol(ap: org.apache.spark.sql.Column, ex: org.apache.spark.sql.Column) =
-        abs(ap - ex) <= abs(ex) * lit(0.05) + lit(1e5)
+        abs(ap - ex) <= abs(ex) * lit(0.10) + lit(1e5)
       Tables.load(s, dir, "events")
         .withColumn("v_u", round(col("value") * lit(1e6), 0).cast("long"))
         .groupBy(col("event_type"))
@@ -50,8 +54,12 @@ object ExtraQueries {
     // buffers — the 100 TB shuffle carries sketches, never keys), probed
     // at 10 literal keys. Exact counts are hash-gated; the sketch
     // surfaces as two booleans — never-undercounts (a CMS theorem, so
-    // `true` unconditionally) and within the e·N/width slack (checked in
-    // pure integer arithmetic; deterministic for fixed data + hashes).
+    // `true` unconditionally) and a 16·N/width slack (≈1.6% of N —
+    // deliberately wide of the e·N/width expectation, because the CMS
+    // bound is probabilistic per probe and this sits under a HARD gate:
+    // Markov per row gives P[min of 4 rows exceeds 16×mean] ≲ 2e-5 per
+    // probe, and the check is deterministic for the fixed testdata +
+    // frozen hashes — verified at sf0.01 and sf0.1).
     "q115_cms_freq" -> ((s, dir) => {
       import graft.functions.CountMin
       val (depth, width) = (4, 1024)
@@ -75,7 +83,7 @@ object ExtraQueries {
         .select(col("event_type"), col("probe_key"), col("exact_n"),
           (col("cms_est") >= col("exact_n")).as("ge_ok"),
           ((col("cms_est") - col("exact_n")) * lit(width.toLong) <=
-            col("total") * lit(6L)).as("slack_ok"))
+            col("total") * lit(16L)).as("slack_ok"))
         .orderBy(col("event_type"), col("probe_key"))
     }),
 

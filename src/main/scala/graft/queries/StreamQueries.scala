@@ -318,7 +318,9 @@ object StreamQueries {
             col("user_id"))
         val src = Files.createTempDirectory(s"graft_q126_${t}_").toString
         rows.coalesce(1).write.mode("append").json(src)
-        (src, rows.agg(max(col("ts_us"))).head().getLong(0))
+        // empty side (tiny SF): null max → 0, the sentinel still lands
+        val hi = rows.agg(max(col("ts_us"))).head()
+        (src, if (hi.isNullAt(0)) 0L else hi.getLong(0))
       }
       val (vSrc, vMax) = mk("view")
       val (cSrc, cMax) = mk("click")

@@ -453,12 +453,14 @@ object TextQueries {
         |        regexp_replace(
         |          regexp_replace(
         |            regexp_replace(
-        |              lower(regexp_extract(url, '^([^/]*//[^/]*)', 1))
-        |                || regexp_replace(url, '^[^/]*//[^/]*', ''),
-        |              '://www\.', '://'),
-        |            '#.*', ''),
-        |          '\?utm_[^&#]*&', '?'),
-        |        '[?&]utm_[^&#]*', ''),
+        |              regexp_replace(
+        |                lower(regexp_extract(url, '^([^/]*//[^/]*)', 1))
+        |                  || regexp_replace(url, '^[^/]*//[^/]*', ''),
+        |                '://www\.', '://'),
+        |              '#.*', ''),
+        |            '\?', '&'),
+        |          '&utm_[^&#]*', '', 'g'),
+        |        '^([^&]*)&', '\1?'),
         |      '/$', '') AS canonical_url
         |  FROM u)
         |SELECT canonical_url, count(*) AS n_dups, min(doc_id) AS keeper

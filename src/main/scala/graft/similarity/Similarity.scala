@@ -368,7 +368,12 @@ object Similarity {
     df.select(col(idCol), col(vecCol)).mapPartitions { it =>
       val (mn, mx) = bc.value
       it.map { row =>
-        val v = row.getSeq[Float](1)
+        val v0 = row.getSeq[Float](1)
+        // null/empty embeddings: flag rather than NPE or vacuously pass —
+        // (0,0,0,false) marks a vector the quantizer never touched.
+        if (v0 == null || v0.isEmpty) Row(row.get(0), 0L, 0L, 0L, false)
+        else {
+        val v = v0
         val n = math.min(v.length, mn.length)
         var sum = 0L
         var cmin = Long.MaxValue
@@ -396,6 +401,7 @@ object Similarity {
           if (nO == 0.0 || nR == 0.0) if (nO == nR) 1.0 else 0.0
           else dotOR / (math.sqrt(nO) * math.sqrt(nR))
         Row(row.get(0), sum, cmin, cmax, cos >= minCosine)
+        }
       }
     }(enc)
   }

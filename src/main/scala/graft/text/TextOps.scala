@@ -243,11 +243,16 @@ object TextOps {
 
   /** URL canonicalization for crawl dedup (the same-page-many-URLs class:
     * scheme/host case, `www.` prefix, tracking params, fragments, trailing
-    * slashes). Pure regexp_replace chain — whole-stage codegen, engine-
-    * portable regexes (each pattern matches at most once, so engines that
-    * default to first-match-only agree with replace-all engines).
+    * slashes). Pure regexp_replace chain — whole-stage codegen.
     * Canonical form: lowercased scheme://host, no `www.`, no `utm_*`
-    * params, no fragment, no trailing slash.
+    * params (any number, any position), no fragment, no trailing slash.
+    *
+    * Param handling normalizes the separator first ('?' → '&'), strips
+    * EVERY `&utm_…` run, then restores '?' on the first survivor — so
+    * `?utm_a=1&utm_b=2&id=3` collapses to `?id=3`, never to a malformed
+    * `&id=3`. Engine portability: every pattern here matches at most once
+    * EXCEPT the utm strip, which is global — a first-match-only engine
+    * must mirror it with its global flag (the oracle uses DuckDB's 'g').
     */
   def canonicalizeUrl(url: Column): Column = {
     // lowercase only the scheme://host prefix; path case is significant
@@ -256,10 +261,9 @@ object TextOps {
       regexp_replace(url, "^[^/]*//[^/]*", ""))
     val noWww = regexp_replace(hostLowered, "://www\\.", "://")
     val noFragment = regexp_replace(noWww, "#.*", "")
-    // tracking params: drop `utm_*` whether first (`?utm_x=1&id=2`) or
-    // trailing (`?id=2&utm_x=1`); repair the separator in the first case
-    val noUtmLead = regexp_replace(noFragment, "\\?utm_[^&#]*&", "?")
-    val noUtm = regexp_replace(noUtmLead, "[?&]utm_[^&#]*", "")
-    regexp_replace(noUtm, "/$", "")
+    val uniformSep = regexp_replace(noFragment, "\\?", "&")
+    val noUtm = regexp_replace(uniformSep, "&utm_[^&#]*", "")
+    val restored = regexp_replace(noUtm, "^([^&]*)&", "$1?")
+    regexp_replace(restored, "/$", "")
   }
 }

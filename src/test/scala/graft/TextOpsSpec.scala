@@ -139,6 +139,10 @@ class TextOpsSpec extends AnyFunSuite {
       "https://example.com/a?utm_s=1&id=2" -> "https://example.com/a?id=2",
       // trailing utm param after a real one
       "https://example.com/a?id=2&utm_s=1" -> "https://example.com/a?id=2",
+      // multiple leading utm params before a survivor
+      "https://example.com/a?utm_a=1&utm_b=2&id=3" -> "https://example.com/a?id=3",
+      // all params are tracking -> query gone entirely
+      "https://example.com/a?utm_a=1&utm_b=2" -> "https://example.com/a",
       // non-utm params survive untouched
       "https://example.com/a?id=2" -> "https://example.com/a?id=2")
     val out = cases.map(_._1).toDF("url")
