@@ -311,19 +311,17 @@ object StreamQueries {
         StructField("event_id", LongType),
         StructField("ts_us", LongType),
         StructField("user_id", LongType)))
-      def mk(t: String): (String, Long) = {
+      def mk(t: String): String = {
         val rows = Tables.load(s, dir, "events")
           .filter(col("event_type") === t)
           .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
             col("user_id"))
         val src = Files.createTempDirectory(s"graft_q126_${t}_").toString
         rows.coalesce(1).write.mode("append").json(src)
-        // empty side (tiny SF): null max → 0, the sentinel still lands
-        val hi = rows.agg(max(col("ts_us"))).head()
-        (src, if (hi.isNullAt(0)) 0L else hi.getLong(0))
+        src
       }
-      val (vSrc, vMax) = mk("view")
-      val (cSrc, cMax) = mk("click")
+      val vSrc = mk("view")
+      val cSrc = mk("click")
       val views = SocialStream.readJsonStream(ss, vSrc, schema, 1).select(
         col("event_id").as("v_id"), col("user_id").as("v_user"),
         timestamp_micros(col("ts_us")).as("v_ts"))
@@ -338,7 +336,9 @@ object StreamQueries {
       val q = joined.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       q.processAllAvailable()
-      val far = math.max(vMax, cMax) + 400L * 86400L * 1000000L
+      // constant far-future sentinel (year ~2200) — the fixture's event
+      // times are bounded, so no per-invocation max scan is needed
+      val far = 7258118400000000L
       Seq(vSrc, cSrc).foreach { src =>
         ss.createDataFrame(
             java.util.List.of(org.apache.spark.sql.Row(-1L, far, -1L)), schema)

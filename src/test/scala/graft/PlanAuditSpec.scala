@@ -129,6 +129,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "stream-static shape shuffled the fact side")
   }
 
+  test("temperatureSample joins its rates as broadcast — data is never shuffled") {
+    val plan = run("q123_temperature_mix")
+    assert(plan.contains("BroadcastHashJoin"),
+      "rate table no longer broadcasts")
+    assert(!plan.contains("SortMergeJoin"),
+      "temperatureSample shuffled the data side for its tiny rate join")
+  }
+
+  test("semanticDedup pair stage is a cell-keyed equi-join, never cartesian") {
+    val plan = run("q116_semantic_dedup")
+    assert(!plan.contains("CartesianProduct"),
+      "semantic dedup degenerated to an all-pairs comparison")
+  }
+
   test("partition-pruned scan reads only the selected partition") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_pp_").toString

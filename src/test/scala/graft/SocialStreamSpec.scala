@@ -149,6 +149,42 @@ class SocialStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("outer intervalJoin: match emits promptly, null emits only after the deadline passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, Long, Timestamp)]
+    val rMem = MemoryStream[(Long, Long, Timestamp)]
+    val views = lMem.toDF().toDF("v_id", "v_user", "v_ts")
+    val clicks = rMem.toDF().toDF("c_id", "c_user", "c_ts")
+    val joined = SocialStream.intervalJoin(views, clicks,
+      "v_user", "c_user", "v_ts", "c_ts",
+      maxGap = "2 hours", watermark = "0 seconds", joinType = "left_outer")
+    val sink = "outer_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def rows() = spark.table(sink)
+        .select("v_id", "c_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      // view 1 (user 7) gets a click in-window; view 2 (user 8) never does
+      lMem.addData((1L, 7L, ts("2023-03-25 00:00:00")),
+        (2L, 8L, ts("2023-03-25 00:00:00")))
+      rMem.addData((101L, 7L, ts("2023-03-25 00:30:00")))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 101L)), "inner match must emit promptly")
+      // watermark still inside view 2's 2h window -> no null row yet
+      rMem.addData((102L, 99L, ts("2023-03-25 01:00:00")))
+      lMem.addData((3L, 99L, ts("2023-03-25 01:00:00")))
+      q.processAllAvailable()
+      assert(!rows().contains((2L, -1L)),
+        "null must not emit before the watermark passes v_ts + maxGap")
+      // both watermarks past 02:00 -> view 2's deadline passed -> null emits
+      lMem.addData((4L, 50L, ts("2023-03-25 09:00:00")))
+      rMem.addData((103L, 50L, ts("2023-03-25 09:00:00")))
+      q.processAllAvailable()
+      assert(rows().contains((2L, -1L)), "unmatched view must emit nulls")
+    } finally q.stop()
+  }
+
   test("file-source micro-batches flow through a checkpointed parquet sink") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val landing = s"$tmp/landing"
