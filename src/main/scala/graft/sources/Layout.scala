@@ -75,4 +75,31 @@ object Layout {
     df.repartitionByRange(files, z).sortWithinPartitions(z)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Small-files compaction: rewrite a directory of many tiny parquet
+    * files into ~`targetBytes`-sized ones — the remedy for the
+    * 15-minute-cadence landing zone (the reference lands one JSON object
+    * per scrape; a year of that is ~35k files per topic whose OPEN cost
+    * dominates scans and whose footers bloat the driver's file index).
+    *
+    * File count = ceil(total input bytes / targetBytes), measured from
+    * the file system (no data scan), floored at 1. `coalesce` (narrow,
+    * no shuffle) merges splits when shrinking the file count —
+    * compression-ratio drift between input and output is fine for the
+    * open-cost problem being solved. Atomicity: write to `outPath` then
+    * swap directories like [[graft.pipeline.Compaction]] — this writer
+    * does not overwrite in place.
+    */
+  def compactBySize(spark: org.apache.spark.sql.SparkSession, inPath: String,
+                    outPath: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath).coalesce(files)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    files
+  }
 }

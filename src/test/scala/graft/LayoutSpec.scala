@@ -83,6 +83,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(violations.count() == 0)
   }
 
+  test("compactBySize: many tiny files collapse into the target count, rows intact") {
+    import graft.sources.Layout
+    val in = Files.createTempDirectory("layout_tiny_").toString
+    val out = Files.createTempDirectory("layout_compact_").toString
+    // 40 single-row files — the 15-minute-drop landing shape
+    (1L to 40L).map(i => (i, s"payload$i")).toDF("id", "v")
+      .repartition(40).write.mode("overwrite").parquet(in)
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    // AQE may coalesce the 40-way round-robin somewhat; "many" suffices
+    assert(parquetFiles(in) >= 20)
+    // target = total bytes / 4 → ~4 output files
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(in), spark.sparkContext.hadoopConfiguration)
+    val total = fs.getContentSummary(new org.apache.hadoop.fs.Path(in)).getLength
+    val n = Layout.compactBySize(spark, in, out, targetBytes = total / 4 + 1)
+    assert(n == 4 && parquetFiles(out) == 4)
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet ==
+      (1L to 40L).map(i => (i, s"payload$i")).toSet)
+    // a target larger than the input collapses to one file
+    val out1 = Files.createTempDirectory("layout_one_").toString
+    assert(Layout.compactBySize(spark, in, out1, targetBytes = Long.MaxValue) == 1)
+    assert(parquetFiles(out1) == 1)
+  }
+
   test("ORC sink/source roundtrip with predicate pushdown (format breadth)") {
     val dir = Files.createTempDirectory("layout_orc_").toString
     val df = (1L to 1000L).map(i => (i, s"name$i", i % 7)).toDF("id", "name", "grp")
