@@ -87,6 +87,23 @@ object ExtraQueries {
         .orderBy(col("event_type"), col("probe_key"))
     }),
 
+    // §2.9 aggregate breadth: ordered string aggregation (deterministic
+    // via sort-before-join), bitwise AND/OR/XOR folds, boolean
+    // quantifiers — all partial-aggregable (bit/bool monoids commute;
+    // collect_set's merge is a set union, sorted only at finish).
+    "q127_agg_suite" -> ((s, dir) => {
+      Tables.load(s, dir, "events").filter(col("user_id") < 10)
+        .groupBy(col("user_id"))
+        .agg(
+          array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
+          expr("bit_and(event_id)").as("band"),
+          expr("bit_or(event_id)").as("bor"),
+          expr("bit_xor(event_id)").as("bxor"),
+          expr("bool_and(value > 0)").as("all_pos"),
+          expr("bool_or(value > 100)").as("any_big"))
+        .orderBy(col("user_id"))
+    }),
+
     "q96_heavy_hitters" -> ((s, dir) => {
       import graft.ops.HeavyHitters
       val keyed = Tables.load(s, dir, "events").select(
@@ -484,6 +501,22 @@ object ExtraQueries {
   private val C = "CAST(round(%s * 100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q127_agg_suite" ->
+      """WITH d AS (SELECT DISTINCT user_id, event_type FROM events
+        |           WHERE user_id < 10),
+        |t AS (SELECT user_id,
+        |        string_agg(event_type, ',' ORDER BY event_type) AS types
+        |      FROM d GROUP BY user_id),
+        |b AS (SELECT user_id,
+        |        bit_and(event_id) AS band, bit_or(event_id) AS bor,
+        |        bit_xor(event_id) AS bxor,
+        |        bool_and(value > 0) AS all_pos,
+        |        bool_or(value > 100) AS any_big
+        |      FROM events WHERE user_id < 10 GROUP BY user_id)
+        |SELECT t.user_id, types, band, bor, bxor, all_pos, any_big
+        |FROM t JOIN b ON b.user_id = t.user_id
+        |ORDER BY t.user_id""".stripMargin,
+
     "q114_quantile_sketch" ->
       """SELECT event_type, count(*) AS n,
         |  quantile_cont(v_u, 0.25) AS p25,
