@@ -87,6 +87,30 @@ object ExtraQueries {
         .orderBy(col("event_type"), col("probe_key"))
     }),
 
+    // Data-quality anomaly sweep: per event_type, count of values more
+    // than 3σ from the mean. Mean/variance derive from EXACT integer
+    // sums (n, Σv, Σv²) so the float math is one fixed expression both
+    // engines evaluate identically — never Spark's pairwise-merge
+    // stddev, whose result depends on partition boundaries. The 3σ test
+    // runs as (v−mean)² > 9·var: no sqrt, fewer rounding steps. Stats
+    // are one broadcast row per group; the sweep is scan-local.
+    "q128_outliers" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"), CoreOps.cents(col("value")).as("v_c"))
+      val stats = e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"), sum(col("v_c")).as("s1"),
+        sum(col("v_c") * col("v_c")).as("s2"))
+      val mean = col("s1").cast("double") / col("n")
+      val varr = (col("s2").cast("double") / col("n")) - mean * mean
+      val dev = col("v_c").cast("double") - mean
+      e.join(broadcast(stats), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(dev * dev > lit(9.0) * varr, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
     // §2.9 aggregate breadth: ordered string aggregation (deterministic
     // via sort-before-join), bitwise AND/OR/XOR folds, boolean
     // quantifiers — all partial-aggregable (bit/bool monoids commute;
@@ -501,6 +525,24 @@ object ExtraQueries {
   private val C = "CAST(round(%s * 100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q128_outliers" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(round(value * 100) AS BIGINT) AS v_c FROM events),
+        |st AS (SELECT event_type, count(*) AS n,
+        |         CAST(sum(v_c) AS BIGINT) AS s1,
+        |         CAST(sum(v_c * v_c) AS BIGINT) AS s2
+        |       FROM e GROUP BY event_type),
+        |j AS (SELECT e.event_type, v_c,
+        |        CAST(s1 AS DOUBLE) / n AS mean,
+        |        CAST(s2 AS DOUBLE) / n
+        |          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS varr
+        |      FROM e JOIN st ON st.event_type = e.event_type)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN (CAST(v_c AS DOUBLE) - mean)
+        |                   * (CAST(v_c AS DOUBLE) - mean) > 9.0 * varr
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q127_agg_suite" ->
       """WITH d AS (SELECT DISTINCT user_id, event_type FROM events
         |           WHERE user_id < 10),
