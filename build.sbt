@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run JVM inherits sbt's raw stdout instead of going through the
+// logger: without this every println is re-emitted as an "[info] ..." line,
+// which is why the driver's JSON-tail parse of Bench output came back null
+// four rounds running. With StdoutOutput the final bench JSON line is bare.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -284,15 +284,19 @@ object GraphQueries {
     * dangling-mass term — per pass, the rank total parked on nodes with
     * no out-edges splits evenly (floor division) across all nodes before
     * damping. Same integer-micros arithmetic as [[pageRankOracle]].
+    *
+    * Levels are `AS MATERIALIZED`: pr(k-1) is referenced twice per pass
+    * (by dang(k) and pr(k)), so un-hinted DuckDB inlining would expand the
+    * chain 2^iters times. Materialization keeps the oracle linear in iters.
     */
   private def pageRankDanglingOracle(iters: Int): String = {
     val prs = (1 to iters).map { k =>
-      s"""dang$k AS (
+      s"""dang$k AS MATERIALIZED (
          |  SELECT CAST(COALESCE(sum(p.r), 0) AS BIGINT)
          |      // (SELECT nn FROM n) AS dshare
          |  FROM pr${k - 1} p LEFT JOIN od d ON d.node = p.node
          |  WHERE d.node IS NULL),
-         |pr$k AS (
+         |pr$k AS MATERIALIZED (
          |  SELECT nd.node,
          |    CAST(150000 + (85 * (COALESCE(s.s, 0)
          |      + (SELECT dshare FROM dang$k))) // 100 AS BIGINT) AS r
@@ -320,15 +324,18 @@ object GraphQueries {
   /** q117's oracle: the dangling-PageRank CTE with the teleport and
     * dangling terms concentrated on the seed residue class (node ≡ 0 mod
     * 10) — personalized PageRank in the same integer-micros arithmetic.
+    *
+    * `AS MATERIALIZED` for the same reason as [[pageRankDanglingOracle]]:
+    * two references to pr(k-1) per pass → 2^iters inlining without the hint.
     */
   private def pprOracle(iters: Int): String = {
     val prs = (1 to iters).map { k =>
-      s"""dang$k AS (
+      s"""dang$k AS MATERIALIZED (
          |  SELECT CAST(COALESCE(sum(p.r), 0) AS BIGINT)
          |      // (SELECT ns FROM sn) AS dshare
          |  FROM pr${k - 1} p LEFT JOIN od d ON d.node = p.node
          |  WHERE d.node IS NULL),
-         |pr$k AS (
+         |pr$k AS MATERIALIZED (
          |  SELECT nd.node,
          |    CAST((CASE WHEN nd.node % 10 = 0
          |        THEN (150000 * (SELECT nn FROM n)) // (SELECT ns FROM sn)
@@ -390,15 +397,22 @@ object GraphQueries {
 
   /** q113's oracle: simultaneous k-core peeling unrolled one CTE pair per
     * round (the fixture stabilizes in 4; 5 rounds proves the fixpoint).
+    *
+    * Every level is `AS MATERIALIZED`: each round references the previous
+    * edge level THREE times (directly plus twice through keepN), and DuckDB
+    * inlines non-materialized CTEs — without the hint the base subquery is
+    * expanded ~3^rounds times and the oracle burns ~10 minutes at sf0.01
+    * (this is what blanked CORRECTNESS_r04). Materialized, it is linear in
+    * `rounds` and completes in milliseconds.
     */
   private def kcoreOracle(k: Long, rounds: Int): String = {
     val passes = (1 to rounds).map { r =>
       val prev = if (r == 1) "e" else s"e${r - 1}"
-      s"""keep$r AS (
+      s"""keep$r AS MATERIALIZED (
          |  SELECT node FROM (
          |    SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
          |  GROUP BY node HAVING count(*) >= $k),
-         |e$r AS (
+         |e$r AS MATERIALIZED (
          |  SELECT t.a, t.b FROM $prev t
          |  JOIN keep$r ka ON ka.node = t.a
          |  JOIN keep$r kb ON kb.node = t.b)""".stripMargin
@@ -410,7 +424,7 @@ object GraphQueries {
        |  UNION ALL
        |  SELECT CAST(i % 12 AS BIGINT), CAST((i // 12) % 12 AS BIGINT)
        |  FROM i WHERE i < 144),
-       |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+       |e AS MATERIALIZED (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
        |      FROM raw WHERE x <> y),
        |$passes
        |SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (

@@ -456,9 +456,9 @@ object TextQueries {
         |              regexp_replace(
         |                lower(regexp_extract(url, '^([^/]*//[^/]*)', 1))
         |                  || regexp_replace(url, '^[^/]*//[^/]*', ''),
-        |                '://www\.', '://'),
+        |                '^([^/]*//)www\.', '\1'),
         |              '#.*', ''),
-        |            '\?', '&'),
+        |            '^([^?]*)\?', '\1&'),
         |          '&utm_[^&#]*', '', 'g'),
         |        '^([^&]*)&', '\1?'),
         |      '/$', '') AS canonical_url

@@ -82,24 +82,31 @@ object Layout {
     * per scrape; a year of that is ~35k files per topic whose OPEN cost
     * dominates scans and whose footers bloat the driver's file index).
     *
-    * File count = ceil(total input bytes / targetBytes), measured from
-    * the file system (no data scan), floored at 1. `coalesce` (narrow,
-    * no shuffle) merges splits when shrinking the file count —
-    * compression-ratio drift between input and output is fine for the
-    * open-cost problem being solved. Atomicity: write to `outPath` then
-    * swap directories like [[graft.pipeline.Compaction]] — this writer
-    * does not overwrite in place.
+    * Returns the number of parquet part-files actually written, counted
+    * from the output directory after the write — the pre-write estimate
+    * ceil(total input bytes / targetBytes) is only a TARGET (`coalesce`
+    * cannot raise the partition count, so the result can come out lower
+    * when the input has fewer splits than the target). Atomicity: write
+    * to `outPath` then swap directories like
+    * [[graft.pipeline.Compaction]] — this writer does not overwrite in
+    * place, and `outPath == inPath` is rejected outright: the parquet
+    * read is lazy, so an in-place Overwrite would delete the input
+    * mid-scan and lose the data.
     */
   def compactBySize(spark: org.apache.spark.sql.SparkSession, inPath: String,
                     outPath: String, targetBytes: Long): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val inP = new org.apache.hadoop.fs.Path(inPath)
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val fs = inP.getFileSystem(hconf)
+    require(fs.makeQualified(inP) != outP.getFileSystem(hconf).makeQualified(outP),
+      s"compactBySize would overwrite its own input mid-scan: $inPath")
+    val totalBytes = fs.getContentSummary(inP).getLength
     val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inPath).coalesce(files)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
-    files
+    outP.getFileSystem(hconf).listStatus(outP)
+      .count(f => f.getPath.getName.endsWith(".parquet"))
   }
 }

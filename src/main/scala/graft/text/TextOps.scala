@@ -247,21 +247,25 @@ object TextOps {
     * Canonical form: lowercased scheme://host, no `www.`, no `utm_*`
     * params (any number, any position), no fragment, no trailing slash.
     *
-    * Param handling normalizes the separator first ('?' → '&'), strips
-    * EVERY `&utm_…` run, then restores '?' on the first survivor — so
-    * `?utm_a=1&utm_b=2&id=3` collapses to `?id=3`, never to a malformed
-    * `&id=3`. Engine portability: every pattern here matches at most once
-    * EXCEPT the utm strip, which is global — a first-match-only engine
-    * must mirror it with its global flag (the oracle uses DuckDB's 'g').
+    * Param handling normalizes the separator first (first '?' → '&'),
+    * strips EVERY `&utm_…` run, then restores '?' on the first survivor —
+    * so `?utm_a=1&utm_b=2&id=3` collapses to `?id=3`, never to a malformed
+    * `&id=3`. Engine portability: every single-shot step is ANCHORED
+    * (`^…`), so it rewrites at most once under Spark's always-global
+    * regexp_replace AND under a first-match engine — an embedded
+    * `://www.` inside a redirect param or a second '?' inside a param
+    * value survives untouched on both sides. The only intentionally
+    * global pattern is the utm strip (the oracle mirrors it with
+    * DuckDB's 'g' flag).
     */
   def canonicalizeUrl(url: Column): Column = {
     // lowercase only the scheme://host prefix; path case is significant
     val hostLowered = concat(
       lower(regexp_extract(url, "^([^/]*//[^/]*)", 1)),
       regexp_replace(url, "^[^/]*//[^/]*", ""))
-    val noWww = regexp_replace(hostLowered, "://www\\.", "://")
+    val noWww = regexp_replace(hostLowered, "^([^/]*//)www\\.", "$1")
     val noFragment = regexp_replace(noWww, "#.*", "")
-    val uniformSep = regexp_replace(noFragment, "\\?", "&")
+    val uniformSep = regexp_replace(noFragment, "^([^?]*)\\?", "$1&")
     val noUtm = regexp_replace(uniformSep, "&utm_[^&#]*", "")
     val restored = regexp_replace(noUtm, "^([^&]*)&", "$1?")
     regexp_replace(restored, "/$", "")

@@ -106,6 +106,15 @@ class LayoutSpec extends AnyFunSuite {
     val out1 = Files.createTempDirectory("layout_one_").toString
     assert(Layout.compactBySize(spark, in, out1, targetBytes = Long.MaxValue) == 1)
     assert(parquetFiles(out1) == 1)
+    // in-place compaction is rejected: the parquet read is lazy, so an
+    // Overwrite onto the input directory would delete it mid-scan
+    intercept[IllegalArgumentException] {
+      Layout.compactBySize(spark, in, in, targetBytes = 1024L)
+    }
+    // ...including when the same directory is spelled differently
+    intercept[IllegalArgumentException] {
+      Layout.compactBySize(spark, in, in + "/", targetBytes = 1024L)
+    }
   }
 
   test("ORC sink/source roundtrip with predicate pushdown (format breadth)") {
