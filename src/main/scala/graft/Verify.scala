@@ -23,9 +23,19 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     // Builder-local iteration aid: SPARK_GRAFT_ONLY=q01_x,q02_y restricts
     // the run (and the dumped oracle map) to those queries. The driver
-    // never sets it, so the contract run is always the full suite.
+    // never sets it, so the contract run is always the full suite — and a
+    // leaked filter is made detectable: a loud stderr banner plus a
+    // RESTRICTED_RUN.txt marker in the output dir, so a narrowed run can
+    // never masquerade as full-suite coverage in the artifacts.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      System.err.println(
+        s"[verify] *** RESTRICTED RUN: SPARK_GRAFT_ONLY limits this dump to " +
+          s"${names.size} queries (${names.toSeq.sorted.mkString(",")}) — NOT the full suite ***")
+      Files.writeString(Paths.get(s"$outDir/RESTRICTED_RUN.txt"),
+        names.toSeq.sorted.mkString("\n") + "\n")
+    }
     def selected[A](m: Map[String, A]): Map[String, A] =
       only.fold(m)(names => m.view.filterKeys(names).toMap)
     val tasks = selected(SparkEntry.queries).toSeq.map { case (name, fn) =>

@@ -572,6 +572,11 @@ object Dedup {
     * keep per-cell pair counts ~n. No all-pairs comparison anywhere; the
     * keep decision is a per-pair rule (lower id survives), not a
     * transitive closure, so no iteration.
+    *
+    * ORACLE VALIDITY: the shared q116 DuckDB oracle (DedupQueries
+    * `kmeansCtes`) hardcodes exactly ONE Lloyd refinement pass — gate a
+    * call against it only at the default `refinePasses = 1`. Other values
+    * are fine for library use but need an oracle parameterized to match.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, nCells: Int = 16, dim: Int = 64,

@@ -24,18 +24,24 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: hashes are fixed odd multipliers mod a Mersenne prime —
   * same data → same sketch at any partitioning (sums commute).
+  *
+  * Null keys are SKIPPED (the boxed-Long input encoder carries them
+  * through to `reduce`, which ignores them) — the SQL-aggregate
+  * convention `count(col)` follows. Callers who need nulls counted
+  * should coalesce to a sentinel key before sketching.
   */
 class CountMinAgg(depth: Int, width: Int)
-    extends Aggregator[Long, Array[Long], Array[Long]] {
+    extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
   require(depth > 0 && depth <= CountMin.MaxDepth, s"depth in [1, ${CountMin.MaxDepth}]")
   require(width > 1, "width must exceed 1")
 
   override def zero: Array[Long] = new Array[Long](depth * width)
 
-  override def reduce(buf: Array[Long], key: Long): Array[Long] = {
+  override def reduce(buf: Array[Long], key: java.lang.Long): Array[Long] = {
+    if (key == null) return buf
     var d = 0
     while (d < depth) {
-      buf(d * width + CountMin.slot(d, key, width)) += 1L
+      buf(d * width + CountMin.slot(d, key.longValue(), width)) += 1L
       d += 1
     }
     buf
@@ -77,10 +83,11 @@ object CountMin {
   }
 
   /** `count_min(keyCol)` aggregate column: the depth×width sketch as one
-    * flat array<bigint> (row-major).
+    * flat array<bigint> (row-major). Null keys are skipped, not counted
+    * (see [[CountMinAgg]]).
     */
   def sketch(depth: Int, width: Int)(key: Column): Column =
-    udaf(new CountMinAgg(depth, width), Encoders.scalaLong).apply(key)
+    udaf(new CountMinAgg(depth, width), Encoders.LONG).apply(key)
 
   /** Point estimate of a LITERAL key from a sketch column: min over the
     * depth rows (slots resolve at plan time — pure element_at/least,

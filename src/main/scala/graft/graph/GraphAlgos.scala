@@ -230,11 +230,18 @@ object GraphAlgos {
   /** Synchronous label propagation (community detection): every node
     * starts labeled with itself; each pass it adopts the most frequent
     * label among its neighbors, ties to the smallest label. Fixed
-    * `iters` keeps the run deterministic AND oracle-reproducible —
-    * synchronous LPA can oscillate on bipartite structures, so a
-    * convergence stop would be data-dependent; fixed passes are the
-    * standard distributed form (Raghavan et al. 2007 §3, the GraphX
-    * variant).
+    * `iters` (the default) keeps the run deterministic AND
+    * oracle-reproducible — synchronous LPA can oscillate on bipartite
+    * structures, so a convergence stop would be data-dependent; fixed
+    * passes are the standard distributed form (Raghavan et al. 2007 §3,
+    * the GraphX variant).
+    *
+    * `earlyStop` turns `iters` into a cap: the loop ends as soon as a
+    * pass changes no label (one extra keyed join + bounded `limit(1)`
+    * count per pass — the same delta contract PageRank's `tolMicros`
+    * has). `requireConverged` adds the loud-failure half: if the cap is
+    * hit while labels are still moving (oscillation, or a cap set too
+    * low), throw instead of returning a silently-unsettled labeling.
     *
     * Per pass: one hash join (symmetrized edges × labels, keyed on the
     * neighbor) + one count aggregate keyed (node, label) + one argmax
@@ -244,7 +251,11 @@ object GraphAlgos {
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int = 3,
+                       earlyStop: Boolean = false,
+                       requireConverged: Boolean = false,
                        checkpointDir: Option[String] = None): DataFrame = {
+    require(!requireConverged || earlyStop,
+      "requireConverged needs earlyStop (fixed-pass runs do not track deltas)")
     val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
     val sym = truncate(
@@ -252,14 +263,27 @@ object GraphAlgos {
       checkpointDir)
     var lab = truncate(sym.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lab")), checkpointDir)
-    for (_ <- 1 to iters) {
+    var iter = 0
+    var converged = false
+    while (iter < iters && !converged) {
       val cnt = sym.join(lab, sym("b") === lab("node"))
         .groupBy(sym("a").as("node"), col("lab"))
         .agg(count(lit(1)).as("c"))
-      lab = truncate(cnt.groupBy(col("node"))
+      val next = truncate(cnt.groupBy(col("node"))
         .agg(max_by(col("lab"), struct(col("c"), -col("lab"))).as("lab")),
         checkpointDir)
+      if (earlyStop) {
+        converged = next.join(
+            lab.select(col("node"), col("lab").as("lab_prev")), Seq("node"))
+          .filter(col("lab") =!= col("lab_prev")).limit(1).count() == 0
+      }
+      lab = next
+      iter += 1
     }
+    if (requireConverged && !converged)
+      throw new IllegalStateException(
+        s"labelPropagation did not converge within $iters passes " +
+          "(synchronous LPA oscillates on bipartite structures)")
     lab.select(col("node"), col("lab").as("label"))
   }
 

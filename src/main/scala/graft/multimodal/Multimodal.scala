@@ -8,13 +8,16 @@ import org.apache.spark.sql.types._
   * typed metadata, processed in per-partition batch kernels (`mapPartitions`
   * — the Scala analog of `mapInPandas` batch UDFs).
   *
-  * STUBBED CODECS: this container has no image/audio libraries, so the
-  * decode step is a clearly-marked deterministic fake — a mod-prime byte
-  * hash standing in for a real header parse. Everything around it is real
-  * and load-bearing: binary schemas, per-partition batching, frame
-  * explosion, fixed-dim embedding output that feeds graft.similarity
-  * unchanged. Swapping `fakeDecode` for a JNI/javacv call changes no plan
-  * shape.
+  * CODECS: [[Multimodal.decodePpm]] is a REAL parser (netpbm P6 — header
+  * + raw RGB plane, pure JVM, no native deps) and anchors the codec
+  * surface with genuinely decoded pixels. The remaining formats
+  * (JPEG/audio/video) have no decoders in this container, so their decode
+  * step is a clearly-marked deterministic fake — a mod-prime byte hash
+  * standing in for the header parse. Everything around both is real and
+  * load-bearing: binary schemas, per-partition batching, frame explosion,
+  * fixed-dim embedding output that feeds graft.similarity unchanged.
+  * Swapping `fakeDecode` for a JNI/javacv call changes no plan shape —
+  * `decodePpm` proves it, being exactly such a swap.
   */
 object Multimodal {
 
@@ -36,6 +39,94 @@ object Multimodal {
     val width = (h % 1024L).toInt
     val height = ((h / 1024L) % 1024L).toInt
     (width, height, 3, payload.length.toLong)
+  }
+
+  /** A decoded netpbm P6 image: dims, declared maxval, and the raw
+    * interleaved RGB plane (exactly width·height·3 bytes).
+    */
+  final case class PpmImage(width: Int, height: Int, maxval: Int,
+                            pixels: Array[Byte])
+
+  /** REAL codec (not a stub): binary PPM ("P6") decode — a pure-JVM parse
+    * of the netpbm header (magic, whitespace, `#` comment lines, width,
+    * height, maxval) followed by the raw interleaved RGB plane. PPM is the
+    * one raster format decodable with zero native libraries, which makes
+    * it the honest end of the codec surface: [[decodeMeta]]'s documented
+    * stand-in covers formats whose decoders aren't in this sandbox, while
+    * this path runs genuinely decoded pixel bytes through the same
+    * batch-kernel plumbing. Returns None on anything malformed: wrong
+    * magic, missing/oversized dims, maxval outside [1, 255] (2-byte-per-
+    * sample PPMs are out of scope), or a truncated pixel plane.
+    */
+  def decodePpm(b: Array[Byte]): Option[PpmImage] = {
+    var i = 0
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < b.length) {
+        val c = b(i)
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+        else go = false
+      }
+    }
+    def readInt(): Int = { // -1 = malformed
+      skipWs()
+      var v = 0L
+      var any = false
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10L + (b(i) - '0')
+        any = true
+        i += 1
+        if (v > Int.MaxValue) return -1
+      }
+      if (any) v.toInt else -1
+    }
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    i = 2
+    val w = readInt()
+    val h = readInt()
+    val mv = readInt()
+    if (w <= 0 || h <= 0 || mv < 1 || mv > 255) return None
+    // exactly ONE whitespace byte separates the header from the plane
+    // (the netpbm spec; more would be pixel data)
+    if (i >= b.length || !(b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r'))
+      return None
+    i += 1
+    val npix = w.toLong * h.toLong * 3L
+    if (npix > Int.MaxValue || b.length - i < npix) return None
+    Some(PpmImage(w, h, mv, java.util.Arrays.copyOfRange(b, i, i + npix.toInt)))
+  }
+
+  /** [[decodePpm]] as a batch kernel: appends a `ppm` struct (width,
+    * height, maxval, pixel_sum — the unsigned sum of every channel byte,
+    * the cheapest whole-plane statistic that proves the pixels were really
+    * read). Rows whose payload fails to parse get a null struct instead of
+    * poisoning the partition — the quarantine-not-crash discipline the
+    * drift reader uses.
+    */
+  def decodePpmStats(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("ppm", StructType(Seq(
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false),
+        StructField("maxval", IntegerType, nullable = false),
+        StructField("pixel_sum", LongType, nullable = false)))))
+    val idx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val payload = Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.empty[Byte])
+        val decoded = decodePpm(payload) match {
+          case Some(img) =>
+            var s = 0L
+            var j = 0
+            while (j < img.pixels.length) { s += (img.pixels(j) & 0xffL); j += 1 }
+            Row(img.width, img.height, img.maxval, s)
+          case None => null
+        }
+        Row.fromSeq(r.toSeq :+ decoded)
+      }
+    }(enc)
   }
 
   /** Decode metadata for a binary column → appends a typed `meta` struct

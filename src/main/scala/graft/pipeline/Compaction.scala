@@ -147,25 +147,8 @@ object Compaction {
                           partitionCols: Seq[String] = Nil): DataFrame = {
     val snapshot = compactLatestWins(spark, landingDir, snapshotDir,
       keys, order, partitionCols)
-    val staging = manifestDir + ".staging-" +
-      java.util.UUID.randomUUID().toString.take(8)
-    graft.sources.DataSkipping.buildManifest(spark, snapshotDir, statCol)
-      .coalesce(1).write.mode("overwrite").parquet(staging)
-    val fs = new java.io.File(manifestDir)
-    if (fs.exists()) {
-      val old = new java.io.File(manifestDir + ".old-" +
-        java.util.UUID.randomUUID().toString.take(8))
-      if (!fs.renameTo(old))
-        throw new java.io.IOException(s"could not retire old manifest $manifestDir")
-      deleteRecursive(old)
-    }
-    if (!new java.io.File(staging).renameTo(fs))
-      throw new java.io.IOException(s"could not publish manifest $manifestDir")
+    graft.sources.DataSkipping.publishManifest(spark, snapshotDir,
+      manifestDir, statCol)
     snapshot
-  }
-
-  private def deleteRecursive(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursive))
-    f.delete(): Unit
   }
 }

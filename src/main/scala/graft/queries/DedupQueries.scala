@@ -15,7 +15,79 @@ object DedupQueries {
 
   private val P = Dedup.P
 
+  /** Zipfian-vocabulary corpus with PLANTED near-dup families at a
+    * controlled rate — the realistic-selectivity complement to the raw
+    * `documents` fixture (whose tiny vocabulary makes every near-dup
+    * family artificially dense; NOTES.md). Derived deterministically from
+    * doc_id with integer arithmetic only, so Spark and DuckDB generate
+    * byte-identical text:
+    *
+    *   - 40 tokens per doc; token i of seed g hashes to
+    *     h = (g·1000003 + i·10007) mod P, then a zipf-ish rank: 30% of
+    *     positions draw from a 20-token head ("stopwords"), 70% from a
+    *     5000-token tail — so unrelated docs share head tokens (as real
+    *     corpora do) but essentially never share a 3-shingle.
+    *   - Families: doc_id ≡ 48 (mod 50) is an EXACT dup of 47 (same seed);
+    *     ≡ 49 (mod 50) is a NEAR dup of 47 (token 7 replaced with a
+    *     doc-unique 'x<id>', Jaccard ≈ 0.85) — 3-member families over 6%
+    *     of the corpus, everything else a singleton.
+    */
+  /** The token-rank formula shared verbatim by both engines. The inner
+    * affine fold is SQUARED mod P before the small-modulus rank draws:
+    * without the square, `g·1000003 + i·10007` never wraps P for small
+    * ids, so ranks are affine in (g, i) with coefficients 3 and 7 — doc
+    * seeds 7 apart become 3-token-shifted copies of each other and the
+    * whole corpus chains into mega near-dup clusters. Squaring makes the
+    * wrap effective at every id, so unrelated seeds share no shingles.
+    * `castTo` bridges the one dialect difference (STRING vs VARCHAR).
+    */
+  private def zipfTokenExpr(castTo: String): String = {
+    val seed = "(CASE WHEN doc_id % 50 = 48 THEN doc_id - 1 " +
+      "WHEN doc_id % 50 = 49 THEN doc_id - 2 ELSE doc_id END)"
+    val t = s"(($seed * 1000003 + i * 10007) % $P)"
+    val h = s"(($t * $t + $t) % $P)"
+    s"""CASE WHEN doc_id % 50 = 49 AND i = 7
+       |  THEN concat('x', CAST(doc_id AS $castTo))
+       |  ELSE concat('t', CAST(
+       |    CASE WHEN $h % 10 < 3 THEN $h % 20 ELSE $h % 5000 END
+       |    AS $castTo)) END""".stripMargin
+  }
+
+  private[queries] def zipfCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(col("doc_id")).selectExpr(
+      "doc_id",
+      s"""array_join(transform(sequence(0, 39), i ->
+         |${zipfTokenExpr("STRING")}), ' ') AS text""".stripMargin)
+
+  /** [[zipfCorpus]] as a DuckDB CTE (`zdocs`), token-for-token identical. */
+  private[queries] val zipfCorpusCte: String =
+    s"""zdocs AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(range(0, 40), i ->
+       |${zipfTokenExpr("VARCHAR")}), ' ') AS text
+       |  FROM documents)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The minhash near-dup pipeline over the REALISTIC corpus: planted
+    // 3-member families (one exact + one near dup per family anchor) must
+    // surface — and essentially nothing else, because unrelated zipf docs
+    // share stopword-head tokens but not shingles. Same operator as q32;
+    // what changes is the fixture physics (banded buckets stay sparse, as
+    // at 100 TB on a real crawl).
+    "q131_zipf_neardups" -> ((s, dir) => {
+      Dedup.minhashNearDups(zipfCorpus(s, dir),
+          "doc_id", "text", shingleK = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Keep-one-per-cluster over the planted families: transitive closure
+    // must recover exactly the {47, 48, 49} (mod 50) triples.
+    "q132_zipf_clusters" -> ((s, dir) => {
+      Dedup.nearDupClusters(zipfCorpus(s, dir), "doc_id", "text",
+          shingleK = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("component"))
+    }),
     // n-gram (bigram-set) Jaccard near-dups, content-bounded blocking:
     // banded minhash over the bigram set (never quadratic in a natural key).
     "q31_ngram_jaccard" -> ((s, dir) => {
@@ -192,11 +264,12 @@ object DedupQueries {
     * desynchronize between them. `extraCols` rides extra projection
     * columns through (e.g. `" lang,"`).
     */
-  private[queries] def shingleCtes(shingleK: Int, extraCols: String = ""): String =
+  private[queries] def shingleCtes(shingleK: Int, extraCols: String = "",
+                                   from: String = "documents"): String =
     s"""tok AS (
        |  SELECT doc_id,$extraCols
        |    list_transform(string_split(text, ' '), tk -> ${chSql("tk")}) AS th
-       |  FROM documents),
+       |  FROM $from),
        |h AS (
        |  SELECT doc_id,$extraCols
        |    list_distinct(list_transform(
@@ -210,7 +283,8 @@ object DedupQueries {
     * verify) — the full candidate-generation mirror, reused by the pair
     * and cluster oracles.
     */
-  private def minhashCtes(shingleK: Int, numHashes: Int, bands: Int): String = {
+  private def minhashCtes(shingleK: Int, numHashes: Int, bands: Int,
+                          from: String = "documents"): String = {
     val rpb = numHashes / bands
     val sigExprs = (0 until numHashes).map { i =>
       s"list_min(list_transform(hs, h -> (${Dedup.hashA(i)} * h + ${Dedup.hashB(i)}) % $P)) AS s$i"
@@ -219,7 +293,7 @@ object DedupQueries {
       (0 until rpb).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
         s"(($acc * 1000003 + s${b * rpb + r}) % $P)"
       }
-    s"""${shingleCtes(shingleK)},
+    s"""${shingleCtes(shingleK, from = from)},
        |sigs AS (
        |  SELECT doc_id,
        |    $sigExprs
@@ -394,6 +468,25 @@ object DedupQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q131_zipf_neardups" ->
+      s"""WITH $zipfCorpusCte,
+         |${minhashCtes(3, 16, 4, from = "zdocs")}
+         |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q132_zipf_clusters" ->
+      s"""WITH RECURSIVE $zipfCorpusCte,
+         |${minhashCtes(3, 16, 4, from = "zdocs")},
+         |p AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.5),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT a AS node, a AS r FROM sym
+         |  UNION
+         |  SELECT s2.a, reach.r FROM sym s2 JOIN reach ON reach.node = s2.b),
+         |lab AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+         |SELECT component, count(*) AS n_docs FROM lab
+         |GROUP BY component ORDER BY component""".stripMargin,
+
     "q31_ngram_jaccard" -> minhashOracleSql(2, 16, 8, 0.7),
 
     "q32_minhash_neardups" -> minhashOracleSql(3, 16, 4, 0.5),

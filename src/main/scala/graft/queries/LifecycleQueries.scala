@@ -166,6 +166,34 @@ object LifecycleQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Compaction ⊕ Z-order ⊕ manifest in ONE rewrite (the real table-
+    // maintenance unit): a 40-file dirty landing zone is rewritten into
+    // ~targetBytes files Z-clustered on (event_id, user_id), the skipping
+    // manifest is rebuilt from the files just written and swapped in
+    // atomically, and the pruned range read over the re-clustered table
+    // must be exact vs plain SQL over the source rows.
+    "q129_compact_cluster" -> ((s, dir) => {
+      import graft.sources.{DataSkipping, Layout}
+      val dirty = FixtureCache.dir("q129_dirty", dir) { d =>
+        Tables.load(s, dir, "events").select(
+            col("event_id"), col("user_id"),
+            col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("value_cents"))
+          .repartition(40, col("event_id"))
+          .write.mode("overwrite").parquet(d)
+      }
+      val out = Files.createTempDirectory("graft_q129_out_").toString + "/t"
+      val manifest = out + "_manifest"
+      Layout.compactClustered(s, dirty, out, targetBytes = 256 * 1024,
+        aCol = "event_id", bCol = "user_id", bits = 8,
+        manifestDir = manifest, statCol = "event_id")
+      DataSkipping.prunedRead(s, out, s.read.parquet(manifest),
+          "event_id", 1000L, 2000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
+        .orderBy(col("event_type"))
+    }),
+
     // Comment-tree flatten: a deterministic forest over documents (roots
     // doc_id < 3, parent = (doc_id-1) div 2), resolved to (root, depth) by
     // pointer doubling — O(log depth) joins, vs the recursive CTE the
@@ -180,6 +208,12 @@ object LifecycleQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q129_compact_cluster" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE event_id BETWEEN 1000 AND 2000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q102_compact_manifest" ->
       """WITH latest AS (
         |  SELECT event_id, event_type,

@@ -41,6 +41,35 @@ object MediaQueries {
         .orderBy(col("lang"))
     }),
 
+    // REAL codec end-to-end: each doc becomes a genuine PPM (P6) image —
+    // ASCII header + raw RGB plane, pixel j = 1 + (doc_id·31 + 7j) % 127,
+    // built as actual bytes in the plan (all values ≤ 127, so the UTF-8
+    // string→binary cast is byte-faithful) — and Multimodal.decodePpm
+    // parses it back. The oracle computes the planted pixel arithmetic
+    // directly, so the gate fails unless the decoder really read the
+    // header AND summed the true pixel bytes.
+    "q130_ppm_decode" -> ((s, dir) => {
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("w", (col("doc_id") % 5 + 4).cast("int"))
+        .withColumn("h", (col("doc_id") % 4 + 3).cast("int"))
+        .withColumn("payload", expr(
+          """cast(concat('P6
+            |', w, ' ', h, '
+            |# planted-pixel fixture
+            |127
+            |', array_join(transform(sequence(0, w * h * 3 - 1),
+            |     j -> char(1 + (doc_id * 31 + 7 * j) % 127)), '')) as binary)""".stripMargin))
+      Multimodal.decodePpmStats(media, "payload")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ppm").isNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(col("ppm.width").cast("long")).as("sum_width"),
+          sum(col("ppm.height").cast("long")).as("sum_height"),
+          sum(col("ppm.pixel_sum")).as("sum_pixels"))
+        .orderBy(col("lang"))
+    }),
+
     // Frame sampling (video/audio chunk shape): frames per source.
     "q39_frame_count" -> ((s, dir) => {
       val media = Tables.load(s, dir, "documents")
@@ -61,6 +90,25 @@ object MediaQueries {
   private val b0 = (1L * 1013904223L) % P
 
   val oracles: Map[String, String] = Map(
+    // The decoder's ground truth restated as arithmetic: every payload
+    // parses (n_bad = 0) and the pixel sum is the planted formula's sum.
+    "q130_ppm_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, w, h,
+        |    list_sum(list_transform(range(0, w * h * 3),
+        |      j -> 1 + (doc_id * 31 + 7 * j) % 127)) AS psum
+        |  FROM d)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(0) AS BIGINT) AS n_bad,
+        |  CAST(sum(w) AS BIGINT) AS sum_width,
+        |  CAST(sum(h) AS BIGINT) AS sum_height,
+        |  CAST(sum(psum) AS BIGINT) AS sum_pixels
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q37_media_meta" ->
       s"""SELECT source, count(*) AS n,
          |  CAST(sum(h % 1024) AS BIGINT) AS sum_width,

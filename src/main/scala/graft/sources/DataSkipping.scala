@@ -57,6 +57,37 @@ object DataSkipping {
     base.filter(col(statCol) >= lo && col(statCol) <= hi)
   }
 
+  /** Build the manifest for `dataDir` and publish it at `manifestDir`
+    * ATOMICALLY: stage to a side dir, retire any old manifest, rename the
+    * staging dir in. A reader that races the swap sees either the old
+    * manifest or the new one, never a half-written directory. (On object
+    * stores the rename models a metastore pointer flip.) Every writer
+    * that rewrites a file layout must republish through here — a stale
+    * manifest lists dead files.
+    */
+  def publishManifest(spark: SparkSession, dataDir: String,
+                      manifestDir: String, statCol: String): Unit = {
+    val staging = manifestDir + ".staging-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    buildManifest(spark, dataDir, statCol)
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val fs = new java.io.File(manifestDir)
+    if (fs.exists()) {
+      val old = new java.io.File(manifestDir + ".old-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      if (!fs.renameTo(old))
+        throw new java.io.IOException(s"could not retire old manifest $manifestDir")
+      deleteRecursive(old)
+    }
+    if (!new java.io.File(staging).renameTo(fs))
+      throw new java.io.IOException(s"could not publish manifest $manifestDir")
+  }
+
+  private def deleteRecursive(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursive))
+    f.delete(): Unit
+  }
+
   /** `input_file_name()` yields percent-ENCODED URIs, while
     * `spark.read.parquet(paths)` treats each string as a GLOB pattern —
     * a file named `a b[1].parquet` would round-trip as `a%20b[1].parquet`

@@ -109,4 +109,39 @@ object Layout {
     outP.getFileSystem(hconf).listStatus(outP)
       .count(f => f.getPath.getName.endsWith(".parquet"))
   }
+
+  /** [[compactBySize]] ⊕ [[writeZOrdered]] ⊕ manifest republish — the real
+    * table-maintenance unit: since compaction has to rewrite every byte
+    * anyway, the rewrite might as well RE-CLUSTER, so the compacted files
+    * come out both open-cost-cheap (≈ targetBytes each) and range-prunable
+    * on both Z dimensions; and because the file layout changed, the
+    * data-skipping manifest over `statCol` is rebuilt from the files just
+    * written and swapped in atomically
+    * ([[DataSkipping.publishManifest]] — a stale manifest lists dead
+    * files). Unlike [[compactBySize]]'s narrow `coalesce`, the Z-order
+    * rewrite pays one range-partitioning exchange — that is the price of
+    * clustering and it buys every subsequent range scan.
+    *
+    * Returns the number of parquet part-files actually written. In-place
+    * rewrite is rejected for the same lazy-read reason as
+    * [[compactBySize]].
+    */
+  def compactClustered(spark: org.apache.spark.sql.SparkSession,
+                       inPath: String, outPath: String, targetBytes: Long,
+                       aCol: String, bCol: String, bits: Int,
+                       manifestDir: String, statCol: String): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val inP = new org.apache.hadoop.fs.Path(inPath)
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val fs = inP.getFileSystem(hconf)
+    require(fs.makeQualified(inP) != outP.getFileSystem(hconf).makeQualified(outP),
+      s"compactClustered would overwrite its own input mid-scan: $inPath")
+    val totalBytes = fs.getContentSummary(inP).getLength
+    val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    writeZOrdered(spark.read.parquet(inPath), outPath, aCol, bCol, bits, files)
+    DataSkipping.publishManifest(spark, outPath, manifestDir, statCol)
+    outP.getFileSystem(hconf).listStatus(outP)
+      .count(f => f.getPath.getName.endsWith(".parquet"))
+  }
 }

@@ -37,6 +37,17 @@ class CountMinAggSpec extends AnyFunSuite {
     assert(merged == summed)
   }
 
+  test("null keys are skipped, not counted (and do not crash the encoder)") {
+    val df = Seq(Some(5L), None, Some(5L), None, Some(7L)).toDF("k")
+    val withNulls =
+      df.agg(CountMin.sketch(depth, width)($"k")).as[Seq[Long]].head()
+    val withoutNulls = df.filter($"k".isNotNull)
+      .agg(CountMin.sketch(depth, width)($"k")).as[Seq[Long]].head()
+    assert(withNulls == withoutNulls)
+    // total increments = depth × non-null rows
+    assert(withNulls.sum == depth.toLong * 3)
+  }
+
   test("absent key estimates zero when nothing collides into its slots") {
     val df = Seq(100L).toDF("k") // single key, single increment
     val sk = df.agg(CountMin.sketch(depth, width)($"k").as("sk"))

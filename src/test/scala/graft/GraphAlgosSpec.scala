@@ -160,4 +160,61 @@ class GraphAlgosSpec extends AnyFunSuite {
         personalization = Some((seeds, "node")))
     }
   }
+
+  // --------------------------------------------------- LPA convergence
+
+  test("LPA earlyStop lands on the settled labeling before the pass cap") {
+    // Triangle (odd cycle — converges): pass 1 gives (1,0,0), pass 2 all 0,
+    // pass 3 confirms no change. earlyStop must break there, not run 10.
+    val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val out = GraphAlgos.labelPropagation(tri, "src", "dst", iters = 10,
+        earlyStop = true, requireConverged = true)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
+
+  test("LPA requireConverged fails loudly on an oscillating bipartite graph") {
+    // A single edge is the minimal bipartite oscillator: labels swap every
+    // synchronous pass forever. The cap must produce an error, not a
+    // silently-unsettled labeling.
+    val edge = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      GraphAlgos.labelPropagation(edge, "src", "dst", iters = 6,
+        earlyStop = true, requireConverged = true)
+    }
+    // Without the contract flag the capped run still returns (documented
+    // fixed-pass semantics).
+    assert(GraphAlgos.labelPropagation(edge, "src", "dst", iters = 6,
+      earlyStop = true).count() == 2)
+  }
+
+  test("LPA requireConverged without earlyStop is rejected") {
+    val edge = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      GraphAlgos.labelPropagation(edge, "src", "dst", iters = 3,
+        requireConverged = true)
+    }
+  }
+
+  // ------------------------------------------------- kCore convergence
+
+  test("kCore long-path adversarial fixture: deep peel converges; tight cap fails loudly") {
+    // Path of 24 nodes, k=2: each round strips only the two endpoints, so
+    // the peel is ~11 rounds deep — the worst case for a shell-at-a-time
+    // algorithm. The default cap absorbs it (empty 2-core, a path has
+    // none); a cap below the peel depth must throw, not return a partial
+    // core.
+    val path = (0L until 23L).map(i => (i, i + 1)).toDF("src", "dst")
+    assert(GraphAlgos.kCore(path, "src", "dst", k = 2L).count() == 0)
+    intercept[IllegalStateException] {
+      GraphAlgos.kCore(path, "src", "dst", k = 2L, maxIters = 5)
+    }
+    // Clique + pendant tail: the tail peels off, the K4 survives intact.
+    val k4 = Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L),
+      (11L, 13L), (12L, 13L))
+    val tail = Seq((13L, 20L), (20L, 21L), (21L, 22L))
+    val out = GraphAlgos.kCore((k4 ++ tail).toDF("src", "dst"), "src", "dst", k = 3L)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L))
+  }
 }

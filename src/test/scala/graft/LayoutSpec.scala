@@ -117,6 +117,39 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("compactClustered: one rewrite compacts, re-clusters, and republishes the manifest") {
+    import graft.sources.{DataSkipping, Layout}
+    val in = Files.createTempDirectory("layout_cc_in_").toString
+    val out = Files.createTempDirectory("layout_cc_").toString + "/t"
+    val manifest = out + "_manifest"
+    // 4096 rows over two uniform 0..63 dims, scattered across 32 files
+    val rows = (0L until 4096L)
+      .map(i => (i, i % 64, (i * 7) % 64))
+    rows.toDF("id", "a", "b")
+      .repartition(32).write.mode("overwrite").parquet(in)
+    val fsIn = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(in), spark.sparkContext.hadoopConfiguration)
+    val total = fsIn.getContentSummary(new org.apache.hadoop.fs.Path(in)).getLength
+    val n = Layout.compactClustered(spark, in, out,
+      targetBytes = total / 4 + 1, // → 4 clustered files from 32 tiny ones
+      aCol = "a", bCol = "b", bits = 6, manifestDir = manifest, statCol = "a")
+    assert(n >= 2, "compaction produced a single file — clustering untestable")
+    // manifest describes exactly the files written, atomically published
+    val m = spark.read.parquet(manifest)
+    assert(m.count() == n)
+    // clustering: a narrow range on the stat dim must PRUNE files...
+    val survivors = m.filter($"max_v" >= 0L && $"min_v" <= 15L).count()
+    assert(survivors < n, s"no file pruned: $survivors of $n survive a/64 range")
+    // ...and the pruned read stays exact
+    val got = DataSkipping.prunedRead(spark, out, m, "a", 0L, 15L)
+      .select($"id").as[Long].collect().toSet
+    assert(got == rows.filter(r => r._2 <= 15).map(_._1).toSet)
+    // in-place rewrite rejected, same contract as compactBySize
+    intercept[IllegalArgumentException] {
+      Layout.compactClustered(spark, in, in, 1024L, "a", "b", 6, manifest, "a")
+    }
+  }
+
   test("ORC sink/source roundtrip with predicate pushdown (format breadth)") {
     val dir = Files.createTempDirectory("layout_orc_").toString
     val df = (1L to 1000L).map(i => (i, s"name$i", i % 7)).toDF("id", "name", "grp")

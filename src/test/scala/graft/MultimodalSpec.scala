@@ -42,6 +42,43 @@ class MultimodalSpec extends AnyFunSuite {
       .foreach(r => assert(r.getInt(0) == 100))
   }
 
+  test("decodePpm parses a real P6 image: header, comments, pixel plane") {
+    val pixels = Array.tabulate(2 * 3 * 3)(i => (i * 11 % 256).toByte)
+    val img = ("P6\n# a comment\n2 3\n# another\n255\n".getBytes("US-ASCII")
+      ++ pixels)
+    val out = Multimodal.decodePpm(img).get
+    assert(out.width == 2 && out.height == 3 && out.maxval == 255)
+    assert(out.pixels.toSeq == pixels.toSeq)
+    // trailing junk after the plane is ignored (netpbm readers do)
+    assert(Multimodal.decodePpm(img ++ Array[Byte](1, 2, 3)).isDefined)
+  }
+
+  test("decodePpm rejects malformed payloads instead of crashing") {
+    val ok = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    assert(Multimodal.decodePpm(ok).isDefined)
+    // wrong magic (P5 = grayscale), truncated plane, maxval out of range,
+    // missing dims, empty payload
+    assert(Multimodal.decodePpm("P5\n1 1\n255\n".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodePpm("P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](9)).isEmpty)
+    assert(Multimodal.decodePpm(("P6\n1 1\n65536\n" + "x" * 3).getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodePpm("P6\n\n".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodePpm(Array.empty[Byte]).isEmpty)
+  }
+
+  test("decodePpmStats kernel: real decode per row, null struct on junk") {
+    val px = Array.tabulate(1 * 2 * 3)(i => (i + 10).toByte)
+    val rows = Seq(
+      (1L, "P6\n1 2\n255\n".getBytes("US-ASCII") ++ px),
+      (2L, "not an image".getBytes("US-ASCII")))
+    val df = rows.toDF("media_id", "payload")
+    val out = Multimodal.decodePpmStats(df, "payload")
+      .select($"media_id", $"ppm.width", $"ppm.pixel_sum").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getLong(2)))))
+      .toMap
+    assert(out(1L) == Some((1, px.map(_ & 0xff).sum.toLong)))
+    assert(out(2L).isEmpty)
+  }
+
   test("extractEmbedding yields fixed-dim [0,1) floats that feed similarity ops") {
     val out = Multimodal.extractEmbedding(media, "payload", 16)
     out.select($"embedding").collect().foreach { r =>
