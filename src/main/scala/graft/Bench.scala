@@ -38,6 +38,39 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     val detailed = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     val short = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{"all":${ms(total)}},"sf":"$sfName"}"""
+    // Per-query regression report vs the PREVIOUS BENCH_LOCAL.json, written
+    // before that file is overwritten: the builder sees a >20% && >0.1s
+    // regression immediately instead of the judge seeing it a round later.
+    try {
+      val prevPath = java.nio.file.Paths.get("BENCH_LOCAL.json")
+      if (java.nio.file.Files.exists(prevPath)) {
+        val prevLine = new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
+        val pair = """"(q[0-9]+_[a-zA-Z0-9_]+)":([0-9.]+)""".r
+        val prev = pair.findAllMatchIn(prevLine)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val common = results.keys.filter(prev.contains).toSeq.sorted
+        val lines = new StringBuilder
+        lines ++= s"# BENCH_DELTA — this run vs previous BENCH_LOCAL.json ($sfName)\n\n"
+        val prevCommon = common.map(prev).sum
+        val curCommon = common.map(results).sum
+        lines ++= f"Common-query total: ${curCommon}%.1f s vs ${prevCommon}%.1f s " +
+          f"(${if (prevCommon > 0) curCommon / prevCommon else 1.0}%.2fx, ${common.size} queries)\n\n"
+        val regressed = common.filter(k =>
+          results(k) > prev(k) * 1.2 && results(k) - prev(k) > 0.1)
+        if (regressed.isEmpty) lines ++= "No query regressed >20% and >0.1 s.\n"
+        else {
+          lines ++= "| query | prev s | now s | ratio |\n|---|---|---|---|\n"
+          regressed.sortBy(k => -(results(k) - prev(k))).foreach { k =>
+            lines ++= f"| $k | ${prev(k)}%.3f | ${results(k)}%.3f | ${results(k) / prev(k)}%.2fx |\n"
+          }
+        }
+        val newQs = results.keys.filterNot(prev.contains).toSeq.sorted
+        if (newQs.nonEmpty)
+          lines ++= s"\nNew queries (no previous time): ${newQs.mkString(", ")}\n"
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DELTA.md"),
+          lines.toString.getBytes("UTF-8"))
+      }
+    } catch { case _: Throwable => () }
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (detailed + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -46,6 +46,24 @@ object StreamQueries {
   private def uniq(prefix: String): String =
     prefix + java.util.UUID.randomUUID().toString.replace("-", "")
 
+  /** Pin a deterministic file-delivery order into a landing dir: every
+    * file gets one fixed mtime except `lastName`, which gets a later one.
+    * The file source (oldest-first by modification time) then delivers
+    * `lastName` as its own FINAL micro-batch — which lets a far-future
+    * watermark sentinel be pre-staged in the fixture itself instead of
+    * appended mid-run, so sentinel queries run one start + one drain
+    * instead of two. The absolute epoch is arbitrary (only relative
+    * order matters); the 10-minute gap stays far inside the source's
+    * maxFileAge window.
+    */
+  private def stampFileOrder(d: String, lastName: String): Unit = {
+    val t0 = 1600000000000L
+    new java.io.File(d).listFiles().foreach { f =>
+      val t = if (f.getName == lastName) t0 + 600000L else t0
+      f.setLastModified(t): Unit
+    }
+  }
+
   /** Clone of `s` (shared SparkContext, own SQLConf) with shuffle
     * partitions sized for the stream's keyspace. Stateful operators keep
     * one state-store partition per shuffle partition PER micro-batch —
@@ -80,8 +98,11 @@ object StreamQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.10 tumbling-window counts: landing JSON → file-source micro-batches
     // → window(15 min) + watermark agg → complete-mode memory sink.
+    // Two files → two genuine micro-batches: multi-batch semantics at the
+    // minimum lifecycle cost (each extra batch is pure fixed overhead ×3
+    // bench passes).
     "q66_stream_tumbling" -> ((s, dir) => {
-      val src = landing("events_x3", dir, eventsFlat(s, dir), 3, "event_id")
+      val src = landing("events_x2", dir, eventsFlat(s, dir), 2, "event_id")
       val ss = streamSession(s)
       val stream = SocialStream
         .readJsonStream(ss, src, eventsFlatSchema, maxFilesPerTrigger = 1)
@@ -107,7 +128,7 @@ object StreamQueries {
     "q67_stream_latest" -> ((s, dir) => {
       val ss = streamSession(s)
       import ss.implicits._
-      val src = landing("events_x3", dir, eventsFlat(s, dir), 3, "event_id")
+      val src = landing("events_x2", dir, eventsFlat(s, dir), 2, "event_id")
       val stream = SocialStream
         .readJsonStream(ss, src, eventsFlatSchema, maxFilesPerTrigger = 1)
         .select(col("event_type").as("id"),
@@ -134,7 +155,7 @@ object StreamQueries {
     // `glue/twitter_glue.py:76`).
     "q68_stream_dedup" -> ((s, dir) => {
       val flat = eventsFlat(s, dir)
-      val dir1 = landing("q68_landing", dir, flat.unionAll(flat), 4, "event_id")
+      val dir1 = landing("q68_landing", dir, flat.unionAll(flat), 2, "event_id")
       val ss = streamSession(s)
       val stream = SocialStream
         .readJsonStream(ss, dir1, eventsFlatSchema, maxFilesPerTrigger = 1)
@@ -155,18 +176,24 @@ object StreamQueries {
     // §2.10 streaming SESSION windows — the one stateful shape the other
     // stream gates don't touch (merging-session state, append-mode
     // emission on watermark passage). Determinism: ALL real rows land as
-    // ONE file → one micro-batch → nothing is ever late; then a far-future
-    // sentinel row lands as batch 2, driving the watermark past every real
-    // session so append mode flushes them (the no-data micro-batch after
-    // it emits the tail). The sentinel's own open session never closes and
-    // is filtered out. Oracle = q49's lag-based batch sessionization.
+    // ONE file → one micro-batch → nothing is ever late; a far-future
+    // sentinel row is PRE-STAGED in the fixture as a later-mtime file, so
+    // the source delivers it as batch 2, driving the watermark past every
+    // real session so append mode flushes them (the no-data micro-batch
+    // after it emits the tail) — one start, one drain, landing built once
+    // per sf dir. The sentinel's own open session never closes and is
+    // filtered out. Oracle = q49's lag-based batch sessionization.
     "q104_stream_sessions" -> ((s, dir) => {
       val ss = streamSession(s)
-      val rows = Tables.load(s, dir, "events")
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
-      val maxTs = rows.agg(max(col("ts_us"))).head().getLong(0)
-      val src = Files.createTempDirectory("graft_q104_").toString
-      rows.coalesce(1).write.mode("append").json(src)
+      val src = FixtureCache.dir("q104_landing", dir) { d =>
+        val rows = Tables.load(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        rows.coalesce(1).write.mode("overwrite").json(d)
+        val maxTs = rows.agg(max(col("ts_us"))).head().getLong(0)
+        Files.writeString(java.nio.file.Paths.get(d, "zz_sentinel.json"),
+          s"""{"user_id":-1,"ts_us":${maxTs + 400L * 86400L * 1000000L}}""" + "\n")
+        stampFileOrder(d, "zz_sentinel.json")
+      }
       val schema = StructType(Seq(
         StructField("user_id", LongType),
         StructField("ts_us", LongType)))
@@ -178,13 +205,6 @@ object StreamQueries {
       val sink = uniq("q104_sink_")
       val q = sessions.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      q.processAllAvailable()
-      // Sentinel: one row ~400 days past the data flushes every real
-      // session through the 0-second watermark.
-      ss.createDataFrame(
-          java.util.List.of(org.apache.spark.sql.Row(-1L,
-            maxTs + 400L * 86400L * 1000000L)), schema)
-        .coalesce(1).write.mode("append").json(src)
       q.processAllAvailable()
       q.stop()
       ss.table(sink)
@@ -205,7 +225,7 @@ object StreamQueries {
         Tables.load(s, dir, "events").select(
           col("event_id"), col("user_id"),
           round(col("value") * 100, 0).cast("long").as("value_cents")),
-        3, "event_id")
+        2, "event_id")
       val schema = StructType(Seq(
         StructField("event_id", LongType),
         StructField("user_id", LongType),
@@ -243,7 +263,7 @@ object StreamQueries {
                 lit(", \"event_type\": \"tru")))
             .otherwise(to_json(struct(col("event_id"), col("event_type"))))
             .as("value"))
-          .repartition(3, col("value"))
+          .repartition(2, col("value"))
           .write.mode("overwrite").text(d)
       }
       val schema = StructType(Seq(
@@ -272,7 +292,7 @@ object StreamQueries {
           Tables.load(s, dir, "events").filter(col("event_type") === t)
             .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
               col("user_id")),
-          3, "event_id")
+          2, "event_id")
         SocialStream.readJsonStream(ss, src, StructType(Seq(
           StructField("event_id", LongType),
           StructField("ts_us", LongType),
@@ -301,33 +321,29 @@ object StreamQueries {
     // q98: views with NO click inside the 2-hour horizon must emit with
     // null once the watermark passes their deadline (state eviction =
     // null emission). Determinism: all real rows land as ONE file per
-    // side (one batch each, nothing late), then a far-future sentinel on
-    // BOTH sides drives the global watermark past every deadline so the
-    // outer rows flush; the sentinels (user −1) match nothing and are
-    // filtered.
+    // side (one batch each, nothing late); the far-future sentinel
+    // (constant, year ~2200 — the fixture's event times are bounded) is
+    // PRE-STAGED on BOTH sides as a later-mtime file, so batch 2 drives
+    // the global watermark past every deadline and the outer rows flush.
+    // The landing dirs are fully immutable → cached once per sf dir, no
+    // per-invocation copy or append. The sentinels (user −1) match
+    // nothing and are filtered.
     "q126_stream_outer_join" -> ((s, dir) => {
       val ss = streamSession(s)
+      val far = 7258118400000000L
       val schema = StructType(Seq(
         StructField("event_id", LongType),
         StructField("ts_us", LongType),
         StructField("user_id", LongType)))
-      // Base landing built once per (type, sf) via FixtureCache; each
-      // invocation copies the single JSON file into a fresh dir (the
-      // sentinel append mutates it, so the cache itself must stay clean).
-      def mk(t: String): String = {
-        val cached = FixtureCache.dir(s"q126_$t", dir) { d =>
-          Tables.load(s, dir, "events")
-            .filter(col("event_type") === t)
-            .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
-              col("user_id"))
-            .coalesce(1).write.mode("overwrite").json(d)
-        }
-        val src = Files.createTempDirectory(s"graft_q126_${t}_").toString
-        new java.io.File(cached).listFiles()
-          .filter(_.getName.endsWith(".json"))
-          .foreach(f => Files.copy(f.toPath,
-            java.nio.file.Paths.get(src, f.getName)))
-        src
+      def mk(t: String): String = FixtureCache.dir(s"q126_$t", dir) { d =>
+        Tables.load(s, dir, "events")
+          .filter(col("event_type") === t)
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"))
+          .coalesce(1).write.mode("overwrite").json(d)
+        Files.writeString(java.nio.file.Paths.get(d, "zz_sentinel.json"),
+          s"""{"event_id":-1,"ts_us":$far,"user_id":-1}""" + "\n")
+        stampFileOrder(d, "zz_sentinel.json")
       }
       val vSrc = mk("view")
       val cSrc = mk("click")
@@ -345,15 +361,6 @@ object StreamQueries {
       val q = joined.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       q.processAllAvailable()
-      // constant far-future sentinel (year ~2200) — the fixture's event
-      // times are bounded, so no per-invocation max scan is needed
-      val far = 7258118400000000L
-      Seq(vSrc, cSrc).foreach { src =>
-        ss.createDataFrame(
-            java.util.List.of(org.apache.spark.sql.Row(-1L, far, -1L)), schema)
-          .coalesce(1).write.mode("append").json(src)
-      }
-      q.processAllAvailable()
       q.stop()
       ss.table(sink)
         .filter(col("v_user") =!= -1L)
@@ -370,7 +377,7 @@ object StreamQueries {
     // events. Result = the store read back via the JDBC source.
     "q72_stream_upsert" -> ((s, dir) => {
       val flat = eventsFlat(s, dir).filter(col("event_id") % 7 === 0)
-      val src = landing("q72_landing", dir, flat.unionAll(flat), 4, "event_id")
+      val src = landing("q72_landing", dir, flat.unionAll(flat), 2, "event_id")
       // In-memory Derby: embedded stand-in for the real store; left alive
       // for the JVM's lifetime because the returned frame reads it lazily.
       val url = s"jdbc:derby:memory:${uniq("q72db_")};create=true"

@@ -122,6 +122,52 @@ class ScrapeSourceSpec extends AnyFunSuite {
     assert(full > 0 && pruned > 0 && pruned < full / 3)
   }
 
+  test("pruned scrape statistics drive a broadcast join against a big table") {
+    // The 100 TB plan property behind SupportsReportStatistics: a
+    // newest-since scrape over a deep drop history prunes to a few files,
+    // reports the POST-pruning byte size, and Catalyst must therefore
+    // BROADCAST the scrape side into a join with a big fact table — with
+    // the threshold set between the pruned scan's size and everything
+    // else, only correctly-reported statistics can produce this plan.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, BroadcastQueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // between the pruned scan (~1 file, ~200 B) and the UNPRUNED one
+    // (5 files, ~1 KB): if either file pruning or the post-pruning
+    // statistics regress, no broadcast qualifies and the test fails
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "600")
+    try {
+      val big = spark.range(100000L).select(($"id" % 20L + 1L).as("k"), $"id")
+      val scrape = read().filter($"ts_u" >= 17L) // prunes to the newest file
+      val joined = big.join(scrape, $"k" === $"ts_u")
+      assert(joined.count() == 100000L / 20 * 4) // ts 17..20 × 5000 ids each
+      def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p.children ++
+        (p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case b: BroadcastQueryStageExec => Seq(b.plan)
+          case _ => Nil
+        })).flatMap(flatten)
+      val nodes = flatten(joined.queryExecution.executedPlan)
+      val bhj = nodes.collectFirst { case j: BroadcastHashJoinExec => j }
+        .getOrElse(fail("no BroadcastHashJoin — scrape stats did not qualify it"))
+      val buildSide = flatten(bhj.children(
+        if (bhj.buildSide.toString == "BuildLeft") 0 else 1))
+      val buildHasScrape = buildSide.exists {
+        case b: BatchScanExec => b.scan.description().contains("graft-scrape")
+        case e: BroadcastExchangeExec => flatten(e).exists {
+          case bb: BatchScanExec => bb.scan.description().contains("graft-scrape")
+          case _ => false
+        }
+        case _ => false
+      }
+      assert(buildHasScrape,
+        "the broadcast (build) side is not the pruned scrape scan:\n" +
+          joined.queryExecution.executedPlan.toString)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("top-N + since compose: newest-K-since-checkpoint scrape plan") {
     // Fully-absorbed since bound leaves no Filter node, so top-N pushes
     // through: alive files {12,16,20} → take newest 2.
