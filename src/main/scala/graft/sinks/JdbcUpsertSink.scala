@@ -72,6 +72,7 @@ object JdbcUpsertSink {
     val keyIdx = keyCols.map(cols.indexOf)
     val nonKeyIdx = nonKeys.map(cols.indexOf)
     val conn = DriverManager.getConnection(url)
+    var primary: Throwable = null
     try {
       conn.setAutoCommit(false)
       val stmt = conn.prepareStatement(sql)
@@ -90,6 +91,21 @@ object JdbcUpsertSink {
         }
         if (inBatch > 0) { stmt.executeBatch(); conn.commit() }
       } finally stmt.close()
-    } finally conn.close()
+    } catch { case t: Throwable => primary = t; throw t
+    } finally {
+      // If the write died mid-batch the transaction is still open, and
+      // Derby refuses to close such a connection — the close-time error
+      // would then MASK the primary failure (seen live as "Cannot close a
+      // connection while a transaction is still active" hiding the real
+      // lock/constraint error from the task log). On the error path only:
+      // roll back (freeing the locks so the retried task's idempotent
+      // re-MERGE proceeds) and swallow any close-time error so the
+      // primary exception is the one that propagates. The happy path
+      // stays a plain close.
+      if (primary != null) {
+        try conn.rollback() catch { case _: java.sql.SQLException => () }
+        try conn.close() catch { case _: java.sql.SQLException => () }
+      } else conn.close()
+    }
   }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.AsofJoin
+
+class AsofJoinSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val right = Seq(
+    (1L, 10L, "a"), (1L, 20L, "b"), // key 1: state a from t=10, b from t=20
+    (2L, 5L, "z")                   // key 2: state z from t=5
+  ).toDF("k", "rts", "v")
+
+  test("each left row gets the newest right state at-or-before its time") {
+    val left = Seq((1L, 5L, 100L), (1L, 10L, 101L), (1L, 15L, 102L),
+      (1L, 25L, 103L), (2L, 6L, 104L), (3L, 50L, 105L))
+      .toDF("k", "lts", "id")
+    val out = AsofJoin.asofJoin(left, right, Seq("k"), "lts", "rts")
+      .select($"id", $"v", $"asof_rts").collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(out(100L) == (None, None))            // before any state
+    assert(out(101L) == (Some("a"), Some(10L)))  // exactly-at matches (≤)
+    assert(out(102L) == (Some("a"), Some(10L)))
+    assert(out(103L) == (Some("b"), Some(20L)))  // newest wins, not first
+    assert(out(104L) == (Some("z"), Some(5L)))   // keys do not bleed
+    assert(out(105L) == (None, None))            // key with no right rows
+  }
+
+  test("tolerance voids too-stale matches (feature-store TTL)") {
+    val left = Seq((1L, 12L, 1L), (1L, 30L, 2L)).toDF("k", "lts", "id")
+    val out = AsofJoin.asofJoin(left, right, Seq("k"), "lts", "rts",
+        toleranceMicros = Some(5L))
+      .select($"id", $"v").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) == Some("a"))  // lag 2 ≤ 5
+    assert(out(2L) == None)       // lag 10 > 5: state too old → absent
+  }
+
+  test("multi-column keys and multi-column payload carry together") {
+    val r2 = Seq((1L, "x", 10L, "p1", 7L), (1L, "x", 20L, "p2", 8L))
+      .toDF("k1", "k2", "rts", "p", "q")
+    val l2 = Seq((1L, "x", 15L), (1L, "y", 15L)).toDF("k1", "k2", "lts")
+    val out = AsofJoin.asofJoin(l2, r2, Seq("k1", "k2"), "lts", "rts")
+      .select($"k2", $"p", $"q").collect()
+      .map(r => r.getString(0) -> (Option(r.getString(1)), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(out("x") == (Some("p1"), Some(7L)))
+    assert(out("y") == (None, None))
+  }
+
+  test("payload name collisions with the left side are rejected") {
+    val l = Seq((1L, 5L, "clash")).toDF("k", "lts", "v")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(l, right, Seq("k"), "lts", "rts")
+    }
+  }
+
+  test("plan shape: one exchange on the key, no join node, no cross product") {
+    val left = (0L until 1000L).map(i => (i % 10, i, i)).toDF("k", "lts", "id")
+    val r3 = (0L until 100L).map(i => (i % 10, i * 7, i)).toDF("k", "rts", "payload")
+    val df = AsofJoin.asofJoin(left, r3, Seq("k"), "lts", "rts")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "as-of must not plan a join (range-explosion shape)")
+    assert(plan.contains("Window"), "carry-forward window missing")
+  }
+}

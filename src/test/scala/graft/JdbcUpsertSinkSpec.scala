@@ -99,6 +99,36 @@ class JdbcUpsertSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("store-side failure surfaces the PRIMARY error, not the close-time mask") {
+    // A NOT NULL violation inside executeBatch leaves the transaction
+    // open; before the rollback-in-finally fix, Derby's close() then threw
+    // "Cannot close a connection while a transaction is still active",
+    // replacing the real error in the task log (seen live on q72). The
+    // thrown exception must be the constraint violation, and the
+    // connection must come back usable for the retried task.
+    withTable(ddl + ", NOT_NULL_COL BIGINT NOT NULL") { table =>
+      val cols = Seq("k", "name", "score", "not_null_col")
+      val sql = JdbcUpsertSink.mergeSql(table, cols, Seq("k"))
+      val bad = Seq(Row(1L, "a", 1L, null))
+      val e = intercept[java.sql.SQLException] {
+        JdbcUpsertSink.writePartition(bad.iterator, url, sql, cols, Seq("k"), 10)
+      }
+      def states(t: Throwable): Seq[String] = Option(t) match {
+        case Some(s: java.sql.SQLException) =>
+          Option(s.getSQLState).toSeq ++ states(s.getNextException) ++ states(s.getCause)
+        case Some(t2) => states(t2.getCause)
+        case None => Nil
+      }
+      // 23502 = NOT NULL violation; XJ058 would be the close-time mask
+      assert(states(e).contains("23502"), s"masked error: $e / states=${states(e)}")
+      assert(!states(e).contains("XJ058"))
+      // retry path: same DB, good rows, clean write
+      val good = Seq(Row(1L, "a", 1L, 5L))
+      JdbcUpsertSink.writePartition(good.iterator, url, sql, cols, Seq("k"), 10)
+      assert(readAll(table) == Seq((1L, "a", 1L)))
+    }
+  }
+
   test("all-key rows (pure set membership) degrade to insert-if-absent") {
     withTable("k BIGINT, name VARCHAR(64), PRIMARY KEY (k, name)") { table =>
       val cols = Seq("k", "name")
