@@ -242,12 +242,24 @@ object ExtraQueries {
     // regime, so the estimate hash-matches COUNT(DISTINCT) — the sketch
     // PATH under the hard gate; q30 covers the approximate regime
     // rows-only.
+    // Mergeable-HLL rollup under the gate, tolerance-boolean form: daily
+    // sketches union up to per-type totals; the hash-gated columns are
+    // the EXACT distincts, the sketch surfaces as a 3σ-margin boolean
+    // (datasketches lgK=12 → rsd ≈ 1.6%, margin 5% + 16 absolute; at
+    // small SFs the sparse representation is exact, at sf0.1 the 'click'
+    // estimate ran 0.8% off — inside 3σ, outside the old exact compare).
     "q86_sketch_rollup" -> ((s, dir) => {
-      val daily = CoreOps.distinctSketches(
-        Tables.load(s, dir, "events")
-          .withColumn("day", to_date(col("ts"))),
+      val events = Tables.load(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+      val daily = CoreOps.distinctSketches(events,
         Seq("event_type", "day"), "user_id")
-      CoreOps.sketchRollup(daily, Seq("event_type"))
+      val est = CoreOps.sketchRollup(daily, Seq("event_type"))
+      val exact = events.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_distinct_exact"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_distinct_exact"),
+          (abs(col("n_distinct") - col("n_distinct_exact")) <=
+            col("n_distinct_exact") * lit(0.05) + lit(16.0)).as("sketch_ok"))
         .orderBy(col("event_type"))
     }),
 
@@ -836,7 +848,9 @@ object ExtraQueries {
          |ORDER BY user_id, event_id""".stripMargin,
 
     "q86_sketch_rollup" ->
-      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_exact,
+        |  true AS sketch_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q83_scd2" ->

@@ -336,6 +336,12 @@ object TextQueries {
     // estimate must land within 5%). DuckDB oracles the exact count and
     // `within_5pct = true`, putting the approximate path itself under the
     // hash-match gate instead of a weaker rows-only check.
+    // Margin math (NOTES rule: a sketch bound the oracle hardcodes to
+    // `true` is a DETERMINISTIC claim about the fixed testdata): rsd=0.05
+    // is ONE standard deviation, and at sf0.1 the 'click' estimate
+    // genuinely landed outside 1σ — as ~32% of cells eventually will. The
+    // gate uses 3σ (15%) + a small absolute slack for tiny cardinalities,
+    // verified at sf0.001/0.01/0.1.
     "q30_approx_users" -> ((s, dir) => {
       Tables.load(s, dir, "events")
         .groupBy(col("event_type"))
@@ -346,7 +352,7 @@ object TextQueries {
           col("event_type"),
           col("exact_users"),
           (abs(col("approx_users") - col("exact_users")) <=
-            col("exact_users") * lit(0.05)).as("within_5pct"))
+            col("exact_users") * lit(0.15) + lit(16.0)).as("approx_ok"))
         .orderBy(col("event_type"))
     }))
 
@@ -397,7 +403,7 @@ object TextQueries {
     "q30_approx_users" ->
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-        |  true AS within_5pct
+        |  true AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q123_temperature_mix" ->

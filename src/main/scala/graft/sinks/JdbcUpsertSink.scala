@@ -63,10 +63,20 @@ object JdbcUpsertSink {
     * commit per batch. Public (not just `foreachPartition`-internal) so the
     * retry spec can replay a partition exactly as a re-scheduled task
     * would. Re-running this on the same rows is a no-op by construction.
+    *
+    * Each batch gets a BOUNDED in-writer retry (rollback → re-bind →
+    * re-execute): the MERGE is idempotent per key, so replaying a batch
+    * after a transient store error converges to the same state — and in
+    * `local` mode Spark does not retry tasks at all
+    * (spark.task.maxFailures=1), so a transient store hiccup (observed:
+    * Derby's generated-method compilation race, a `_rowMakingMethod` NPE
+    * under concurrent MERGE preparation) would otherwise kill the job.
+    * Permanent errors (constraint violations) exhaust the retries and
+    * propagate unchanged.
     */
   def writePartition(rows: Iterator[Row], url: String, sql: String,
                      cols: Seq[String], keyCols: Seq[String],
-                     batchSize: Int): Unit = {
+                     batchSize: Int, maxBatchRetries: Int = 2): Unit = {
     if (!rows.hasNext) return
     val nonKeys = cols.filterNot(keyCols.contains)
     val keyIdx = keyCols.map(cols.indexOf)
@@ -75,21 +85,51 @@ object JdbcUpsertSink {
     var primary: Throwable = null
     try {
       conn.setAutoCommit(false)
-      val stmt = conn.prepareStatement(sql)
-      try {
-        var inBatch = 0
-        rows.foreach { r =>
-          var p = 1
-          keyIdx.foreach { i => stmt.setObject(p, r.get(i)); p += 1 }
-          nonKeyIdx.foreach { i => stmt.setObject(p, r.get(i)); p += 1 }
-          cols.indices.foreach { i => stmt.setObject(p, r.get(i)); p += 1 }
-          stmt.addBatch()
-          inBatch += 1
-          if (inBatch == batchSize) {
-            stmt.executeBatch(); conn.commit(); inBatch = 0
+      var stmt = conn.prepareStatement(sql)
+      def flush(batch: Seq[Row]): Unit = {
+        var attempt = 0
+        var first: java.sql.SQLException = null
+        var done = false
+        while (!done) {
+          try {
+            batch.foreach { r =>
+              var p = 1
+              keyIdx.foreach { i => stmt.setObject(p, r.get(i)); p += 1 }
+              nonKeyIdx.foreach { i => stmt.setObject(p, r.get(i)); p += 1 }
+              cols.indices.foreach { i => stmt.setObject(p, r.get(i)); p += 1 }
+              stmt.addBatch()
+            }
+            stmt.executeBatch()
+            conn.commit()
+            done = true
+          } catch {
+            case e: java.sql.SQLException =>
+              // The FIRST failure is the primary: retries of a permanent
+              // error produce follow-on noise ("Container has been
+              // closed" from the invalidated statement), which must not
+              // replace it.
+              if (first == null) first = e
+              if (attempt >= maxBatchRetries) throw first
+              attempt += 1
+              // Transient path: free locks, discard the invalidated
+              // prepared statement (Derby closes its activation with the
+              // failed transaction), re-prepare, back off, re-bind.
+              try conn.rollback() catch { case _: java.sql.SQLException => () }
+              try stmt.close() catch { case _: java.sql.SQLException => () }
+              try stmt = conn.prepareStatement(sql)
+              catch { case p: java.sql.SQLException =>
+                first.addSuppressed(p); throw first }
+              Thread.sleep(50L * attempt)
           }
         }
-        if (inBatch > 0) { stmt.executeBatch(); conn.commit() }
+      }
+      try {
+        val buf = new scala.collection.mutable.ArrayBuffer[Row](batchSize)
+        rows.foreach { r =>
+          buf += r
+          if (buf.size == batchSize) { flush(buf.toSeq); buf.clear() }
+        }
+        if (buf.nonEmpty) flush(buf.toSeq)
       } finally stmt.close()
     } catch { case t: Throwable => primary = t; throw t
     } finally {

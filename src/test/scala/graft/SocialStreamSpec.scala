@@ -202,4 +202,42 @@ class SocialStreamSpec extends AnyFunSuite {
     val out = spark.read.parquet(s"$tmp/out")
     assert(out.count() == 1 && out.head().getAs[String]("id") == "p1")
   }
+
+  test("restart from the checkpoint resumes exactly-once (Glue-bookmark semantics)") {
+    // The reference's Glue jobs rely on job bookmarks (`terraform/main.tf:374`)
+    // so the nightly run only processes new S3 drops. Structured Streaming's
+    // checkpoint is the same contract: a SECOND query started on the SAME
+    // checkpoint must process only files that landed after the first run —
+    // already-committed drops are never re-emitted, new ones are never lost,
+    // across process restarts.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val landing = s"$tmp/landing"
+    new java.io.File(landing).mkdirs()
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    def drop(name: String, rows: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(s"$landing/$name")
+      rows.foreach(w.println); w.close()
+    }
+    def runOnce(): Unit = {
+      val q = SocialStream.toParquetSink(
+        SocialStream.readJsonStream(spark, landing, schema),
+        s"$tmp/out", s"$tmp/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination(60000)
+    }
+    drop("day1.json", Seq("""{"id":1,"v":"a"}""", """{"id":2,"v":"b"}"""))
+    runOnce()
+    // overnight: a new drop lands while no query is running
+    drop("day2.json", Seq("""{"id":3,"v":"c"}"""))
+    runOnce()
+    val out = spark.read.parquet(s"$tmp/out")
+      .select($"id", $"v").as[(Long, String)].collect().sorted.toSeq
+    // day1 rows exactly once (no reprocessing), day2 picked up
+    assert(out == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // third run with nothing new: a no-op, still no duplicates
+    runOnce()
+    assert(spark.read.parquet(s"$tmp/out").count() == 3)
+  }
 }
