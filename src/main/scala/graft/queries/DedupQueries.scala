@@ -166,6 +166,16 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SimHash over the zipfian planted-family corpus (q34's operator, the
+    // realistic fixture): exact dups pair at hamming 0; one-token near
+    // dups surface only when a band's 10 bits all survive the edit — the
+    // short-document recall physics the oracle mirrors exactly.
+    "q135_zipf_simhash" -> ((s, dir) => {
+      Dedup.simhashNearDups(zipfCorpus(s, dir),
+          "doc_id", "text", bits = 30, bands = 3, maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Brute-force cosine top-k (exact ANN baseline): 5 query vectors.
     "q35_ann_brute" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -358,7 +368,7 @@ object DedupQueries {
        |FROM sel WHERE rn = 1 ORDER BY component""".stripMargin
 
   /** SimHash signature SQL over a relation exposing (doc_id, text). */
-  private val simhashSigSql: String = {
+  private def simhashSigSql(from: String = "documents"): String = {
     val bitTerms = (0 until 30).map { j =>
       s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $j) & 1 = 1)) > len(hs) THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("\n    + ")
@@ -366,8 +376,21 @@ object DedupQueries {
        |FROM (
        |  SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
        |    t -> (${Dedup.hashA(0)} * ${chSql("t")} + ${Dedup.hashB(0)}) % $P) AS hs
-       |  FROM documents)""".stripMargin
+       |  FROM $from)""".stripMargin
   }
+
+  /** Shared band/pair tail of the simhash oracles (3 bands × 10 bits). */
+  private def simhashPairSql(maxHamming: Int): String =
+    s"""bands AS (
+       |  SELECT doc_id, sig, unnest([0, 1, 2]) AS band,
+       |    unnest([(sig >> 0) & 1023, (sig >> 10) & 1023, (sig >> 20) & 1023]) AS bh
+       |  FROM s),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
 
   private val dotSql =
     "list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE))), (acc, x) -> acc + x)"
@@ -524,19 +547,22 @@ object DedupQueries {
          |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q33_simhash" ->
-      s"""SELECT doc_id, sig FROM ($simhashSigSql) WHERE doc_id < 50 ORDER BY doc_id""",
+      s"""SELECT doc_id, sig FROM (${simhashSigSql()}) WHERE doc_id < 50 ORDER BY doc_id""",
 
     "q34_simhash_pairs" ->
-      s"""WITH s AS ($simhashSigSql),
-         |bands AS (
-         |  SELECT doc_id, sig, unnest([0, 1, 2]) AS band,
-         |    unnest([(sig >> 0) & 1023, (sig >> 10) & 1023, (sig >> 20) & 1023]) AS bh
-         |  FROM s),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH s AS (${simhashSigSql()}),
+         |${simhashPairSql(2)}""".stripMargin,
+
+    // SimHash under REALISTIC selectivity: exact-dup family members
+    // (hamming 0) must surface through the banding; the single-token near
+    // dups mostly do NOT — a 1-of-40-token edit flips every signature bit
+    // whose vote margin it decides (~a third of them), which is simhash's
+    // honest behavior on short documents. The oracle replays the identical
+    // banding, so the gate pins the recall physics, not a wishful 100%.
+    "q135_zipf_simhash" ->
+      s"""WITH $zipfCorpusCte,
+         |s AS (${simhashSigSql("zdocs")}),
+         |${simhashPairSql(3)}""".stripMargin,
 
     "q35_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -194,6 +194,31 @@ object LifecycleQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Schema evolution ON READ: the landing zone's schema grows a column
+    // mid-history (the reference's crawler-inferred schemas do exactly
+    // this as scrape fields appear, `terraform/main.tf:301-319`), so half
+    // the files are v1 (no value_cents) and half v2. `mergeSchema` must
+    // union the file schemas, null-fill v1 rows, and keep both
+    // generations queryable in one scan — no rewrite of old files.
+    "q136_schema_evolution" -> ((s, dir) => {
+      val landing = FixtureCache.dir("q136_landing", dir) { d =>
+        val ev = Tables.load(s, dir, "events")
+        ev.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("event_type"))
+          .write.mode("overwrite").parquet(d)
+        ev.filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("value_cents"))
+          .write.mode("append").parquet(d)
+      }
+      s.read.option("mergeSchema", "true").parquet(landing)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value_cents").isNull, 1L).otherwise(0L)).as("n_v1"),
+          coalesce(sum(col("value_cents")), lit(0L)).as("sum_cents_v2"))
+        .orderBy(col("event_type"))
+    }),
+
     // Comment-tree flatten: a deterministic forest over documents (roots
     // doc_id < 3, parent = (doc_id-1) div 2), resolved to (root, depth) by
     // pointer doubling — O(log depth) joins, vs the recursive CTE the
@@ -208,6 +233,13 @@ object LifecycleQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q136_schema_evolution" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+        |  CAST(COALESCE(sum(CASE WHEN event_id % 2 = 1
+        |    THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS sum_cents_v2
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q129_compact_cluster" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
