@@ -87,7 +87,8 @@ object LifecycleQueries {
         manifestDir, keys = Seq("event_id"), order = Seq(col("ts_us")),
         statCol = "event_id")
       graft.sources.DataSkipping.prunedRead(s, snapshot,
-          s.read.parquet(manifestDir), "event_id", 1000L, 2000L)
+          graft.sources.DataSkipping.readManifest(s, manifestDir),
+          "event_id", 1000L, 2000L)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
         .orderBy(col("event_type"))
@@ -187,7 +188,7 @@ object LifecycleQueries {
       Layout.compactClustered(s, dirty, out, targetBytes = 256 * 1024,
         aCol = "event_id", bCol = "user_id", bits = 8,
         manifestDir = manifest, statCol = "event_id")
-      DataSkipping.prunedRead(s, out, s.read.parquet(manifest),
+      DataSkipping.prunedRead(s, out, DataSkipping.readManifest(s, manifest),
           "event_id", 1000L, 2000L)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))

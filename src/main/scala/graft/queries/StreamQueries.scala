@@ -378,9 +378,14 @@ object StreamQueries {
     "q72_stream_upsert" -> ((s, dir) => {
       val flat = eventsFlat(s, dir).filter(col("event_id") % 7 === 0)
       val src = landing("q72_landing", dir, flat.unionAll(flat), 2, "event_id")
-      // In-memory Derby: embedded stand-in for the real store; left alive
-      // for the JVM's lifetime because the returned frame reads it lazily.
-      val url = s"jdbc:derby:memory:${uniq("q72db_")};create=true"
+      // FILE-backed embedded Derby (temp dir per invocation): the
+      // in-memory storage factory has a known race class under concurrent
+      // batched MERGE (baseCC/_rowMakingMethod NPEs, seen at sf0.1) that
+      // the directory-backed store does not — same mitigation
+      // JdbcUpsertSinkSpec documents. Left alive for the JVM's lifetime
+      // because the returned frame reads it lazily.
+      val url = "jdbc:derby:" + Files.createTempDirectory("q72db_")
+        .resolve("db").toAbsolutePath + ";create=true"
       val table = "events_serving"
       val conn = java.sql.DriverManager.getConnection(url)
       try conn.createStatement().executeUpdate(

@@ -64,15 +64,17 @@ object JdbcUpsertSink {
     * retry spec can replay a partition exactly as a re-scheduled task
     * would. Re-running this on the same rows is a no-op by construction.
     *
-    * Each batch gets a BOUNDED in-writer retry (rollback → re-bind →
-    * re-execute): the MERGE is idempotent per key, so replaying a batch
-    * after a transient store error converges to the same state — and in
-    * `local` mode Spark does not retry tasks at all
-    * (spark.task.maxFailures=1), so a transient store hiccup (observed:
-    * Derby's generated-method compilation race, a `_rowMakingMethod` NPE
-    * under concurrent MERGE preparation) would otherwise kill the job.
-    * Permanent errors (constraint violations) exhaust the retries and
-    * propagate unchanged.
+    * Each batch gets a BOUNDED in-writer retry on a FRESH connection
+    * (rollback → close → reconnect → re-prepare → re-bind): the MERGE is
+    * idempotent per key, so replaying a batch after a transient store
+    * error converges to the same state — and in `local` mode Spark does
+    * not retry tasks at all (spark.task.maxFailures=1), so a transient
+    * store hiccup (observed: Derby's generated-code races under
+    * concurrent MERGE — `_rowMakingMethod`/`baseCC` NPEs — which poison
+    * the CONNECTION, not just the statement) would otherwise kill the
+    * job. When retries exhaust, the FIRST failure propagates as the
+    * primary with every later attempt's error attached as suppressed —
+    * neither the original cause nor a later, different failure is lost.
     */
   def writePartition(rows: Iterator[Row], url: String, sql: String,
                      cols: Seq[String], keyCols: Seq[String],
@@ -81,11 +83,11 @@ object JdbcUpsertSink {
     val nonKeys = cols.filterNot(keyCols.contains)
     val keyIdx = keyCols.map(cols.indexOf)
     val nonKeyIdx = nonKeys.map(cols.indexOf)
-    val conn = DriverManager.getConnection(url)
+    var conn = DriverManager.getConnection(url)
+    conn.setAutoCommit(false)
+    var stmt = conn.prepareStatement(sql)
     var primary: Throwable = null
     try {
-      conn.setAutoCommit(false)
-      var stmt = conn.prepareStatement(sql)
       def flush(batch: Seq[Row]): Unit = {
         var attempt = 0
         var first: java.sql.SQLException = null
@@ -104,20 +106,22 @@ object JdbcUpsertSink {
             done = true
           } catch {
             case e: java.sql.SQLException =>
-              // The FIRST failure is the primary: retries of a permanent
-              // error produce follow-on noise ("Container has been
-              // closed" from the invalidated statement), which must not
-              // replace it.
-              if (first == null) first = e
+              // First failure = primary; later attempts' errors (often
+              // follow-on noise like "Container has been closed", but
+              // possibly a real, different failure) ride as suppressed.
+              if (first == null) first = e else first.addSuppressed(e)
               if (attempt >= maxBatchRetries) throw first
               attempt += 1
-              // Transient path: free locks, discard the invalidated
-              // prepared statement (Derby closes its activation with the
-              // failed transaction), re-prepare, back off, re-bind.
+              // The store race can poison the whole connection, so the
+              // retry rebuilds it from scratch.
               try conn.rollback() catch { case _: java.sql.SQLException => () }
               try stmt.close() catch { case _: java.sql.SQLException => () }
-              try stmt = conn.prepareStatement(sql)
-              catch { case p: java.sql.SQLException =>
+              try conn.close() catch { case _: java.sql.SQLException => () }
+              try {
+                conn = DriverManager.getConnection(url)
+                conn.setAutoCommit(false)
+                stmt = conn.prepareStatement(sql)
+              } catch { case p: java.sql.SQLException =>
                 first.addSuppressed(p); throw first }
               Thread.sleep(50L * attempt)
           }

@@ -58,29 +58,57 @@ object DataSkipping {
   }
 
   /** Build the manifest for `dataDir` and publish it at `manifestDir`
-    * ATOMICALLY: stage to a side dir, retire any old manifest, rename the
-    * staging dir in. A reader that races the swap sees either the old
-    * manifest or the new one, never a half-written directory. (On object
-    * stores the rename models a metastore pointer flip.) Every writer
-    * that rewrites a file layout must republish through here — a stale
+    * via a POINTER FLIP — the actual metastore/table-format protocol, not
+    * a directory swap: the new manifest lands as an immutable versioned
+    * subdirectory (`v-<id>/`), and a one-line `CURRENT` file naming the
+    * active version is replaced with an atomic rename. A reader that
+    * races the publish reads CURRENT (atomically old or new — there is
+    * no window where it is absent or half-written) and then an immutable
+    * version directory; a crash at ANY point leaves either the old
+    * manifest fully live or the new one, plus at worst an unreferenced
+    * version directory that the next publish prunes. The previous
+    * version is retained for one publish cycle so an in-flight reader
+    * holding the old CURRENT still finds its files. Every writer that
+    * rewrites a file layout must republish through here — a stale
     * manifest lists dead files.
     */
   def publishManifest(spark: SparkSession, dataDir: String,
                       manifestDir: String, statCol: String): Unit = {
-    val staging = manifestDir + ".staging-" +
-      java.util.UUID.randomUUID().toString.take(8)
+    val root = new java.io.File(manifestDir)
+    if (!root.isDirectory && !root.mkdirs())
+      throw new java.io.IOException(s"could not create manifest root $manifestDir")
+    val version = "v-" + java.util.UUID.randomUUID().toString.take(12)
     buildManifest(spark, dataDir, statCol)
-      .coalesce(1).write.mode("overwrite").parquet(staging)
-    val fs = new java.io.File(manifestDir)
-    if (fs.exists()) {
-      val old = new java.io.File(manifestDir + ".old-" +
-        java.util.UUID.randomUUID().toString.take(8))
-      if (!fs.renameTo(old))
-        throw new java.io.IOException(s"could not retire old manifest $manifestDir")
-      deleteRecursive(old)
-    }
-    if (!new java.io.File(staging).renameTo(fs))
-      throw new java.io.IOException(s"could not publish manifest $manifestDir")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(root, version).toString)
+    val prev = currentVersion(root)
+    val tmp = new java.io.File(root, s".CURRENT.tmp-$version")
+    java.nio.file.Files.writeString(tmp.toPath, version)
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(root, "CURRENT").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // Prune everything except the live version and its predecessor
+    // (grace for readers that resolved CURRENT just before the flip).
+    val keep = Set(version) ++ prev
+    Option(root.listFiles()).foreach(_.foreach { f =>
+      if (f.isDirectory && f.getName.startsWith("v-") && !keep(f.getName))
+        deleteRecursive(f)
+    })
+  }
+
+  /** Resolve and read the CURRENT manifest published by
+    * [[publishManifest]].
+    */
+  def readManifest(spark: SparkSession, manifestDir: String): DataFrame = {
+    val root = new java.io.File(manifestDir)
+    val v = currentVersion(root).getOrElse(throw new java.io.FileNotFoundException(
+      s"no CURRENT manifest under $manifestDir — was publishManifest ever run?"))
+    spark.read.parquet(new java.io.File(root, v).toString)
+  }
+
+  private def currentVersion(root: java.io.File): Option[String] = {
+    val c = new java.io.File(root, "CURRENT")
+    if (c.isFile) Some(java.nio.file.Files.readString(c.toPath).trim) else None
   }
 
   private def deleteRecursive(f: java.io.File): Unit = {

@@ -52,6 +52,51 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out("y") == (None, None))
   }
 
+  test("a NULL payload in the newest right row stays null (no older-row papering)") {
+    // DuckDB ASOF semantics: the match is a ROW, so if the newest
+    // at-or-before row carries null, the result is null — an older
+    // non-null value must NOT leak through, and with a tolerance the
+    // staleness check applies to that same row.
+    val r = Seq((1L, 5L, Some("old")), (1L, 10L, None))
+      .toDF("k", "rts", "v")
+    val l = Seq((1L, 12L, 1L)).toDF("k", "lts", "id")
+    val out = AsofJoin.asofJoin(l, r, Seq("k"), "lts", "rts")
+      .select($"v", $"asof_rts").head()
+    assert(out.isNullAt(0) && out.getLong(1) == 10L) // matched row IS ts=10
+    // tolerance 3: the newest row (lag 2) is in-horizon; its null stands.
+    // The ts=5 row (lag 7, out of horizon) must not resurface.
+    val tol = AsofJoin.asofJoin(l, r, Seq("k"), "lts", "rts",
+        toleranceMicros = Some(3L))
+      .select($"v", $"asof_rts").head()
+    assert(tol.isNullAt(0) && tol.getLong(1) == 10L)
+  }
+
+  test("multi-column payload always comes from ONE right row") {
+    // Row at ts=10 has (p=null, q=8); row at ts=5 has (p="x", q=7). A
+    // per-column carry would stitch (p="x", q=8) — a row that never
+    // existed. The struct carry must return (null, 8).
+    val r = Seq((1L, 5L, Some("x"), 7L), (1L, 10L, None, 8L))
+      .toDF("k", "rts", "p", "q")
+    val l = Seq((1L, 11L)).toDF("k", "lts")
+    val out = AsofJoin.asofJoin(l, r, Seq("k"), "lts", "rts").head()
+    val (p, q) = (out.getAs[String]("p"), out.getAs[Long]("q"))
+    assert(p == null && q == 8L)
+  }
+
+  test("rightOrder breaks (key, ts) ties deterministically — greatest wins") {
+    val r = Seq((1L, 10L, 100L, "low"), (1L, 10L, 200L, "high"))
+      .toDF("k", "rts", "rid", "v")
+    val l = Seq((1L, 15L)).toDF("k", "lts")
+    val out = AsofJoin.asofJoin(l, r, Seq("k"), "lts", "rts",
+        rightCols = Seq("v"), rightOrder = Seq("rid"))
+      .select($"v").head().getString(0)
+    assert(out == "high")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(l, r, Seq("k"), "lts", "rts",
+        rightCols = Seq("v"), rightOrder = Seq("no_such_col"))
+    }
+  }
+
   test("payload name collisions with the left side are rejected") {
     val l = Seq((1L, 5L, "clash")).toDF("k", "lts", "v")
     intercept[IllegalArgumentException] {

@@ -135,7 +135,7 @@ class LayoutSpec extends AnyFunSuite {
       aCol = "a", bCol = "b", bits = 6, manifestDir = manifest, statCol = "a")
     assert(n >= 2, "compaction produced a single file — clustering untestable")
     // manifest describes exactly the files written, atomically published
-    val m = spark.read.parquet(manifest)
+    val m = DataSkipping.readManifest(spark, manifest)
     assert(m.count() == n)
     // clustering: a narrow range on the stat dim must PRUNE files...
     val survivors = m.filter($"max_v" >= 0L && $"min_v" <= 15L).count()

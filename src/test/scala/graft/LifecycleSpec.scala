@@ -123,7 +123,7 @@ class LifecycleSpec extends AnyFunSuite {
       .toDF("k", "v", "x").write.mode("overwrite").parquet(landing)
     Compaction.compactWithManifest(spark, landing, snapshot, manifest,
       keys = Seq("k"), order = Seq(col("v")), statCol = "x")
-    val m1 = spark.read.parquet(manifest)
+    val m1 = DataSkipping.readManifest(spark, manifest)
     val pruned1 = DataSkipping.prunedRead(spark, snapshot, m1, "x", 0L, 300L)
       .select("k").as[Long].collect().sorted
     assert(pruned1.toSeq == Seq(1L, 2L))
@@ -134,7 +134,14 @@ class LifecycleSpec extends AnyFunSuite {
       .write.mode("append").parquet(landing)
     Compaction.compactWithManifest(spark, landing, snapshot, manifest,
       keys = Seq("k"), order = Seq(col("v")), statCol = "x")
-    val m2 = spark.read.parquet(manifest)
+    val m2 = DataSkipping.readManifest(spark, manifest)
+    // the pointer flipped, the PREVIOUS version is retained for in-flight
+    // readers (grace window), and nothing older survives
+    val versions = new java.io.File(manifest).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v-"))
+    assert(versions.length == 2)
+    // the reader that resolved CURRENT before the flip still works
+    assert(m1.count() >= 1)
     val pruned2 = DataSkipping.prunedRead(spark, snapshot, m2, "x", 0L, 300L)
       .select("k").as[Long].collect().sorted
     assert(pruned2.toSeq == Seq(1L))

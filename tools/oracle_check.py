@@ -77,6 +77,11 @@ if __name__ == "__main__":
     budget = None
     if "--budget" in argv:
         i = argv.index("--budget")
-        budget = float(argv[i + 1])
+        try:
+            budget = float(argv[i + 1])
+        except (IndexError, ValueError):
+            sys.exit("usage: oracle_check.py <sfDir> <verifyOutDir> [--budget SECONDS]")
         argv = argv[:i] + argv[i + 2:]
+    if len(argv) != 2:
+        sys.exit("usage: oracle_check.py <sfDir> <verifyOutDir> [--budget SECONDS]")
     main(argv[0], argv[1], budget)
