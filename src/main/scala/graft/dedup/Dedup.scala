@@ -288,6 +288,44 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental NEAR-dup detection — the production shape of corpus
+    * dedup: tonight's `batch` is checked against the standing corpus
+    * WITHOUT re-banding it. At 100 TB the `history` side's band table
+    * ((band, bh, id) rows) and shingle-set table are PERSISTED state
+    * maintained by the nightly job (append the batch's rows after
+    * deduping); here they are derived in-plan from `history` because the
+    * sandbox has no standing store — the join shape is identical. The
+    * candidate exchange is a two-sided equi-join on (band, bh) carrying
+    * ids only (no text, no sets — the dominant-shuffle discipline of
+    * [[minhashNearDups]]); a skewed band bucket is a plain join-key skew,
+    * handled by AQE skew-join splitting rather than the self-join tiling
+    * (there is no n² blowup on a two-sided join — per-bucket cost is
+    * |batch ∩ bucket| × |history ∩ bucket|, and the batch side is small
+    * by construction). Batch-internal duplicates are deliberately NOT
+    * reported — run [[minhashNearDups]] on the batch alone for those.
+    *
+    * Returns (id_new ∈ batch, id_old ∈ history, jaccard ≥ threshold).
+    */
+  def incrementalNearDups(batch: DataFrame, history: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleK: Int = 3, numHashes: Int = 16,
+                          bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val nb = minhashBands(batch, idCol, textCol, shingleK, numHashes, bands)
+    val hb = minhashBands(history, idCol, textCol, shingleK, numHashes, bands)
+    val cand = nb.select(col("band"), col("bh"), col("id").as("id_new"))
+      .join(hb.select(col("band"), col("bh"), col("id").as("id_old")),
+        Seq("band", "bh"))
+      .select("id_new", "id_old").distinct()
+    val ns = shingleHashSets(batch, idCol, textCol, shingleK)
+    val hs = shingleHashSets(history, idCol, textCol, shingleK)
+    val withSets = cand
+      .join(ns.select(col("id").as("id_new"), col("sh").as("sh_a")), "id_new")
+      .join(hs.select(col("id").as("id_old"), col("sh").as("sh_b")), "id_old")
+    appendJaccard(withSets, "sh_a", "sh_b", "jaccard")
+      .filter(col("jaccard") >= threshold)
+      .select("id_new", "id_old", "jaccard")
+  }
+
   /** Near-dup CLUSTERS: transitive closure of [[minhashNearDups]] pairs —
     * "A≈B and B≈C" makes {A,B,C} one cluster even when A,C were never a
     * candidate pair. Returns (node = doc id, component = min doc id of the

@@ -294,6 +294,24 @@ object CoreOps {
     df.join(broadcast(rates), Seq(stratumCol)).filter(h < col("rate_bp"))
   }
 
+  /** Weight-proportional deterministic sampling — the quality-weighted
+    * corpus-mixing knob (keep probability ∝ a per-row weight, e.g. docs
+    * sampled by quality score so high-quality text is over-represented
+    * without a hard cutoff): keep a row iff
+    * `hash(key) mod denom < clamp(weight, 0, denom)`, so P(keep) is
+    * exactly weight/denom under the uniform portable hash. Scan-local —
+    * no shuffle, no state, reproducible at any partitioning, and
+    * engine-portable (the oracle replays the identical fold), unlike
+    * `rand()`-based sampling which is neither.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+                     denom: Long = 1000000L): DataFrame = {
+    require(denom > 0, "denom must be positive")
+    val h = pmod(graft.dedup.Dedup.charHash(col(keyCol).cast("string")),
+      lit(denom))
+    df.filter(h < least(greatest(weight.cast("long"), lit(0L)), lit(denom)))
+  }
+
   /** Mergeable distinct-count rollup (A6 at warehouse scale): per-group
     * HLL sketches materialized as a TABLE, so coarser rollups merge the
     * sketches instead of rescanning the fact data — the only way

@@ -88,6 +88,23 @@ object DedupQueries {
         .groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("component"))
     }),
+    // Incremental near-dup vs the standing corpus (the nightly-crawl
+    // shape): the planted family members (≡48, 49 mod 50) arrive as
+    // "tonight's batch" and must each hit their history anchor (≡47) —
+    // exact dups at J=1.0, near dups at J≈0.85 modulo honest LSH banding
+    // misses; batch-internal pairs (48 vs 49) are NOT reported. History
+    // text is banded once here (sandbox); in production the band/set
+    // tables are persisted state and the batch join touches only them.
+    "q138_incr_neardup" -> ((s, dir) => {
+      val corpus = zipfCorpus(s, dir)
+      val isBatch = col("doc_id") % 50 === 48 || col("doc_id") % 50 === 49
+      Dedup.incrementalNearDups(
+          corpus.filter(isBatch), corpus.filter(!isBatch),
+          "doc_id", "text", shingleK = 3, numHashes = 16, bands = 4,
+          threshold = 0.5)
+        .orderBy(col("id_new"), col("id_old"))
+    }),
+
     // n-gram (bigram-set) Jaccard near-dups, content-bounded blocking:
     // banded minhash over the bigram set (never quadratic in a natural key).
     "q31_ngram_jaccard" -> ((s, dir) => {
@@ -509,6 +526,20 @@ object DedupQueries {
          |lab AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
          |SELECT component, count(*) AS n_docs FROM lab
          |GROUP BY component ORDER BY component""".stripMargin,
+
+    // The full-corpus banding restricted to CROSS-class pairs (exactly one
+    // side in the batch residues): identical candidate generation to the
+    // engine's two-sided join, oriented by class membership, not id order.
+    "q138_incr_neardup" ->
+      s"""WITH $zipfCorpusCte,
+         |${minhashCtes(3, 16, 4, from = "zdocs")}
+         |SELECT CASE WHEN id_b % 50 IN (48, 49) THEN id_b ELSE id_a END AS id_new,
+         |  CASE WHEN id_b % 50 IN (48, 49) THEN id_a ELSE id_b END AS id_old,
+         |  jaccard
+         |FROM v
+         |WHERE (id_a % 50 IN (48, 49)) <> (id_b % 50 IN (48, 49))
+         |  AND jaccard >= 0.5
+         |ORDER BY id_new, id_old""".stripMargin,
 
     "q31_ngram_jaccard" -> minhashOracleSql(2, 16, 8, 0.7),
 

@@ -19,7 +19,11 @@ object ExtraQueries {
     // DuckDB's NATIVE `ASOF LEFT JOIN` — an independent implementation of
     // the operator, not a restatement of ours. The right side dedups to
     // one row per (user, ts) so tie behavior (unspecified in DuckDB)
-    // never decides the result.
+    // never decides the result. The second payload column `c_val` is NULL
+    // on a third of the right rows, so the row-struct carry semantics —
+    // a null in the matched row STAYS null instead of an older row's
+    // value leaking through — are themselves under the oracle gate, and
+    // an unmatched-vs-null-matched row is distinguished by c_id.
     "q133_asof_join" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
       val views = ev.filter(col("event_type") === "view")
@@ -30,9 +34,12 @@ object ExtraQueries {
           col("event_id"))
         .groupBy(col("user_id"), col("ts_us"))
         .agg(max(col("event_id")).as("c_id"))
+        .withColumn("c_val",
+          when(col("c_id") % 3 === 0, lit(null).cast("long"))
+            .otherwise(col("c_id") * 7))
       graft.ops.AsofJoin.asofJoin(views, clicks, Seq("user_id"),
           "ts_us", "ts_us")
-        .select(col("v_id"), col("c_id"), col("user_id"))
+        .select(col("v_id"), col("c_id"), col("c_val"), col("user_id"))
         .orderBy(col("v_id"))
     }),
 
@@ -584,16 +591,21 @@ object ExtraQueries {
   val oracles: Map[String, String] = Map(
     // DuckDB's native ASOF LEFT JOIN — an independent implementation of
     // the as-of semantics, not a restatement of the engine's union+window.
+    // c_val carries planted NULLs through the match so row-struct carry
+    // semantics are gated, not just spec'd.
     "q133_asof_join" ->
       """WITH v AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
         |    event_id AS v_id
         |  FROM events WHERE event_type = 'view'),
         |c AS (
-        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-        |    max(event_id) AS c_id
-        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
-        |SELECT v.v_id, c.c_id, v.user_id
+        |  SELECT user_id, ts_us, c_id,
+        |    CASE WHEN c_id % 3 = 0 THEN NULL ELSE c_id * 7 END AS c_val
+        |  FROM (
+        |    SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |      max(event_id) AS c_id
+        |    FROM events WHERE event_type = 'click' GROUP BY 1, 2))
+        |SELECT v.v_id, c.c_id, c.c_val, v.user_id
         |FROM v ASOF LEFT JOIN c
         |  ON v.user_id = c.user_id AND v.ts_us >= c.ts_us
         |ORDER BY v_id""".stripMargin,

@@ -269,6 +269,23 @@ object TextQueries {
         Seq("doc_id", "lang", "source", "n_chars"))
     }),
 
+    // Quality-WEIGHTED sampling: keep probability ∝ the doc's quality
+    // score (P(keep) = q_u / 1e6 exactly, via the portable hash) — the
+    // soft-mixing knob between "keep everything" and a hard quality
+    // cutoff. Scan-local, no shuffle; the oracle replays the identical
+    // hash-vs-weight comparison.
+    "q137_weighted_sample" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("q_u",
+          CoreOps.cents(TextOps.qualityScore(col("text"), stopwords), 6))
+      CoreOps.weightedSample(docs, "doc_id", col("q_u"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(col("q_u")).as("sum_q_u"))
+        .orderBy(col("lang"))
+    }),
+
     // Stratified deterministic sampling: the training-mix knob — dominant
     // language downsampled hard, rare ones kept whole, unknown strata
     // dropped by the default rate. Same portable hash as q56.
@@ -405,6 +422,19 @@ object TextQueries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         |  true AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q137_weighted_sample" ->
+      s"""WITH d AS (
+         |  SELECT lang, doc_id,
+         |    CAST(round(($qualitySql) * 1000000.0) AS BIGINT) AS q_u
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_kept,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |  CAST(sum(q_u) AS BIGINT) AS sum_q_u
+         |FROM d
+         |WHERE ${chSqlOf("CAST(doc_id AS VARCHAR)")} % 1000000
+         |  < least(greatest(q_u, 0), 1000000)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q123_temperature_mix" ->
       s"""WITH d AS (

@@ -194,4 +194,26 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(out("big") == expectedBig)
     assert(out("big") < 900L && out("big") > 0L)
   }
+
+  test("weightedSample: keep probability is exactly weight/denom under the hash") {
+    import graft.dedup.Dedup
+    // weight 0 → nothing; weight = denom → everything; mid weights keep
+    // exactly the rows whose hash falls under them (replayed here), and
+    // negative / over-denom weights clamp instead of misbehaving.
+    val df = (0L until 1000L).map(i => (i, (i % 5) * 250000L))
+      .toDF("id", "w") // weights 0, 250k, 500k, 750k, 1M over denom 1M
+    val kept = CoreOps.weightedSample(df, "id", $"w")
+      .select($"id").as[Long].collect().toSet
+    (0L until 1000L).foreach { i =>
+      val w = (i % 5) * 250000L
+      val expect = math.floorMod(Dedup.charHashStr(i.toString), 1000000L) < w
+      assert(kept.contains(i) == expect, s"id $i weight $w")
+    }
+    assert(!kept.exists(_ % 5 == 0))            // weight 0: never
+    assert((4L until 1000L by 5).forall(kept))  // weight = denom: always
+    val clamped = CoreOps.weightedSample(
+      Seq((1L, -50L), (2L, 99999999L)).toDF("id", "w"), "id", $"w")
+      .select($"id").as[Long].collect().toSet
+    assert(!clamped.contains(1L) && clamped.contains(2L))
+  }
 }
