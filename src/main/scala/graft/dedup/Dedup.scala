@@ -315,6 +315,10 @@ object Dedup {
     val cand = nb.select(col("band"), col("bh"), col("id").as("id_new"))
       .join(hb.select(col("band"), col("bh"), col("id").as("id_old")),
         Seq("band", "bh"))
+      // A re-crawled doc whose id already stands in the corpus would meet
+      // ITSELF in every band; reporting (X, X, 1.0) would get X deleted as
+      // a duplicate of itself downstream. Same-id pairs are not dups.
+      .filter(col("id_new") =!= col("id_old"))
       .select("id_new", "id_old").distinct()
     val ns = shingleHashSets(batch, idCol, textCol, shingleK)
     val hs = shingleHashSets(history, idCol, textCol, shingleK)

@@ -141,42 +141,28 @@ object CoreOps {
   }
 
   /** As-of join: for every left row, the most recent right row of the same
-    * key with `rightTs <= leftTs` (nulls when none). Spark has no native
-    * as-of join; the scalable formulation is union + one key-partitioned
-    * window — a single hash shuffle on the key, O(n log n) per partition,
-    * no range-condition join (which would explode to a broadcast-nested-
-    * loop or an inequality sort-merge at 100 TB).
-    *
-    * Equal timestamps: the right row is visible to a left row at the very
-    * same instant (<= semantics, like DuckDB/QuestDB ASOF); among equal-ts
-    * right rows the greatest `rightTiebreak` wins.
+    * key with `rightTs <= leftTs` (nulls when none). Thin compatibility
+    * wrapper over [[graft.ops.AsofJoin.asofJoin]] — the ONE as-of
+    * implementation in the library (union + one key-partitioned window;
+    * see its scaladoc for the scale shape) — adding this signature's
+    * conveniences: timestamps are cast to `timestamp`, right columns come
+    * back `prefix`ed, and `rightTiebreak` resolves equal-(key, ts) right
+    * rows (greatest wins; a NULL tiebreak loses to any non-null — Spark's
+    * nulls-first ordering, which is also the only defensible reading of
+    * "greatest").
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, rightCols: Seq[String],
                rightTiebreak: String, prefix: String = "asof_"): DataFrame = {
-    val rightStruct = struct((rightCols :+ rightTiebreak).distinct.map(col): _*)
-    val rightType = right.select(rightStruct).schema.head.dataType
-    val leftCols = left.columns.toSeq
-    val l2 = left.select(
-      (keys.map(col) :+ col(leftTs).cast("timestamp").as("__ts") :+
-        lit(0).as("__ir") :+ lit(null).cast("long").as("__tb") :+
-        struct(leftCols.map(col): _*).as("__l") :+
-        lit(null).cast(rightType).as("__r")): _*)
-    val r2 = right.select(
-      (keys.map(col) :+ col(rightTs).cast("timestamp").as("__ts") :+
-        lit(1).as("__ir") :+ col(rightTiebreak).cast("long").as("__tb") :+
-        lit(null).cast(l2.schema("__l").dataType).as("__l") :+
-        rightStruct.as("__r")): _*)
-    // right rows sort before left rows at equal ts (__ir desc); among equal-
-    // ts rights the greatest tiebreak is encountered last, so last() wins.
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__ir").desc, col("__tb").asc_nulls_last)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = l2.unionByName(r2)
-      .withColumn("__rfill", last(col("__r"), ignoreNulls = true).over(w))
-    filled.filter(col("__ir") === 0)
-      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
-        rightCols.map(c => col(s"__rfill.$c").as(s"$prefix$c")): _*)
+    val rcols = (rightCols :+ rightTiebreak).distinct
+    val rPref = right.select(
+      (keys.map(col) :+ col(rightTs).cast("timestamp").as("__asof_rts")) ++
+        rcols.map(c => col(c).as(prefix + c)): _*)
+    val lCast = left.withColumn("__asof_lts", col(leftTs).cast("timestamp"))
+    AsofJoin.asofJoin(lCast, rPref, keys, "__asof_lts", "__asof_rts",
+        rightCols = rcols.map(prefix + _),
+        rightOrder = Seq(prefix + rightTiebreak))
+      .select(left.columns.map(col) ++ rightCols.map(c => col(prefix + c)): _*)
   }
 
   /** Range join: points joined to intervals containing them

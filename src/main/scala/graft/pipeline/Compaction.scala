@@ -130,15 +130,17 @@ object Compaction {
     * compaction rewrites the file layout, which INVALIDATES any manifest
     * built over the landing zone — a pruned read against a stale
     * manifest would list files that no longer exist. So the manifest is
-    * derived from the files the compaction just wrote, staged to a side
-    * dir, and swapped in with an atomic rename AFTER the snapshot write
-    * completes: a reader that wins the race sees either the old manifest
-    * (over the old snapshot, if it read that first) or the new pair,
-    * never a manifest describing half-written files. (On object stores
-    * the swap is a metastore pointer flip; the rename models it.)
+    * derived from the files the compaction just wrote and published
+    * AFTER the snapshot write completes via
+    * [[graft.sources.DataSkipping.publishManifest]]'s versioned-dir +
+    * CURRENT-pointer flip: a racing reader resolves either the old
+    * manifest (over the old snapshot, if it read that first) or the new
+    * pair — never a half-written directory and never a window with no
+    * manifest at all.
     *
     * Returns the snapshot read back; the manifest lands at `manifestDir`
-    * for [[graft.sources.DataSkipping.prunedRead]].
+    * for [[graft.sources.DataSkipping.readManifest]] →
+    * [[graft.sources.DataSkipping.prunedRead]].
     */
   def compactWithManifest(spark: SparkSession, landingDir: String,
                           snapshotDir: String, manifestDir: String,

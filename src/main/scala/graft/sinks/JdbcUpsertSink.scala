@@ -84,13 +84,15 @@ object JdbcUpsertSink {
     val keyIdx = keyCols.map(cols.indexOf)
     val nonKeyIdx = nonKeys.map(cols.indexOf)
     var conn = DriverManager.getConnection(url)
-    conn.setAutoCommit(false)
-    var stmt = conn.prepareStatement(sql)
+    var stmt: java.sql.PreparedStatement = null
     var primary: Throwable = null
     try {
+      // inside the try: a bad table/SQL must not leak the connection
+      conn.setAutoCommit(false)
+      stmt = conn.prepareStatement(sql)
       def flush(batch: Seq[Row]): Unit = {
         var attempt = 0
-        var first: java.sql.SQLException = null
+        var first: Throwable = null
         var done = false
         while (!done) {
           try {
@@ -105,7 +107,10 @@ object JdbcUpsertSink {
             conn.commit()
             done = true
           } catch {
-            case e: java.sql.SQLException =>
+            // SQLException is the JDBC contract, but Derby's generated-
+            // code races can surface as RAW RuntimeExceptions (NPEs) too —
+            // both are store-side failures the bounded retry must absorb.
+            case e @ (_: java.sql.SQLException | _: RuntimeException) =>
               // First failure = primary; later attempts' errors (often
               // follow-on noise like "Container has been closed", but
               // possibly a real, different failure) ride as suppressed.

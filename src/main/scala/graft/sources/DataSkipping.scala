@@ -71,6 +71,15 @@ object DataSkipping {
     * holding the old CURRENT still finds its files. Every writer that
     * rewrites a file layout must republish through here — a stale
     * manifest lists dead files.
+    *
+    * CONCURRENCY CONTRACT: one publisher at a time per manifestDir —
+    * exactly the single-committer assumption real table formats enforce
+    * with a commit lock / pointer CAS (compaction jobs are naturally
+    * serialized per table). Readers are always safe. As defense in depth
+    * against an overlapping publisher or a crashed one, pruning only
+    * touches versions (and orphaned CURRENT tmp files) older than a
+    * 10-minute grace window, so a concurrent publisher's just-written
+    * version is never deleted out from under its pointer flip.
     */
   def publishManifest(spark: SparkSession, dataDir: String,
                       manifestDir: String, statCol: String): Unit = {
@@ -87,12 +96,18 @@ object DataSkipping {
     java.nio.file.Files.move(tmp.toPath,
       new java.io.File(root, "CURRENT").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // Prune everything except the live version and its predecessor
-    // (grace for readers that resolved CURRENT just before the flip).
+    // Prune stale state: versions other than the live one and its
+    // predecessor (grace for readers that resolved CURRENT just before
+    // the flip), plus CURRENT tmp files orphaned by a publisher that
+    // crashed between write and flip. Both prunes honor the age window.
     val keep = Set(version) ++ prev
+    val cutoff = System.currentTimeMillis() - 10L * 60L * 1000L
     Option(root.listFiles()).foreach(_.foreach { f =>
-      if (f.isDirectory && f.getName.startsWith("v-") && !keep(f.getName))
+      val stale = f.lastModified() < cutoff
+      if (f.isDirectory && f.getName.startsWith("v-") && !keep(f.getName) && stale)
         deleteRecursive(f)
+      else if (f.isFile && f.getName.startsWith(".CURRENT.tmp-") && stale)
+        f.delete(): Unit
     })
   }
 
