@@ -191,6 +191,36 @@ class DedupSpec extends AnyFunSuite {
     assert(all.toSeq == Seq(10L, 11L, 12L, 13L))
   }
 
+  test("incrementalNearDups: re-crawled same-id doc is not its own duplicate") {
+    // The q138 fixture keeps batch and history ids disjoint, so this
+    // behavior is invisible to the oracle gate — pinned here instead: a
+    // doc re-crawled under its EXISTING id meets itself in every band
+    // and must NOT be reported (it would be deleted as a duplicate of
+    // itself downstream), while a true near-dup of ANOTHER history doc
+    // is still found, and batch-internal pairs are excluded by design.
+    val words = (0 until 30).map(i => s"w${i * 37 % 101}").mkString(" ")
+    val history = Seq(
+      (1L, words),                       // also re-crawled tonight as id 1
+      (2L, words + " tail alpha")        // anchor for the arriving near-dup
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, words),                       // same id, same text: NOT a dup of itself
+      (10L, words + " tail alpha"),      // exact content dup of history 2
+      (11L, words + " tail alpha")       // batch-internal twin of 10: not reported
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDups(batch, history, "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      .select($"id_new", $"id_old").as[(Long, Long)].collect().toSet
+    assert(!out.contains((1L, 1L)), s"self-pair reported: $out")
+    assert(out.contains((10L, 2L)) && out.contains((11L, 2L)), s"missing true dups: $out")
+    assert(!out.contains((10L, 11L)) && !out.contains((11L, 10L)),
+      s"batch-internal pair leaked: $out")
+    // id 1's batch copy still pairs with OTHER history docs it matches
+    // (1 vs 2 share the 30-word prefix — whether that clears 0.5 is the
+    // operator's business; just assert no self-pair crept in anywhere)
+    assert(out.forall { case (a, b) => a != b })
+  }
+
   test("semanticDedup: planted near-identical vector drops, orthogonal ones keep") {
     val dim = 8
     def vec(xs: Double*): Seq[Float] =
