@@ -291,13 +291,18 @@ object DedupQueries {
     * desynchronize between them. `extraCols` rides extra projection
     * columns through (e.g. `" lang,"`).
     */
+  /** `h` is `AS MATERIALIZED`: the verify stage references it two or three
+    * times (both pair sides + the contamination probe) and DuckDB inlines
+    * non-materialized CTEs, re-running the whole shingle fold per
+    * reference (q31's oracle was ~11 s at sf0.1 from exactly this).
+    */
   private[queries] def shingleCtes(shingleK: Int, extraCols: String = "",
                                    from: String = "documents"): String =
     s"""tok AS (
        |  SELECT doc_id,$extraCols
        |    list_transform(string_split(text, ' '), tk -> ${chSql("tk")}) AS th
        |  FROM $from),
-       |h AS (
+       |h AS MATERIALIZED (
        |  SELECT doc_id,$extraCols
        |    list_distinct(list_transform(
        |      range(0, greatest(len(th) - $shingleK, 0) + 1),
@@ -325,7 +330,7 @@ object DedupQueries {
        |  SELECT doc_id,
        |    $sigExprs
        |  FROM h),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  SELECT doc_id, unnest([${(0 until bands).mkString(", ")}]) AS band,
        |    unnest([${(0 until bands).map(bandExpr).mkString(", ")}]) AS bh
        |  FROM sigs),
@@ -396,9 +401,12 @@ object DedupQueries {
        |  FROM $from)""".stripMargin
   }
 
-  /** Shared band/pair tail of the simhash oracles (3 bands × 10 bits). */
+  /** Shared band/pair tail of the simhash oracles (3 bands × 10 bits).
+    * `bands` is self-joined (two references) → MATERIALIZED, or DuckDB
+    * re-runs the whole per-bit signature fold for each side.
+    */
   private def simhashPairSql(maxHamming: Int): String =
-    s"""bands AS (
+    s"""bands AS MATERIALIZED (
        |  SELECT doc_id, sig, unnest([0, 1, 2]) AS band,
        |    unnest([(sig >> 0) & 1023, (sig >> 10) & 1023, (sig >> 20) & 1023]) AS bh
        |  FROM s),
@@ -429,7 +437,7 @@ object DedupQueries {
 
   /** Generated oracle for Similarity.lshTopK with the given query filter. */
   def lshOracle(queryPred: String, k: Int, planes: Int): String =
-    s"""WITH b AS (
+    s"""WITH b AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${bucketSql("embedding", planes)} AS bucket FROM embeddings),
        |c AS (SELECT bucket, vec_id AS corpus_id, embedding AS cv FROM b),
        |q AS (SELECT bucket, vec_id AS query_id, embedding AS qv FROM b WHERE $queryPred),
@@ -451,7 +459,9 @@ object DedupQueries {
     * at one refine pass: LSH-seeded integer-micro centroid means, argmax
     * reassignment — terminating in `assign1(cell, corpus_id)`. Shared by
     * the IVF and SemDeDup oracles so the clustering can never drift
-    * between them.
+    * between them. `base`/`cent*`/`assign*` are AS MATERIALIZED: each is
+    * referenced several times downstream and un-hinted DuckDB inlining
+    * would re-run the 64-dim bucket/centroid arithmetic per reference.
     */
   private def kmeansCtes(nCells: Int): String = {
     val planes = java.lang.Integer.numberOfTrailingZeros(nCells)
@@ -467,21 +477,21 @@ object DedupQueries {
          |        ORDER BY ${cosineSql("b.embedding", "c.cv")} DESC, c.cell) AS rn
          |    FROM base b CROSS JOIN $cent c)
          |  WHERE rn = 1""".stripMargin
-    s"""base AS (
+    s"""base AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${bucketSql("embedding", planes)} AS bucket FROM embeddings),
        |sums0 AS (
        |  SELECT bucket, count(*) AS cnt,
        |    ${sumExprs("embedding")}
        |  FROM base GROUP BY bucket),
-       |cent0 AS (SELECT bucket AS cell, [$centExprs] AS cv FROM sums0),
-       |assign0 AS (
+       |cent0 AS MATERIALIZED (SELECT bucket AS cell, [$centExprs] AS cv FROM sums0),
+       |assign0 AS MATERIALIZED (
        |  ${assignSql("cent0")}),
        |sums1 AS (
        |  SELECT a.cell, count(*) AS cnt,
        |    ${sumExprs("b.embedding")}
        |  FROM assign0 a JOIN base b ON b.vec_id = a.corpus_id GROUP BY a.cell),
-       |cent1 AS (SELECT cell, [$centExprs] AS cv FROM sums1),
-       |assign1 AS (
+       |cent1 AS MATERIALIZED (SELECT cell, [$centExprs] AS cv FROM sums1),
+       |assign1 AS MATERIALIZED (
        |  ${assignSql("cent1")})""".stripMargin
   }
 
@@ -675,7 +685,7 @@ object DedupQueries {
          |ORDER BY id""".stripMargin,
 
     "q36_embedding_neardups" ->
-      s"""WITH e AS (
+      s"""WITH e AS MATERIALIZED (
          |  SELECT vec_id AS id, embedding AS v, ${bucketSql("embedding", 8)} AS bucket
          |  FROM embeddings)
          |SELECT DISTINCT a.id AS id_a, b.id AS id_b, ${cosineSql("a.v", "b.v")} AS cosine
