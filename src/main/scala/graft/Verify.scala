@@ -20,7 +20,7 @@ object Verify {
     // from one context fine, and the per-query fixed costs (planning, small
     // stages, streaming micro-batch lifecycles) overlap — cuts t2
     // wall-clock roughly in half across the full query suite.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(10)
     // Builder-local iteration aid: SPARK_GRAFT_ONLY=q01_x,q02_y restricts
     // the run (and the dumped oracle map) to those queries. The driver
     // never sets it, so the contract run is always the full suite — and a
