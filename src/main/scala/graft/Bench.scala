@@ -55,7 +55,9 @@ object Bench {
         val curCommon = common.map(results).sum
         lines ++= f"Common-query total: ${curCommon}%.1f s vs ${prevCommon}%.1f s " +
           f"(${if (prevCommon > 0) curCommon / prevCommon else 1.0}%.2fx, ${common.size} queries)\n\n"
-        val regressed = common.filter(k =>
+        // prev(k) == 0.000 (sub-ms time rounded away) has no meaningful
+        // baseline: excluded rather than rendering an Infinity ratio
+        val regressed = common.filter(k => prev(k) > 0.0 &&
           results(k) > prev(k) * 1.2 && results(k) - prev(k) > 0.1)
         if (regressed.isEmpty) lines ++= "No query regressed >20% and >0.1 s.\n"
         else {

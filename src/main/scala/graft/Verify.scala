@@ -29,12 +29,18 @@ object Verify {
     // never masquerade as full-suite coverage in the artifacts.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach { names =>
-      System.err.println(
-        s"[verify] *** RESTRICTED RUN: SPARK_GRAFT_ONLY limits this dump to " +
-          s"${names.size} queries (${names.toSeq.sorted.mkString(",")}) — NOT the full suite ***")
-      Files.writeString(Paths.get(s"$outDir/RESTRICTED_RUN.txt"),
-        names.toSeq.sorted.mkString("\n") + "\n")
+    only match {
+      case Some(names) =>
+        System.err.println(
+          s"[verify] *** RESTRICTED RUN: SPARK_GRAFT_ONLY limits this dump to " +
+            s"${names.size} queries (${names.toSeq.sorted.mkString(",")}) — NOT the full suite ***")
+        Files.writeString(Paths.get(s"$outDir/RESTRICTED_RUN.txt"),
+          names.toSeq.sorted.mkString("\n") + "\n"): Unit
+      case None =>
+        // a FULL run into a previously-narrowed outDir must clear the
+        // stale marker, or the artifact check brands a genuine full dump
+        // as restricted
+        Files.deleteIfExists(Paths.get(s"$outDir/RESTRICTED_RUN.txt")): Unit
     }
     def selected[A](m: Map[String, A]): Map[String, A] =
       only.fold(m)(names => m.view.filterKeys(names).toMap)

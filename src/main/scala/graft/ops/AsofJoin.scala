@@ -79,8 +79,13 @@ object AsofJoin {
     val nullOrd = rightOrder.map(c =>
       lit(null).cast(right.schema(c).dataType).as(s"__o_$c"))
     // Tagged union: right rows sort BEFORE left rows at an equal
-    // timestamp (side 0 < 1), which encodes the ≤ match.
-    val r = right.select(
+    // timestamp (side 0 < 1), which encodes the ≤ match. A right row
+    // with a NULL timestamp can match nothing (`ts >= NULL` is never
+    // true — DuckDB ASOF agrees) and must be dropped here: ascending
+    // sort would otherwise place it FIRST in every key's window and make
+    // it the baseline carried state for every left row.
+    val rNonNullTs = right.filter(col(rightTs).isNotNull)
+    val r = rNonNullTs.select(
       (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
         rStruct(col).as("__r")) ++
         rightOrder.map(c => col(c).as(s"__o_$c")) ++

@@ -118,15 +118,18 @@ object JdbcUpsertSink {
               if (attempt >= maxBatchRetries) throw first
               attempt += 1
               // The store race can poison the whole connection, so the
-              // retry rebuilds it from scratch.
-              try conn.rollback() catch { case _: java.sql.SQLException => () }
-              try stmt.close() catch { case _: java.sql.SQLException => () }
-              try conn.close() catch { case _: java.sql.SQLException => () }
+              // retry rebuilds it from scratch. Cleanup swallows ANY
+              // exception (a poisoned Derby connection throws raw NPEs
+              // from rollback/close too, not just SQLExceptions — letting
+              // one escape here would abort the retry and lose `first`).
+              try conn.rollback() catch { case _: Exception => () }
+              try stmt.close() catch { case _: Exception => () }
+              try conn.close() catch { case _: Exception => () }
               try {
                 conn = DriverManager.getConnection(url)
                 conn.setAutoCommit(false)
                 stmt = conn.prepareStatement(sql)
-              } catch { case p: java.sql.SQLException =>
+              } catch { case p: Exception =>
                 first.addSuppressed(p); throw first }
               Thread.sleep(50L * attempt)
           }
@@ -139,7 +142,12 @@ object JdbcUpsertSink {
           if (buf.size == batchSize) { flush(buf.toSeq); buf.clear() }
         }
         if (buf.nonEmpty) flush(buf.toSeq)
-      } finally stmt.close()
+      } finally {
+        // guarded: a close-time error on a poisoned connection must not
+        // replace the in-flight primary exception (the outer finally's
+        // rollback+close still runs either way)
+        try stmt.close() catch { case _: Exception => () }
+      }
     } catch { case t: Throwable => primary = t; throw t
     } finally {
       // If the write died mid-batch the transaction is still open, and

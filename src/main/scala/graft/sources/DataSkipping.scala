@@ -93,9 +93,14 @@ object DataSkipping {
     val prev = currentVersion(root)
     val tmp = new java.io.File(root, s".CURRENT.tmp-$version")
     java.nio.file.Files.writeString(tmp.toPath, version)
+    // REPLACE_EXISTING rides along: ATOMIC_MOVE alone leaves
+    // replace-on-exists implementation-specific per the javadoc (POSIX
+    // rename replaces, other providers may throw), and every publish
+    // after the first moves onto an existing CURRENT.
     java.nio.file.Files.move(tmp.toPath,
       new java.io.File(root, "CURRENT").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // Prune stale state: versions other than the live one and its
     // predecessor (grace for readers that resolved CURRENT just before
     // the flip), plus CURRENT tmp files orphaned by a publisher that

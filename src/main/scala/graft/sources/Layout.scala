@@ -94,18 +94,33 @@ object Layout {
     * mid-scan and lose the data.
     */
   def compactBySize(spark: org.apache.spark.sql.SparkSession, inPath: String,
-                    outPath: String, targetBytes: Long): Int = {
+                    outPath: String, targetBytes: Long): Int =
+    compactScaffold(spark, inPath, outPath, targetBytes, "compactBySize") {
+      (df, files) =>
+        df.coalesce(files).write.mode(SaveMode.Overwrite).parquet(outPath)
+    }
+
+  /** The scaffold both compaction entry points share: in-place-rewrite
+    * guard (qualified-path compare — the parquet read is lazy, so an
+    * Overwrite onto the input would destroy it mid-scan), file target
+    * from filesystem byte totals (no data scan), and the actual
+    * post-write part count. The `write` callback is the only thing that
+    * differs (narrow coalesce vs Z-order exchange).
+    */
+  private def compactScaffold(spark: org.apache.spark.sql.SparkSession,
+                              inPath: String, outPath: String,
+                              targetBytes: Long, what: String)
+                             (write: (DataFrame, Int) => Unit): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
     val hconf = spark.sparkContext.hadoopConfiguration
     val inP = new org.apache.hadoop.fs.Path(inPath)
     val outP = new org.apache.hadoop.fs.Path(outPath)
     val fs = inP.getFileSystem(hconf)
     require(fs.makeQualified(inP) != outP.getFileSystem(hconf).makeQualified(outP),
-      s"compactBySize would overwrite its own input mid-scan: $inPath")
+      s"$what would overwrite its own input mid-scan: $inPath")
     val totalBytes = fs.getContentSummary(inP).getLength
     val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(inPath).coalesce(files)
-      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    write(spark.read.parquet(inPath), files)
     outP.getFileSystem(hconf).listStatus(outP)
       .count(f => f.getPath.getName.endsWith(".parquet"))
   }
@@ -130,18 +145,11 @@ object Layout {
                        inPath: String, outPath: String, targetBytes: Long,
                        aCol: String, bCol: String, bits: Int,
                        manifestDir: String, statCol: String): Int = {
-    require(targetBytes > 0, "targetBytes must be positive")
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val inP = new org.apache.hadoop.fs.Path(inPath)
-    val outP = new org.apache.hadoop.fs.Path(outPath)
-    val fs = inP.getFileSystem(hconf)
-    require(fs.makeQualified(inP) != outP.getFileSystem(hconf).makeQualified(outP),
-      s"compactClustered would overwrite its own input mid-scan: $inPath")
-    val totalBytes = fs.getContentSummary(inP).getLength
-    val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    writeZOrdered(spark.read.parquet(inPath), outPath, aCol, bCol, bits, files)
+    val n = compactScaffold(spark, inPath, outPath, targetBytes,
+      "compactClustered") { (df, files) =>
+      writeZOrdered(df, outPath, aCol, bCol, bits, files)
+    }
     DataSkipping.publishManifest(spark, outPath, manifestDir, statCol)
-    outP.getFileSystem(hconf).listStatus(outP)
-      .count(f => f.getPath.getName.endsWith(".parquet"))
+    n
   }
 }

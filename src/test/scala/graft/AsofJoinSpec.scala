@@ -97,6 +97,20 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("a NULL right timestamp matches nothing (never a baseline carry)") {
+    // ts >= NULL is never true (DuckDB ASOF agrees): the null-ts row must
+    // not sort to the front of the window and become every left row's
+    // fallback state.
+    val r = Seq((1L, None: Option[Long], "dirty"), (1L, Some(100L), "real"))
+      .toDF("k", "rts", "v")
+    val l = Seq((1L, 50L, 1L), (1L, 150L, 2L)).toDF("k", "lts", "id")
+    val out = AsofJoin.asofJoin(l, r, Seq("k"), "lts", "rts")
+      .select($"id", $"v").collect()
+      .map(row => row.getLong(0) -> Option(row.getString(1))).toMap
+    assert(out(1L) == None)          // before the only real state: no match
+    assert(out(2L) == Some("real"))  // the null-ts row never surfaces
+  }
+
   test("payload name collisions with the left side are rejected") {
     val l = Seq((1L, 5L, "clash")).toDF("k", "lts", "v")
     intercept[IllegalArgumentException] {
