@@ -346,6 +346,35 @@ object Dedup {
         threshold, bucketCap),
       "id_a", "id_b")
 
+  /** Leakage-safe train/val/test split: every member of a near-dup
+    * cluster lands in the SAME split, so the eval sets can never contain
+    * a near-duplicate of a training document — the leakage mode a plain
+    * per-doc hash split has by construction (each ~0.85-Jaccard copy
+    * draws independently, so a 3-member family straddles train and test
+    * with probability ≈ 1 − (0.8³+0.1³+0.1³) ≈ 49%). Assignment hashes
+    * the cluster REPRESENTATIVE (the component id from [[nearDupClusters]];
+    * docs in no cluster represent themselves), so the decision is
+    * per-cluster, deterministic, and engine-portable.
+    *
+    * Returns (id, rep, split ∈ train|val|test). One left join + the
+    * portable hash — no shuffle beyond the cluster join; compose with the
+    * pair pipeline's own cost (clusters ≪ docs rows).
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, clusters: DataFrame,
+                       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      "need positive train/val and a non-empty test remainder")
+    val rep = docs.select(col(idCol))
+      .join(clusters.select(col("node").as(idCol), col("component")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("rep"))
+    val h = pmod(charHash(col("rep").cast("string")), lit(100L))
+    rep.withColumn("split",
+      when(h < trainPct, "train")
+        .when(h < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Benchmark decontamination: flag corpus documents that share at least
     * `minOverlap` distinct k-gram shingles with ANY benchmark document —
     * the leakage check an LLM training pipeline runs against its eval

@@ -88,6 +88,22 @@ object DedupQueries {
         .groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("component"))
     }),
+    // Leakage-safe split over the planted families: the 3-member near-dup
+    // clusters must move between splits AS UNITS (assignment hashes the
+    // cluster representative), so "a near-copy of a training doc in the
+    // test set" is impossible by construction — a per-doc hash split
+    // would straddle ~half the families. The oracle replays the closure
+    // and the representative hash.
+    "q139_cluster_split" -> ((s, dir) => {
+      val corpus = zipfCorpus(s, dir)
+      val clusters = Dedup.nearDupClusters(corpus, "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      Dedup.leakageSafeSplit(corpus, "doc_id", clusters)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("split"))
+    }),
+
     // Incremental near-dup vs the standing corpus (the nightly-crawl
     // shape): the planted family members (≡48, 49 mod 50) arrive as
     // "tonight's batch" and must each hit their history anchor (≡47) —
@@ -536,6 +552,28 @@ object DedupQueries {
          |lab AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
          |SELECT component, count(*) AS n_docs FROM lab
          |GROUP BY component ORDER BY component""".stripMargin,
+
+    "q139_cluster_split" ->
+      s"""WITH RECURSIVE $zipfCorpusCte,
+         |${minhashCtes(3, 16, 4, from = "zdocs")},
+         |p AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.5),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT a AS node, a AS r FROM sym
+         |  UNION
+         |  SELECT s2.a, reach.r FROM sym s2 JOIN reach ON reach.node = s2.b),
+         |lab AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+         |rep AS (
+         |  SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS rep
+         |  FROM zdocs d LEFT JOIN lab l ON l.node = d.doc_id),
+         |assigned AS (
+         |  SELECT doc_id,
+         |    CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          ${chSql("CAST(rep AS VARCHAR)")} % 100 AS h FROM rep))
+         |SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM assigned GROUP BY split ORDER BY split""".stripMargin,
 
     // The full-corpus banding restricted to CROSS-class pairs (exactly one
     // side in the batch residues): identical candidate generation to the

@@ -221,6 +221,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall { case (a, b) => a != b })
   }
 
+  test("leakageSafeSplit: cluster members move between splits as one unit") {
+    val docs = (0L until 300L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val clusters = Seq((10L, 10L), (11L, 10L), (12L, 10L),
+      (50L, 50L), (51L, 50L)).toDF("node", "component")
+    val out = Dedup.leakageSafeSplit(docs, "doc_id", clusters)
+      .select($"doc_id", $"rep", $"split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = out.map(t => t._1 -> t._3).toMap
+    // whole-family coherence: the leakage guarantee itself
+    assert(Set(byId(10L), byId(11L), byId(12L)).size == 1)
+    assert(Set(byId(50L), byId(51L)).size == 1)
+    // singletons represent themselves; every split is populated at n=300
+    assert(out.filter(_._1 == 99L).head._2 == 99L)
+    assert(out.map(_._3).toSet == Set("train", "val", "test"))
+    // rough 80/10/10 shape under the uniform hash (loose bounds)
+    val n = out.length.toDouble
+    val train = out.count(_._3 == "train") / n
+    assert(train > 0.65 && train < 0.95, s"train share $train")
+    intercept[IllegalArgumentException] {
+      Dedup.leakageSafeSplit(docs, "doc_id", clusters, trainPct = 90, valPct = 10)
+    }
+  }
+
   test("semanticDedup: planted near-identical vector drops, orthogonal ones keep") {
     val dim = 8
     def vec(xs: Double*): Seq[Float] =
