@@ -72,6 +72,18 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(payload.forall(!leftCols.contains(_)),
       s"right payload collides with left columns: ${payload.filter(leftCols.contains)}")
+    // The tagged-union plan owns a small reserved namespace; an input
+    // column shadowing one would be silently overwritten (or, for the
+    // asof_<rightTs> output, silently duplicated in the result schema).
+    val reserved = Set("__ts", "__side", "__r", "__c", "__rts")
+    val offenders = (leftCols ++ payload)
+      .filter(c => reserved(c) || c.startsWith("__o_"))
+    require(offenders.isEmpty,
+      s"asofJoin reserves __ts/__side/__r/__c/__rts/__o_* internally; " +
+        s"rename input columns: ${offenders.distinct}")
+    require(!(leftCols ++ payload).contains(s"asof_$rightTs"),
+      s"asofJoin appends output column asof_$rightTs; an input column " +
+        "with that name would duplicate it — rename one")
 
     // The matched right row rides as ONE struct (payload + its own ts).
     def rStruct(src: String => Column): Column =

@@ -160,8 +160,11 @@ object JdbcUpsertSink {
       // primary exception is the one that propagates. The happy path
       // stays a plain close.
       if (primary != null) {
-        try conn.rollback() catch { case _: java.sql.SQLException => () }
-        try conn.close() catch { case _: java.sql.SQLException => () }
+        // Catch Exception, not just SQLException: a poisoned Derby
+        // connection throws raw RuntimeExceptions (NPEs) from rollback/
+        // close too, and one escaping here would mask `primary`.
+        try conn.rollback() catch { case _: Exception => () }
+        try conn.close() catch { case _: Exception => () }
       } else conn.close()
     }
   }

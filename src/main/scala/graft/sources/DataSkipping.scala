@@ -72,17 +72,27 @@ object DataSkipping {
     * rewrites a file layout must republish through here — a stale
     * manifest lists dead files.
     *
-    * CONCURRENCY CONTRACT: one publisher at a time per manifestDir —
-    * exactly the single-committer assumption real table formats enforce
-    * with a commit lock / pointer CAS (compaction jobs are naturally
-    * serialized per table). Readers are always safe. As defense in depth
-    * against an overlapping publisher or a crashed one, pruning only
-    * touches versions (and orphaned CURRENT tmp files) older than a
-    * 10-minute grace window, so a concurrent publisher's just-written
-    * version is never deleted out from under its pointer flip.
+    * CONCURRENCY: the pointer-flip critical section is guarded by a
+    * create-exclusive `LOCK` file — the commit-lock half of what real
+    * table formats do. A second publisher racing a live one fails
+    * LOUDLY (`IllegalStateException`) with CURRENT untouched; a lock
+    * orphaned by a crashed publisher is broken after the grace window.
+    * The manifest build itself runs unlocked (each publisher writes an
+    * immutable, uniquely-named version dir), so the lock is held only
+    * for the read-prev/flip/prune tail. Readers are always safe. As
+    * defense in depth, pruning only touches versions (and orphaned
+    * CURRENT tmp files) older than the grace window, so even a
+    * lock-broken publisher's just-written version is never deleted out
+    * from under its pointer flip.
     */
   def publishManifest(spark: SparkSession, dataDir: String,
                       manifestDir: String, statCol: String): Unit = {
+    // Pointer flip + lock are java.nio local-filesystem operations; a
+    // hdfs:// or s3a:// manifestDir would silently resolve as a relative
+    // local path and void the atomicity guarantee. Fail fast instead.
+    require(!manifestDir.contains("://"),
+      s"publishManifest requires a local-filesystem manifestDir (atomic " +
+        s"rename + create-exclusive lock are POSIX-local); got $manifestDir")
     val root = new java.io.File(manifestDir)
     if (!root.isDirectory && !root.mkdirs())
       throw new java.io.IOException(s"could not create manifest root $manifestDir")
@@ -90,36 +100,76 @@ object DataSkipping {
     buildManifest(spark, dataDir, statCol)
       .coalesce(1).write.mode("overwrite")
       .parquet(new java.io.File(root, version).toString)
-    val prev = currentVersion(root)
-    val tmp = new java.io.File(root, s".CURRENT.tmp-$version")
-    java.nio.file.Files.writeString(tmp.toPath, version)
-    // REPLACE_EXISTING rides along: ATOMIC_MOVE alone leaves
-    // replace-on-exists implementation-specific per the javadoc (POSIX
-    // rename replaces, other providers may throw), and every publish
-    // after the first moves onto an existing CURRENT.
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(root, "CURRENT").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // Prune stale state: versions other than the live one and its
-    // predecessor (grace for readers that resolved CURRENT just before
-    // the flip), plus CURRENT tmp files orphaned by a publisher that
-    // crashed between write and flip. Both prunes honor the age window.
-    val keep = Set(version) ++ prev
-    val cutoff = System.currentTimeMillis() - 10L * 60L * 1000L
-    Option(root.listFiles()).foreach(_.foreach { f =>
-      val stale = f.lastModified() < cutoff
-      if (f.isDirectory && f.getName.startsWith("v-") && !keep(f.getName) && stale)
-        deleteRecursive(f)
-      else if (f.isFile && f.getName.startsWith(".CURRENT.tmp-") && stale)
-        f.delete(): Unit
-    })
+    val lock = acquireLock(root, version)
+    try {
+      val prev = currentVersion(root)
+      val tmp = new java.io.File(root, s".CURRENT.tmp-$version")
+      java.nio.file.Files.writeString(tmp.toPath, version)
+      // REPLACE_EXISTING rides along: ATOMIC_MOVE alone leaves
+      // replace-on-exists implementation-specific per the javadoc (POSIX
+      // rename replaces, other providers may throw), and every publish
+      // after the first moves onto an existing CURRENT.
+      java.nio.file.Files.move(tmp.toPath,
+        new java.io.File(root, "CURRENT").toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // Prune stale state: versions other than the live one and its
+      // predecessor (grace for readers that resolved CURRENT just before
+      // the flip), plus CURRENT tmp files orphaned by a publisher that
+      // crashed between write and flip. Both prunes honor the age window.
+      val keep = Set(version) ++ prev
+      val cutoff = System.currentTimeMillis() - graceMs
+      Option(root.listFiles()).foreach(_.foreach { f =>
+        val stale = f.lastModified() < cutoff
+        if (f.isDirectory && f.getName.startsWith("v-") && !keep(f.getName) && stale)
+          deleteRecursive(f)
+        else if (f.isFile && f.getName.startsWith(".CURRENT.tmp-") && stale)
+          f.delete(): Unit
+      })
+    } finally lock.delete(): Unit
+  }
+
+  /** Age beyond which crashed-publisher debris (orphan version dirs, tmp
+    * pointers, the commit lock itself) is considered abandoned.
+    */
+  private val graceMs = 10L * 60L * 1000L
+
+  /** Acquire the create-exclusive commit lock, writing the acquiring
+    * version id as the lock body for diagnostics. `CREATE_NEW` is the
+    * atomic test-and-set: exactly one racing publisher wins. A lock
+    * older than [[graceMs]] belongs to a crashed publisher and is broken
+    * (one attempt); a fresh lock means a LIVE concurrent publisher — the
+    * loser throws with CURRENT untouched rather than risking a flip over
+    * the winner's.
+    */
+  private def acquireLock(root: java.io.File, version: String): java.io.File = {
+    val lock = new java.io.File(root, "LOCK")
+    def tryCreate(): Boolean =
+      try {
+        java.nio.file.Files.writeString(lock.toPath, version,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!tryCreate()) {
+      val mtime = lock.lastModified() // 0 if deleted since — retry covers it
+      val stale = mtime < System.currentTimeMillis() - graceMs
+      if (stale) lock.delete()
+      if (!stale || !tryCreate())
+        throw new IllegalStateException(
+          s"concurrent publisher holds $lock (held by version " +
+            s"${try java.nio.file.Files.readString(lock.toPath).trim
+               catch { case _: Exception => "<unreadable>" }}) — " +
+            "one publisher at a time per manifestDir")
+    }
+    lock
   }
 
   /** Resolve and read the CURRENT manifest published by
     * [[publishManifest]].
     */
   def readManifest(spark: SparkSession, manifestDir: String): DataFrame = {
+    require(!manifestDir.contains("://"),
+      s"readManifest resolves CURRENT via the local filesystem; got $manifestDir")
     val root = new java.io.File(manifestDir)
     val v = currentVersion(root).getOrElse(throw new java.io.FileNotFoundException(
       s"no CURRENT manifest under $manifestDir — was publishManifest ever run?"))

@@ -118,6 +118,37 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("reserved internal names are rejected, not silently clobbered") {
+    // The plan owns __ts/__side/__r/__c/__rts/__o_*; an input column with
+    // one of those names would be overwritten mid-plan. And a left column
+    // named asof_<rightTs> would duplicate the appended output column.
+    val l = Seq((1L, 5L, "x")).toDF("k", "lts", "__side")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(l, right, Seq("k"), "lts", "rts")
+    }
+    val l2 = Seq((1L, 5L, "x")).toDF("k", "lts", "asof_rts")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(l2, right, Seq("k"), "lts", "rts")
+    }
+    val r2 = Seq((1L, 10L, "v")).toDF("k", "rts", "__o_z")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(Seq((1L, 5L)).toDF("k", "lts"), r2, Seq("k"), "lts", "rts")
+    }
+  }
+
+  test("CoreOps wrapper: a NULL tiebreak loses to any non-null (pinned)") {
+    // Round-5 rewrite changed NULL-tiebreak semantics (old: last() over
+    // asc_nulls_last made NULL win; new: nulls-first ordering makes it
+    // lose). This pins the NEW behavior so the change stays deliberate.
+    val r = Seq((1L, 10L, Some(5L), "nonnull"), (1L, 10L, None, "nullrow"))
+      .toDF("k", "rts", "tb", "v")
+    val l = Seq((1L, 15L)).toDF("k", "lts")
+    val out = graft.ops.CoreOps.asofJoin(l, r, Seq("k"), "lts", "rts",
+        rightCols = Seq("v"), rightTiebreak = "tb")
+      .select($"asof_v").head().getString(0)
+    assert(out == "nonnull")
+  }
+
   test("plan shape: one exchange on the key, no join node, no cross product") {
     val left = (0L until 1000L).map(i => (i % 10, i, i)).toDF("k", "lts", "id")
     val r3 = (0L until 100L).map(i => (i % 10, i * 7, i)).toDF("k", "rts", "payload")

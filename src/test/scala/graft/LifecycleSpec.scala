@@ -150,6 +150,41 @@ class LifecycleSpec extends AnyFunSuite {
     assert(full == Set((1L, 100L), (2L, 950L), (3L, 900L)))
   }
 
+  test("publishManifest: a concurrent publisher loses loudly; the pointer never dangles") {
+    import graft.sources.DataSkipping
+    val data = Files.createTempDirectory("race_data_").toString
+    val manifest = Files.createTempDirectory("race_manifest_").toString + "/m"
+    Seq((1L, 100L), (2L, 200L)).toDF("k", "x")
+      .write.mode("overwrite").parquet(data)
+    DataSkipping.publishManifest(spark, data, manifest, "x")
+    val current = new java.io.File(manifest, "CURRENT")
+    val v1 = Files.readString(current.toPath).trim
+
+    // A LIVE publisher holds the create-exclusive lock: the second
+    // publisher must fail loudly and leave CURRENT exactly as it was.
+    val lock = new java.io.File(manifest, "LOCK")
+    Files.writeString(lock.toPath, "v-other")
+    val ex = intercept[IllegalStateException] {
+      DataSkipping.publishManifest(spark, data, manifest, "x")
+    }
+    assert(ex.getMessage.contains("concurrent publisher"))
+    assert(Files.readString(current.toPath).trim == v1)
+    assert(DataSkipping.readManifest(spark, manifest).count() >= 1)
+
+    // A lock orphaned by a CRASHED publisher (older than the grace
+    // window) is broken and the publish proceeds, flipping the pointer.
+    assert(lock.setLastModified(System.currentTimeMillis() - 11L * 60L * 1000L))
+    DataSkipping.publishManifest(spark, data, manifest, "x")
+    assert(Files.readString(current.toPath).trim != v1)
+    assert(!lock.exists(), "winner must release the lock")
+    assert(DataSkipping.readManifest(spark, manifest).count() >= 1)
+
+    // Non-local manifest URIs fail fast instead of mis-resolving.
+    intercept[IllegalArgumentException] {
+      DataSkipping.publishManifest(spark, data, "hdfs://nn/manifest", "x")
+    }
+  }
+
   test("tableDiff: added/removed/changed classification, null-safe values") {
     import graft.pipeline.Compaction
     val before = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L),
