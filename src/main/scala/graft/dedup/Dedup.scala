@@ -288,46 +288,152 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Candidate (id_new, id_old) pairs from a TWO-SIDED band join, with
+    * hot history buckets explicitly tiled (exposed for the adversarial
+    * skew spec; used by [[incrementalNearDups]]).
+    *
+    * There is no n² blowup on a two-sided join — per-bucket cost is
+    * |batch ∩ bucket| × |history ∩ bucket| — but a degenerate hot bucket
+    * (boilerplate, empty docs: thousands of history rows sharing one
+    * (band, bh)) still lands that whole product on ONE reducer. Rather
+    * than trusting AQE skew-splitting (which keys off byte sizes of an
+    * ids-only exchange and is asserted, not guaranteed), the bound is
+    * structural: history rows of a bucket with n > cap rows hash into
+    * T = ⌈n/cap⌉ tiles; each batch row of that bucket replicates to all
+    * T tiles; the join key becomes (band, bh, tile). Every cross pair
+    * still meets exactly once, no reducer sees more than ~cap history
+    * rows per batch row, and unskewed buckets (T = 1, the overwhelming
+    * case) pay zero replication. The size join is co-partitioned with
+    * the bucket exchange and its build side is one row per bucket.
+    */
+  /** The tiled sides of [[incrementalCandidates]], exposed for the
+    * hot-bucket bound spec: (batch side keyed `id_new`, history side
+    * keyed `id_old`), both carrying the (band, bh, _tile) join key.
+    */
+  def incrementalCandidateSides(nb: DataFrame, hb: DataFrame,
+                                bucketCap: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    // Bucket sizes via a window over (band, bh) — NOT a separate groupBy
+    // + join back, which would exchange the full history band table a
+    // second time. The window's hash exchange is the very partitioning
+    // the (band, bh, _tile) join needs (a subset of the join keys
+    // satisfies its clustering), and the sort it induces is one the
+    // sort-merge join would perform regardless — so the skew bound costs
+    // zero additional shuffles of the big side.
+    val wB = Window.partitionBy(col("band"), col("bh"))
+    val hSized = hb.withColumn("_n", count(lit(1)).over(wB))
+    val nt = ceil(col("_n").cast("double") / bucketCap).cast("int")
+    val hTiled = hSized
+      .select(col("band"), col("bh"),
+        pmod(xxhash64(col("id")), nt).cast("int").as("_tile"),
+        col("id").as("id_old"))
+    // Batch side reads only the small one-row-per-bucket size table
+    // (derived ON TOP of the sized history — partial agg over existing
+    // partitioning, no new history exchange). The inner join doubles as
+    // early pruning: a batch band with no history occupancy can produce
+    // no candidate and never fans out.
+    val sizes = hSized.groupBy(col("band"), col("bh")).agg(max(col("_n")).as("_n"))
+    val nTiled = nb.join(sizes, Seq("band", "bh"))
+      .select(col("band"), col("bh"),
+        explode(sequence(lit(0), nt - 1)).as("_tile"),
+        col("id").as("id_new"))
+    (nTiled, hTiled)
+  }
+
+  def incrementalCandidates(nb: DataFrame, hb: DataFrame,
+                            bucketCap: Int = 4096): DataFrame = {
+    val (nTiled, hTiled) = incrementalCandidateSides(nb, hb, bucketCap)
+    nTiled.join(hTiled, Seq("band", "bh", "_tile"))
+      // A re-crawled doc whose id already stands in the corpus would meet
+      // ITSELF in every band; reporting (X, X, 1.0) would get X deleted as
+      // a duplicate of itself downstream. Same-id pairs are not dups.
+      .filter(col("id_new") =!= col("id_old"))
+      .select("id_new", "id_old").distinct()
+  }
+
   /** Incremental NEAR-dup detection — the production shape of corpus
     * dedup: tonight's `batch` is checked against the standing corpus
     * WITHOUT re-banding it. At 100 TB the `history` side's band table
     * ((band, bh, id) rows) and shingle-set table are PERSISTED state
     * maintained by the nightly job (append the batch's rows after
     * deduping); here they are derived in-plan from `history` because the
-    * sandbox has no standing store — the join shape is identical. The
+    * sandbox has no standing store — see [[incrementalNearDupsFromState]]
+    * for the persisted-state form with the identical join shape. The
     * candidate exchange is a two-sided equi-join on (band, bh) carrying
     * ids only (no text, no sets — the dominant-shuffle discipline of
-    * [[minhashNearDups]]); a skewed band bucket is a plain join-key skew,
-    * handled by AQE skew-join splitting rather than the self-join tiling
-    * (there is no n² blowup on a two-sided join — per-bucket cost is
-    * |batch ∩ bucket| × |history ∩ bucket|, and the batch side is small
-    * by construction). Batch-internal duplicates are deliberately NOT
-    * reported — run [[minhashNearDups]] on the batch alone for those.
+    * [[minhashNearDups]]), hot history buckets tiled at `bucketCap`
+    * ([[incrementalCandidates]]). Batch-internal duplicates are
+    * deliberately NOT reported — run [[minhashNearDups]] on the batch
+    * alone for those.
     *
     * Returns (id_new ∈ batch, id_old ∈ history, jaccard ≥ threshold).
     */
   def incrementalNearDups(batch: DataFrame, history: DataFrame,
                           idCol: String, textCol: String,
                           shingleK: Int = 3, numHashes: Int = 16,
-                          bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+                          bands: Int = 4, threshold: Double = 0.5,
+                          bucketCap: Int = 4096): DataFrame = {
     val nb = minhashBands(batch, idCol, textCol, shingleK, numHashes, bands)
     val hb = minhashBands(history, idCol, textCol, shingleK, numHashes, bands)
-    val cand = nb.select(col("band"), col("bh"), col("id").as("id_new"))
-      .join(hb.select(col("band"), col("bh"), col("id").as("id_old")),
-        Seq("band", "bh"))
-      // A re-crawled doc whose id already stands in the corpus would meet
-      // ITSELF in every band; reporting (X, X, 1.0) would get X deleted as
-      // a duplicate of itself downstream. Same-id pairs are not dups.
-      .filter(col("id_new") =!= col("id_old"))
-      .select("id_new", "id_old").distinct()
-    val ns = shingleHashSets(batch, idCol, textCol, shingleK)
     val hs = shingleHashSets(history, idCol, textCol, shingleK)
+    incrementalVerify(batch, nb, hb, hs, idCol, textCol, shingleK,
+      threshold, bucketCap)
+  }
+
+  /** Shared candidate+verify tail of the incremental paths. */
+  private def incrementalVerify(batch: DataFrame, nb: DataFrame,
+                                hb: DataFrame, hs: DataFrame,
+                                idCol: String, textCol: String,
+                                shingleK: Int, threshold: Double,
+                                bucketCap: Int): DataFrame = {
+    val cand = incrementalCandidates(nb, hb, bucketCap)
+    val ns = shingleHashSets(batch, idCol, textCol, shingleK)
     val withSets = cand
       .join(ns.select(col("id").as("id_new"), col("sh").as("sh_a")), "id_new")
       .join(hs.select(col("id").as("id_old"), col("sh").as("sh_b")), "id_old")
     appendJaccard(withSets, "sh_a", "sh_b", "jaccard")
       .filter(col("jaccard") >= threshold)
       .select("id_new", "id_old", "jaccard")
+  }
+
+  /** Materialize the standing corpus's near-dup state: the (band, bh, id)
+    * band table and the (id, sh) shingle-set table, as parquet under
+    * `stateDir`. This is what the nightly job maintains INSTEAD of
+    * re-reading history text: after deduping a batch, append its bands
+    * and sets here (mode("append")), and the next batch joins only this
+    * state — history text is never re-scanned, never re-shingled, never
+    * re-banded. State size is O(docs · bands) fixed-width rows plus the
+    * shingle sets (≈ tokens-per-doc longs each), a small constant factor
+    * of the corpus's token count and ~1% of its raw bytes.
+    */
+  def writeNearDupState(history: DataFrame, idCol: String, textCol: String,
+                        stateDir: String, shingleK: Int = 3,
+                        numHashes: Int = 16, bands: Int = 4,
+                        mode: String = "overwrite"): Unit = {
+    minhashBands(history, idCol, textCol, shingleK, numHashes, bands)
+      .write.mode(mode).parquet(stateDir + "/bands")
+    shingleHashSets(history, idCol, textCol, shingleK)
+      .write.mode(mode).parquet(stateDir + "/sets")
+  }
+
+  /** [[incrementalNearDups]] against PERSISTED state (the production
+    * nightly shape): `batch` is banded fresh; the history side comes
+    * entirely from `stateDir` parquet written by [[writeNearDupState]].
+    * The plan provably never touches history text — its only file scans
+    * besides the batch's source are the two state tables (spec-asserted).
+    * Parameters must match the ones the state was written with.
+    */
+  def incrementalNearDupsFromState(batch: DataFrame, stateDir: String,
+                                   idCol: String, textCol: String,
+                                   shingleK: Int = 3, numHashes: Int = 16,
+                                   bands: Int = 4, threshold: Double = 0.5,
+                                   bucketCap: Int = 4096): DataFrame = {
+    val spark = batch.sparkSession
+    val nb = minhashBands(batch, idCol, textCol, shingleK, numHashes, bands)
+    val hb = spark.read.parquet(stateDir + "/bands")
+    val hs = spark.read.parquet(stateDir + "/sets")
+    incrementalVerify(batch, nb, hb, hs, idCol, textCol, shingleK,
+      threshold, bucketCap)
   }
 
   /** Near-dup CLUSTERS: transitive closure of [[minhashNearDups]] pairs —
@@ -373,6 +479,31 @@ object Dedup {
       when(h < trainPct, "train")
         .when(h < trainPct + valPct, "val")
         .otherwise("test"))
+  }
+
+  /** Realized-fraction gate for [[leakageSafeSplit]]: hashing the cluster
+    * REPRESENTATIVE holds the 80/10/10 target only in expectation — an
+    * unlucky cluster-size distribution can starve an eval set, and
+    * nothing downstream would notice until a model trains on it. One row
+    * per split with the realized fraction in basis points (integer, so
+    * the oracle compare is exact) and a tolerance boolean; gate a
+    * pipeline on `bool_and(within_tol)` before anything trains.
+    */
+  def splitFractions(split: DataFrame, trainPct: Int = 80, valPct: Int = 10,
+                     tolBp: Long = 500L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = split.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+    // Window over () is a 3-row frame (one per split), not a data shuffle.
+    val withTotal = counts.withColumn("_total",
+      sum(col("n_docs")).over(Window.partitionBy()))
+    val fracBp = round(col("n_docs") * lit(10000.0) / col("_total"), 0)
+      .cast(LongType)
+    val targetBp = when(col("split") === "train", lit(trainPct * 100L))
+      .when(col("split") === "val", lit(valPct * 100L))
+      .otherwise(lit((100 - trainPct - valPct) * 100L))
+    withTotal.select(col("split"), col("n_docs"),
+      fracBp.as("frac_bp"),
+      (abs(fracBp - targetBp) <= tolBp).as("within_tol"))
   }
 
   /** Benchmark decontamination: flag corpus documents that share at least

@@ -8,16 +8,18 @@ import org.apache.spark.sql.types._
   * typed metadata, processed in per-partition batch kernels (`mapPartitions`
   * — the Scala analog of `mapInPandas` batch UDFs).
   *
-  * CODECS: [[Multimodal.decodePpm]] is a REAL parser (netpbm P6 — header
-  * + raw RGB plane, pure JVM, no native deps) and anchors the codec
-  * surface with genuinely decoded pixels. The remaining formats
-  * (JPEG/audio/video) have no decoders in this container, so their decode
-  * step is a clearly-marked deterministic fake — a mod-prime byte hash
-  * standing in for the header parse. Everything around both is real and
-  * load-bearing: binary schemas, per-partition batching, frame explosion,
-  * fixed-dim embedding output that feeds graft.similarity unchanged.
-  * Swapping `fakeDecode` for a JNI/javacv call changes no plan shape —
-  * `decodePpm` proves it, being exactly such a swap.
+  * CODECS: [[Multimodal.decodePpm]] (netpbm P6 — header + raw RGB plane)
+  * and [[Multimodal.decodeWav]] (RIFF/WAVE PCM — chunk walk + fmt/data +
+  * 16-bit samples) are REAL parsers (pure JVM, no native deps) anchoring
+  * the image and audio ends of the codec surface with genuinely decoded
+  * bytes. The remaining formats (JPEG/video) have no decoders in this
+  * container, so their decode step is a clearly-marked deterministic
+  * fake — a mod-prime byte hash standing in for the header parse.
+  * Everything around both is real and load-bearing: binary schemas,
+  * per-partition batching, frame explosion, fixed-dim embedding output
+  * that feeds graft.similarity unchanged. Swapping `fakeDecode` for a
+  * JNI/javacv call changes no plan shape — the two real codecs prove it,
+  * being exactly such swaps.
   */
 object Multimodal {
 
@@ -122,6 +124,87 @@ object Multimodal {
             var j = 0
             while (j < img.pixels.length) { s += (img.pixels(j) & 0xffL); j += 1 }
             Row(img.width, img.height, img.maxval, s)
+          case None => null
+        }
+        Row.fromSeq(r.toSeq :+ decoded)
+      }
+    }(enc)
+  }
+
+  /** A decoded RIFF/WAVE PCM clip: format fields + the raw 16-bit samples. */
+  final case class WavAudio(channels: Int, sampleRate: Int, bits: Int,
+                            samples: Array[Short])
+
+  /** REAL codec #2 (like [[decodePpm]], pure JVM): RIFF/WAVE PCM decode —
+    * container header ("RIFF" + size + "WAVE"), a proper CHUNK WALK
+    * (id + little-endian size + body, odd sizes padded to even, unknown
+    * chunks skipped — real encoders emit LIST/INFO/junk chunks before
+    * `data`), the `fmt ` chunk (PCM format code 1, mono/stereo channel
+    * count, sample rate, bit depth), and the `data` chunk's samples as
+    * signed 16-bit little-endian. Returns None on anything malformed:
+    * wrong magic, truncated chunk, compressed format codes, non-16-bit
+    * depth, or a data chunk not aligned to whole samples.
+    */
+  def decodeWav(b: Array[Byte]): Option[WavAudio] = {
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    while (i + 8 <= b.length) {
+      val id = tag(i)
+      val sz = u32(i + 4)
+      if (sz < 0 || i + 8 + sz > b.length) return None
+      if (id == "fmt ") {
+        if (sz < 16) return None
+        if (u16(i + 8) != 1) return None // PCM only; compressed codecs out of scope
+        fmt = Some((u16(i + 10), u32(i + 12).toInt, u16(i + 22)))
+      } else if (id == "data") data = Some((i + 8, sz.toInt))
+      i += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks pad to even offsets
+    }
+    (fmt, data) match {
+      case (Some((ch, rate, bits)), Some((off, len)))
+          if bits == 16 && ch > 0 && rate > 0 && len % 2 == 0 =>
+        val samples = new Array[Short](len / 2)
+        var j = 0
+        while (j < samples.length) {
+          samples(j) = ((b(off + 2 * j) & 0xff) |
+            (b(off + 2 * j + 1) << 8)).toShort
+          j += 1
+        }
+        Some(WavAudio(ch, rate, 16, samples))
+      case _ => None
+    }
+  }
+
+  /** [[decodeWav]] as a batch kernel: appends a `wav` struct (channels,
+    * sample_rate, n_samples, sum_abs — the summed absolute amplitude,
+    * the cheapest whole-clip statistic that proves the samples were
+    * really decoded). Malformed payloads get a null struct (quarantine,
+    * not crash).
+    */
+  def decodeWavStats(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("wav", StructType(Seq(
+        StructField("channels", IntegerType, nullable = false),
+        StructField("sample_rate", IntegerType, nullable = false),
+        StructField("n_samples", LongType, nullable = false),
+        StructField("sum_abs", LongType, nullable = false)))))
+    val idx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val payload = Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.empty[Byte])
+        val decoded = decodeWav(payload) match {
+          case Some(w) =>
+            var s = 0L
+            var j = 0
+            while (j < w.samples.length) { s += math.abs(w.samples(j).toInt); j += 1 }
+            Row(w.channels, w.sampleRate, w.samples.length.toLong, s)
           case None => null
         }
         Row.fromSeq(r.toSeq :+ decoded)

@@ -104,18 +104,53 @@ object DedupQueries {
         .orderBy(col("split"))
     }),
 
+    // Realized split fractions under a tolerance gate: hashing the
+    // cluster representative holds 80/10/10 only in expectation, so the
+    // pipeline emits the realized basis-point fractions and a ±5%
+    // boolean — the pre-training sanity check that a cluster-size skew
+    // can't silently starve an eval set. The oracle replays the closure,
+    // the representative hash, AND the tolerance arithmetic.
+    "q141_split_fractions" -> ((s, dir) => {
+      val corpus = zipfCorpus(s, dir)
+      val clusters = Dedup.nearDupClusters(corpus, "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      Dedup.splitFractions(Dedup.leakageSafeSplit(corpus, "doc_id", clusters))
+        .orderBy(col("split"))
+    }),
+
     // Incremental near-dup vs the standing corpus (the nightly-crawl
     // shape): the planted family members (≡48, 49 mod 50) arrive as
     // "tonight's batch" and must each hit their history anchor (≡47) —
     // exact dups at J=1.0, near dups at J≈0.85 modulo honest LSH banding
     // misses; batch-internal pairs (48 vs 49) are NOT reported. History
     // text is banded once here (sandbox); in production the band/set
-    // tables are persisted state and the batch join touches only them.
+    // tables are persisted state and the batch join touches only them —
+    // which is exactly what q140 runs.
     "q138_incr_neardup" -> ((s, dir) => {
       val corpus = zipfCorpus(s, dir)
       val isBatch = col("doc_id") % 50 === 48 || col("doc_id") % 50 === 49
       Dedup.incrementalNearDups(
           corpus.filter(isBatch), corpus.filter(!isBatch),
+          "doc_id", "text", shingleK = 3, numHashes = 16, bands = 4,
+          threshold = 0.5)
+        .orderBy(col("id_new"), col("id_old"))
+    }),
+
+    // The PERSISTED-STATE form of q138 — the production nightly shape
+    // (VERDICT r5 item 3): batch N writes its band/shingle-set tables as
+    // parquet state; batch N+1 joins ONLY that state. Same fixture and
+    // same expected pairs as q138, but the history side of this plan is
+    // two parquet state scans — history TEXT is provably never re-read
+    // (DedupStateSpec pins the plan property; the state build itself is
+    // cached as a fixture so the timed passes measure the batch join).
+    "q140_state_neardup" -> ((s, dir) => {
+      val corpus = zipfCorpus(s, dir)
+      val isBatch = col("doc_id") % 50 === 48 || col("doc_id") % 50 === 49
+      val state = FixtureCache.dir("neardup_state", dir) { d =>
+        Dedup.writeNearDupState(corpus.filter(!isBatch), "doc_id", "text",
+          d, shingleK = 3, numHashes = 16, bands = 4)
+      }
+      Dedup.incrementalNearDupsFromState(corpus.filter(isBatch), state,
           "doc_id", "text", shingleK = 3, numHashes = 16, bands = 4,
           threshold = 0.5)
         .orderBy(col("id_new"), col("id_old"))
@@ -280,6 +315,21 @@ object DedupQueries {
         .join(hits, Seq("query_id"), "left")
         .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
         .orderBy(col("query_id"))
+    }),
+
+    // The IVF nProbe/recall tuning curve under the gate (VERDICT r5
+    // item 9): recall@5 hit totals for nProbe ∈ {1, 2, 4} over the SAME
+    // clustering, with the monotonicity guarantee (nested candidate
+    // sets) pinned as a gated boolean. This is the curve a deployment
+    // reads to pick its probe budget; the oracle replays both retrieval
+    // paths at every probe level plus the same window check.
+    "q143_ivf_recall_curve" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.ivfRecallCurve(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nProbes = Seq(1, 2, 4), nCells = 16)
+        .select(col("n_probe").cast("long").as("n_probe"), col("n_hits"),
+          col("monotone_ok"))
+        .orderBy(col("n_probe"))
     }))
 
   // ---------------------------------------------------------------- oracles
@@ -511,6 +561,72 @@ object DedupQueries {
        |  ${assignSql("cent1")})""".stripMargin
   }
 
+  /** Shared by q138 (in-plan history) and q140 (persisted state): both
+    * paths must land on the same pairs.
+    */
+  private def incrNearDupOracle: String =
+    s"""WITH $zipfCorpusCte,
+       |${minhashCtes(3, 16, 4, from = "zdocs")}
+       |SELECT CASE WHEN id_b % 50 IN (48, 49) THEN id_b ELSE id_a END AS id_new,
+       |  CASE WHEN id_b % 50 IN (48, 49) THEN id_a ELSE id_b END AS id_old,
+       |  jaccard
+       |FROM v
+       |WHERE (id_a % 50 IN (48, 49)) <> (id_b % 50 IN (48, 49))
+       |  AND jaccard >= 0.5
+       |ORDER BY id_new, id_old""".stripMargin
+
+  /** Generated oracle for [[graft.similarity.Similarity.ivfRecallCurve]]:
+    * brute-force ground truth once, probe ranking once at max(nProbes)
+    * depth, then per-level top-k + hit counts and the same monotonicity
+    * window. All shared CTEs materialized (each feeds every level).
+    */
+  def ivfCurveOracle(queryPred: String, k: Int, nCells: Int,
+                     probes: Seq[Int]): String = {
+    val maxP = probes.max
+    val levels = probes.map { p =>
+      s"""  SELECT CAST($p AS BIGINT) AS n_probe, (
+         |    SELECT CAST(count(*) AS BIGINT) FROM (
+         |      SELECT query_id, corpus_id FROM (
+         |        SELECT query_id, corpus_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY sim DESC, corpus_id) AS rk
+         |        FROM scored WHERE probe_rn <= $p) WHERE rk <= $k) t
+         |    JOIN exact USING (query_id, corpus_id)) AS n_hits""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${kmeansCtes(nCells)},
+       |q AS MATERIALIZED (
+       |  SELECT b.vec_id AS query_id, b.embedding AS qv FROM base b
+       |  WHERE $queryPred),
+       |exact AS MATERIALIZED (
+       |  SELECT query_id, corpus_id FROM (
+       |    SELECT q.query_id, c.vec_id AS corpus_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosineSql("c.embedding", "q.qv")} DESC, c.vec_id) AS rn
+       |    FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+       |  WHERE rn <= $k),
+       |probes AS MATERIALIZED (
+       |  SELECT query_id, cell, rn FROM (
+       |    SELECT q.query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosineSql("q.qv", "c.cv")} DESC, c.cell) AS rn
+       |    FROM q CROSS JOIN cent1 c)
+       |  WHERE rn <= $maxP),
+       |scored AS MATERIALIZED (
+       |  SELECT p.query_id, p.rn AS probe_rn, a.corpus_id,
+       |    ${cosineSql("ce.embedding", "p2.qv")} AS sim
+       |  FROM assign1 a JOIN probes p USING (cell)
+       |  JOIN embeddings ce ON ce.vec_id = a.corpus_id
+       |  JOIN q p2 ON p2.query_id = p.query_id
+       |  WHERE a.corpus_id <> p.query_id),
+       |curve AS (
+       |$levels)
+       |SELECT n_probe, n_hits,
+       |  COALESCE(n_hits >= max(n_hits) OVER (ORDER BY n_probe
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), TRUE)
+       |    AS monotone_ok
+       |FROM curve ORDER BY n_probe""".stripMargin
+  }
+
   def ivfOracle(queryPred: String, k: Int, nCells: Int, nProbe: Int): String = {
     s"""WITH ${kmeansCtes(nCells)},
        |probes AS (
@@ -578,16 +694,44 @@ object DedupQueries {
     // The full-corpus banding restricted to CROSS-class pairs (exactly one
     // side in the batch residues): identical candidate generation to the
     // engine's two-sided join, oriented by class membership, not id order.
-    "q138_incr_neardup" ->
-      s"""WITH $zipfCorpusCte,
-         |${minhashCtes(3, 16, 4, from = "zdocs")}
-         |SELECT CASE WHEN id_b % 50 IN (48, 49) THEN id_b ELSE id_a END AS id_new,
-         |  CASE WHEN id_b % 50 IN (48, 49) THEN id_a ELSE id_b END AS id_old,
-         |  jaccard
-         |FROM v
-         |WHERE (id_a % 50 IN (48, 49)) <> (id_b % 50 IN (48, 49))
-         |  AND jaccard >= 0.5
-         |ORDER BY id_new, id_old""".stripMargin,
+    "q138_incr_neardup" -> incrNearDupOracle,
+
+    // The persisted-state path must produce the IDENTICAL answer to the
+    // in-plan path — state is a materialization, not a semantic change.
+    "q140_state_neardup" -> incrNearDupOracle,
+
+    // q139's closure + representative hash, extended with the realized-
+    // fraction arithmetic (basis points, integer) and the ±5% boolean.
+    "q141_split_fractions" ->
+      s"""WITH RECURSIVE $zipfCorpusCte,
+         |${minhashCtes(3, 16, 4, from = "zdocs")},
+         |p AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.5),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT a AS node, a AS r FROM sym
+         |  UNION
+         |  SELECT s2.a, reach.r FROM sym s2 JOIN reach ON reach.node = s2.b),
+         |lab AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+         |rep AS (
+         |  SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS rep
+         |  FROM zdocs d LEFT JOIN lab l ON l.node = d.doc_id),
+         |assigned AS (
+         |  SELECT doc_id,
+         |    CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          ${chSql("CAST(rep AS VARCHAR)")} % 100 AS h FROM rep)),
+         |counts AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+         |           FROM assigned GROUP BY split),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM counts)
+         |SELECT split, n_docs,
+         |  CAST(round(n_docs * 10000.0 / t) AS BIGINT) AS frac_bp,
+         |  abs(CAST(round(n_docs * 10000.0 / t) AS BIGINT) -
+         |      CASE split WHEN 'train' THEN 8000 WHEN 'val' THEN 1000
+         |           ELSE 1000 END) <= 500 AS within_tol
+         |FROM counts CROSS JOIN tot ORDER BY split""".stripMargin,
+
+    "q143_ivf_recall_curve" -> ivfCurveOracle("b.vec_id < 20", 5, 16, Seq(1, 2, 4)),
 
     "q31_ngram_jaccard" -> minhashOracleSql(2, 16, 8, 0.7),
 

@@ -7,7 +7,7 @@ import java.util.function.{Function => JFunction}
 /** Build-once cache for on-disk query fixtures (JSON landing zones, scrape
   * drop dirs) keyed by (fixture, sf dir).
   *
-  * Bench invokes every query three times (untimed warmup + two timed
+  * Bench invokes every query four times (untimed warmup + three timed
   * passes) and Verify fans queries across a thread pool; without the
   * cache each invocation re-materializes its fixture, so the timed
   * numbers measure fixture IO instead of the operator under test. A

@@ -70,6 +70,44 @@ object MediaQueries {
         .orderBy(col("lang"))
     }),
 
+    // REAL codec #2 end-to-end: each doc becomes a genuine RIFF/WAVE PCM
+    // clip — built as a hex string in the plan (header, fmt chunk, a
+    // planted 'junk' chunk on every third doc to force a real chunk
+    // walk, then n = 20 + doc_id % 10 signed 16-bit LE samples
+    // v_j = ((doc_id·13 + 7j) mod 2048) − 1024) and unhex'd to true
+    // arbitrary bytes (no ≤127 restriction, unlike the PPM string
+    // trick). Multimodal.decodeWav parses it back; the oracle computes
+    // the planted-sample arithmetic directly, so the gate fails unless
+    // the decoder really walked the chunks AND read the samples.
+    "q142_wav_decode" -> ((s, dir) => {
+      def le(e: String, bytes: Int): String = (0 until bytes)
+        .map(k => s"lpad(hex((($e) div ${1L << (8 * k)}) % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("n", (col("doc_id") % 10 + 20).cast("int"))
+        .withColumn("payload", expr(
+          s"""unhex(concat(
+             |  '52494646', ${le("36 + 2 * n + CASE WHEN doc_id % 3 = 0 THEN 12 ELSE 0 END", 4)},
+             |  '57415645',
+             |  '666D7420', '10000000', '0100', '0100',
+             |  '401F0000', '803E0000', '0200', '1000',
+             |  CASE WHEN doc_id % 3 = 0
+             |    THEN concat('6A756E6B', '04000000', '00000000') ELSE '' END,
+             |  '64617461', ${le("2 * n", 4)},
+             |  array_join(transform(sequence(0, n - 1), j ->
+             |    ${le("((doc_id * 13 + 7 * j) % 2048 + 64512) % 65536", 2)}), '')
+             |))""".stripMargin))
+      Multimodal.decodeWavStats(media, "payload")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("wav").isNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(col("wav.sample_rate").cast("long")).as("sum_rate"),
+          sum(col("wav.n_samples")).as("sum_samples"),
+          sum(col("wav.sum_abs")).as("sum_abs"))
+        .orderBy(col("lang"))
+    }),
+
     // Frame sampling (video/audio chunk shape): frames per source.
     "q39_frame_count" -> ((s, dir) => {
       val media = Tables.load(s, dir, "documents")
@@ -108,6 +146,25 @@ object MediaQueries {
         |  CAST(sum(h) AS BIGINT) AS sum_height,
         |  CAST(sum(psum) AS BIGINT) AS sum_pixels
         |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The decoder's ground truth restated as arithmetic: every clip
+    // parses (n_bad = 0, the junk chunk never derails the walk), the
+    // sample rate is the planted 8000 Hz, and the absolute-amplitude sum
+    // is the planted waveform's.
+    "q142_wav_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, 20 + doc_id % 10 AS n FROM documents),
+        |w AS (
+        |  SELECT lang, n,
+        |    list_sum(list_transform(range(0, n),
+        |      j -> abs((doc_id * 13 + 7 * j) % 2048 - 1024))) AS sabs
+        |  FROM d)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(0) AS BIGINT) AS n_bad,
+        |  CAST(sum(8000) AS BIGINT) AS sum_rate,
+        |  CAST(sum(n) AS BIGINT) AS sum_samples,
+        |  CAST(sum(sabs) AS BIGINT) AS sum_abs
+        |FROM w GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q37_media_meta" ->
       s"""SELECT source, count(*) AS n,

@@ -328,6 +328,43 @@ object Similarity {
       .select("query_id", "rank", "corpus_id", "sim")
   }
 
+  /** nProbe/recall tuning curve for the IVF index — the harness a real
+    * ANN deployment reads before picking its probe budget: for each
+    * `nProbes` value, total recall@k hits against the brute-force ground
+    * truth, summed over the query set. The clustering and the exact
+    * ranking are computed ONCE (pinned — both feed every probe level);
+    * only the cheap probe/rescore stage re-runs per level. `monotone_ok`
+    * is a structural guarantee, not luck: probing p+1 cells scans a
+    * strict superset of p cells' candidates, and any candidate outscoring
+    * an exact-top-k member would itself be exact-top-k (same tiebreak
+    * order) — so hits can never decrease in nProbe, and the gate pins
+    * exactly that.
+    */
+  def ivfRecallCurve(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     nProbes: Seq[Int], nCells: Int = 16, dim: Int = 64,
+                     refinePasses: Int = 1): DataFrame = {
+    require(nProbes.nonEmpty && nProbes == nProbes.sorted && nProbes.distinct == nProbes,
+      "nProbes must be distinct and ascending")
+    val (assigned0, centroidsN) =
+      kmeansAssign(corpus, idCol, vecCol, nCells, dim, refinePasses)
+    val assigned = assigned0.localCheckpoint()
+    val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k, dim)
+      .select(col("query_id"), col("corpus_id")).localCheckpoint()
+    val perProbe = nProbes.map { p =>
+      ivfSearch(assigned, centroidsN, queries, idCol, vecCol, k, p, dim)
+        .select(col("query_id"), col("corpus_id"))
+        .join(exact, Seq("query_id", "corpus_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(p).as("n_probe"), col("n_hits"))
+    }.reduce(_.unionByName(_))
+    // 1-row-per-level frame: the unpartitioned window is over |nProbes| rows.
+    val w = Window.orderBy(col("n_probe"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perProbe.withColumn("monotone_ok",
+      coalesce(col("n_hits") >= max(col("n_hits")).over(w), lit(true)))
+  }
+
   /** Int8 SCALAR QUANTIZATION of an embedding corpus — the 4×
     * compression that makes a 100 TB vector store hold in a 25 TB one:
     * per-dimension min/max over the corpus (one aggregate pass, a

@@ -32,6 +32,20 @@ object SocialStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(path)
 
+  /** Micro-batch PARQUET landing source — identical file-stream semantics
+    * (mtime ordering, maxFilesPerTrigger batching, pinned schema) at
+    * columnar read cost. The raw-JSON drop shape stays covered by
+    * [[readJsonStream]]; use this for landing zones the pipeline itself
+    * compacted, where the operator downstream (state, joins, windows) is
+    * what's under test rather than the decode.
+    */
+  def readParquetStream(spark: SparkSession, path: String, schema: StructType,
+                        maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+
   /** Tumbling-window engagement counts with a late-data watermark. Output
     * columns: window_start, window_end, the group keys, n.
     */

@@ -221,6 +221,91 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall { case (a, b) => a != b })
   }
 
+  test("incrementalNearDups: a planted hot history bucket is structurally tiled") {
+    // VERDICT r5 item 2 — the adversarial fixture: a boilerplate family
+    // of identical history docs all landing in ONE (band, bh) bucket.
+    // The two-sided join must bound the per-reducer group instead of
+    // trusting AQE: history rows of the hot bucket spread over
+    // T = ceil(n/cap) tiles, batch rows replicate T ways, cold buckets
+    // pay nothing — and the pair set is exactly what the untiled join
+    // would produce.
+    val boiler = "subscribe like comment share follow " * 4
+    val history = ((1L to 120L).map(i => (i, boiler)) :+
+      (500L, "entirely different vocabulary here appears once")).toDF("doc_id", "text")
+    val batch = (1001L to 1003L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val cap = 16
+    val nb = Dedup.minhashBands(batch, "doc_id", "text", 3, 16, 4)
+    val hb = Dedup.minhashBands(history, "doc_id", "text", 3, 16, 4)
+    val (nTiled, hTiled) = Dedup.incrementalCandidateSides(nb, hb, cap)
+    // history side: no (band, bh, _tile) group exceeds the cap bound
+    // (3x headroom: hash tiles balance in expectation, not exactly)
+    val maxH = hTiled.groupBy("band", "bh", "_tile").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxH <= 3L * cap, s"history tile group of $maxH exceeds bound")
+    // batch side: each batch band row fans out T = ceil(120/16) = 8 ways
+    // in the hot bucket, and the cold bucket stays un-replicated
+    val hotFan = nTiled.groupBy("id_new", "band").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(hotFan == 8L, s"expected 8-way fan-out in hot bucket, got $hotFan")
+    // end to end: every batch doc pairs with every boilerplate history
+    // doc at J = 1.0 (identical text), never the distinct doc
+    val out = Dedup.incrementalNearDups(batch, history, "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 4, threshold = 0.5,
+        bucketCap = cap)
+      .select($"id_new", $"id_old").as[(Long, Long)].collect().toSet
+    assert(out == (for { n <- 1001L to 1003L; h <- 1L to 120L } yield (n, h)).toSet)
+  }
+
+  test("incrementalNearDupsFromState: the plan reads ONLY persisted state, never history text") {
+    // VERDICT r5 item 3 — the production nightly shape: batch N+1's plan
+    // must touch the parquet state tables and nothing else (the batch
+    // itself is an in-memory relation here, so ANY file scan in the plan
+    // that isn't under stateDir would be a history re-read).
+    val words = (0 until 30).map(i => s"w${i * 37 % 101}").mkString(" ")
+    val history = Seq((1L, words), (2L, words + " tail alpha"),
+      (3L, "completely different content lives here")).toDF("doc_id", "text")
+    val batch = Seq((10L, words)).toDF("doc_id", "text")
+    val stateDir = java.nio.file.Files.createTempDirectory("dedup_state_").toString
+    Dedup.writeNearDupState(history, "doc_id", "text", stateDir,
+      shingleK = 3, numHashes = 16, bands = 4)
+    val out = Dedup.incrementalNearDupsFromState(batch, stateDir,
+      "doc_id", "text", shingleK = 3, numHashes = 16, bands = 4,
+      threshold = 0.5)
+    // answer parity with the in-plan path
+    val expected = Dedup.incrementalNearDups(batch, history, "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      .select($"id_new", $"id_old").as[(Long, Long)].collect().toSet
+    val got = out.select($"id_new", $"id_old").as[(Long, Long)].collect().toSet
+    assert(got == expected && got.contains((10L, 1L)))
+    // plan property: every file scan location is under stateDir
+    // (sparkPlan, not executedPlan: AQE wraps the tree in an adaptive
+    // node whose inner scans a straight collect doesn't reach)
+    val scans = out.queryExecution.sparkPlan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scans.nonEmpty, "expected parquet state scans in the plan")
+    assert(scans.forall(_.contains(stateDir)),
+      s"plan scans files outside the state dir: $scans")
+  }
+
+  test("splitFractions gates realized fractions against the target") {
+    val split = ((1L to 80L).map(i => (i, "train")) ++
+      (81L to 89L).map(i => (i, "val")) ++
+      (90L to 100L).map(i => (i, "test"))).toDF("id", "split")
+    val out = Dedup.splitFractions(split, tolBp = 200L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("train") == ((8000L, true)))
+    assert(out("val") == ((900L, true)))   // 9% vs 10%: inside ±2%
+    assert(out("test") == ((1100L, true)))
+    // a starved eval set trips the gate
+    val skew = ((1L to 97L).map(i => (i, "train")) ++
+      (98L to 99L).map(i => (i, "val")) :+ ((100L, "test"))).toDF("id", "split")
+    val bad = Dedup.splitFractions(skew, tolBp = 500L)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(bad == Map("train" -> false, "val" -> false, "test" -> false))
+  }
+
   test("leakageSafeSplit: cluster members move between splits as one unit") {
     val docs = (0L until 300L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val clusters = Seq((10L, 10L), (11L, 10L), (12L, 10L),

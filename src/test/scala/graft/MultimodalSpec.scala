@@ -79,6 +79,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L).isEmpty)
   }
 
+  test("decodeWav: real RIFF walk — junk chunks skipped, malformed rejected") {
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le(body.length.toLong, 4) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def fmt(code: Int, ch: Int, rate: Int, bits: Int): Array[Byte] =
+      le(code.toLong, 2) ++ le(ch.toLong, 2) ++ le(rate.toLong, 4) ++
+        le(rate.toLong * ch * bits / 8, 4) ++ le(ch.toLong * bits / 8, 2) ++
+        le(bits.toLong, 2)
+    def wav(chunks: Array[Byte]*): Array[Byte] = {
+      val body = "WAVE".getBytes("US-ASCII") ++ chunks.flatten
+      "RIFF".getBytes("US-ASCII") ++ le(body.length.toLong, 4) ++ body
+    }
+    val samples = Array[Short](100, -200, 32767, -32768, 0)
+    val data = samples.flatMap(s => le((s.toInt & 0xffff).toLong, 2))
+    // junk chunk with ODD size before data: the walk must pad to even
+    val good = wav(chunk("fmt ", fmt(1, 1, 8000, 16)),
+      chunk("junk", Array[Byte](1, 2, 3)), chunk("data", data))
+    val w = Multimodal.decodeWav(good).get
+    assert(w.channels == 1 && w.sampleRate == 8000 && w.bits == 16)
+    assert(w.samples.toSeq == samples.toSeq)
+    // stereo decodes too
+    assert(Multimodal.decodeWav(
+      wav(chunk("fmt ", fmt(1, 2, 44100, 16)), chunk("data", data ++ data)))
+      .exists(x => x.channels == 2 && x.samples.length == 10))
+    // rejected: compressed format code, 8-bit depth, truncated data, bad magic
+    assert(Multimodal.decodeWav(
+      wav(chunk("fmt ", fmt(85, 1, 8000, 16)), chunk("data", data))).isEmpty)
+    assert(Multimodal.decodeWav(
+      wav(chunk("fmt ", fmt(1, 1, 8000, 8)), chunk("data", data))).isEmpty)
+    assert(Multimodal.decodeWav(good.dropRight(3)).isEmpty)
+    assert(Multimodal.decodeWav("RIFX1234WAVE".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodeWav(Array.empty[Byte]).isEmpty)
+  }
+
   test("extractEmbedding yields fixed-dim [0,1) floats that feed similarity ops") {
     val out = Multimodal.extractEmbedding(media, "payload", 16)
     out.select($"embedding").collect().foreach { r =>

@@ -86,4 +86,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(2L) == ((20L, 0L, 10L, true)))
     assert(out(3L) == ((10L, 0L, 5L, true)))
   }
+
+  test("ivfRecallCurve: hits monotone in nProbe; full probe equals brute force") {
+    val df = (0L until 64L).map { i =>
+      (i, (0 until 64).map(d => math.sin(i * 64 + d + 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.ivfRecallCurve(df, df.filter(col("vec_id") < 4),
+        "vec_id", "embedding", k = 3, nProbes = Seq(1, 2, 4, 16), nCells = 16)
+      .orderBy(col("n_probe")).collect()
+    val hits = out.map(_.getLong(1))
+    assert(out.forall(_.getBoolean(2)), "monotone_ok must hold at every level")
+    assert(hits.sliding(2).forall(p => p(0) <= p(1)))
+    // probing every cell IS brute force: all 4 queries x top-3 recovered
+    assert(hits.last == 12L)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfRecallCurve(df, df, "vec_id", "embedding", 3, Seq(4, 2))
+    }
+  }
 }
