@@ -322,10 +322,23 @@ object LifecycleQueries {
         |  SELECT k, seg, bal_cents FROM changes WHERE NOT del)
         |ORDER BY k""".stripMargin,
 
+    // Anchors mirror TreeOps.treeFlatten's documented DANGLING-parent
+    // semantics (scraped forests hold comments whose parent never
+    // landed): a node whose parent id is absent from the corpus settles
+    // at root_id = the missing ancestor's id with depth 1, instead of
+    // silently vanishing as a roots-only recursion would make it. The
+    // sf0.1 fixture's id space is closed so the second anchor is empty
+    // there; the sf1.0 replicated id space exercises it for real (the
+    // 10x leg caught exactly this divergence).
     "q70_tree_flatten" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id AS id, doc_id AS root_id, CAST(0 AS BIGINT) AS depth
         |  FROM documents WHERE doc_id < 3
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id - 1) // 2 AS root_id, CAST(1 AS BIGINT) AS depth
+        |  FROM documents d
+        |  WHERE doc_id >= 3 AND NOT EXISTS (
+        |    SELECT 1 FROM documents p WHERE p.doc_id = (d.doc_id - 1) // 2)
         |  UNION ALL
         |  SELECT d.doc_id, t.root_id, t.depth + 1
         |  FROM documents d JOIN t ON (d.doc_id - 1) // 2 = t.id

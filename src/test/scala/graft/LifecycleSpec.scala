@@ -28,6 +28,27 @@ class LifecycleSpec extends AnyFunSuite {
     assert(out.size == 204)
   }
 
+  test("treeFlatten: dangling parents settle at the missing ancestor, descendants follow") {
+    // Scraped forests hold comments whose parent never landed (deleted
+    // upstream). The sf1.0 leg caught the oracle dropping those subtrees
+    // while the operator keeps them — this pins the operator contract:
+    // root_id = the missing ancestor's id, depth counted from there.
+    val nodes = Seq(
+      (1L, None),          // true root
+      (2L, Some(1L)),      // normal child
+      (10L, Some(99L)),    // parent 99 never landed
+      (11L, Some(10L)),    // child of the orphan
+      (12L, Some(11L))     // grandchild
+    ).toDF("id", "parent")
+    val out = TreeOps.treeFlatten(nodes, "id", "parent")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(2L) == ((1L, 1L)))
+    assert(out(10L) == ((99L, 1L)))  // settles AT the missing id, not dropped
+    assert(out(11L) == ((99L, 2L)))
+    assert(out(12L) == ((99L, 3L)))
+    assert(out.size == 5)
+  }
+
   test("treeFlatten: cycle fails loudly instead of returning partial depths") {
     val cyclic = Seq((1L, Some(2L)), (2L, Some(1L)), (3L, None)).toDF("id", "parent")
     val e = intercept[IllegalStateException] {

@@ -32,6 +32,8 @@ import os
 import sys
 
 import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
@@ -44,9 +46,20 @@ con.execute(f"CREATE TABLE reps AS SELECT unnest(range(0, {REPLICAS})) AS r")
 
 
 def emit(table, select_sql):
+    """Materialize via DuckDB, then CAST to the source file's exact arrow
+    schema before writing: the engine's queries depend on the driver's
+    physical types (events.ts is timestamp[ns], which Spark surfaces as a
+    nano LONG and queries divide by 1000; o_orderdate is timestamp[ms]) —
+    a plain DuckDB COPY rewrites timestamps as micros and silently
+    changes what Spark sees.
+    """
     out = os.path.join(DST, f"{table}.parquet")
-    con.execute(f"COPY ({select_sql}) TO '{out}' (FORMAT PARQUET)")
-    n = con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+    tbl = con.execute(select_sql).arrow()
+    orig = pq.read_schema(f"{SRC}/{table}.parquet")
+    target = pa.schema([pa.field(f.name, f.type) for f in orig])
+    tbl = tbl.select(orig.names).cast(target)
+    pq.write_table(tbl, out)
+    n = pq.read_metadata(out).num_rows
     print(f"{table}: {n} rows")
 
 
