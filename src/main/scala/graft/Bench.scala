@@ -27,9 +27,13 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val passes = Seq(timedPass(), timedPass(), timedPass())
+    // SPARK_GRAFT_BENCH_PASSES overrides for exploratory runs (e.g. the
+    // one-pass sf1 scaling leg); the driver never sets it, so the
+    // contract run is always the 3-pass median.
+    val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
+    val passes = Seq.fill(nPasses)(timedPass())
     val results = passes.head.keys.map { k =>
-      k -> passes.map(_(k)).sorted.apply(1)
+      k -> passes.map(_(k)).sorted.apply((nPasses - 1) / 2)
     }.toMap
     val wallSec = (System.nanoTime() - wall0) / 1e9
     // Two-line emission: the driver captures only a bounded tail of sbt
@@ -43,13 +47,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
-    val detailed = s"""{"metric":"total","value":${ms(total)},"unit":"sec","wall":${ms(wallSec)},"passes":3,"stat":"median","queries":$qs,"sf":"$sfName"}"""
+    val detailed = s"""{"metric":"total","value":${ms(total)},"unit":"sec","wall":${ms(wallSec)},"passes":$nPasses,"stat":"median","queries":$qs,"sf":"$sfName"}"""
     val short = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{"all":${ms(total)}},"sf":"$sfName"}"""
+    // The sf0.1 run is the driver contract and owns BENCH_LOCAL.json /
+    // BENCH_DELTA.md; exploratory runs at other SFs write suffixed files
+    // so they can never poison the regression baseline.
+    val suffix = if (sfName == "sf0.1") "" else s"_$sfName"
     // Per-query regression report vs the PREVIOUS BENCH_LOCAL.json, written
     // before that file is overwritten: the builder sees a >20% && >0.1s
     // regression immediately instead of the judge seeing it a round later.
     try {
-      val prevPath = java.nio.file.Paths.get("BENCH_LOCAL.json")
+      val prevPath = java.nio.file.Paths.get(s"BENCH_LOCAL$suffix.json")
       if (java.nio.file.Files.exists(prevPath)) {
         val prevLine = new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
         val pair = """"(q[0-9]+_[a-zA-Z0-9_]+)":([0-9.]+)""".r
@@ -76,11 +84,11 @@ object Bench {
         val newQs = results.keys.filterNot(prev.contains).toSeq.sorted
         if (newQs.nonEmpty)
           lines ++= s"\nNew queries (no previous time): ${newQs.mkString(", ")}\n"
-        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DELTA.md"),
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"BENCH_DELTA$suffix.md"),
           lines.toString.getBytes("UTF-8"))
       }
     } catch { case _: Throwable => () }
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+    try java.nio.file.Files.write(java.nio.file.Paths.get(s"BENCH_LOCAL$suffix.json"),
       (detailed + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(detailed)

@@ -225,12 +225,14 @@ object CoreOps {
     * and partitionings, no RNG.
     *
     * Scale shape: the floor count is one strata-sized aggregate (driver
-    * holds one scalar); selection is the k-bounded top-k AGGREGATOR, not
-    * a window — each map task ships ≤ n_min rows per stratum, so the
-    * exchange is O(strata · n_min) rather than the whole table, and
-    * nothing is globally sorted. For an n_min too large for an executor
-    * buffer, fall back to [[stratifiedHashSample]] with rate
-    * ≈ n_min/count (proportional, not exact).
+    * holds one scalar); selection is [[rangeRank]] over (hash desc, key
+    * asc) — rank ≤ n_min keeps exactly the winners at range-partition
+    * parallelism with NO per-task buffer proportional to n_min. (The
+    * k-bounded top-k AGGREGATOR this used through round 6 is the right
+    * shape for small k — q80's per-group top-25 — but buffers k entries
+    * per map task, which at a balanced-corpus n_min of millions per
+    * stratum is the wrong regime: the sf1.0 leg measured it superlinear,
+    * 12× time at 10× rows.)
     *
     * Returns (stratum, key) pairs; join back on the key for payloads.
     */
@@ -238,14 +240,114 @@ object CoreOps {
     org.apache.spark.sql.GraftFunctions.register(df.sparkSession)
     val nMin = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
       .agg(min(col("n"))).head().getLong(0)
-    require(nMin <= Int.MaxValue, s"per-stratum floor $nMin exceeds buffer bound")
-    df.select(col(stratumCol).as("stratum"),
-        call_function("char_hash", col(keyCol).cast("string")).as("h"),
-        col(keyCol).as("k"))
-      .groupBy(col("stratum"))
-      .agg(graft.functions.TopKAgg.topK(nMin.toInt, col("h"), col("k")).as("top"))
-      .select(col("stratum"), explode(col("top")).as("e"))
-      .select(col("stratum"), col("e.id").as(keyCol))
+    val hashed = df.select(col(stratumCol).as("stratum"),
+      call_function("char_hash", col(keyCol).cast("string")).as("h"),
+      col(keyCol).as("k"))
+    rangeRank(hashed, Seq("stratum"), Seq(col("h").desc, col("k").asc), "__rr")
+      .filter(col("__rr") <= nMin)
+      .select(col("stratum"), col("k").as(keyCol))
+  }
+
+  /** EXACT distributed per-stratum rank — the order-statistics primitive
+    * that replaces both the partitioned window sort (parallelism capped
+    * at the number of strata: ntile by language = 2-way parallel forever)
+    * and the k-bounded top-k aggregate (per-task buffers of k entries:
+    * dies when k is "a billion rows per stratum"). Neither survives a
+    * 1000-executor corpus; this does:
+    *
+    *  1. range-repartition on (strata ++ order) — a distributed sort
+    *     whose parallelism is the PARTITION count, with each stratum
+    *     occupying a contiguous partition span (equal keys co-located);
+    *  2. one tiny aggregation: rows per (partition, stratum) — a
+    *     P × strata histogram collected to the driver (bounded artifact,
+    *     like a centroid table);
+    *  3. a per-partition counter pass: each row's rank = its partition's
+    *     per-stratum offset + local position. One extra column, no
+    *     per-row state beyond a long.
+    *
+    * Ranks are 1-based, dense within a stratum, and EXACTLY the rank the
+    * window form would produce (ties impossible when `order` ends in a
+    * unique column — require that, as window determinism does too). The
+    * state is pinned (`localCheckpoint`) so the histogram pass and the
+    * rank pass see the identical partitioning.
+    *
+    * NOTE: `repartitionByRange` samples its input to place boundaries,
+    * so the input plan evaluates twice (sample + sort). If the order
+    * columns are expensive to compute (a quality score over text),
+    * project narrow and `localCheckpoint` BEFORE calling — q119 does.
+    */
+  def rangeRank(df: DataFrame, strata: Seq[String], order: Seq[Column],
+                rankCol: String = "rank",
+                numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.StructField
+    val spark = df.sparkSession
+    val nPart =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sortCols = strata.map(col) ++ order
+    val sorted = df.repartitionByRange(nPart, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .localCheckpoint()
+    val sIdx = strata.map(df.schema.fieldIndex)
+    def strataKey(r: Row): Seq[Any] = sIdx.map(r.get)
+    // P × strata histogram (tiny): how many rows of each stratum sit in
+    // each partition, so partition p starts stratum s at the sum of s's
+    // counts in partitions < p.
+    val hist = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Long]()
+      it.foreach { r => val k = strataKey(r); m(k) = m.getOrElse(k, 0L) + 1L }
+      m.iterator.map { case (k, n) => (pid, k, n) }
+    }.collect()
+    val offsets: Map[(Int, Seq[Any]), Long] = {
+      val byStratum = hist.groupBy(_._2)
+      (for {
+        (k, rows) <- byStratum.iterator
+        sortedRows = rows.sortBy(_._1)
+        (cum, (pid, _, n)) <- sortedRows
+          .scanLeft(0L)((acc, r) => acc + r._3).zip(sortedRows)
+      } yield (pid, k) -> cum).toMap
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ StructField(rankCol, LongType, nullable = false))
+    implicit val enc = Encoders.row(outSchema)
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val counters = scala.collection.mutable.HashMap[Seq[Any], Long]()
+      it.map { r =>
+        val k = strataKey(r)
+        val next = counters.getOrElse(k, offsets.getOrElse((pid, k), 0L)) + 1L
+        counters(k) = next
+        Row.fromSeq(r.toSeq :+ next)
+      }
+    }(enc)
+  }
+
+  /** Exact ntile over [[rangeRank]] — identical bucket assignment to
+    * `ntile(n).over(Window.partitionBy(strata).orderBy(order))` (spec- and
+    * oracle-pinned), at range-partition parallelism instead of
+    * one-sort-per-stratum. Standard ntile fill: with per-stratum total
+    * N = q·n + r, buckets 1..r hold q+1 rows, the rest q.
+    */
+  def distributedNtile(df: DataFrame, strata: Seq[String], order: Seq[Column],
+                       n: Int, binCol: String = "bin"): DataFrame = {
+    require(n > 0, "ntile bucket count must be positive")
+    val ranked = rangeRank(df, strata, order, rankCol = "__rr")
+    // totals per stratum via a broadcast-joined aggregate (strata-sized),
+    // not a window (which would re-sort what rangeRank already ordered)
+    val totals = ranked.groupBy(strata.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    def idiv(a: Column, b: Column): Column = // integer floor-div, positive operands
+      floor(a.cast("double") / b.cast("double")).cast(LongType)
+    val q = idiv(col("__n"), lit(n.toLong))
+    val r = col("__n") % n
+    val bs1 = q + lit(1L)
+    val bin = when(col("__rr") <= r * bs1, idiv(col("__rr") - 1, bs1) + 1)
+      .otherwise(when(q === 0, col("__rr")) // N < n: rank IS the bucket
+        .otherwise(r + idiv(col("__rr") - 1 - r * bs1, q) + 1))
+    ranked.join(broadcast(totals), strata)
+      .withColumn(binCol, bin.cast("int"))
+      .drop("__rr", "__n")
   }
 
   /** Temperature-smoothed mixture resampling — the α=0.5 data-mix knob

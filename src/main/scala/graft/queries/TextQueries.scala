@@ -212,16 +212,25 @@ object TextQueries {
     }),
 
     // Curriculum binning: quality-score deciles per language (the
-    // easy→hard training-order knob). ntile over the exact micro-unit
-    // score with doc_id tiebreak — fully deterministic, one window sort
-    // partitioned by lang (each partition sorts independently; no global
-    // sort at any scale).
+    // easy→hard training-order knob). EXACT ntile semantics (doc_id
+    // tiebreak, oracle replays the window form), computed by
+    // CoreOps.distributedNtile — range-partitioned rank + offset
+    // counters — because a `ntile().over(partitionBy(lang))` window caps
+    // parallelism at the number of LANGUAGES (two, here and mostly in
+    // real corpora): one sorting task per language forever, at any
+    // cluster size. The distributed form's parallelism is the partition
+    // count; the gate proves the bins are identical.
     "q119_curriculum" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("q_u"), col("doc_id"))
-      Tables.load(s, dir, "documents")
+      // Narrow + pin BEFORE ranking: repartitionByRange's boundary
+      // sampling evaluates its input once ahead of the sort, and the
+      // quality score is the expensive part — score once into a
+      // materialized (lang, q_u, doc_id) projection, then rank that.
+      val scored = Tables.load(s, dir, "documents")
         .withColumn("q_u", CoreOps.cents(TextOps.qualityScore(col("text"), stopwords), 6))
-        .withColumn("bin", ntile(10).over(w).cast("int"))
+        .select(col("lang"), col("q_u"), col("doc_id"))
+        .localCheckpoint()
+      CoreOps.distributedNtile(scored, Seq("lang"),
+          Seq(col("q_u"), col("doc_id")), 10)
         .groupBy(col("lang"), col("bin"))
         .agg(count(lit(1)).as("n"),
           min(col("q_u")).as("min_q_u"), max(col("q_u")).as("max_q_u"))

@@ -8,6 +8,54 @@ class CoreOpsSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("rangeRank matches the window row_number exactly, across strata and partitions") {
+    // Deterministic multi-strata fixture spread over many range
+    // partitions: ranks must equal row_number().over(partitionBy(s)
+    // .orderBy(v, id)) bit for bit, including strata that straddle
+    // partition boundaries.
+    val df = (0L until 5000L).map { i =>
+      (s"s${i % 3}", (i * 7919) % 1000, i)
+    }.toDF("s", "v", "id")
+    val expected = df.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"s")
+          .orderBy($"v", $"id")).cast("long"))
+      .select($"s", $"id", $"rank").as[(String, Long, Long)].collect().toSet
+    val got = CoreOps.rangeRank(df, Seq("s"), Seq($"v", $"id"),
+        numPartitions = 16)
+      .select($"s", $"id", $"rank").as[(String, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("distributedNtile matches window ntile exactly (incl. N < n and remainder fills)") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"s").orderBy($"v", $"id")
+    // strata sizes 7 (N < n=10), 100 (exact fill), 103 (remainder fill)
+    val rows = (0L until 7L).map(i => ("tiny", i * 3 % 7, i)) ++
+      (0L until 100L).map(i => ("even", i * 7919 % 97, i)) ++
+      (0L until 103L).map(i => ("rem", i * 31 % 89, i))
+    val df = rows.toDF("s", "v", "id")
+    val expected = df.withColumn("bin", ntile(10).over(w))
+      .select($"s", $"id", $"bin").as[(String, Long, Int)].collect().toSet
+    val got = CoreOps.distributedNtile(df, Seq("s"), Seq($"v", $"id"), 10,
+        binCol = "bin")
+      .select($"s", $"id", $"bin").as[(String, Long, Int)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("balancedSample (rangeRank form) keeps exactly n_min per stratum, largest hash wins") {
+    val df = ((0L until 40L).map(i => ("big", i)) ++
+      (100L until 110L).map(i => ("small", i))).toDF("lang", "doc_id")
+    val out = CoreOps.balancedSample(df, "lang", "doc_id")
+      .groupBy($"stratum").count().as[(String, Long)].collect().toMap
+    assert(out == Map("big" -> 10L, "small" -> 10L))
+    // deterministic: two runs agree row for row
+    val a = CoreOps.balancedSample(df, "lang", "doc_id")
+      .as[(String, Long)].collect().toSet
+    val b = CoreOps.balancedSample(df, "lang", "doc_id")
+      .as[(String, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("timeWindowFilter keeps [start, end)") {
     val df = Seq("2023-01-01 00:00:00", "2023-01-01 00:10:00", "2023-01-01 00:15:00")
       .toDF("d").withColumn("ts", to_timestamp($"d"))
