@@ -337,8 +337,11 @@ object CoreOps {
     // not a window (which would re-sort what rangeRank already ordered)
     val totals = ranked.groupBy(strata.map(col): _*)
       .agg(count(lit(1)).as("__n"))
-    def idiv(a: Column, b: Column): Column = // integer floor-div, positive operands
-      floor(a.cast("double") / b.cast("double")).cast(LongType)
+    // Integer floor-div on positive operands. IntegralDivide (`div`), not
+    // floor(double/double): a double quotient is exact only below 2^53,
+    // and a rank is exactly the kind of value that outgrows that.
+    def idiv(a: Column, b: Column): Column =
+      call_function("div", a.cast(LongType), b.cast(LongType))
     val q = idiv(col("__n"), lit(n.toLong))
     val r = col("__n") % n
     val bs1 = q + lit(1L)
