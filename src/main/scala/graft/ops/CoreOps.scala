@@ -449,23 +449,67 @@ object CoreOps {
     }.reduce(_ unionAll _).orderBy(col("column"))
   }
 
-  /** Explicit salted equi-join for skewed fact keys: fact rows carry a
-    * salt derived from their INPUT partition (rows of one hot key spread
-    * across salts), the dim side replicates `salt`-ways, and the join key
-    * becomes (key, salt) — a hot key's probe work lands on `salt` reducers
-    * instead of one. Result is exactly the plain inner join; cost is
-    * salt× duplication of the (small) dim side only.
+  /** Hot-key detection for [[saltedJoin]]: a seeded sample of the fact
+    * key column, counted per key; keys whose sampled count implies
+    * ≥ `hotThreshold` fact rows are returned, largest first, capped at
+    * `cap` (a bounded driver artifact, like a centroid table). The seed
+    * makes the plan deterministic; the CAP makes the literal list safe
+    * to inline into a codegen'd `isin`. Detection errors are harmless to
+    * CORRECTNESS — the join result is identical for ANY hot set — they
+    * only move keys between the salted and plain paths.
+    */
+  def hotKeys(fact: DataFrame, key: String, hotThreshold: Long,
+              sampleFraction: Double = 0.01, cap: Int = 1024): Array[Any] = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val minSampled = math.max(1L, math.ceil(hotThreshold * sampleFraction).toLong)
+    fact.select(col(key).as("__k"))
+      .sample(withReplacement = false, sampleFraction, seed = 42L)
+      .groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minSampled && col("__k").isNotNull)
+      .orderBy(col("__n").desc, col("__k").asc)
+      .limit(cap)
+      .collect().map(_.get(0))
+  }
+
+  /** Skew-safe fact⋈dim equi-join via TARGETED key salting: hot fact
+    * keys (auto-detected by [[hotKeys]] from a seeded sample) carry a
+    * salt derived from their INPUT partition — rows of one hot key
+    * spread across `salt` reducers — and the dim side replicates ONLY
+    * its hot-key rows `salt`-ways (≤ cap·salt extra rows, a constant).
+    * Cold keys join exactly as a plain join: salt 0 on both sides, no
+    * replication, and with no hot keys at all the shape degenerates to
+    * the plain (broadcast-able) join — which is the feature: you pay
+    * for skew handling only where skew exists. The earlier form of this
+    * operator replicated the WHOLE dim side `salt`-ways, which at 100 TB
+    * multiplies the dominant dim shuffle by `salt` to protect against
+    * hot keys that may not exist; targeted salting bounds the
+    * replication by the hot-key cap instead. Result is exactly the
+    * plain inner join for ANY detected hot set (the split is a
+    * partition of fact rows, each side joined on an equivalent key).
     *
-    * AQE's skew-join split covers sort-merge shapes automatically; this is
-    * the explicit form for when the skew is known ahead of time (power-law
-    * author/mention keys in the reference's graph) or AQE is off.
+    * AQE's skew-join split covers sort-merge shapes automatically; this
+    * is the explicit form for when the skew is known ahead of time
+    * (power-law author/mention keys in the reference's graph), survives
+    * broadcast-hash shapes, and works with AQE off.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
-                 dimKey: String, salt: Int = 8): DataFrame = {
+                 dimKey: String, salt: Int = 8,
+                 hotThreshold: Long = 1000000L,
+                 sampleFraction: Double = 0.01,
+                 hotKeyCap: Int = 1024): DataFrame = {
+    require(salt > 0, s"salt must be positive, got $salt")
+    val hot = hotKeys(fact, factKey, hotThreshold, sampleFraction, hotKeyCap)
+    def isHot(c: Column): Column =
+      if (hot.isEmpty) lit(false) else c.isin(hot: _*)
     val sf = fact.withColumn("__salt",
-      pmod(spark_partition_id().cast("long"), lit(salt.toLong)))
+      when(isHot(col(factKey)),
+        pmod(spark_partition_id().cast("long"), lit(salt.toLong)))
+        .otherwise(lit(0L)))
     val sd = dim.withColumn("__salt",
-      explode(sequence(lit(0L), lit(salt.toLong - 1))))
+      explode(when(isHot(col(dimKey)),
+        sequence(lit(0L), lit(salt.toLong - 1)))
+        .otherwise(array(lit(0L)))))
     sf.join(sd, sf(factKey) === sd(dimKey) && sf("__salt") === sd("__salt"))
       .drop("__salt")
   }

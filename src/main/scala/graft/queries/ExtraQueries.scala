@@ -230,7 +230,11 @@ object ExtraQueries {
 
     // Explicit salted skew join (A4's join-side sibling): revenue per
     // order priority through a (key, salt) equi-join — result must equal
-    // the plain join the oracle runs.
+    // the plain join the oracle runs. Salting is TARGETED: orderkeys are
+    // uniform (≤7 lineitems each), so hot-key detection finds nothing and
+    // the join degenerates to the plain broadcast-able shape — zero
+    // replication paid for skew that does not exist. The hot path
+    // (planted power-law key) is pinned in CoreOpsSpec.
     "q79_salted_join" -> ((s, dir) => {
       val l = Tables.load(s, dir, "lineitem")
       val o = Tables.load(s, dir, "orders")

@@ -177,7 +177,10 @@ class CoreOpsSpec extends AnyFunSuite {
     val fact = (1L to 3000L).map(i => (i, if (i % 10 == 0) 1L else i % 100))
       .toDF("row_id", "k").repartition(6)
     val dim = (0L until 100L).map(i => (i, s"d$i")).toDF("dk", "name")
-    val salted = CoreOps.saltedJoin(fact, dim, "k", "dk", salt = 4)
+    // low threshold + full sample so the planted hot key (300 rows of
+    // k=1) actually takes the salted path
+    val salted = CoreOps.saltedJoin(fact, dim, "k", "dk", salt = 4,
+        hotThreshold = 200L, sampleFraction = 1.0)
       .select("row_id", "k", "name")
     val plain = fact.join(dim, $"k" === $"dk").select("row_id", "k", "name")
     assert(salted.collect().toSet == plain.collect().toSet)
@@ -186,6 +189,47 @@ class CoreOpsSpec extends AnyFunSuite {
     val cut = planStr.indexOf("== Initial Plan ==")
     val finalPlan = if (cut >= 0) planStr.substring(0, cut) else planStr
     assert(finalPlan.contains("__salt"), "join key is not salted in the plan")
+  }
+
+  test("hotKeys detects exactly the planted hot keys, hottest first") {
+    import graft.ops.CoreOps
+    // k=1 gets 300 rows, k=2 gets 250, everything else ≤ 30
+    val fact = ((1L to 300L).map(_ => 1L) ++ (1L to 250L).map(_ => 2L) ++
+      (1L to 3000L).map(i => 10L + i % 100)).toDF("k").repartition(6)
+    val hot = CoreOps.hotKeys(fact, "k", hotThreshold = 100L,
+      sampleFraction = 1.0)
+    assert(hot.toSeq == Seq(1L, 2L))
+  }
+
+  test("saltedJoin with no hot keys replicates nothing and still matches") {
+    import graft.ops.CoreOps
+    val fact = (1L to 1000L).map(i => (i, i % 100)).toDF("row_id", "k")
+      .repartition(4)
+    val dim = (0L until 100L).map(i => (i, s"d$i")).toDF("dk", "name")
+    // default threshold: nothing in a uniform 10-rows-per-key fact is hot
+    val salted = CoreOps.saltedJoin(fact, dim, "k", "dk", salt = 8)
+      .select("row_id", "k", "name")
+    val plain = fact.join(dim, $"k" === $"dk").select("row_id", "k", "name")
+    assert(salted.collect().toSet == plain.collect().toSet)
+    assert(CoreOps.hotKeys(fact, "k", hotThreshold = 1000000L).isEmpty)
+  }
+
+  test("saltedJoin replicates only hot dim rows, bounded by cap x salt") {
+    import graft.ops.CoreOps
+    val fact = ((1L to 500L).map(_ => 1L) ++ (1L to 500L).map(i => i % 50))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("row_id", "k").repartition(4)
+    val dim = (0L until 50L).map(i => (i, s"d$i")).toDF("dk", "name")
+    val hot = CoreOps.hotKeys(fact, "k", hotThreshold = 300L,
+      sampleFraction = 1.0)
+    assert(hot.toSeq == Seq(1L))
+    // reconstruct the dim side the way saltedJoin builds it: one copy per
+    // cold key, `salt` copies per hot key
+    val salt = 4
+    val sd = dim.withColumn("__salt",
+      explode(when($"dk".isin(hot: _*),
+        sequence(lit(0L), lit(salt.toLong - 1))).otherwise(array(lit(0L)))))
+    assert(sd.count() == dim.count() + (salt - 1) * hot.length)
   }
 
   test("HLL sketch rollup: day sketches merge to the same estimate as a direct pass") {
