@@ -94,6 +94,32 @@ object LifecycleQueries {
         .orderBy(col("event_type"))
     }),
 
+    // TIME TRAVEL over the manifest snapshot log: publish v1 over the
+    // initial landing, append a late batch, publish v2 — then read the
+    // table AS OF v1 (exactly the files v1 lists; immutable version dirs
+    // + immutable data files make an old manifest an old snapshot) and
+    // AS OF v2 side by side. The Delta/Iceberg `VERSION AS OF` protocol
+    // over plain directories; retention = the publish prune's grace
+    // window. The as-of read must NOT see the late batch.
+    "q145_time_travel" -> ((s, dir) => {
+      import graft.sources.DataSkipping
+      val flat = eventsFlat(s, dir)
+      val early = flat.filter(col("event_id") % 3 =!= 0)
+      val late = flat.filter(col("event_id") % 3 === 0)
+      val data = Files.createTempDirectory("graft_tt_data_").toString
+      val manifestDir = data + "_manifest"
+      early.write.mode("overwrite").parquet(data)
+      val v1 = DataSkipping.publishManifest(s, data, manifestDir, "event_id")
+      late.write.mode("append").parquet(data)
+      val v2 = DataSkipping.publishManifest(s, data, manifestDir, "event_id")
+      def agg(state: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
+          .select(lit(state).as("state"), col("n"), col("sum_cents"))
+      agg("v1", DataSkipping.readTableAsOf(s, manifestDir, v1))
+        .unionAll(agg("v2", DataSkipping.readTableAsOf(s, manifestDir, v2)))
+        .orderBy(col("state"))
+    }),
+
     // MERGE INTO semantics over plain DataFrames: a change batch carrying
     // updates (%3, bal+100), deletes (%7) and inserts (%11, shifted keys)
     // merged into the customer snapshot in one keyed shuffle — the
@@ -257,6 +283,21 @@ object LifecycleQueries {
         |  CAST(sum(value_cents) AS BIGINT) AS sum_cents
         |FROM latest WHERE event_id BETWEEN 1000 AND 2000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // v1 = the pre-append snapshot (event_id % 3 != 0 only); v2 = all
+    // rows. The oracle replays both table states from the source.
+    "q145_time_travel" ->
+      """WITH flat AS (
+        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS value_cents
+        |  FROM events)
+        |SELECT 'v1' AS state, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value_cents) AS BIGINT) AS sum_cents
+        |FROM flat WHERE event_id % 3 <> 0
+        |UNION ALL
+        |SELECT 'v2' AS state, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value_cents) AS BIGINT) AS sum_cents
+        |FROM flat
+        |ORDER BY state""".stripMargin,
 
     "q120_delta_join" ->
       """SELECT c_mktsegment, count(*) AS n,

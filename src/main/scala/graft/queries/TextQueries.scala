@@ -271,6 +271,31 @@ object TextQueries {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    // Distributed BPE-style merge discovery — the pair-count step of
+    // vocabulary training (learn which adjacent token pair to merge
+    // next): adjacent pairs from each doc's token sequence, counted
+    // corpus-wide, top 25. Scale shape: the pairing is MAP-LOCAL
+    // (zip of the token array with its own tail — no window, no
+    // self-join, no per-doc sort), then one hash aggregate with
+    // map-side partial combine and a TakeOrdered(25) — the same shape
+    // at 100 TB, where the window-lead formulation would shuffle the
+    // whole exploded token stream to sort it per doc. One merge round;
+    // real BPE iterates this query.
+    "q144_bpe_pairs" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+      val w = split(col("text"), " ")
+      val pair = zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (l, r) => struct(l.as("left_tok"), r.as("right_tok")))
+      docs.select(explode(pair).as("p"))
+        .select(col("p.left_tok"), col("p.right_tok"))
+        .groupBy(col("left_tok"), col("right_tok"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("left_tok"), col("right_tok"))
+        .limit(25)
+    }),
+
     // One-pass corpus profile: per-column row/null/distinct/min/max — the
     // data-quality sweep before training prep.
     "q85_profile" -> ((s, dir) => {
@@ -590,6 +615,22 @@ object TextQueries {
         |  WHERE len(token) > 0
         |  GROUP BY lang, token)
         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    // Adjacent pairs via a lateral index range (DuckDB has no WITH
+    // ORDINALITY); 1-based list indexing, range end-exclusive, so
+    // i ∈ [1, len) pairs toks[i] with toks[i+1] — exactly the Spark
+    // side's zip-with-tail.
+    "q144_bpe_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE length(text) > 0
+        |), pairs AS (
+        |  SELECT toks[i] AS left_tok, toks[i + 1] AS right_tok
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+        |)
+        |SELECT left_tok, right_tok, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY n_pairs DESC, left_tok, right_tok LIMIT 25""".stripMargin,
 
     "q85_profile" -> {
       def one(c: String) =

@@ -86,7 +86,7 @@ object DataSkipping {
     * from under its pointer flip.
     */
   def publishManifest(spark: SparkSession, dataDir: String,
-                      manifestDir: String, statCol: String): Unit = {
+                      manifestDir: String, statCol: String): String = {
     // Pointer flip + lock are java.nio local-filesystem operations; a
     // hdfs:// or s3a:// manifestDir would silently resolve as a relative
     // local path and void the atomicity guarantee. Fail fast instead.
@@ -127,6 +127,7 @@ object DataSkipping {
           f.delete(): Unit
       })
     } finally lock.delete(): Unit
+    version
   }
 
   /** Age beyond which crashed-publisher debris (orphan version dirs, tmp
@@ -174,6 +175,41 @@ object DataSkipping {
     val v = currentVersion(root).getOrElse(throw new java.io.FileNotFoundException(
       s"no CURRENT manifest under $manifestDir — was publishManifest ever run?"))
     spark.read.parquet(new java.io.File(root, v).toString)
+  }
+
+  /** Read a SPECIFIC manifest version — the time-travel half of the
+    * snapshot-log pattern. Version dirs are immutable once written, so
+    * any retained version reproduces its table state exactly; versions
+    * live until the prune (the live one + its predecessor are always
+    * kept, older ones for the grace window). A production deployment
+    * turns the grace window into its retention policy (Delta's
+    * `VACUUM`-horizon); the PROTOCOL is identical.
+    */
+  def readManifestAt(spark: SparkSession, manifestDir: String,
+                     version: String): DataFrame = {
+    require(!manifestDir.contains("://"),
+      s"readManifestAt resolves versions via the local filesystem; got $manifestDir")
+    val d = new java.io.File(new java.io.File(manifestDir), version)
+    if (!d.isDirectory) throw new java.io.FileNotFoundException(
+      s"manifest version $version not found under $manifestDir — " +
+        "pruned past retention, or never published")
+    spark.read.parquet(d.toString)
+  }
+
+  /** Time-travel table read: the table AS OF a manifest version is
+    * exactly the files that version lists — data files are immutable and
+    * append-only between compactions, so an old manifest IS an old
+    * snapshot. The file list is the same bounded driver artifact
+    * [[prunedRead]] collects (one row per file). Combine with a range
+    * predicate by filtering the returned frame; pruning still applies
+    * through the parquet scan's own pushdown.
+    */
+  def readTableAsOf(spark: SparkSession, manifestDir: String,
+                    version: String): DataFrame = {
+    val files = readManifestAt(spark, manifestDir, version)
+      .select(col("file")).collect().map(r => globSafe(r.getString(0)))
+    require(files.nonEmpty, s"manifest version $version lists no files")
+    spark.read.parquet(files.toIndexedSeq: _*)
   }
 
   private def currentVersion(root: java.io.File): Option[String] = {

@@ -206,6 +206,28 @@ class LifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("time travel: readTableAsOf reproduces the pre-append snapshot exactly") {
+    import graft.sources.DataSkipping
+    val data = Files.createTempDirectory("tt_data_").toString
+    val manifest = Files.createTempDirectory("tt_manifest_").toString + "/m"
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "x")
+      .write.mode("overwrite").parquet(data)
+    val v1 = DataSkipping.publishManifest(spark, data, manifest, "x")
+    Seq((3L, 30L)).toDF("k", "x").write.mode("append").parquet(data)
+    val v2 = DataSkipping.publishManifest(spark, data, manifest, "x")
+    assert(v1 != v2)
+    // as-of v1 must NOT see the appended row; as-of v2 must.
+    def rows(v: String): Set[(Long, Long)] =
+      DataSkipping.readTableAsOf(spark, manifest, v)
+        .select("k", "x").as[(Long, Long)].collect().toSet
+    assert(rows(v1) == Set((1L, 10L), (2L, 20L)))
+    assert(rows(v2) == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // a pruned-past-retention (or never-published) version fails loudly
+    intercept[java.io.FileNotFoundException] {
+      DataSkipping.readManifestAt(spark, manifest, "v-nonexistent")
+    }
+  }
+
   test("tableDiff: added/removed/changed classification, null-safe values") {
     import graft.pipeline.Compaction
     val before = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L),
