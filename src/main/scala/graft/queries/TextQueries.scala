@@ -296,6 +296,33 @@ object TextQueries {
         .limit(25)
     }),
 
+    // Sliding-window document chunking — long docs split into
+    // max-50-token chunks at stride 40 (10-token overlap), the
+    // context-length prep step between cleaning and packing (q74 packs
+    // SHORT docs up; this cuts LONG docs down). Convention: chunk i
+    // starts at token i*stride, emitted while that start is in range —
+    // n_chunks = ceil(n/stride), the last chunk may be short. Scale
+    // shape: per-doc sequence explode + array slices, all MAP-LOCAL
+    // (no shuffle at all before the output sort); chunk payloads stay
+    // arrays until the final projection.
+    "q146_doc_chunks" -> ((s, dir) => {
+      val C = 50
+      val S = 40
+      val toks = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+      toks
+        .withColumn("chunk_id",
+          explode(sequence(lit(0L), expr(s"(n + ${S - 1}) div $S") - 1)))
+        .withColumn("chunk",
+          slice(col("toks"), (col("chunk_id") * S + 1).cast("int"), lit(C)))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          length(array_join(col("chunk"), " ")).cast("long").as("chunk_chars"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // One-pass corpus profile: per-column row/null/distinct/min/max — the
     // data-quality sweep before training prep.
     "q85_profile" -> ((s, dir) => {
@@ -631,6 +658,27 @@ object TextQueries {
         |SELECT left_tok, right_tok, CAST(count(*) AS BIGINT) AS n_pairs
         |FROM pairs GROUP BY 1, 2
         |ORDER BY n_pairs DESC, left_tok, right_tok LIMIT 25""".stripMargin,
+
+    // Same chunking convention: list slicing is 1-based inclusive, //
+    // is integer division, range() end-exclusive.
+    "q146_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE length(text) > 0
+        |), sized AS (
+        |  SELECT doc_id, toks, len(toks) AS n FROM t
+        |), x AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(0, (n + 39) // 40)) AS chunk_id
+        |  FROM sized
+        |), c AS (
+        |  SELECT doc_id, chunk_id,
+        |    toks[chunk_id * 40 + 1 : least(chunk_id * 40 + 50, n)] AS chunk
+        |  FROM x
+        |)
+        |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_tokens,
+        |  CAST(length(array_to_string(chunk, ' ')) AS BIGINT) AS chunk_chars
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q85_profile" -> {
       def one(c: String) =
