@@ -65,6 +65,33 @@ object ExtraQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Conversion funnel = FORWARD as-of join: each click matched to the
+    // FIRST purchase at-or-after it within a 1 h horizon, expressed by
+    // running the backward as-of machinery on NEGATED epoch micros
+    // (greatest −p_ts ≤ −c_ts ⇔ smallest p_ts ≥ c_ts) — the same single
+    // keyed shuffle, linear per key, no range-join explosion where the
+    // naive clicks⋈purchases-within-window join is quadratic per hot
+    // user. Tolerance rides the negated axis unchanged (|Δ| is
+    // sign-blind). Daily rollup on TZ-free epoch days. Tie-safety: only
+    // the matched purchase TS is carried, so equal-(user, ts) purchase
+    // rows cannot make the output nondeterministic.
+    "q147_funnel" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("c_ts"))
+        .withColumn("neg_cts", -col("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_ts"))
+        .withColumn("neg_pts", -col("p_ts"))
+      graft.ops.AsofJoin.asofJoin(clicks, purchases, Seq("user_id"),
+          "neg_cts", "neg_pts", rightCols = Seq("p_ts"),
+          toleranceMicros = Some(3600000000L))
+        .groupBy(expr("c_ts div 86400000000").as("day_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("p_ts")).as("n_conversions"))
+        .orderBy(col("day_id"))
+    }),
+
     // Exact heavy hitters without a full-cardinality shuffle: planted
     // skew (user_id % 10 < 3 collapses to three hot keys, the long tail
     // stays per-user) → Misra-Gries partition summaries prune to ≤ k·P
@@ -631,6 +658,27 @@ object ExtraQueries {
         |SELECT user_id, count(*) AS n_views, count(c_id) AS n_matched,
         |  CAST(COALESCE(sum(c_id), 0) AS BIGINT) AS sum_c_id
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Plain-SQL replay (no ASOF needed): per click row, does ANY
+    // purchase land in [c_ts, c_ts + 1 h]? Existence is tie-insensitive,
+    // so the left-join + max-flag form agrees with the engine's
+    // first-match-within-tolerance exactly.
+    "q147_funnel" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |conv AS (
+        |  SELECT c.event_id, c.c_ts,
+        |    max(CASE WHEN p.p_ts >= c.c_ts
+        |             AND p.p_ts - c.c_ts <= 3600000000 THEN 1 ELSE 0 END) AS hit
+        |  FROM c LEFT JOIN p ON p.user_id = c.user_id
+        |  GROUP BY 1, 2)
+        |SELECT c_ts // 86400000000 AS day_id, CAST(count(*) AS BIGINT) AS n_clicks,
+        |  CAST(sum(hit) AS BIGINT) AS n_conversions
+        |FROM conv GROUP BY day_id ORDER BY day_id""".stripMargin,
 
     "q128_outliers" ->
       """WITH e AS (SELECT event_type,
