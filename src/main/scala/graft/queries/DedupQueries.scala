@@ -251,6 +251,39 @@ object DedupQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Hard-negative mining for contrastive training: per query, the 3
+    // most-cosine-similar vectors with a DIFFERENT label — "looks like
+    // the positive but isn't". Same broadcast + per-query top-k shape as
+    // q35; the label rides the norm kernel as a pass-through column (no
+    // second corpus join to recover it).
+    "q149_hard_negatives" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "label", 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // SoftDeDup: instead of DROPPING near-duplicates, down-weight them —
+    // every member of an n-doc near-dup cluster carries weight 1/n
+    // (integer micros), so a family contributes ~one doc of training
+    // signal no matter how often it was crawled. Output = per-source
+    // effective corpus size; the delta vs n_docs·1e6 is exactly the
+    // redundancy the weighting removed. One cluster pipeline (shared
+    // shape with q132) + a size agg + one left join back to the corpus.
+    "q151_softdedup_weights" -> ((s, dir) => {
+      val clusters = Dedup.nearDupClusters(zipfCorpus(s, dir), "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      val sizes = clusters.groupBy(col("component")).agg(count(lit(1)).as("_csize"))
+      val mem = clusters.join(sizes, "component")
+        .select(col("node").as("doc_id"), col("_csize"))
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(mem, Seq("doc_id"), "left")
+        .withColumn("w_u", coalesce(expr("1000000 div _csize"), lit(1000000L)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w_u")).as("eff_size_u"))
+        .orderBy(col("source"))
+    }),
+
     // Sign-LSH bucketed embedding near-dups (the 100 TB ANN path).
     "q36_embedding_neardups" -> ((s, dir) => {
       Dedup.embeddingNearDups(Tables.load(s, dir, "embeddings"),
@@ -786,6 +819,39 @@ object DedupQueries {
       s"""WITH $zipfCorpusCte,
          |s AS (${simhashSigSql("zdocs")}),
          |${simhashPairSql(3)}""".stripMargin,
+
+    "q149_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS corpus_id, embedding AS cv, label AS cl FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, corpus_id, cl, ${cosineSql("cv", "qv")} AS sim
+         |  FROM c CROSS JOIN q WHERE corpus_id <> query_id AND cl <> ql),
+         |ranked AS (
+         |  SELECT query_id, corpus_id, cl, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, corpus_id, cl AS neg_label, sim
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q151_softdedup_weights" ->
+      s"""WITH RECURSIVE $zipfCorpusCte,
+         |${minhashCtes(3, 16, 4, from = "zdocs")},
+         |p AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.5),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT a AS node, a AS r FROM sym
+         |  UNION
+         |  SELECT s2.a, reach.r FROM sym s2 JOIN reach ON reach.node = s2.b),
+         |lab AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+         |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS n FROM lab GROUP BY component),
+         |m AS (SELECT l.node AS doc_id, sz.n FROM lab l JOIN sz USING (component)),
+         |w AS (
+         |  SELECT d.doc_id, d.source,
+         |    COALESCE(1000000 // m.n, 1000000) AS w_u
+         |  FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id)
+         |SELECT source, count(*) AS n_docs, CAST(sum(w_u) AS BIGINT) AS eff_size_u
+         |FROM w GROUP BY source ORDER BY source""".stripMargin,
 
     "q35_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -30,6 +30,69 @@ object TextQueries {
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic epoch shuffle + shard assignment — the write side of a
+    // training-shard store. Shard = portable hash of the doc id (stable
+    // across epochs, so a doc's shard never moves); within-shard order =
+    // hash of (id, epoch) (a fresh permutation every epoch, no RNG state
+    // to ship). Scale shape: ONE hash exchange on shard + a per-shard
+    // sort — exactly what a shard writer does anyway; the per-shard sort
+    // is external-sort-safe, and nShards scales with the cluster. The
+    // perm_sig checksum (sum of pos·doc_id) pins the ENTIRE realized
+    // ordering in the gate, not just the endpoints.
+    "q148_epoch_shuffle" -> ((s, dir) => {
+      val nShards = 8L
+      val docs = Tables.load(s, dir, "documents")
+      val keyed = docs.select(col("doc_id"),
+        pmod(Dedup.charHash(col("doc_id").cast("string")), lit(nShards)).as("shard"),
+        Dedup.charHash(concat(col("doc_id").cast("string"), lit("#e3"))).as("k"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+      keyed.withColumn("pos", row_number().over(w).cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min_by(col("doc_id"), col("pos")).as("first_doc"),
+          max_by(col("doc_id"), col("pos")).as("last_doc"),
+          sum(col("pos") * col("doc_id")).as("perm_sig"))
+        .orderBy(col("shard"))
+    }),
+
+    // Token-budget waterfilling across domains — the data-mixture
+    // allocator: give every domain its fair share of a B-token budget,
+    // capped at what it has (small domains keep everything, the surplus
+    // waterfalls to the rest at one common level L with Σ min(cᵢ, L) ≤ B).
+    // Integer arithmetic end to end, so the gate compare is exact. Scale
+    // shape: the ONLY data-sized pass is the per-domain token count (one
+    // partial agg); the waterfill itself runs over k domain rows (k ~
+    // hundreds at worst) in a single-partition window — a driver-sized
+    // frame, deliberately NOT distributed.
+    "q150_token_waterfill" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val counts = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("c"))
+      val ord = W.orderBy(col("c"), col("source"))
+      val whole = W.partitionBy()
+      val o = counts
+        .withColumn("i", row_number().over(ord).cast("long"))
+        .withColumn("k", count(lit(1)).over(whole))
+        .withColumn("pre", sum(col("c")).over(
+          ord.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("b", expr("sum(c) over () div 2"))
+        // Candidate common level if the cutoff were at row i: remaining
+        // budget spread over this row and everything above it.
+        .withColumn("li", expr("(b - (pre - c)) div (k - i + 1)"))
+        // First row whose candidate level fits under its own count = the
+        // true cutoff; rows below keep all their tokens.
+        .withColumn("istar", min(when(col("li") <= col("c"), col("i"))).over(whole))
+        .withColumn("lvl", min(when(col("i") === col("istar"), col("li"))).over(whole))
+      o.withColumn("alloc",
+          when(col("istar").isNull || col("i") < col("istar"), col("c"))
+            .otherwise(col("lvl")))
+        .select(col("source"), col("c").as("n_tokens"), col("alloc").as("alloc_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // F8 sentinel scrub + dropna (null-scrub semantics of glue/reddit_glue.py:227-252).
     "q19_sentinel_scrub" -> ((s, dir) => {
       Tables.load(s, dir, "events")
@@ -475,6 +538,49 @@ object TextQueries {
        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q148_epoch_shuffle" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    ${chSqlOf("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         |    ${chSqlOf("concat(CAST(doc_id AS VARCHAR), '#e3')")} AS k
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, shard,
+         |    CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+         |      AS BIGINT) AS pos
+         |  FROM t)
+         |SELECT shard, count(*) AS n_docs,
+         |  min_by(doc_id, pos) AS first_doc,
+         |  max_by(doc_id, pos) AS last_doc,
+         |  CAST(sum(pos * doc_id) AS BIGINT) AS perm_sig
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // Same waterfill arithmetic: integer //, cutoff = first row whose
+    // candidate level fits under its own count.
+    "q150_token_waterfill" ->
+      """WITH counts AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c
+        |  FROM documents WHERE length(text) > 0 GROUP BY source),
+        |o AS (
+        |  SELECT source, c,
+        |    CAST(row_number() OVER (ORDER BY c, source) AS BIGINT) AS i,
+        |    CAST(count(*) OVER () AS BIGINT) AS k,
+        |    CAST(sum(c) OVER (ORDER BY c, source
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre,
+        |    CAST(sum(c) OVER () AS BIGINT) // 2 AS b
+        |  FROM counts),
+        |lv AS (
+        |  SELECT *, (b - (pre - c)) // (k - i + 1) AS li FROM o),
+        |cut AS (
+        |  SELECT *,
+        |    min(CASE WHEN li <= c THEN i END) OVER () AS istar
+        |  FROM lv),
+        |lvl AS (
+        |  SELECT *, min(CASE WHEN i = istar THEN li END) OVER () AS lvl FROM cut)
+        |SELECT source, c AS n_tokens,
+        |  CASE WHEN istar IS NULL OR i < istar THEN c ELSE lvl END AS alloc_tokens
+        |FROM lvl ORDER BY source""".stripMargin,
+
     // q30: oracle the exact distinct count; the HLL estimate is checked
     // in-query against the 5% tolerance and surfaces only as a boolean,
     // so the approximate path sits under the hash gate too.

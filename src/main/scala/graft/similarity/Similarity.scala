@@ -63,15 +63,17 @@ object Similarity {
     * optimizer barrier against projection re-inlining.
     */
   def bucketNorm(df: DataFrame, idCol: String, vecCol: String,
-                 planes: Int, dim: Int): DataFrame = {
-    val in = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+                 planes: Int, dim: Int, extra: Seq[String] = Nil): DataFrame = {
+    val in = df.select(col(idCol).as("id") +: col(vecCol).as("v") +:
+        extra.map(col): _*)
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val idType = df.schema(idCol).dataType
     val outSchema = StructType(Seq(
       StructField("bucket", LongType, nullable = false),
       StructField("id", idType),
       StructField("v", ArrayType(FloatType)),
-      StructField("nrm", DoubleType, nullable = false)))
+      StructField("nrm", DoubleType, nullable = false)) ++
+      extra.map(c => df.schema(c)))
     val pl = planesArr(planes, dim)
     implicit val enc = Encoders.row(outSchema)
     in.mapPartitions { it =>
@@ -90,7 +92,8 @@ object Similarity {
         var sq = 0.0
         var i = 0
         while (i < v.length) { sq += v(i).toDouble * v(i).toDouble; i += 1 }
-        Row(bucket, r.get(0), v, math.sqrt(sq))
+        Row.fromSeq(Seq(bucket, r.get(0), v, math.sqrt(sq)) ++
+          (2 until r.length).map(r.get))
       }
     }(enc)
   }
@@ -146,6 +149,37 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "corpus_id", "sim")
+  }
+
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the k most-similar corpus vectors with a DIFFERENT label (and a
+    * different id) — "looks like the positive but isn't" is exactly what a
+    * retrieval model needs in its denominator. Same broadcast-nested-loop +
+    * per-query top-k shape as [[bruteForceTopK]] (the query set is small;
+    * corpus scales linearly across executors); the label rides the
+    * [[bucketNorm]] kernel as a pass-through column, so no second join
+    * against the corpus to recover it.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String, k: Int,
+                    dim: Int = 64): DataFrame = {
+    val c = bucketNorm(corpus, idCol, vecCol, 0, dim, Seq(labelCol))
+      .select(col("id").as("corpus_id"), col("v").as("cv"),
+        col("nrm").as("cnorm"), col(labelCol).as("c_label"))
+    val q = bucketNorm(queries, idCol, vecCol, 0, dim, Seq(labelCol))
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnorm"), col(labelCol).as("q_label"))
+    val scored = appendCosine(
+      c.join(broadcast(q),
+        col("corpus_id") =!= col("query_id") &&
+          col("c_label") =!= col("q_label")),
+      "cv", "qv", "cnorm", "qnorm", "sim")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        col("c_label").as("neg_label"), col("sim"))
   }
 
   /** LSH-bucketed approximate top-k: queries only score corpus vectors in

@@ -52,6 +52,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
   }
 
+  test("hardNegatives excludes same-label rows and keeps cosine order") {
+    // Query 1 (label 0): its exact clone id=4 shares the label and MUST
+    // be excluded — the top negative is the next-most-similar e12
+    // (label 1), then e2 (label 1). Also pins the bucketNorm extra-column
+    // pass-through that carries the label through the kernel.
+    val df = Seq((1L, e1, 0), (2L, e12, 1), (3L, e2, 1), (4L, e1, 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(df, df.filter($"vec_id" === 1L),
+        "vec_id", "embedding", "label", 3, dim = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 3L)) // id 4 excluded
+    assert(out.map(_.getInt(3)).toSeq == Seq(1, 1))    // neg_label carried
+    assert(out.head.getDouble(4) > out(1).getDouble(4))
+  }
+
   test("ivfTopK finds a planted near-duplicate via centroid probing") {
     val mk = (seed: Int) => (0 until 64).map(i => math.sin(seed * 100 + i).toFloat)
     val rows = (1L to 40L).map(id => (id, mk(id.toInt))) :+ (99L, mk(1)) // 99 clones 1
