@@ -335,4 +335,129 @@ object GraphAlgos {
     e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
+
+  /** Strongly connected components by iterated dual min-labeling — the
+    * bulk-parallel FW-BW family (Fleischer et al. 2000; Orzan 2004's
+    * coloring; as surveyed for BSP engines by Slota et al. 2014).
+    * Directed edges in, `(node, scc)` out, scc = min node id of the
+    * component.
+    *
+    * Per outer round, over the remaining subgraph:
+    *   0. TRIM: a node with no in-edges or no out-edges can't sit on a
+    *      cycle — emit it as its own singleton SCC (one pass per round;
+    *      the outer loop re-trims, so deep acyclic fringes peel across
+    *      rounds under the same cap).
+    *   1. DUAL min-label fixpoint, BOTH directions in one frame: f(v) =
+    *      min id that can reach v (propagates along edges), g(v) = min
+    *      id v can reach (propagates against edges). One hop = one
+    *      union + keyed min aggregate carrying (f, g) together.
+    *   2. EXTRACT where f(v) = g(v) = c: c reaches v and v reaches c,
+    *      so v ∈ SCC(c) — and when it fires for c (no smaller id
+    *      upstream or downstream of c), it fires for c's WHOLE
+    *      component: members of one SCC share both reachability sets,
+    *      hence both labels. Every such class is a complete SCC, all
+    *      extracted simultaneously; survivors (f ≠ g: pinned by a
+    *      smaller id they can't reach back) wait for that id's
+    *      component to leave the graph.
+    *
+    * Scale shape: every pass is a keyed equi-join + a partial-aggregable
+    * min — no collect, no windows; state is lineage-truncated per
+    * materialization. `stride` propagation hops run per materialization
+    * (one truncated frame + ONE convergence action — labels only ever
+    * decrease, so Σf+Σg is a monotone convergence scalar): fixpoint sync
+    * barriers are driver round-trips, and at 1000 executors a barrier
+    * costs more than the ≤ stride−1 redundant post-convergence hops.
+    * Outer rounds ≤ depth of the SCC condensation DAG; inner strides
+    * are O(diameter / stride). Both caps are contracts: exhausting
+    * either throws loudly rather than returning a partial labeling.
+    */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
+                                  dstCol: String, maxOuter: Int = 20,
+                                  maxInner: Int = 60, stride: Int = 2,
+                                  checkpointDir: Option[String] = None): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    def tc(df: DataFrame): DataFrame = truncate(df, checkpointDir)
+    var e = tc(edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct())
+    var nodes = tc(e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct())
+    var nNodes = nodes.count()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // done accumulates 2 small unions per outer round — shallow enough
+    // to stay lazy until the final truncate.
+    var done = Seq.empty[(Long, Long)].toDF("node", "scc")
+    var outer = 0
+    while (nNodes > 0) {
+      if (outer >= maxOuter) throw new IllegalStateException(
+        s"stronglyConnectedComponents: $maxOuter outer rounds exhausted — " +
+          "SCC condensation deeper than the cap; raise maxOuter")
+      // 0. trim (single pass; node counts double as convergence scalars
+      // everywhere, one action per materialized frame).
+      val hasOut = e.select(col("a").as("node")).distinct()
+      val hasIn = e.select(col("b").as("node")).distinct()
+      val survivors = tc(nodes.join(hasOut.intersect(hasIn), Seq("node"), "left_semi"))
+      val nSurvivors = survivors.count()
+      if (nSurvivors < nNodes) {
+        done = done.union(nodes.join(survivors, Seq("node"), "left_anti")
+          .select(col("node"), col("node").as("scc")))
+        nodes = survivors
+        e = tc(e
+          .join(nodes.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(nodes.select(col("node").as("b")), Seq("b"), "left_semi"))
+        nNodes = nSurvivors
+      }
+      if (nNodes > 0) {
+        // 1. dual min-label fixpoint: f rides a→b, g rides b→a — over
+        // ONE direction-tagged edge list, so each hop references the
+        // label state once for messages + once for the identity carry.
+        // (Three references per hop would cube the lazy plan per stride
+        // level; two keeps the stride-deep plan ~2^stride leaves, which
+        // Catalyst handles comfortably at stride ≤ 8.)
+        val ed = tc(e.select(col("a").as("s"), col("b").as("d"), lit(true).as("fwd"))
+          .union(e.select(col("b").as("s"), col("a").as("d"), lit(false).as("fwd"))))
+        def hop(c: DataFrame): DataFrame =
+          c.select(col("node"), col("f"), col("g"))
+            .union(ed.join(c, ed("s") === c("node"))
+              .select(ed("d").as("node"),
+                when(col("fwd"), c("f")).as("f"),
+                when(!col("fwd"), c("g")).as("g")))
+            .groupBy(col("node")).agg(min(col("f")).as("f"), min(col("g")).as("g"))
+        var color = tc(nodes.select(col("node"),
+          col("node").as("f"), col("node").as("g")))
+        def scalar(c: DataFrame): Long =
+          c.agg((sum(col("f")) + sum(col("g"))).as("s")).head().getLong(0)
+        var cSum = scalar(color)
+        var inner = 0
+        var moving = true
+        while (moving) {
+          if (inner >= maxInner) throw new IllegalStateException(
+            "stronglyConnectedComponents: dual labeling still moving " +
+              s"after $maxInner strides")
+          color = tc(Iterator.iterate(color)(hop).drop(stride).next())
+          val s2 = scalar(color)
+          moving = s2 != cSum
+          cSum = s2
+          inner += 1
+        }
+        // 2. extract complete SCCs where f = g.
+        val mark = color.filter(col("f") === col("g"))
+        done = done.union(mark.select(col("node"), col("f").as("scc")))
+        nodes = tc(nodes.join(mark.select(col("node")), Seq("node"), "left_anti"))
+        e = tc(e
+          .join(nodes.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(nodes.select(col("node").as("b")), Seq("b"), "left_semi"))
+        val nLeft = nodes.count()
+        if (nLeft == nNodes) throw new IllegalStateException(
+          "stronglyConnectedComponents: no component extracted in a round — " +
+            "dual labeling converged without an f = g class (impossible on a " +
+            "finite graph; indicates an unconverged fixpoint)")
+        nNodes = nLeft
+      }
+      outer += 1
+    }
+    tc(done)
+  }
 }

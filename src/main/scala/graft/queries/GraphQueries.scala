@@ -42,6 +42,29 @@ object GraphQueries {
         .as("mentionedUsers"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Strongly connected components (directed — mutual reachability, vs
+    // q76/q82's undirected CC): who is in a reply CYCLE with whom, not
+    // just the same thread. Fixture: two 6-node rings (one SCC each)
+    // chained by one-way cross edges, plus pure-sink nodes — the trim
+    // phase must kill the sinks as singletons, the dual-label rounds
+    // must peel the rings one condensation layer at a time (wall time is
+    // fixpoint round count at tiny data, like q82). The oracle is the
+    // mutual-reachability definition itself (transitive closure both
+    // ways), independent of the engine's algorithm.
+    "q152_scc" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val v = (col("user_id") % 12).cast("long")
+      val ring = ev.select(v.as("a"), ((v - v % 6) + ((v + 1) % 6)).as("b"))
+      val cross = ev.filter(col("event_id") % 3 === 0)
+        .select(v.as("a"), (v + 6).as("b")).filter(col("a") < 6)
+      val sink = ev.filter(col("event_id") % 7 === 0)
+        .select(v.as("a"), (lit(12L) + v % 4).as("b"))
+      GraphAlgos.stronglyConnectedComponents(
+          ring.unionAll(cross).unionAll(sink), "a", "b")
+        .groupBy(col("scc"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("sum_nodes"))
+        .orderBy(col("scc"))
+    }),
     // Node tables: MERGE-on-key dedup across three sources.
     "q51_graph_vertices" -> ((s, dir) => {
       GraphBuilder.vertices(posts(s, dir), comments(s, dir), tweets(s, dir))
@@ -433,6 +456,33 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // SCC from first principles: closure r both ways, scc(v) = least
+    // mutual partner (mut includes v itself whenever v sits on a cycle;
+    // nodes on no cycle fall back to themselves via the left join).
+    "q152_scc" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id % 12 AS v, event_id FROM events),
+        |eg AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT v AS a, (v - v % 6) + ((v + 1) % 6) AS b FROM base
+        |    UNION ALL
+        |    SELECT v, v + 6 FROM base WHERE event_id % 3 = 0 AND v < 6
+        |    UNION ALL
+        |    SELECT v, 12 + v % 4 FROM base WHERE event_id % 7 = 0)
+        |  WHERE a <> b),
+        |nd AS (SELECT DISTINCT a AS node FROM eg UNION SELECT b FROM eg),
+        |r AS (
+        |  SELECT a, b FROM eg
+        |  UNION
+        |  SELECT r.a, eg.b FROM r JOIN eg ON eg.a = r.b),
+        |mut AS (
+        |  SELECT r1.a AS v, r1.b AS w
+        |  FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a),
+        |lab AS (
+        |  SELECT nd.node, least(nd.node, coalesce(min(mut.w), nd.node)) AS scc
+        |  FROM nd LEFT JOIN mut ON mut.v = nd.node GROUP BY nd.node)
+        |SELECT scc, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS sum_nodes
+        |FROM lab GROUP BY scc ORDER BY scc""".stripMargin,
     "q82_cc_logn" -> ccOracle,
 
     "q112_label_prop" -> lpaOracle(3),

@@ -217,4 +217,46 @@ class GraphAlgosSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L))
   }
+
+  // ------------------------------------------------------------------ scc
+
+  test("scc: cycles collapse, DAG links and tails stay singletons") {
+    // 2-cycle {1,2} → chain 3→4 → 3-cycle {5,6,7}; direction matters:
+    // the 1↔2 and 5→6→7→5 cycles are SCCs, 3 and 4 are singletons even
+    // though they are weakly connected to everything.
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 5L)).toDF("src", "dst")
+    val out = GraphAlgos.stronglyConnectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("scc: two cycles sharing a node are ONE component; duplicates/self-loops ignored") {
+    // figure-eight at node 2: 1→2→1 and 2→3→2 are mutually reachable
+    // through 2, so {1,2,3} is a single SCC — the coloring's backward
+    // phase must not stop at the first cycle.
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (1L, 2L), (3L, 3L), (4L, 4L)).toDF("src", "dst")
+    val out = GraphAlgos.stronglyConnectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    // 4's only edge is a self-loop (dropped) — it never enters the node
+    // set; figure-eight collapses to min id 1.
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("scc: outer-round cap throws loudly instead of returning partial labels") {
+    // 3 rings chained one-way: condensation depth 3 > maxOuter 2.
+    def ring(base: Long) =
+      (0L until 3L).map(i => (base + i, base + (i + 1) % 3))
+    val edges = (ring(0) ++ ring(10) ++ ring(20) ++
+      Seq((0L, 10L), (10L, 20L))).toDF("src", "dst")
+    assertThrows[IllegalStateException] {
+      GraphAlgos.stronglyConnectedComponents(edges, "src", "dst", maxOuter = 2)
+    }
+    val ok = GraphAlgos.stronglyConnectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(ok == (ring(0) ++ ring(10) ++ ring(20)).map(_._1)
+      .map(n => n -> (n / 10 * 10)).toMap)
+  }
 }
