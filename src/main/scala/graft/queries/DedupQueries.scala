@@ -363,6 +363,34 @@ object DedupQueries {
         .select(col("n_probe").cast("long").as("n_probe"), col("n_hits"),
           col("monotone_ok"))
         .orderBy(col("n_probe"))
+    }),
+
+    // Label-coherence audit: per label, every member's cosine to the
+    // label centroid — the mislabel/outlier sweep before contrastive
+    // training. Integer-milli vectors and centroids end to end (the
+    // centroid is a truncating integer mean, bounded whatever the label
+    // size), so the only doubles are the final sqrt/divide — exact on
+    // any engine. One (label, dim) partial agg + a broadcast centroid
+    // join; no pairwise anything.
+    "q153_label_coherence" -> ((s, dir) => {
+      Similarity.labelCoherence(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", lowTau = 0.1)
+        .orderBy(col("label"))
+    }),
+
+    // Multi-probe sign-LSH recall curve (Lv et al. 2007): recall
+    // recovered by probing Hamming-1 neighbor buckets instead of adding
+    // hash tables — the corpus hashes ONCE, extra cost is per-query
+    // only. Candidate sets are nested in n_probe, so the curve is
+    // structurally monotone; still gated, with the oracle replaying
+    // both retrieval paths at each probe level.
+    "q154_multiprobe_recall" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.multiProbeRecallCurve(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nProbes = Seq(1, 3), planes = 6)
+        .select(col("n_probe").cast("long").as("n_probe"), col("n_hits"),
+          col("monotone_ok"))
+        .orderBy(col("n_probe"))
     }))
 
   // ---------------------------------------------------------------- oracles
@@ -833,6 +861,83 @@ object DedupQueries {
          |  FROM scored)
          |SELECT query_id, rank, corpus_id, cl AS neg_label, sim
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Integer-milli vectors, truncating-mean centroid ( // ≡ Spark div:
+    // both truncate toward zero, verified on negatives), IEEE sqrt/div
+    // last.
+    "q153_label_coherence" ->
+      """WITH d AS (
+        |  SELECT vec_id AS id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS du
+        |  FROM embeddings),
+        |comp AS (
+        |  SELECT label, i, CAST(sum(du[i]) AS BIGINT) AS su,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM d, LATERAL (SELECT unnest(range(1, 65)) AS i) r
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label, list(su // n ORDER BY i) AS cu FROM comp GROUP BY label),
+        |scored AS (
+        |  SELECT d.label,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 65), i -> du[i] * cu[i])),
+        |      (acc, x) -> acc + x) AS dot,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 65), i -> du[i] * du[i])),
+        |      (acc, x) -> acc + x) AS nd,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 65), i -> cu[i] * cu[i])),
+        |      (acc, x) -> acc + x) AS nc
+        |  FROM d JOIN cent USING (label)),
+        |cosd AS (
+        |  SELECT label,
+        |    CASE WHEN nd = 0 OR nc = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) /
+        |           (sqrt(CAST(nd AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) END AS cos
+        |  FROM scored)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN cos < 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  min(cos) AS min_cos, max(cos) AS max_cos
+        |FROM cosd GROUP BY label ORDER BY label""".stripMargin,
+
+    "q154_multiprobe_recall" -> {
+      def level(p: Int): String = {
+        val probeSet = (Seq("q.qb") ++ (0 until p - 1).map(i =>
+          s"xor(q.qb, CAST(${1L << i} AS BIGINT))")).mkString(", ")
+        s"""SELECT $p AS n_probe, CAST(count(*) AS BIGINT) AS n_hits
+           |FROM (
+           |  SELECT query_id, corpus_id FROM (
+           |    SELECT q.query_id, c.corpus_id,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY ${cosineSql("c.cv", "q.qv")} DESC, c.corpus_id) AS rn
+           |    FROM c JOIN q
+           |      ON c.bucket IN ($probeSet) AND c.corpus_id <> q.query_id)
+           |  WHERE rn <= 5) a
+           |JOIN exact USING (query_id, corpus_id)""".stripMargin
+      }
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding", 6)} AS bucket
+         |  FROM embeddings),
+         |c AS (SELECT bucket, vec_id AS corpus_id, embedding AS cv FROM b),
+         |q AS (SELECT bucket AS qb, vec_id AS query_id, embedding AS qv
+         |      FROM b WHERE vec_id < 20),
+         |exact AS MATERIALIZED (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT q.query_id, c2.vec_id AS corpus_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosineSql("c2.embedding", "q.qv")} DESC, c2.vec_id) AS rn
+         |    FROM embeddings c2 CROSS JOIN q WHERE c2.vec_id <> q.query_id)
+         |  WHERE rn <= 5),
+         |lvl AS (
+         |${level(1)}
+         |UNION ALL
+         |${level(3)})
+         |SELECT CAST(n_probe AS BIGINT) AS n_probe, n_hits,
+         |  coalesce(n_hits >= max(n_hits) OVER (ORDER BY n_probe
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), true) AS monotone_ok
+         |FROM lvl ORDER BY n_probe""".stripMargin
+    },
 
     "q151_softdedup_weights" ->
       s"""WITH RECURSIVE $zipfCorpusCte,

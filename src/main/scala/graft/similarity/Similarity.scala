@@ -182,6 +182,113 @@ object Similarity {
         col("c_label").as("neg_label"), col("sim"))
   }
 
+  /** Label-coherence audit over an embedding corpus — the mislabel /
+    * outlier sweep before contrastive training: per label, every
+    * member's cosine to the label CENTROID, rolled up as min/max and an
+    * outlier count under `lowTau`. Exact and engine-portable: vectors
+    * and centroids live in integer millis (round(x·1000)), the centroid
+    * is the per-dimension integer mean (truncating division — bounded
+    * regardless of label size, so the norm arithmetic can never
+    * overflow), and the only doubles are the final sqrt/divide, computed
+    * from identical integers on any engine. Scale shape: one
+    * partial-aggregable (label, dim) sum + a broadcast-sized centroid
+    * table joined back — no pairwise anything.
+    */
+  def labelCoherence(df: DataFrame, idCol: String, vecCol: String,
+                     labelCol: String, lowTau: Double = 0.1): DataFrame = {
+    val milli = transform(col(vecCol), x =>
+      round(x.cast("double") * 1000).cast("long"))
+    val docs = df.select(col(idCol).as("id"), col(labelCol).as("label"),
+      milli.as("du"))
+    val cent = docs.select(col("label"), posexplode(col("du")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("su"), count(lit(1)).as("n"))
+      // Truncating integer division on BOTH engines (Spark `div` ≡
+      // DuckDB integer `//`, both toward zero — verified on negatives,
+      // which per-dimension sums do hit).
+      .withColumn("cu", expr("su div n"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cu")))).as("pc"))
+      .select(col("label"), transform(col("pc"), s => s.getField("cu")).as("cu"))
+    val joined = docs.join(broadcast(cent), Seq("label"))
+    val dot = aggregate(zip_with(col("du"), col("cu"), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val nd = aggregate(zip_with(col("du"), col("du"), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val nc = aggregate(zip_with(col("cu"), col("cu"), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val cos = when(nd === 0L || nc === 0L, lit(0.0))
+      .otherwise(dot.cast("double") /
+        (sqrt(nd.cast("double")) * sqrt(nc.cast("double"))))
+    joined.withColumn("cos", cos)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("cos") < lowTau, 1L).otherwise(0L)).as("n_low"),
+        min(col("cos")).as("min_cos"),
+        max(col("cos")).as("max_cos"))
+  }
+
+  /** Multi-probe sign-LSH top-k (Lv et al. 2007, deterministic probe
+    * order): each query scores its own bucket PLUS the buckets at
+    * Hamming distance 1 on planes 0..nProbe−2 — recall recovered not by
+    * adding tables/planes but by probing near buckets, so the corpus is
+    * hashed ONCE and the extra cost is per-query. Candidate sets are
+    * nested in nProbe by construction, which is what makes the recall
+    * curve structurally monotone.
+    */
+  def multiProbeTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     planes: Int = 6, nProbe: Int = 1,
+                     dim: Int = 64): DataFrame = {
+    require(nProbe >= 1 && nProbe <= planes + 1,
+      s"nProbe must be in [1, planes + 1 = ${planes + 1}]")
+    val c = bucketNorm(corpus, idCol, vecCol, planes, dim)
+      .select(col("bucket"), col("id").as("corpus_id"),
+        col("v").as("cv"), col("nrm").as("cnorm"))
+    val q0 = bucketNorm(queries, idCol, vecCol, planes, dim)
+      .select(col("bucket").as("qb"), col("id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qnorm"))
+    val probes = (0 until nProbe).map { i =>
+      if (i == 0) col("qb")
+      else col("qb").bitwiseXOR(lit(1L << (i - 1)))
+    }
+    val q = q0.withColumn("bucket", explode(array(probes: _*)))
+    val scored = appendCosine(
+      c.join(q, Seq("bucket")).filter(col("corpus_id") =!= col("query_id")),
+      "cv", "qv", "cnorm", "qnorm", "sim")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "sim")
+  }
+
+  /** Recall@k of [[multiProbeTopK]] against the brute-force ground
+    * truth, per probe count — the probes-vs-recall tuning curve (the
+    * sign-LSH twin of [[ivfRecallCurve]]). Monotonicity is structural
+    * (nested candidate sets) and still gated.
+    */
+  def multiProbeRecallCurve(corpus: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String, k: Int,
+                            nProbes: Seq[Int], planes: Int = 6,
+                            dim: Int = 64): DataFrame = {
+    require(nProbes.nonEmpty && nProbes == nProbes.sorted && nProbes.distinct == nProbes,
+      "nProbes must be distinct and ascending")
+    val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k, dim)
+      .select(col("query_id"), col("corpus_id")).localCheckpoint()
+    val perProbe = nProbes.map { p =>
+      multiProbeTopK(corpus, queries, idCol, vecCol, k, planes, p, dim)
+        .select(col("query_id"), col("corpus_id"))
+        .join(exact, Seq("query_id", "corpus_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(p).as("n_probe"), col("n_hits"))
+    }.reduce(_.unionByName(_))
+    val w = Window.orderBy(col("n_probe"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perProbe.withColumn("monotone_ok",
+      coalesce(col("n_hits") >= max(col("n_hits")).over(w), lit(true)))
+  }
+
   /** LSH-bucketed approximate top-k: queries only score corpus vectors in
     * their own sign-bucket. Trades recall for a |corpus|/2^planes candidate
     * set — the 100 TB path (bucket join = hash shuffle, no broadcast of the

@@ -67,6 +67,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.head.getDouble(4) > out(1).getDouble(4))
   }
 
+  test("labelCoherence flags a planted wrong-label vector, integer-exact") {
+    // Label 0 = three copies of e1 plus one planted e2 (orthogonal to
+    // the centroid direction): the clone cosines are ~1, the outlier's
+    // is ~0 < 0.5 → exactly one n_low. Label 1 is internally coherent.
+    val df = Seq((1L, e1, 0), (2L, e1, 0), (3L, e1, 0), (4L, e2, 0),
+      (5L, e12, 1), (6L, e12, 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCoherence(df, "vec_id", "embedding", "label",
+        lowTau = 0.5)
+      .orderBy("label").collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0, 4L, 1L), (1, 2L, 0L)))
+    assert(out(0).getDouble(3) < 0.5 && out(0).getDouble(4) > 0.9)
+    assert(out(1).getDouble(3) > 0.99) // exact clones of one vector
+  }
+
+  test("multiProbeRecallCurve: nested candidate sets, monotone hits") {
+    val mk = (seed: Int) => (0 until 64).map(i => math.sin(seed * 31 + i * 0.9).toFloat)
+    val df = ((1L to 60L).map(id => (id, mk(id.toInt))) :+ (99L, mk(1)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.multiProbeRecallCurve(df, df.filter($"vec_id" <= 8L),
+        "vec_id", "embedding", k = 3, nProbes = Seq(1, 2, 4), planes = 5)
+      .orderBy("n_probe").collect()
+    val hits = out.map(_.getLong(1))
+    assert(hits.sliding(2).forall(p => p(0) <= p(1))) // nested probes
+    assert(out.forall(_.getBoolean(2)))               // gated monotone flag
+  }
+
   test("ivfTopK finds a planted near-duplicate via centroid probing") {
     val mk = (seed: Int) => (0 until 64).map(i => math.sin(seed * 100 + i).toFloat)
     val rows = (1L to 40L).map(id => (id, mk(id.toInt))) :+ (99L, mk(1)) // 99 clones 1
