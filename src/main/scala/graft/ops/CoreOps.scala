@@ -523,4 +523,41 @@ object CoreOps {
     val secs = unix_timestamp(ts)
     secs - pmod(secs, lit(widthSeconds))
   }
+
+  /** Token-budget waterfilling across domains — the data-mixture
+    * allocator: give every key its fair share of a
+    * `total · budgetNum / budgetDen` budget, capped at what it has
+    * (small domains keep everything; the surplus waterfalls to the rest
+    * at one common level L with Σ min(cᵢ, L) ≤ B). Integer arithmetic
+    * end to end (truncating division, mirrored by any SQL engine), so
+    * the result is exact and portable.
+    *
+    * In: one row per key with its count. Out: (key, c, alloc). Scale
+    * shape: the input is already one row per DOMAIN (the data-sized
+    * count pass happens upstream as a partial agg); the waterfill runs
+    * over k domain rows in a single-partition window — a driver-sized
+    * frame, deliberately NOT distributed. The cutoff row is the first
+    * (ascending by count) whose candidate level `(B − prefix) div
+    * slots-left` fits under its own count; rows below keep everything,
+    * rows at and above get the cutoff level.
+    */
+  def waterfill(counts: DataFrame, keyCol: String, countCol: String,
+                budgetNum: Long = 1L, budgetDen: Long = 2L): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0, "budget fraction must be positive")
+    val ord = Window.orderBy(col("c"), col("k"))
+    val whole = Window.partitionBy()
+    counts.select(col(keyCol).as("k"), col(countCol).cast(LongType).as("c"))
+      .withColumn("i", row_number().over(ord).cast(LongType))
+      .withColumn("kk", count(lit(1)).over(whole))
+      .withColumn("pre", sum(col("c")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("b", expr(s"(sum(c) over () * $budgetNum) div $budgetDen"))
+      .withColumn("li", expr("(b - (pre - c)) div (kk - i + 1)"))
+      .withColumn("istar", min(when(col("li") <= col("c"), col("i"))).over(whole))
+      .withColumn("lvl", min(when(col("i") === col("istar"), col("li"))).over(whole))
+      .withColumn("alloc",
+        when(col("istar").isNull || col("i") < col("istar"), col("c"))
+          .otherwise(col("lvl")))
+      .select(col("k").as(keyCol), col("c"), col("alloc"))
+  }
 }

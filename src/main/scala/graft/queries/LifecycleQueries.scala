@@ -25,6 +25,46 @@ object LifecycleQueries {
       round(col("value") * 100, 0).cast("long").as("value_cents"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Change-data-feed between two MANIFEST VERSIONS: v1 = the customer
+    // snapshot, v2 = a full MERGE result (updates %3, deletes %7,
+    // inserts %11) published as a REWRITE under its own data dir — the
+    // manifest records absolute file lists, so versions can point at
+    // different rewrites and both stay readable (immutable files +
+    // immutable version dirs). CDF = time-travel both versions + keyed
+    // full-outer diff: exactly Delta's table_changes, over plain
+    // directories. The oracle derives added/removed/changed straight
+    // from the key arithmetic.
+    "q156_cdf" -> ((s, dir) => {
+      import graft.sources.DataSkipping
+      val base = Tables.load(s, dir, "customer").select(
+        col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"))
+      val changes =
+        base.filter(col("k") % 3 === 0 && col("k") % 7 =!= 0)
+          .withColumn("bal_cents", col("bal_cents") + 100)
+          .withColumn("del", lit(false))
+        .unionByName(base.filter(col("k") % 7 === 0)
+          .withColumn("del", lit(true)))
+        .unionByName(base.filter(col("k") % 11 === 0)
+          .withColumn("k", col("k") + 10000000L)
+          .withColumn("del", lit(false)))
+      val merged = Compaction.merge(base, changes, Seq("k"),
+        deleteCol = Some("del"))
+      val d1 = Files.createTempDirectory("graft_cdf_v1_").toString
+      val d2 = Files.createTempDirectory("graft_cdf_v2_").toString
+      val mdir = d1 + "_manifest"
+      base.write.mode("overwrite").parquet(d1)
+      val v1 = DataSkipping.publishManifest(s, d1, mdir, "k")
+      merged.write.mode("overwrite").parquet(d2)
+      val v2 = DataSkipping.publishManifest(s, d2, mdir, "k")
+      Compaction.tableDiff(
+          DataSkipping.readTableAsOf(s, mdir, v1),
+          DataSkipping.readTableAsOf(s, mdir, v2),
+          Seq("k"), Seq("seg", "bal_cents"))
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("change"))
+    }),
     // Snapshot reconciliation: the row-level diff a compaction/backfill
     // job runs before swapping a snapshot in — removals (%5), additions
     // (the 3000-3100 band), value changes (%7), everything else silent.
@@ -260,6 +300,21 @@ object LifecycleQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // CDF classes from the change-set arithmetic: %7 keys vanish
+    // (removed), %3∧¬%7 keys get +100 balance (changed), %11 keys
+    // reappear shifted (added). An update to an identical value would
+    // not be a change — +100 always differs, so every class is exact.
+    "q156_cdf" ->
+      """WITH base AS (SELECT c_custkey AS k FROM customer),
+        |cls AS (
+        |  SELECT k, CASE WHEN k % 7 = 0 THEN 'removed'
+        |                 WHEN k % 3 = 0 THEN 'changed' END AS change
+        |  FROM base
+        |  UNION ALL
+        |  SELECT k + 10000000, 'added' FROM base WHERE k % 11 = 0)
+        |SELECT change, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM cls WHERE change IS NOT NULL
+        |GROUP BY change ORDER BY change""".stripMargin,
     "q136_schema_evolution" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,

@@ -66,30 +66,36 @@ object TextQueries {
     // hundreds at worst) in a single-partition window — a driver-sized
     // frame, deliberately NOT distributed.
     "q150_token_waterfill" -> ((s, dir) => {
-      val W = org.apache.spark.sql.expressions.Window
       val counts = Tables.load(s, dir, "documents")
         .filter(length(col("text")) > 0)
         .groupBy(col("source"))
         .agg(sum(size(split(col("text"), " ")).cast("long")).as("c"))
-      val ord = W.orderBy(col("c"), col("source"))
-      val whole = W.partitionBy()
-      val o = counts
-        .withColumn("i", row_number().over(ord).cast("long"))
-        .withColumn("k", count(lit(1)).over(whole))
-        .withColumn("pre", sum(col("c")).over(
-          ord.rowsBetween(W.unboundedPreceding, W.currentRow)))
-        .withColumn("b", expr("sum(c) over () div 2"))
-        // Candidate common level if the cutoff were at row i: remaining
-        // budget spread over this row and everything above it.
-        .withColumn("li", expr("(b - (pre - c)) div (k - i + 1)"))
-        // First row whose candidate level fits under its own count = the
-        // true cutoff; rows below keep all their tokens.
-        .withColumn("istar", min(when(col("li") <= col("c"), col("i"))).over(whole))
-        .withColumn("lvl", min(when(col("i") === col("istar"), col("li"))).over(whole))
-      o.withColumn("alloc",
-          when(col("istar").isNull || col("i") < col("istar"), col("c"))
-            .otherwise(col("lvl")))
+      CoreOps.waterfill(counts, "source", "c")
         .select(col("source"), col("c").as("n_tokens"), col("alloc").as("alloc_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // Budget-REALIZED epoch composition: close the loop from q150's
+    // allocation to an actual epoch — each domain's keep-rate is its
+    // alloc/c in basis points, applied per doc via the portable hash
+    // (the q137 machinery), so the materialized epoch's token mass per
+    // domain ≈ the waterfill's allocation. Scale shape: one partial-agg
+    // count pass, a driver-sized waterfill, a BROADCAST rate join, and
+    // a scan-local hash filter — no shuffle of the corpus at all.
+    "q155_epoch_compose" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+      val counts = docs.groupBy(col("source")).agg(sum(col("toks")).as("c"))
+      val rate = CoreOps.waterfill(counts, "source", "c")
+        .withColumn("rate_bp", expr("(alloc * 10000) div c"))
+      docs.join(broadcast(rate), Seq("source"))
+        .filter(pmod(Dedup.charHash(col("doc_id").cast("string")),
+          lit(10000L)) < col("rate_bp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("kept_tokens"),
+          min(col("alloc")).as("alloc_tokens"))
         .orderBy(col("source"))
     }),
 
@@ -509,6 +515,34 @@ object TextQueries {
   private val neg = sqlList(negative)
   private val stops = sqlList(stopwords)
 
+  /** CoreOps.waterfill over per-source token counts as DuckDB CTEs
+    * (ends at `wf(source, c, alloc)`); shared by q150/q155.
+    */
+  private val waterfillCtes: String =
+    """counts AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c
+      |  FROM documents WHERE length(text) > 0 GROUP BY source),
+      |o AS (
+      |  SELECT source, c,
+      |    CAST(row_number() OVER (ORDER BY c, source) AS BIGINT) AS i,
+      |    CAST(count(*) OVER () AS BIGINT) AS kk,
+      |    CAST(sum(c) OVER (ORDER BY c, source
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre,
+      |    CAST(sum(c) OVER () AS BIGINT) // 2 AS b
+      |  FROM counts),
+      |lv AS (
+      |  SELECT *, (b - (pre - c)) // (kk - i + 1) AS li FROM o),
+      |cut AS (
+      |  SELECT *,
+      |    min(CASE WHEN li <= c THEN i END) OVER () AS istar
+      |  FROM lv),
+      |lvl AS (
+      |  SELECT *, min(CASE WHEN i = istar THEN li END) OVER () AS lvl FROM cut),
+      |wf AS (
+      |  SELECT source, c,
+      |    CASE WHEN istar IS NULL OR i < istar THEN c ELSE lvl END AS alloc
+      |  FROM lvl)""".stripMargin
+
   private def chSqlOf(s: String) =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))),
@@ -555,31 +589,29 @@ object TextQueries {
          |  CAST(sum(pos * doc_id) AS BIGINT) AS perm_sig
          |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
 
-    // Same waterfill arithmetic: integer //, cutoff = first row whose
-    // candidate level fits under its own count.
+    // Same waterfill arithmetic: integer division (// ≡ Spark div),
+    // cutoff = first row whose candidate level fits under its own count.
     "q150_token_waterfill" ->
-      """WITH counts AS (
-        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c
-        |  FROM documents WHERE length(text) > 0 GROUP BY source),
-        |o AS (
-        |  SELECT source, c,
-        |    CAST(row_number() OVER (ORDER BY c, source) AS BIGINT) AS i,
-        |    CAST(count(*) OVER () AS BIGINT) AS k,
-        |    CAST(sum(c) OVER (ORDER BY c, source
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre,
-        |    CAST(sum(c) OVER () AS BIGINT) // 2 AS b
-        |  FROM counts),
-        |lv AS (
-        |  SELECT *, (b - (pre - c)) // (k - i + 1) AS li FROM o),
-        |cut AS (
-        |  SELECT *,
-        |    min(CASE WHEN li <= c THEN i END) OVER () AS istar
-        |  FROM lv),
-        |lvl AS (
-        |  SELECT *, min(CASE WHEN i = istar THEN li END) OVER () AS lvl FROM cut)
-        |SELECT source, c AS n_tokens,
-        |  CASE WHEN istar IS NULL OR i < istar THEN c ELSE lvl END AS alloc_tokens
-        |FROM lvl ORDER BY source""".stripMargin,
+      s"""WITH $waterfillCtes
+         |SELECT source, c AS n_tokens, alloc AS alloc_tokens
+         |FROM wf ORDER BY source""".stripMargin,
+
+    // The waterfill chain + the q137-style hash keep-rate, replayed.
+    "q155_epoch_compose" ->
+      s"""WITH $waterfillCtes,
+         |rate AS (SELECT source, c, alloc, (alloc * 10000) // c AS rate_bp FROM wf),
+         |d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents WHERE length(text) > 0),
+         |kept AS (
+         |  SELECT d.doc_id, d.source, d.toks, r.alloc
+         |  FROM d JOIN rate r USING (source)
+         |  WHERE ${chSqlOf("CAST(doc_id AS VARCHAR)")} % 10000 < r.rate_bp)
+         |SELECT source, count(*) AS n_kept,
+         |  CAST(sum(toks) AS BIGINT) AS kept_tokens,
+         |  CAST(min(alloc) AS BIGINT) AS alloc_tokens
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
 
     // q30: oracle the exact distinct count; the HLL estimate is checked
     // in-query against the 5% tolerance and surfaces only as a boolean,

@@ -308,4 +308,22 @@ class CoreOpsSpec extends AnyFunSuite {
       .select($"id").as[Long].collect().toSet
     assert(!clamped.contains(1L) && clamped.contains(2L))
   }
+
+  test("waterfill: small domains keep all, cutoff level fills the budget exactly") {
+    // counts 10/20/70, budget = 100/2 = 50: a keeps its 10, the level
+    // settles at (50-10)/2 = 20 → allocs 10/20/20, Σ = 50 = B exactly.
+    val counts = Seq(("a", 10L), ("b", 20L), ("c", 70L)).toDF("source", "c")
+    val out = CoreOps.waterfill(counts, "source", "c")
+      .as[(String, Long, Long)].collect()
+      .map { case (k, c, a) => k -> (c, a) }.toMap
+    assert(out == Map("a" -> (10L, 10L), "b" -> (20L, 20L), "c" -> (70L, 20L)))
+  }
+
+  test("waterfill: budget >= total means everyone keeps everything") {
+    val counts = Seq(("a", 5L), ("b", 5L)).toDF("source", "c")
+    val out = CoreOps.waterfill(counts, "source", "c",
+        budgetNum = 2L, budgetDen = 1L)
+      .select($"alloc").as[Long].collect().toSeq
+    assert(out == Seq(5L, 5L))
+  }
 }
