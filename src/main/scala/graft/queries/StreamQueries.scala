@@ -321,6 +321,45 @@ object StreamQueries {
       ss.table(sink).orderBy(col("n_name"))
     }),
 
+    // §2.10 + decontamination composed: streaming LEFT ANTI join against
+    // a STATIC standing-corpus fingerprint table — the stream-side twin
+    // of q109/q140's incremental dedup (tonight's drop checked against
+    // the benchmark/history set as it LANDS, not in a later batch job).
+    // The anti join is per-row and stateless (the static side broadcasts
+    // to every micro-batch), so the result is batch-split-invariant by
+    // construction. Survivors roll up complete-mode per type.
+    "q157_stream_decontam" -> ((s, dir) => {
+      val ss = streamSession(s)
+      val src = parquetLanding("events_uid_pq", dir,
+        Tables.load(s, dir, "events").select(
+          col("event_id"), col("user_id"),
+          round(col("value") * 100, 0).cast("long").as("value_cents")),
+        2, "event_id")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("value_cents", LongType)))
+      val stream = SocialStream
+        .readParquetStream(ss, src, schema, maxFilesPerTrigger = 1)
+      // Standing contamination set: every 5th event id is "already in
+      // the benchmark" (a real deployment loads this from the history
+      // store; the fingerprint is the key, no payload crosses).
+      val contaminated = Tables.load(ss, dir, "events")
+        .filter(col("event_id") % 5 === 0)
+        .select(col("event_id"))
+      val clean = stream.join(broadcast(contaminated), Seq("event_id"), "left_anti")
+      val agg = clean
+        .withColumn("bucket", col("user_id") % 10)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
+      val sink = uniq("q157_sink_")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      q.stop()
+      ss.table(sink).orderBy(col("bucket"))
+    }),
+
     // Schema-drift quarantine ON THE STREAM: the landing writer drops a
     // malformed line for every event_id % 13 = 0 (truncated upload);
     // PERMISSIVE streaming JSON keeps the pipeline alive and routes the
@@ -490,6 +529,13 @@ object StreamQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // The anti join restated: survivors are exactly the non-%5 ids.
+    "q157_stream_decontam" ->
+      """SELECT user_id % 10 AS bucket, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE event_id % 5 <> 0
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "q118_stream_static" ->
       """SELECT n_name, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
