@@ -22,9 +22,17 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
+    // A query that THROWS must not masquerade as a fast query: a crashed
+    // plan exits in milliseconds and reads as a 30x "speedup" in one run
+    // and a 30x "regression" in the next (seen live: a Derby race made
+    // q72's median 0.053 s for a whole bench run). Failures are tracked
+    // by name and published in the JSON + BENCH_DELTA so a red query can
+    // never hide inside a green-looking total.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => failed += name }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // SPARK_GRAFT_BENCH_PASSES overrides for exploratory runs (e.g. the
@@ -47,7 +55,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
-    val detailed = s"""{"metric":"total","value":${ms(total)},"unit":"sec","wall":${ms(wallSec)},"passes":$nPasses,"stat":"median","queries":$qs,"sf":"$sfName"}"""
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val detailed = s"""{"metric":"total","value":${ms(total)},"unit":"sec","wall":${ms(wallSec)},"passes":$nPasses,"stat":"median","errors":$errs,"queries":$qs,"sf":"$sfName"}"""
     val short = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{"all":${ms(total)}},"sf":"$sfName"}"""
     // The sf0.1 run is the driver contract and owns BENCH_LOCAL.json /
     // BENCH_DELTA.md; exploratory runs at other SFs write suffixed files
@@ -66,6 +75,8 @@ object Bench {
         val common = results.keys.filter(prev.contains).toSeq.sorted
         val lines = new StringBuilder
         lines ++= s"# BENCH_DELTA — this run vs previous BENCH_LOCAL.json ($sfName)\n\n"
+        if (failed.nonEmpty)
+          lines ++= s"**FAILED queries (timings meaningless): ${failed.mkString(", ")}**\n\n"
         val prevCommon = common.map(prev).sum
         val curCommon = common.map(results).sum
         lines ++= f"Common-query total: ${curCommon}%.1f s vs ${prevCommon}%.1f s " +

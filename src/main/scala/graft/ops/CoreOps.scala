@@ -544,6 +544,9 @@ object CoreOps {
   def waterfill(counts: DataFrame, keyCol: String, countCol: String,
                 budgetNum: Long = 1L, budgetDen: Long = 2L): DataFrame = {
     require(budgetNum > 0 && budgetDen > 0, "budget fraction must be positive")
+    require(keyCol != "c" && keyCol != "alloc",
+      s"waterfill emits columns (${keyCol}, c, alloc); a key named c/alloc " +
+        "would collide — rename it first")
     val ord = Window.orderBy(col("c"), col("k"))
     val whole = Window.partitionBy()
     counts.select(col(keyCol).as("k"), col(countCol).cast(LongType).as("c"))
