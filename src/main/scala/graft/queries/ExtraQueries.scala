@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -164,6 +164,63 @@ object ExtraQueries {
           ((col("cms_est") - col("exact_n")) * lit(width.toLong) <=
             col("total") * lit(16L)).as("slack_ok"))
         .orderBy(col("event_type"), col("probe_key"))
+    }),
+
+    // KMV (bottom-k theta) sketch SET OPERATIONS under the hard gate:
+    // distinct-cardinality estimates for A = parts ever in a returned
+    // lineitem, B = parts in a non-returned one, and |A∪B| / |A∩B| by
+    // sketch algebra — the question HLL cannot answer (HLL unions but
+    // never intersects). The sketches aggregate RAW lineitem rows in one
+    // pass (duplicate hashes collapse in-buffer; no pre-distinct, the
+    // shuffle carries ≤ k longs per side), while the exact counts — the
+    // gate's ground truth — take the one key-shuffle that exactness
+    // fundamentally needs. Both estimate and exact are integer end to
+    // end, so the ESTIMATES are hash-gated exactly (the oracle replays
+    // bottom-k of the same portable hash), and the estimator QUALITY is
+    // gated by ±25% booleans (k=256 → SE ≈ 6.3%, so 25% ≈ 4σ; in the
+    // sub-k regime the sketch is the set and the estimate is exact).
+    "q158_kmv_setops" -> ((s, dir) => {
+      import graft.functions.KmvAgg
+      val k = 256
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("R", "N"))
+        .select(col("l_partkey"), col("l_returnflag"),
+          graft.dedup.Dedup.charHash(
+            concat(col("l_partkey").cast("string"), lit("#kmv"))).as("h"))
+      val sketches = li.agg(
+        KmvAgg.kmv(k)(when(col("l_returnflag") === "R", col("h"))
+          .otherwise(lit(-1L))).as("ka"),
+        KmvAgg.kmv(k)(when(col("l_returnflag") === "N", col("h"))
+          .otherwise(lit(-1L))).as("kb"))
+      val exact = li.groupBy(col("l_partkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("in_a"),
+          max(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("in_b"))
+        .agg(sum(col("in_a")).as("exact_a"), sum(col("in_b")).as("exact_b"),
+          count(lit(1)).as("exact_union"),
+          sum(col("in_a") * col("in_b")).as("exact_int"))
+      def idiv(a: Column, b: Column) =
+        call_function("div", a.cast("long"), b.cast("long"))
+      val merged = array_sort(array_union(col("ka"), col("kb")))
+      val est = sketches
+        .withColumn("mg", merged)
+        .withColumn("mk", slice(col("mg"), 1, k))
+        .withColumn("est_a", KmvAgg.estimate(k, col("ka")))
+        .withColumn("est_b", KmvAgg.estimate(k, col("kb")))
+        .withColumn("est_union", KmvAgg.estimate(k, col("mg")))
+        .withColumn("est_int",
+          idiv(size(array_intersect(array_intersect(col("mk"), col("ka")),
+            col("kb"))).cast("long") * col("est_union"),
+            size(col("mk")).cast("long")))
+        .select("est_a", "est_b", "est_union", "est_int")
+      def ok(est: Column, ex: Column) = (abs(est - ex) * 100 <= ex * 25)
+      est.crossJoin(broadcast(exact))
+        .select(col("exact_a"), col("exact_b"), col("exact_union"),
+          col("exact_int"), col("est_a"), col("est_b"), col("est_union"),
+          col("est_int"),
+          ok(col("est_a"), col("exact_a")).as("ok_a"),
+          ok(col("est_b"), col("exact_b")).as("ok_b"),
+          ok(col("est_union"), col("exact_union")).as("ok_union"),
+          ok(col("est_int"), col("exact_int")).as("ok_int"))
     }),
 
     // Data-quality anomaly sweep: per event_type, count of values more
@@ -619,7 +676,64 @@ object ExtraQueries {
 
   private val C = "CAST(round(%s * 100) AS BIGINT)"
 
+  /** The engine's portable rolling hash in DuckDB (see CharHash.scala). */
+  private def chSql(s: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Bottom-k of the same portable hash, replayed in plain SQL: sketches
+    // via ORDER BY h LIMIT k over distinct hashes, estimates via the same
+    // (k-1)·M // h_k integer arithmetic, intersection via the merged-k
+    // Jaccard fraction. The ±25% booleans re-derive from the same exacts.
+    "q158_kmv_setops" -> {
+      val h = chSql("concat(CAST(l_partkey AS VARCHAR), '#kmv')")
+      s"""WITH hashed AS (
+         |  SELECT l_partkey, l_returnflag, $h AS h
+         |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+         |keys AS (
+         |  SELECT l_partkey, max(h) AS h,
+         |    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS in_b
+         |  FROM hashed GROUP BY 1),
+         |ex AS (
+         |  SELECT CAST(sum(in_a) AS BIGINT) AS exact_a,
+         |    CAST(sum(in_b) AS BIGINT) AS exact_b,
+         |    CAST(count(*) AS BIGINT) AS exact_union,
+         |    CAST(sum(in_a * in_b) AS BIGINT) AS exact_int
+         |  FROM keys),
+         |ka AS (SELECT DISTINCT h FROM keys WHERE in_a = 1 ORDER BY h LIMIT 256),
+         |kb AS (SELECT DISTINCT h FROM keys WHERE in_b = 1 ORDER BY h LIMIT 256),
+         |mg AS (SELECT h FROM ka UNION SELECT h FROM kb),
+         |mk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM mg),
+         |sa AS (SELECT count(*) AS n, max(h) AS hk FROM ka),
+         |sb AS (SELECT count(*) AS n, max(h) AS hk FROM kb),
+         |su AS (SELECT count(*) AS n FROM mg),
+         |suk AS (SELECT max(h) AS hk, count(*) AS kp FROM mk WHERE rn <= 256),
+         |c AS (SELECT count(*) AS c FROM mk
+         |      WHERE rn <= 256 AND h IN (SELECT h FROM ka)
+         |        AND h IN (SELECT h FROM kb)),
+         |est AS (
+         |  SELECT
+         |    CASE WHEN sa.n < 256 THEN sa.n
+         |         ELSE 255 * 1000000007 // sa.hk END AS est_a,
+         |    CASE WHEN sb.n < 256 THEN sb.n
+         |         ELSE 255 * 1000000007 // sb.hk END AS est_b,
+         |    CASE WHEN su.n < 256 THEN su.n
+         |         ELSE 255 * 1000000007 // suk.hk END AS est_union
+         |  FROM sa, sb, su, suk)
+         |SELECT exact_a, exact_b, exact_union, exact_int,
+         |  CAST(est_a AS BIGINT) AS est_a, CAST(est_b AS BIGINT) AS est_b,
+         |  CAST(est_union AS BIGINT) AS est_union,
+         |  CAST(c.c * est_union // suk.kp AS BIGINT) AS est_int,
+         |  abs(est_a - exact_a) * 100 <= exact_a * 25 AS ok_a,
+         |  abs(est_b - exact_b) * 100 <= exact_b * 25 AS ok_b,
+         |  abs(est_union - exact_union) * 100 <= exact_union * 25 AS ok_union,
+         |  abs(c.c * est_union // suk.kp - exact_int) * 100 <= exact_int * 25
+         |    AS ok_int
+         |FROM est, ex, c, suk""".stripMargin
+    },
     // DuckDB's native ASOF LEFT JOIN — an independent implementation of
     // the as-of semantics, not a restatement of the engine's union+window.
     // c_val carries planted NULLs through the match so row-struct carry
