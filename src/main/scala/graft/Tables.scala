@@ -17,16 +17,28 @@ object Tables {
 
   /** Read one table from `dir` (e.g. /root/testdata/sf0.01).
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects by default; we read it as a long via
-    * `nanosAsLong` and rebuild a microsecond TimestampType column with
-    * integer division (a double round-trip would lose precision above 2^53).
+    * `events.ts` has shipped under two physical parquet types across driver
+    * generations: TIMESTAMP(NANOS) (Spark's vectorized reader rejects it by
+    * default; read as long via `nanosAsLong`, rebuild micros with integer
+    * division — a double round-trip would lose precision above 2^53) and
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (arrives as
+    * TIMESTAMP_NTZ). Both normalize to the same session-TZ=UTC
+    * TimestampType column, so every downstream query and oracle sees one
+    * schema regardless of which generator wrote the files.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      raw.schema("ts").dataType match {
+        case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType    => raw
+        case other => throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other (expected nanos-as-long, NTZ micros, or timestamp)")
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -717,11 +717,11 @@ object ExtraQueries {
          |est AS (
          |  SELECT
          |    CASE WHEN sa.n < 256 THEN sa.n
-         |         ELSE 255 * 1000000007 // sa.hk END AS est_a,
+         |         ELSE CAST(255 AS BIGINT) * 1000000007 // sa.hk END AS est_a,
          |    CASE WHEN sb.n < 256 THEN sb.n
-         |         ELSE 255 * 1000000007 // sb.hk END AS est_b,
+         |         ELSE CAST(255 AS BIGINT) * 1000000007 // sb.hk END AS est_b,
          |    CASE WHEN su.n < 256 THEN su.n
-         |         ELSE 255 * 1000000007 // suk.hk END AS est_union
+         |         ELSE CAST(255 AS BIGINT) * 1000000007 // suk.hk END AS est_union
          |  FROM sa, sb, su, suk)
          |SELECT exact_a, exact_b, exact_union, exact_int,
          |  CAST(est_a AS BIGINT) AS est_a, CAST(est_b AS BIGINT) AS est_b,
