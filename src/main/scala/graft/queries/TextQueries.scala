@@ -29,7 +29,26 @@ object TextQueries {
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
+  /** q159's query set, defined once so the Spark plan and the oracle's
+    * VALUES list can never drift. Terms are from the corpus vocabulary.
+    */
+  val bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "join", 2L -> "stream", 2L -> "filter",
+    3L -> "customer", 3L -> "slow")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25-family ranked retrieval (see TextOps.bm25TopK for the exact
+    // integer surrogate): relevance-ranked keyword search over the corpus,
+    // the query-side sibling of q95's TF-IDF document profile. Per-query
+    // ranking is the k-bounded partial top-k aggregate — no window sort.
+    "q159_bm25_search" -> ((s, dir) => {
+      import s.implicits._
+      val q = bm25Queries.toDF("query_id", "term")
+      TextOps.bm25TopK(Tables.load(s, dir, "documents"), "doc_id", "text",
+          q, 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Deterministic epoch shuffle + shard assignment — the write side of a
     // training-shard store. Shard = portable hash of the doc id (stable
     // across epochs, so a doc's shard never moves); within-shard order =
@@ -572,6 +591,50 @@ object TextQueries {
        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Replays the exact integer surrogate (idf div, sat div, score div) —
+    // HUGEINT where Spark uses DECIMAL(38,0) — and the (score DESC,
+    // doc_id) tie policy of the partial top-k aggregate.
+    "q159_bm25_search" -> {
+      val values = bm25Queries
+        .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks WHERE len(token) > 0 GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |       FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(sum(dl) AS BIGINT) AS t_tokens FROM dl),
+         |q(query_id, term) AS (VALUES $values),
+         |dfreq AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf
+         |  WHERE token IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+         |scored AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    ((2*n_docs - 2*df + 1) * 1000000) // (2*df + 1) + 1000000
+         |      AS idf_micros,
+         |    CAST((CAST(44 AS HUGEINT) * tf * t_tokens * 1000000)
+         |      // (20*tf*t_tokens + 6*t_tokens + 18*dl.dl*n_docs)
+         |      AS BIGINT) AS sat_micros
+         |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+         |  CROSS JOIN tot JOIN q ON tf.token = q.term),
+         |per AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(sum(CAST(CAST(idf_micros AS HUGEINT) * sat_micros
+         |      // 1000000 AS BIGINT)) AS BIGINT) AS score
+         |  FROM scored GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM per)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         |  CAST(rank AS BIGINT) AS rank, doc_id, score AS score_micros
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
     "q148_epoch_shuffle" ->
       s"""WITH t AS (
          |  SELECT doc_id,

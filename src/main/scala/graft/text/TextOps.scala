@@ -163,6 +163,76 @@ object TextOps {
         col("df"), col("score_micros"))
   }
 
+  /** BM25-family ranked retrieval over an inverted index, integer-exact.
+    *
+    * Extends the reference's keyword search surface (the snscrape query in
+    * `twitter/lambda_function.py:27-29` retrieves by raw term match) into
+    * relevance-ranked retrieval. Classic BM25 (Robertson-Sparck Jones) is
+    * log((N-df+.5)/(df+.5)+1) · tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)); both
+    * factors here are monotone RATIONAL surrogates of the k1=1.2, b=0.75
+    * form, computed in integer micros so the ranking is deterministic and a
+    * SQL oracle replays every division bit-for-bit (the same trade q95's
+    * TF-IDF makes — log is monotone in the surrogate, so per-term orderings
+    * are preserved; multi-term sums weight terms by exp(score) rather than
+    * score, a documented deviation, not drift):
+    *
+    *   idf_micros = ((2N − 2df + 1)·1e6) div (2df + 1) + 1e6
+    *   sat_micros = (44·tf·T·1e6) div (20·tf·T + 6·T + 18·dl·N)
+    *     [tf·(11/5) / (tf + 6/20 + (18/20)·dl·N/T) with dl/avgdl = dl·N/T,
+    *      cleared to integers by ×20T; T = corpus token count]
+    *   score_micros(term,doc) = (idf_micros · sat_micros) div 1e6
+    *
+    * Dividing sat FIRST keeps every product under DECIMAL(38,0) even at
+    * web scale (idf ≤ 2e18 micros, sat ≤ 2.2e6 micros → ≤ 4.4e24); a
+    * single fused product overflows 38 digits around N=1e12, T=1e15.
+    *
+    * Scale shape: tf/dl/df are partial-aggregable hash aggregates; query
+    * terms broadcast into the postings scan so only matching postings
+    * survive (df computed AFTER the term filter — counts are per-term,
+    * unaffected); the one data-sized exchange joins doc-level stats (dl)
+    * to candidate postings on doc_id. Per-query ranking is the k-bounded
+    * partial top-k aggregate, NOT a window sort — each map task ships at
+    * most k candidates per query.
+    *
+    * @param queryTerms (query_id: Long, term: String) — small, broadcast.
+    * @return (query_id, rank, doc_id, score_micros), rank 1..k by
+    *         (score desc, doc_id asc).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TopKAgg
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("t_tokens"))
+    val terms = queryTerms.select(col("term")).distinct()
+    val tfq = tf.join(broadcast(terms), tf("token") === terms("term"))
+      .drop("term")
+    val dfreq = tfq.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tfq
+      .join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_micros", expr(
+        "((2*n_docs - 2*df + 1) * 1000000) div (2*df + 1) + 1000000"))
+      .withColumn("sat_micros", expr(
+        """(CAST(44 AS DECIMAL(38,0)) * tf * t_tokens * 1000000)
+          | div (20*tf*t_tokens + 6*t_tokens + 18*dl*n_docs)""".stripMargin))
+      .withColumn("score_micros",
+        expr("(CAST(idf_micros AS DECIMAL(38,0)) * sat_micros) div 1000000"))
+      .join(broadcast(queryTerms), col("token") === queryTerms("term"))
+    scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score_micros")).as("score"))
+      .groupBy(col("query_id"))
+      .agg(TopKAgg.topK(k, col("score"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.id").as("doc_id"), col("col.v").as("score_micros"))
+  }
+
   /** Per-document repetition metrics, Gopher-rule style (Rae et al. 2021
     * §A1.1: repetitious documents are low-quality): the fraction of mass
     * held by the most frequent token and the fraction of duplicate

@@ -9,6 +9,40 @@ class TextOpsSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("bm25TopK matches a brute-force reference and ranks ties by doc_id") {
+    val docs = Seq(
+      (1L, "a a b x"), (2L, "b c"), (3L, "c c c a y z"), (4L, "x y"),
+      (5L, "a b c")).toDF("doc_id", "text")
+    val q = Seq((10L, "a"), (10L, "c"), (20L, "b")).toDF("query_id", "term")
+    val got = TextOps.bm25TopK(docs, "doc_id", "text", q, 3)
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+    // independent reference: same integer surrogate, plain Scala BigInt
+    val corpus = Map(1L -> "a a b x", 2L -> "b c", 3L -> "c c c a y z",
+      4L -> "x y", 5L -> "a b c").view.mapValues(_.split(" ").toSeq).toMap
+    val n = BigInt(corpus.size)
+    val t = BigInt(corpus.values.map(_.size).sum)
+    def df(term: String) = BigInt(corpus.count(_._2.contains(term)))
+    def score(terms: Seq[String], doc: Long): Long = {
+      val toks = corpus(doc)
+      val dlv = BigInt(toks.size)
+      terms.filter(toks.contains).map { term =>
+        val tf = BigInt(toks.count(_ == term))
+        val idf = (2 * n - 2 * df(term) + 1) * 1000000 / (2 * df(term) + 1) + 1000000
+        val sat = (44 * tf * t * 1000000) / (20 * tf * t + 6 * t + 18 * dlv * n)
+        (idf * sat / 1000000).toLong
+      }.sum
+    }
+    val expect = Seq(10L -> Seq("a", "c"), 20L -> Seq("b")).flatMap {
+      case (qid, terms) =>
+        corpus.keys.toSeq.map(d => (d, score(terms, d))).filter(_._2 > 0)
+          .sortBy { case (d, s) => (-s, d) }.take(3).zipWithIndex
+          .map { case ((d, s), i) => (qid, i + 1L, d, s) }
+    }
+    assert(got == expect)
+  }
+
   test("tokenCount counts whitespace tokens") {
     val df = Seq("one two three").toDF("t").select(TextOps.tokenCount($"t"))
     assert(df.head().getLong(0) == 3L)
