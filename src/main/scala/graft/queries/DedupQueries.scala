@@ -391,6 +391,19 @@ object DedupQueries {
         .select(col("n_probe").cast("long").as("n_probe"), col("n_hits"),
           col("monotone_ok"))
         .orderBy(col("n_probe"))
+    }),
+
+    // Product quantization + asymmetric-distance top-k (Jégou et al.
+    // 2011): corpus vectors as m 4-bit codes, query distance = sum of
+    // per-subspace table lookups. Integer micros end to end — codebook,
+    // encode argmin, and every ADC distance hash-gate EXACTLY (no float
+    // fold order anywhere, unlike the cosine family). The memory form
+    // that makes billion-vector serving fit: dim floats → m nibbles.
+    "q160_pq_adc" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rank"))
     }))
 
   // ---------------------------------------------------------------- oracles
@@ -688,6 +701,55 @@ object DedupQueries {
        |FROM curve ORDER BY n_probe""".stripMargin
   }
 
+  /** Generated oracle for [[graft.similarity.Similarity.pqTopK]]: replays
+    * micros, sign-seed cells, truncating-mean codebooks, argmin encode and
+    * the ADC sum from first principles — the `dist` CTE doubles as both
+    * the encode distances and the query distance tables, exactly as the
+    * operator defines them. Integer end to end: no float anywhere.
+    */
+  def pqOracle(queryPred: String, k: Int, m: Int, dim: Int): String = {
+    val sub = dim / m
+    val cellSql = (0 until 4).map(j =>
+      s"(CASE WHEN v[((i-1)//$sub)*$sub+${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH vm AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |ex AS MATERIALIZED (
+       |  SELECT vec_id, (i-1)//$sub AS s, i AS pos, v[i] AS x,
+       |    $cellSql AS cell
+       |  FROM vm, LATERAL (SELECT unnest(range(1, ${dim + 1})) AS i) r),
+       |cb AS MATERIALIZED (
+       |  SELECT s, cell, pos, CAST(sum(x) AS BIGINT) // count(*) AS cu
+       |  FROM ex GROUP BY s, cell, pos),
+       |dist AS MATERIALIZED (
+       |  SELECT e.vec_id, e.s, c.cell,
+       |    CAST(sum((e.x - c.cu) * (e.x - c.cu)) AS BIGINT) AS d
+       |  FROM ex e JOIN cb c ON c.s = e.s AND c.pos = e.pos
+       |  GROUP BY e.vec_id, e.s, c.cell),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, s, cell AS code FROM (
+       |    SELECT vec_id, s, cell,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cell) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id FROM embeddings b WHERE $queryPred),
+       |adc AS (
+       |  SELECT d.vec_id AS query_id, c.vec_id AS corpus_id,
+       |    CAST(sum(d.d) AS BIGINT) AS adist
+       |  FROM codes c
+       |  JOIN dist d ON d.s = c.s AND d.cell = c.code
+       |  JOIN q ON q.query_id = d.vec_id
+       |  WHERE c.vec_id <> d.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, corpus_id, adist FROM (
+       |  SELECT query_id, corpus_id, adist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist, corpus_id) AS BIGINT) AS rank
+       |  FROM adc)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   def ivfOracle(queryPred: String, k: Int, nCells: Int, nProbe: Int): String = {
     s"""WITH ${kmeansCtes(nCells)},
        |probes AS (
@@ -900,6 +962,8 @@ object DedupQueries {
         |  CAST(sum(CASE WHEN cos < 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
         |  min(cos) AS min_cos, max(cos) AS max_cos
         |FROM cosd GROUP BY label ORDER BY label""".stripMargin,
+
+    "q160_pq_adc" -> pqOracle("b.vec_id < 5", k = 10, m = 8, dim = 64),
 
     "q154_multiprobe_recall" -> {
       def level(p: Int): String = {

@@ -583,4 +583,146 @@ object Similarity {
       }
     }(enc)
   }
+
+  // ------------------------------------------------------ product quantization
+
+  /** Product-quantization codebooks (Jégou et al., TPAMI 2011): split the
+    * `dim`-dim space into `m` subspaces of dim/m dims; per subspace, up to
+    * 16 centroids in INTEGER MICROS, seeded by the 4-bit sign pattern of
+    * the subspace's first four dims (the embeddings are zero-mean, so the
+    * seeds split the mass) and finished as the per-dim truncating integer
+    * mean over the cell's members. Everything integer: micros via
+    * round(x·1e6) (portable HALF_UP on both engines), mean via `div`
+    * (toward zero on both engines — per-dim sums DO go negative), so the
+    * whole codebook — and every distance downstream — hash-gates exactly,
+    * with no float fold order anywhere.
+    *
+    * Scale shape: one partial-aggregable (s, cell, pos) sum over the
+    * exploded corpus; the codebook is a bounded artifact (m·16·(dim/m)
+    * longs — a broadcast variable, not data).
+    *
+    * @return (s, cell, pos, cu): subspace, seed cell, GLOBAL 1-based dim,
+    *         centroid micros.
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    require(sub >= 4, "seed bits read the first 4 dims of each subspace")
+    val vm = transform(col(vecCol), x =>
+      round(x.cast("double") * 1e6).cast("long"))
+    val base = corpus.select(col(idCol).as("id"), vm.as("vm"))
+    val sCol = floor(col("pos") / sub).cast("long")
+    val cellExpr = (0 until 4).map { j =>
+      when(element_at(col("vm"),
+        (sCol * sub + j + 1).cast("int")) >= 0L, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    base.select(col("id"), col("vm"), posexplode(col("vm")))
+      .select(sCol.as("s"), cellExpr.as("cell"),
+        (col("pos") + 1).cast("long").as("pos"), col("col").as("x"))
+      .groupBy(col("s"), col("cell"), col("pos"))
+      .agg(count(lit(1)).as("cnt"), sum(col("x")).as("su"))
+      .withColumn("cu", expr("su div cnt"))
+      .select(col("s"), col("cell"), col("pos"), col("cu"))
+  }
+
+  /** PQ asymmetric-distance top-k (ADC): corpus vectors live as m 4-bit
+    * codes (nearest codebook centroid per subspace by integer squared L2,
+    * tie → lower cell); each query precomputes its m×16 distance table
+    * and approximate distance = Σ_s table[s][code_s]. Integer end to end,
+    * so ranks and distances gate exactly.
+    *
+    * Scale shape: codebook + query tables broadcast (a bounded serving
+    * batch, like [[bruteForceTopK]]'s query side); encode + ADC run in ONE
+    * kernel pass over the corpus (no per-cell row amplification — the
+    * 16-way argmin happens in registers); per-query ranking is the
+    * k-bounded partial top-k aggregate, so each map task ships ≤ k
+    * candidates per query. The corpus is never broadcast, never joined
+    * all-pairs, and its vectors cross the wire as m nibbles, not dim
+    * floats — the memory form that makes billion-vector serving fit.
+    *
+    * @return (query_id, rank, corpus_id, adist) — adist in squared micros.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, dim: Int = 64): DataFrame = {
+    import graft.functions.TopKAgg
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    // codebook → [s][cell] = centroid micros (null = empty seed cell)
+    val cb = Array.fill(m, 16)(null: Array[Long])
+    pqTrain(corpus, idCol, vecCol, m, dim).collect().foreach { r =>
+      val (s, cell, pos) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toInt)
+      if (cb(s)(cell) == null) cb(s)(cell) = new Array[Long](sub)
+      cb(s)(cell)((pos - 1) % sub) = r.getLong(3)
+    }
+    val vm = transform(col(vecCol), x =>
+      round(x.cast("double") * 1e6).cast("long"))
+    // query ADC tables — micros collected from the PLAN (same round() as
+    // the corpus; JVM math.round ties differ from SQL HALF_UP on .5)
+    val qRows = queries.select(col(idCol).cast("long").as("id"), vm.as("vm"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val qTables = qRows.map { case (qid, q) =>
+      val t = Array.fill(m, 16)(Long.MaxValue)
+      for (s <- 0 until m; c <- 0 until 16 if cb(s)(c) != null) {
+        var d = 0L
+        var j = 0
+        while (j < sub) {
+          val diff = q(s * sub + j) - cb(s)(c)(j); d += diff * diff; j += 1
+        }
+        t(s)(c) = d
+      }
+      (qid, t)
+    }
+    val bc = spark.sparkContext.broadcast((cb, qTables))
+    val schema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("corpus_id", LongType, nullable = false),
+      StructField("adist", LongType, nullable = false)))
+    implicit val enc = Encoders.row(schema)
+    val pairs = corpus.select(col(idCol).cast("long").as("id"), vm.as("vm"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val (cbv, qts) = bc.value
+        val mm = cbv.length
+        val subv = if (mm == 0) 0 else cbv(0).map(c => if (c == null) 0 else c.length).max
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val v = r.getSeq[Long](1).toArray
+          // encode: per-subspace argmin squared L2, tie → lower cell
+          val code = new Array[Int](mm)
+          var s = 0
+          while (s < mm) {
+            var best = -1
+            var bestD = Long.MaxValue
+            var c = 0
+            while (c < 16) {
+              val cent = cbv(s)(c)
+              if (cent != null) {
+                var d = 0L
+                var j = 0
+                while (j < subv) {
+                  val diff = v(s * subv + j) - cent(j); d += diff * diff; j += 1
+                }
+                if (d < bestD) { bestD = d; best = c }
+              }
+              c += 1
+            }
+            code(s) = best
+            s += 1
+          }
+          qts.iterator.filter(_._1 != id).map { case (qid, t) =>
+            var ad = 0L
+            var s2 = 0
+            while (s2 < mm) { ad += t(s2)(code(s2)); s2 += 1 }
+            Row(qid, id, ad)
+          }
+        }
+      }(enc)
+    pairs.groupBy(col("query_id"))
+      .agg(TopKAgg.topK(k, -col("adist"), col("corpus_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.id").as("corpus_id"), (-col("col.v")).as("adist"))
+  }
 }

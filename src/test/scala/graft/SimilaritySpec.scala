@@ -145,4 +145,72 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.ivfRecallCurve(df, df, "vec_id", "embedding", 3, Seq(4, 2))
     }
   }
+
+  test("pqTopK matches an independent PQ reference, integer-exact") {
+    // dim=8, m=2 subspaces of 4: every subspace dim feeds the seed bits
+    val dim = 8
+    val m = 2
+    val sub = dim / m
+    val vecs: Seq[(Long, Seq[Float])] = (0L until 12L).map { i =>
+      (i, (0 until dim).map(d => math.sin(i * 37 + d * 5 + 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(df, df.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 4, m = m, dim = dim)
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+    // reference: micros -> sign-seed cells -> truncating-mean codebook ->
+    // argmin encode -> ADC, in plain Scala (Long / truncates toward zero,
+    // matching Spark div)
+    val micros = vecs.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1e6)).toArray
+    }.toMap
+    def cellOf(v: Array[Long], s: Int): Int =
+      (0 until 4).map(j => if (v(s * sub + j) >= 0) 1 << j else 0).sum
+    val cb: Map[(Int, Int), Array[Long]] =
+      (for (s <- 0 until m; c <- 0 until 16) yield {
+        val members = micros.values.filter(v => cellOf(v, s) == c).toSeq
+        (s, c) -> (if (members.isEmpty) null
+          else Array.tabulate(sub)(j =>
+            members.map(_(s * sub + j)).sum / members.size))
+      }).toMap
+    def d2(v: Array[Long], s: Int, cent: Array[Long]): Long =
+      (0 until sub).map { j =>
+        val diff = v(s * sub + j) - cent(j); diff * diff
+      }.sum
+    def encode(v: Array[Long]): Array[Int] = Array.tabulate(m) { s =>
+      (0 until 16).filter(c => cb(s -> c) != null)
+        .minBy(c => (d2(v, s, cb(s -> c)), c))
+    }
+    val expect = (0L until 3L).flatMap { qid =>
+      val q = micros(qid)
+      micros.keys.filter(_ != qid).toSeq
+        .map { cid =>
+          val code = encode(micros(cid))
+          (cid, (0 until m).map(s => d2(q, s, cb(s -> code(s)))).sum)
+        }
+        .sortBy { case (cid, ad) => (ad, cid) }.take(4).zipWithIndex
+        .map { case ((cid, ad), i) => (qid, i + 1L, cid, ad) }
+    }
+    assert(got == expect)
+  }
+
+  test("pqTrain codebook is the truncating integer mean per (s, cell, dim)") {
+    // two vectors land in the same cell of subspace 0 (both all-positive
+    // in dims 1-4); centroid must be the element-wise su div cnt
+    val df = Seq(
+      (1L, Seq(0.1f, 0.2f, 0.3f, 0.4f, -0.1f, -0.2f, -0.3f, -0.4f)),
+      (2L, Seq(0.3f, 0.4f, 0.5f, 0.6f, -0.5f, -0.6f, -0.7f, -0.8f)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding", m = 2, dim = 8)
+      .orderBy($"s", $"cell", $"pos")
+      .as[(Long, Long, Long, Long)].collect()
+    // subspace 0: cell 15 (all signs positive), means of micros
+    val s0 = cb.filter(r => r._1 == 0L).map(_._4).toSeq
+    assert(s0 == Seq(200000L, 300000L, 400000L, 500000L))
+    // subspace 1: cell 0 (all negative); truncating mean toward zero
+    val s1 = cb.filter(r => r._1 == 1L).map(_._4).toSeq
+    assert(s1 == Seq(-300000L, -400000L, -500000L, -600000L))
+  }
 }
