@@ -49,6 +49,16 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Bigram-LM perplexity filter (see TextOps.bigramSurprisal): counts
+    // train on the FULL corpus, scoring restricted to doc_id % 7 = 0 —
+    // training/scoring asymmetry is the operator's contract, and the
+    // restriction keeps the gated output compact like q95's % 17.
+    "q161_lm_quality" -> ((s, dir) => {
+      TextOps.bigramSurprisal(Tables.load(s, dir, "documents"),
+          "doc_id", "text", scorePred = col("doc_id") % 7 === 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic epoch shuffle + shard assignment — the write side of a
     // training-shard store. Shard = portable hash of the doc id (stable
     // across epochs, so a doc's shard never moves); within-shard order =
@@ -634,6 +644,28 @@ object TextQueries {
          |  CAST(rank AS BIGINT) AS rank, doc_id, score AS score_micros
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
+
+    // Same pairing idiom as q144 (1-based list index, range end-exclusive);
+    // `//` replays Spark's `div`, HUGEINT sum replays the DECIMAL(38,0).
+    "q161_lm_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE length(text) > 0
+        |), pairs AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+        |), big AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM pairs GROUP BY 1, 2
+        |), lft AS (
+        |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1
+        |), sc AS (
+        |  SELECT doc_id, (c1 * 1000000) // c12 AS sur
+        |  FROM pairs JOIN big USING (w1, w2) JOIN lft USING (w1)
+        |  WHERE doc_id % 7 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(sur) // count(*) AS BIGINT) AS sur_micros
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q148_epoch_shuffle" ->
       s"""WITH t AS (

@@ -233,6 +233,53 @@ object TextOps {
         col("col.id").as("doc_id"), col("col.v").as("score_micros"))
   }
 
+  /** Bigram-LM quality scoring — the CCNet-style perplexity filter
+    * (Wenzek et al. 2020 train a KenLM and drop the high-perplexity
+    * tail): "train" bigram transition counts on the corpus, then score
+    * every document by its mean transition surprisal. The textbook score
+    * is −mean log P(w2|w1) = mean log(c(w1·)/c(w1w2)); this computes the
+    * RATIONAL surrogate mean of (c(w1·)·1e6 div c(w1w2)) — monotone in
+    * each transition's inverse probability, integer-exact, so an oracle
+    * replays the division chain bit-for-bit (same trade as bm25TopK; the
+    * mean weights transitions by 1/P rather than log 1/P, a documented
+    * deviation that still surfaces the same incoherent tail). High
+    * score = improbable transitions = noise/boilerplate/glitch docs.
+    *
+    * The per-doc sum rides DECIMAL(38,0): a once-seen bigram under a
+    * 1e12-count left context scores 1e18 micros, and a long doc of such
+    * transitions wraps a 64-bit sum; the mean divides back to BIGINT.
+    *
+    * Scale shape: bigram + left-context counts are partial-aggregable
+    * hash aggregates (the LM training pass); scoring joins each doc's
+    * pairs to the count tables by key — the standard distributed
+    * LM-scoring join — then one per-doc agg. Pairing is map-local
+    * zip-with-tail: no exploded-token window, no shuffle-sort. Docs with
+    * fewer than two tokens have no transitions and drop out (score them
+    * with a length gate, not an LM).
+    *
+    * @param scorePred extra filter applied to the SCORING side only (the
+    *   counts always train on the full corpus).
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                      scorePred: Column = lit(true)): DataFrame = {
+    val w = tokens(col(textCol))
+    val pair = zip_with(
+      slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (l, r) => struct(l.as("w1"), r.as("w2")))
+    val pairs = docs.filter(length(col(textCol)) > 0)
+      .select(col(idCol).as("doc_id"), explode(pair).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    val big = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val lft = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    pairs.filter(scorePred)
+      .join(big, Seq("w1", "w2")).join(lft, Seq("w1"))
+      .withColumn("sur", expr("(c1 * 1000000) div c12"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(CAST(sur AS DECIMAL(38,0))) div count(1)").as("sur_micros"))
+  }
+
   /** Per-document repetition metrics, Gopher-rule style (Rae et al. 2021
     * §A1.1: repetitious documents are low-quality): the fraction of mass
     * held by the most frequent token and the fraction of duplicate

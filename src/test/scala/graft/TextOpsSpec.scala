@@ -43,6 +43,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("bigramSurprisal: hand-computed transition means; short docs drop") {
+    // corpus: "a b a b" and "a a" -> c(a,b)=2, c(b,a)=1, c(a,a)=1;
+    // left contexts c(a.)=3, c(b.)=1
+    // sur(a,b)=3e6//2=1500000; sur(b,a)=1e6; sur(a,a)=3e6
+    val docs = Seq((1L, "a b a b"), (2L, "a a"), (3L, "x"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramSurprisal(docs, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    // doc1 mean = (1500000+1000000+1500000) div 3; doc2 = 3000000 (the
+    // improbable-transition doc scores HIGHER); docs 3,4 have no pairs
+    assert(out == Seq((1L, 3L, 4000000L / 3L), (2L, 1L, 3000000L)))
+  }
+
+  test("bigramSurprisal trains on the full corpus even when scoring is restricted") {
+    val docs = Seq((1L, "a b a b"), (2L, "a a")).toDF("doc_id", "text")
+    val out = TextOps.bigramSurprisal(docs, "doc_id", "text",
+        scorePred = $"doc_id" === 2L)
+      .as[(Long, Long, Long)].collect().toSeq
+    // c(a,a)=1 but c(a.)=3 only if doc1's pairs trained the counts
+    assert(out == Seq((2L, 1L, 3000000L)))
+  }
+
   test("tokenCount counts whitespace tokens") {
     val df = Seq("one two three").toDF("t").select(TextOps.tokenCount($"t"))
     assert(df.head().getLong(0) == 3L)
