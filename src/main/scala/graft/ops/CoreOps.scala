@@ -563,4 +563,37 @@ object CoreOps {
           .otherwise(col("lvl")))
       .select(col("k").as(keyCol), col("c"), col("alloc"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the standard
+    * hybrid-retrieval combiner: each ranked list contributes
+    * 1/(kRrf + rank) per result; fused score = the sum across lists.
+    * Computed as `1e6 div (kRrf + rank)` integer micros, so fused scores
+    * and ranks are exact on any engine. A result absent from a list
+    * simply gets no contribution from it — RRF needs no score
+    * calibration between retrievers, which is why it beats weighted-sum
+    * fusion across heterogeneous scorers (BM25 ⊕ dense ANN).
+    *
+    * Scale shape: inputs are already per-query top-N (bounded); union +
+    * one partial-aggregable sum keyed (query, id) + the k-bounded
+    * partial top-k. Nothing here touches the corpus.
+    *
+    * @param rankings each (query_id, rank, id), rank 1-based.
+    * @return (query_id, rank, id, rrf_micros), rank 1..k by
+    *         (rrf desc, id asc).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kRrf >= 0, "kRrf must be non-negative")
+    import graft.functions.TopKAgg
+    val contribs = rankings.map(_.select(col("query_id"), col("id"),
+      expr(s"1000000 div ($kRrf + rank)").as("contrib")))
+    contribs.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("contrib")).as("rrf_micros"))
+      .groupBy(col("query_id"))
+      .agg(TopKAgg.topK(k, col("rrf_micros"), col("id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.id").as("id"), col("col.v").as("rrf_micros"))
+  }
 }

@@ -560,7 +560,7 @@ object DedupQueries {
   private val dotSql =
     "list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE))), (acc, x) -> acc + x)"
 
-  private def cosineSql(a: String, b: String) = {
+  private[queries] def cosineSql(a: String, b: String) = {
     val d = dotSql.format(a, b)
     val na = s"sqrt(${dotSql.format(a, a)})"
     val nb = s"sqrt(${dotSql.format(b, b)})"

@@ -7,6 +7,7 @@ import graft.ops.{CoreOps, SocialOps}
 import graft.text.TextOps
 import graft.enrich.Enrich
 import graft.dedup.Dedup
+import graft.similarity.Similarity
 
 /** Wave 2 — text analysis, enrichment stand-ins, cleaning gates, and exact
   * dedup (SURVEY.md §2.2 F3/F4/F8, §2.11 U1-U3, plus the training-data text
@@ -46,6 +47,27 @@ object TextQueries {
       val q = bm25Queries.toDF("query_id", "term")
       TextOps.bm25TopK(Tables.load(s, dir, "documents"), "doc_id", "text",
           q, 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Hybrid retrieval via reciprocal-rank fusion (CoreOps.rrfFuse):
+    // BM25 top-20 (q159's retriever) ⊕ dense cosine top-20 over the
+    // documents' embedding vectors (query_id = the query's vec_id, same
+    // ids as the BM25 query set), fused by 1e6 // (60 + rank) — no score
+    // calibration between the two retrievers, integer-exact end to end.
+    "q162_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = bm25Queries.toDF("query_id", "term")
+      val sparse = TextOps.bm25TopK(docs, "doc_id", "text", q, 20)
+        .select(col("query_id"), col("rank"), col("doc_id").as("id"))
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id").isin(1L, 2L, 3L)),
+          "vec_id", "embedding", 20)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("rank").cast("long").as("rank"), col("corpus_id").as("id"))
+      CoreOps.rrfFuse(Seq(sparse, dense), k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -600,50 +622,90 @@ object TextQueries {
        |  CAST(sum(CAST(round(nn / (pn + nn + 1.0) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_neg_u
        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** CTE chain replaying [[graft.text.TextOps.bm25TopK]] over `documents`
+    * for [[bm25Queries]] — the exact integer surrogate (idf div, sat div,
+    * score div), HUGEINT where Spark uses DECIMAL(38,0). Ends in
+    * `bmranked(query_id, doc_id, score, rank)` with the (score DESC,
+    * doc_id) tie policy of the partial top-k aggregate; consumers filter
+    * `rank <= k`. Shared by q159 (the retrieval gate) and q162 (fusion).
+    */
+  private def bm25Ctes: String = {
+    val values = bm25Queries
+      .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks WHERE len(token) > 0 GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |       FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |               CAST(sum(dl) AS BIGINT) AS t_tokens FROM dl),
+       |q(query_id, term) AS (VALUES $values),
+       |dfreq AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf
+       |  WHERE token IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    ((2*n_docs - 2*df + 1) * 1000000) // (2*df + 1) + 1000000
+       |      AS idf_micros,
+       |    CAST((CAST(44 AS HUGEINT) * tf * t_tokens * 1000000)
+       |      // (20*tf*t_tokens + 6*t_tokens + 18*dl.dl*n_docs)
+       |      AS BIGINT) AS sat_micros
+       |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+       |  CROSS JOIN tot JOIN q ON tf.token = q.term),
+       |per AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(sum(CAST(CAST(idf_micros AS HUGEINT) * sat_micros
+       |      // 1000000 AS BIGINT)) AS BIGINT) AS score
+       |  FROM scored GROUP BY 1, 2),
+       |bmranked AS (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rank
+       |  FROM per)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    // Replays the exact integer surrogate (idf div, sat div, score div) —
-    // HUGEINT where Spark uses DECIMAL(38,0) — and the (score DESC,
-    // doc_id) tie policy of the partial top-k aggregate.
-    "q159_bm25_search" -> {
-      val values = bm25Queries
-        .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
-         |  FROM documents),
-         |tf AS (
-         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-         |  FROM toks WHERE len(token) > 0 GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-         |       FROM tf GROUP BY 1),
-         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |               CAST(sum(dl) AS BIGINT) AS t_tokens FROM dl),
-         |q(query_id, term) AS (VALUES $values),
-         |dfreq AS (
-         |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf
-         |  WHERE token IN (SELECT DISTINCT term FROM q) GROUP BY 1),
-         |scored AS (
-         |  SELECT q.query_id, tf.doc_id,
-         |    ((2*n_docs - 2*df + 1) * 1000000) // (2*df + 1) + 1000000
-         |      AS idf_micros,
-         |    CAST((CAST(44 AS HUGEINT) * tf * t_tokens * 1000000)
-         |      // (20*tf*t_tokens + 6*t_tokens + 18*dl.dl*n_docs)
-         |      AS BIGINT) AS sat_micros
-         |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
-         |  CROSS JOIN tot JOIN q ON tf.token = q.term),
-         |per AS (
-         |  SELECT query_id, doc_id,
-         |    CAST(sum(CAST(CAST(idf_micros AS HUGEINT) * sat_micros
-         |      // 1000000 AS BIGINT)) AS BIGINT) AS score
-         |  FROM scored GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT query_id, doc_id, score,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, doc_id) AS rank
-         |  FROM per)
+    "q159_bm25_search" ->
+      s"""WITH $bm25Ctes
          |SELECT CAST(query_id AS BIGINT) AS query_id,
          |  CAST(rank AS BIGINT) AS rank, doc_id, score AS score_micros
-         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
-    },
+         |FROM bmranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // RRF fusion: BM25 top-20 ⊕ dense cosine top-20, contribution
+    // 1e6 // (60 + rank) per list, fused rank by (sum DESC, id). The
+    // dense side replays bruteForceTopK's self-exclusion and (sim DESC,
+    // id) ordering.
+    "q162_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         |dq(query_id) AS (VALUES (1), (2), (3)),
+         |dense AS (
+         |  SELECT dq.query_id, c.vec_id AS id,
+         |    row_number() OVER (PARTITION BY dq.query_id
+         |      ORDER BY ${DedupQueries.cosineSql("c.embedding", "qe.embedding")} DESC,
+         |        c.vec_id) AS rank
+         |  FROM embeddings c CROSS JOIN dq
+         |  JOIN embeddings qe ON qe.vec_id = dq.query_id
+         |  WHERE c.vec_id <> dq.query_id),
+         |contrib AS (
+         |  SELECT query_id, doc_id AS id, 1000000 // (60 + rank) AS contrib
+         |  FROM bmranked WHERE rank <= 20
+         |  UNION ALL
+         |  SELECT query_id, id, 1000000 // (60 + rank) FROM dense
+         |  WHERE rank <= 20),
+         |fused AS (
+         |  SELECT query_id, id, CAST(sum(contrib) AS BIGINT) AS rrf_micros
+         |  FROM contrib GROUP BY 1, 2),
+         |r AS (
+         |  SELECT query_id, id, rrf_micros,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_micros DESC, id) AS rank
+         |  FROM fused)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         |  CAST(rank AS BIGINT) AS rank, id, rrf_micros
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // Same pairing idiom as q144 (1-based list index, range end-exclusive);
     // `//` replays Spark's `div`, HUGEINT sum replays the DECIMAL(38,0).

@@ -326,4 +326,24 @@ class CoreOpsSpec extends AnyFunSuite {
       .select($"alloc").as[Long].collect().toSeq
     assert(out == Seq(5L, 5L))
   }
+
+  test("rrfFuse: hand-computed contributions, absent-list ids, id tiebreak") {
+    // 1e6 div 61 = 16393, div 62 = 16129
+    val a = Seq((1L, 1L, 10L), (1L, 2L, 20L)).toDF("query_id", "rank", "id")
+    val b = Seq((1L, 1L, 30L), (1L, 2L, 20L)).toDF("query_id", "rank", "id")
+    val out = CoreOps.rrfFuse(Seq(a, b), k = 3)
+      .orderBy($"rank").as[(Long, Long, Long, Long)].collect().toSeq
+    // id 20 in both lists at rank 2: 2·16129 = 32258 wins; ids 10 and 30
+    // tie at 16393 (one list each, rank 1) -> id asc breaks it
+    assert(out == Seq((1L, 1L, 20L, 32258L), (1L, 2L, 10L, 16393L),
+      (1L, 3L, 30L, 16393L)))
+  }
+
+  test("rrfFuse: k truncates per query and queries stay independent") {
+    val a = Seq((1L, 1L, 10L), (1L, 2L, 11L), (2L, 1L, 50L))
+      .toDF("query_id", "rank", "id")
+    val out = CoreOps.rrfFuse(Seq(a), k = 1)
+      .orderBy($"query_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 10L, 16393L), (2L, 1L, 50L, 16393L)))
+  }
 }
