@@ -564,6 +564,45 @@ object CoreOps {
       .select(col("k").as(keyCol), col("c"), col("alloc"))
   }
 
+  /** Per-group OLS line fit from EXACT integer sums — the trend/drift
+    * regression behind monitoring ("is value drifting per event type"):
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) evaluated entirely in
+    * integer arithmetic (DECIMAL(38,0) sums — Σx² wraps a 64-bit long
+    * around n=1e4 at x≈2e9 — and one truncating division at the end), so
+    * unlike a float-sum regression the result is independent of
+    * partition boundaries and an oracle replays it exactly. This is
+    * q128's moments trick extended from variance to covariance.
+    *
+    * Scale shape: one partial-aggregable hash aggregate (five sums), one
+    * bounded row per group after it. Degenerate groups (all x equal)
+    * yield NULL slope/intercept rather than a division error.
+    *
+    * @param x integer regressor (e.g. epoch seconds); @param y integer
+    * response (e.g. cents). @return (keyCol, n, slope_nano, intercept) —
+    * slope in nano-y-units per x-unit, intercept in y-units.
+    */
+  def linearTrend(df: DataFrame, keyCol: String, x: Column, y: Column): DataFrame = {
+    require(!Seq("n", "sx", "sy", "sxy", "sxx", "num", "den",
+      "slope_nano", "intercept").contains(keyCol),
+      s"linearTrend reserves column name '$keyCol' — rename the key first")
+    df.select(col(keyCol), x.cast(LongType).as("x"), y.cast(LongType).as("y"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .withColumn("num", expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("den", expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("slope_nano", when(col("den") === 0, lit(null))
+        .otherwise(expr("CAST((num * 1000000000) div den AS BIGINT)")))
+      .withColumn("intercept", when(col("den") === 0, lit(null))
+        .otherwise(expr(
+          """CAST((CAST(sy AS DECIMAL(38,0)) * 1000000000
+            | - CAST(slope_nano AS DECIMAL(38,0)) * sx)
+            | div (CAST(n AS DECIMAL(38,0)) * 1000000000) AS BIGINT)""".stripMargin)))
+      .select(col(keyCol), col("n"), col("slope_nano"), col("intercept"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the standard
     * hybrid-retrieval combiner: each ranked list contributes
     * 1/(kRrf + rank) per result; fused score = the sum across lists.

@@ -223,6 +223,20 @@ object ExtraQueries {
           ok(col("est_int"), col("exact_int")).as("ok_int"))
     }),
 
+    // Per-type value trend via exact-integer OLS (CoreOps.linearTrend):
+    // slope of value-cents against event time in epoch seconds — the
+    // drift-regression sibling of q128's 3σ sweep, partition-invariant
+    // because every sum is integer/DECIMAL(38,0).
+    "q164_value_trend" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      CoreOps.linearTrend(
+          e.select(col("event_type"),
+            expr("unix_micros(ts) div 1000000").as("x"),
+            CoreOps.cents(col("value")).as("y")),
+          "event_type", col("x"), col("y"))
+        .orderBy(col("event_type"))
+    }),
+
     // Data-quality anomaly sweep: per event_type, count of values more
     // than 3σ from the mean. Mean/variance derive from EXACT integer
     // sums (n, Σv, Σv²) so the float math is one fixed expression both
@@ -793,6 +807,35 @@ object ExtraQueries {
         |SELECT c_ts // 86400000000 AS day_id, CAST(count(*) AS BIGINT) AS n_clicks,
         |  CAST(sum(hit) AS BIGINT) AS n_conversions
         |FROM conv GROUP BY day_id ORDER BY day_id""".stripMargin,
+
+    // HUGEINT products replay the DECIMAL(38,0) sums; `//` replays div.
+    // Slope reconstructed inline for the intercept (no lateral alias).
+    "q164_value_trend" ->
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS x,
+         |    ${C.format("value")} AS y
+         |  FROM events),
+         |agg AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |    sum(CAST(x AS HUGEINT) * x) AS sxx
+         |  FROM e GROUP BY 1),
+         |s AS (
+         |  SELECT event_type, n, sx, sy,
+         |    n * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         |    n * sxx - CAST(sx AS HUGEINT) * sx AS den
+         |  FROM agg)
+         |SELECT event_type, n,
+         |  CASE WHEN den = 0 THEN NULL
+         |       ELSE CAST((num * 1000000000) // den AS BIGINT) END AS slope_nano,
+         |  CASE WHEN den = 0 THEN NULL
+         |       ELSE CAST((CAST(sy AS HUGEINT) * 1000000000
+         |         - ((num * 1000000000) // den) * sx)
+         |         // (CAST(n AS HUGEINT) * 1000000000) AS BIGINT) END
+         |    AS intercept
+         |FROM s ORDER BY event_type""".stripMargin,
 
     "q128_outliers" ->
       """WITH e AS (SELECT event_type,

@@ -71,6 +71,14 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // PMI collocation mining (TextOps.pmiCollocations): adjacent pairs
+    // ranked by the integer-exact exp(PMI) surrogate, minCount = 5
+    // against the rare-pair degeneracy, top-25 collocations.
+    "q163_pmi_collocations" -> ((s, dir) => {
+      TextOps.pmiCollocations(Tables.load(s, dir, "documents"),
+        "doc_id", "text", minCount = 5L, k = 25)
+    }),
+
     // Bigram-LM perplexity filter (see TextOps.bigramSurprisal): counts
     // train on the FULL corpus, scoring restricted to doc_id % 7 = 0 —
     // training/scoring asymmetry is the operator's contract, and the
@@ -706,6 +714,33 @@ object TextQueries {
          |SELECT CAST(query_id AS BIGINT) AS query_id,
          |  CAST(rank AS BIGINT) AS rank, id, rrf_micros
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Unigram counts over ALL tokens, T = total pairs, HUGEINT products
+    // replaying the DECIMAL(38,0) arithmetic; same tie policy.
+    "q163_pmi_collocations" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE length(text) > 0
+        |), pairs AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+        |), pc AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM pairs GROUP BY 1, 2
+        |), uni AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM (
+        |    SELECT unnest(toks) AS tok FROM t) WHERE len(tok) > 0
+        |  GROUP BY 1
+        |), tot AS (SELECT CAST(sum(c12) AS BIGINT) AS t_pairs FROM pc)
+        |SELECT w1, w2, c12, u1.cu AS c1, u2.cu AS c2,
+        |  CAST((CAST(c12 AS HUGEINT) * t_pairs * 1000000)
+        |    // (CAST(u1.cu AS HUGEINT) * u2.cu) AS BIGINT) AS pmi_micros
+        |FROM pc
+        |JOIN uni u1 ON u1.tok = pc.w1
+        |JOIN uni u2 ON u2.tok = pc.w2
+        |CROSS JOIN tot
+        |WHERE c12 >= 5
+        |ORDER BY pmi_micros DESC, w1, w2 LIMIT 25""".stripMargin,
 
     // Same pairing idiom as q144 (1-based list index, range end-exclusive);
     // `//` replays Spark's `div`, HUGEINT sum replays the DECIMAL(38,0).

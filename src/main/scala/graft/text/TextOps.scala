@@ -280,6 +280,49 @@ object TextOps {
         expr("sum(CAST(sur AS DECIMAL(38,0))) div count(1)").as("sur_micros"))
   }
 
+  /** PMI collocation mining — the phrase-extraction pass of a corpus
+    * pipeline (Church & Hanks 1990): adjacent pairs ranked by pointwise
+    * mutual information, as the monotone RATIONAL surrogate
+    * (c12 · T · 1e6) div (c1 · c2) of exp(PMI) — integer-exact, oracle
+    * replayable. `minCount` drops the rare-pair degeneracy (a once-seen
+    * pair of once-seen tokens maxes raw PMI). c1/c2 are UNIGRAM
+    * occurrence counts over all tokens and T the total pair count —
+    * stated because both conventions exist and the gate pins this one.
+    *
+    * The product c1·c2 rides DECIMAL(38,0): two 1e12-count stopwords
+    * overflow a 64-bit product at web scale.
+    *
+    * Scale shape: two partial-aggregable hash aggregates (pairs,
+    * unigrams) + a global TakeOrdered(k) — pairing map-local
+    * zip-with-tail, the unigram table joined by key.
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long, k: Int): DataFrame = {
+    val w = tokens(col(textCol))
+    val pair = zip_with(
+      slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (l, r) => struct(l.as("w1"), r.as("w2")))
+    val nz = docs.filter(length(col(textCol)) > 0)
+    val pairs = nz.select(explode(pair).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = nz.select(explode(w).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val total = pairs.agg(sum(col("c12")).as("t_pairs"))
+    pairs.filter(col("c12") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("cu").as("c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("cu").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_micros", expr(
+        """CAST((CAST(c12 AS DECIMAL(38,0)) * t_pairs * 1000000)
+          | div (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)""".stripMargin))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        col("pmi_micros"))
+      .orderBy(col("pmi_micros").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Per-document repetition metrics, Gopher-rule style (Rae et al. 2021
     * §A1.1: repetitious documents are low-quality): the fraction of mass
     * held by the most frequent token and the fraction of duplicate

@@ -327,6 +327,31 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(out == Seq(5L, 5L))
   }
 
+  test("linearTrend: exact fit, truncating non-exact fit, degenerate group") {
+    val df = Seq(
+      ("exact", 1L, 5L), ("exact", 2L, 7L), ("exact", 3L, 9L), // y = 2x+3
+      ("trunc", 0L, 0L), ("trunc", 1L, 1L), ("trunc", 2L, 1L), // slope 1/2
+      ("flat", 7L, 1L), ("flat", 7L, 9L))                      // den = 0
+      .toDF("g", "x", "y")
+    val out = CoreOps.linearTrend(df, "g", $"x", $"y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out("exact") == ((3L, Some(2000000000L), Some(3L))))
+    // num=3, den=6 -> 5e8 nano; intercept floor((2e9-1.5e9)/3e9) = 0
+    assert(out("trunc") == ((3L, Some(500000000L), Some(0L))))
+    assert(out("flat") == ((2L, None, None)))
+  }
+
+  test("linearTrend is partition-invariant (integer sums, no float fold)") {
+    val rows = (0L until 1000L).map(i => ("t", 1700000000L + i * 3600L,
+      (i % 97L) * 100L - 4000L))
+    val one = CoreOps.linearTrend(rows.toDF("g", "x", "y").repartition(1),
+      "g", $"x", $"y").collect()(0)
+    val many = CoreOps.linearTrend(rows.toDF("g", "x", "y").repartition(17),
+      "g", $"x", $"y").collect()(0)
+    assert(one == many)
+  }
+
   test("rrfFuse: hand-computed contributions, absent-list ids, id tiebreak") {
     // 1e6 div 61 = 16393, div 62 = 16129
     val a = Seq((1L, 1L, 10L), (1L, 2L, 20L)).toDF("query_id", "rank", "id")

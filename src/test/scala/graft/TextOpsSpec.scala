@@ -65,6 +65,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out == Seq((2L, 1L, 3000000L)))
   }
 
+  test("pmiCollocations: hand-computed surrogate, minCount gate, tie order") {
+    // tokens a b a b c c -> pairs (a,b)x2 (b,a) (b,c) (c,c), T=5,
+    // unigrams a=2 b=2 c=2
+    val docs = Seq((1L, "a b a b c c")).toDF("doc_id", "text")
+    val out = TextOps.pmiCollocations(docs, "doc_id", "text",
+        minCount = 1L, k = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", "b", 2L, 2L, 2L, 2500000L), // (2*5e6)//4
+      ("b", "a", 1L, 2L, 2L, 1250000L), // ties below: (w1, w2) order
+      ("b", "c", 1L, 2L, 2L, 1250000L),
+      ("c", "c", 1L, 2L, 2L, 1250000L)))
+    val gated = TextOps.pmiCollocations(docs, "doc_id", "text",
+      minCount = 2L, k = 10).count()
+    assert(gated == 1L) // only (a,b) survives minCount=2
+  }
+
   test("tokenCount counts whitespace tokens") {
     val df = Seq("one two three").toDF("t").select(TextOps.tokenCount($"t"))
     assert(df.head().getLong(0) == 3L)
