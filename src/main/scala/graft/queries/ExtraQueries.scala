@@ -223,6 +223,77 @@ object ExtraQueries {
           ok(col("est_int"), col("exact_int")).as("ok_int"))
     }),
 
+    // Winsorized robust aggregates from EXACT order statistics: clip each
+    // event_type's values at the ceil(0.01n)/ceil(0.99n) ranks and compare
+    // raw vs clipped mean — the outlier-robust twin of q128's 3σ sweep.
+    // Ranks come from CoreOps.rangeRank (range-partitioned exact order
+    // statistics — no per-stratum sort task, no window over a whole
+    // group), bounds are 2 rows per group broadcast back, and the clip
+    // itself is scan-local. Integer cents end to end.
+    "q165_winsorize" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          CoreOps.cents(col("value")).as("v_c"))
+      val ranked = CoreOps.rangeRank(e, Seq("event_type"),
+        Seq(col("v_c"), col("event_id")))
+      val ns = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .withColumn("k_lo", expr("(n + 99) div 100"))
+        .withColumn("k_hi", expr("(99 * n + 99) div 100"))
+      val bounds = ranked.join(broadcast(ns), "event_type")
+        .filter(col("rank") === col("k_lo") || col("rank") === col("k_hi"))
+        .groupBy(col("event_type")).agg(
+          min(when(col("rank") === col("k_lo"), col("v_c"))).as("lo_cents"),
+          min(when(col("rank") === col("k_hi"), col("v_c"))).as("hi_cents"))
+      e.join(broadcast(bounds), "event_type")
+        .withColumn("w", least(greatest(col("v_c"), col("lo_cents")),
+          col("hi_cents")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("lo_cents")).as("lo_cents"),
+          min(col("hi_cents")).as("hi_cents"),
+          expr("sum(v_c) div count(1)").as("raw_mean_cents"),
+          expr("sum(w) div count(1)").as("win_mean_cents"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Three-step ordered funnel (view → click within 1 h → purchase
+    // within 1 h of the click): q147's forward as-of (backward as-of on
+    // the NEGATED axis — one keyed shuffle, linear per key) CHAINED, the
+    // k-step generalization every product-analytics suite ships. Rows
+    // that miss step 1 bypass the second as-of entirely (no null-ts rows
+    // enter a join), then everything rolls up per view-day.
+    "q166_funnel3" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      def typed(t: String, tsName: String) =
+        ev.filter(col("event_type") === t)
+          .select(col("user_id"), unix_micros(col("ts")).as(tsName))
+      val v = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("v_ts"),
+          col("event_id").as("v_id"))
+        .withColumn("neg_vts", -col("v_ts"))
+      val clicks = typed("click", "c_ts").withColumn("neg_cts", -col("c_ts"))
+      val purchases = typed("purchase", "p_ts")
+        .withColumn("neg_pts", -col("p_ts"))
+      val s1 = graft.ops.AsofJoin.asofJoin(v, clicks, Seq("user_id"),
+        "neg_vts", "neg_cts", rightCols = Seq("c_ts"),
+        toleranceMicros = Some(3600000000L))
+      val hit = s1.filter(col("c_ts").isNotNull)
+        .withColumn("neg_cts2", -col("c_ts"))
+      val s2hit = graft.ops.AsofJoin.asofJoin(hit, purchases, Seq("user_id"),
+          "neg_cts2", "neg_pts", rightCols = Seq("p_ts"),
+          toleranceMicros = Some(3600000000L))
+        .select(col("v_ts"), col("c_ts"), col("p_ts"))
+      val s2miss = s1.filter(col("c_ts").isNull)
+        .select(col("v_ts"), col("c_ts"), lit(null).cast("long").as("p_ts"))
+      s2hit.unionByName(s2miss)
+        .groupBy(expr("v_ts div 86400000000").as("day_id"))
+        .agg(count(lit(1)).as("n_views"),
+          count(col("c_ts")).as("n_clicked"),
+          count(col("p_ts")).as("n_purchased"))
+        .orderBy(col("day_id"))
+    }),
+
     // Per-type value trend via exact-integer OLS (CoreOps.linearTrend):
     // slope of value-cents against event time in epoch seconds — the
     // drift-regression sibling of q128's 3σ sweep, partition-invariant
@@ -807,6 +878,61 @@ object ExtraQueries {
         |SELECT c_ts // 86400000000 AS day_id, CAST(count(*) AS BIGINT) AS n_clicks,
         |  CAST(sum(hit) AS BIGINT) AS n_conversions
         |FROM conv GROUP BY day_id ORDER BY day_id""".stripMargin,
+
+    // row_number replays rangeRank's (v_c, event_id) total order; the
+    // ceil-rank bounds and clipped mean re-derive from the same integers.
+    "q165_winsorize" ->
+      s"""WITH e AS (
+         |  SELECT event_type, event_id, ${C.format("value")} AS v_c
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, v_c,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY v_c, event_id) AS rank
+         |  FROM e),
+         |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+         |      FROM e GROUP BY 1),
+         |b AS (
+         |  SELECT r.event_type,
+         |    min(CASE WHEN rank = (n + 99) // 100 THEN v_c END) AS lo_cents,
+         |    min(CASE WHEN rank = (99 * n + 99) // 100 THEN v_c END)
+         |      AS hi_cents
+         |  FROM r JOIN n USING (event_type) GROUP BY 1)
+         |SELECT e.event_type, n.n AS n_events, b.lo_cents, b.hi_cents,
+         |  CAST(CAST(sum(v_c) AS BIGINT) // n.n AS BIGINT) AS raw_mean_cents,
+         |  CAST(CAST(sum(least(greatest(v_c, b.lo_cents), b.hi_cents))
+         |    AS BIGINT) // n.n AS BIGINT) AS win_mean_cents
+         |FROM e JOIN n USING (event_type) JOIN b USING (event_type)
+         |GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin,
+
+    // First-at-or-after per step via min() over the 1 h window — the
+    // quadratic-per-user restatement the linear as-of must agree with.
+    // v_id keeps duplicate (user, ts) views distinct, as the engine does.
+    "q166_funnel3" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS v_ts,
+        |    event_id AS v_id
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_ts
+        |      FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |s1 AS (
+        |  SELECT v.user_id, v.v_ts, v.v_id, min(c.c_ts) AS c_ts
+        |  FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |    AND c.c_ts >= v.v_ts AND c.c_ts <= v.v_ts + 3600000000
+        |  GROUP BY 1, 2, 3),
+        |s2 AS (
+        |  SELECT s1.v_ts, s1.c_ts, min(p.p_ts) AS p_ts
+        |  FROM s1 LEFT JOIN p ON s1.c_ts IS NOT NULL
+        |    AND p.user_id = s1.user_id
+        |    AND p.p_ts >= s1.c_ts AND p.p_ts <= s1.c_ts + 3600000000
+        |  GROUP BY s1.user_id, s1.v_ts, s1.v_id, s1.c_ts)
+        |SELECT v_ts // 86400000000 AS day_id,
+        |  CAST(count(*) AS BIGINT) AS n_views,
+        |  CAST(count(c_ts) AS BIGINT) AS n_clicked,
+        |  CAST(count(p_ts) AS BIGINT) AS n_purchased
+        |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // HUGEINT products replay the DECIMAL(38,0) sums; `//` replays div.
     // Slope reconstructed inline for the intercept (no lateral alias).
