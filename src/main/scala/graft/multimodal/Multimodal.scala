@@ -212,6 +212,89 @@ object Multimodal {
     }(enc)
   }
 
+  /** A decoded BMP: dims and the TOP-DOWN interleaved BGR plane
+    * (exactly width·height·3 bytes, row padding stripped).
+    */
+  final case class BmpImage(width: Int, height: Int, pixels: Array[Byte])
+
+  /** REAL codec #3: uncompressed 24-bit BMP (BITMAPINFOHEADER). Exercises
+    * the three container behaviors PPM and WAV don't: an explicit data
+    * OFFSET that must be honored (writers leave gaps — palette space,
+    * alignment), 4-byte ROW PADDING that must be stripped, and BOTTOM-UP
+    * row order (positive height) that must be flipped — a decoder that
+    * ignores any of the three returns wrong bytes, not an error, which is
+    * why the gate pins a corner pixel and position-dependent channel
+    * sums. Negative height = top-down, also handled. None on anything
+    * else: wrong magic, header size ≠ 40, planes ≠ 1, bpp ≠ 24,
+    * compression ≠ BI_RGB, non-positive width, zero height, or a pixel
+    * array that overruns the payload.
+    */
+  def decodeBmp(b: Array[Byte]): Option[BmpImage] = {
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    def s32(i: Int): Int = u32(i).toInt
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val off = u32(10)
+    if (u32(14) != 40L) return None // BITMAPINFOHEADER only
+    val w = s32(18)
+    val hRaw = s32(22)
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    if (w <= 0 || h == 0) return None
+    if (u16(26) != 1 || u16(28) != 24 || u32(30) != 0L) return None
+    val stride = (3 * w + 3) & ~3
+    if (off < 54 || off + stride.toLong * h > b.length) return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (bottomUp) h - 1 - y else y
+      System.arraycopy(b, off.toInt + srcRow * stride, out, y * w * 3, w * 3)
+      y += 1
+    }
+    Some(BmpImage(w, h, out))
+  }
+
+  /** [[decodeBmp]] as a batch kernel: appends a `bmp` struct (width,
+    * height, the top-left pixel's BGR — the orientation witness — and
+    * per-channel sums, which shift if stride or offset are misparsed).
+    * Malformed payloads get a null struct (quarantine, not crash).
+    */
+  def decodeBmpStats(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("bmp", StructType(Seq(
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false),
+        StructField("tl_b", IntegerType, nullable = false),
+        StructField("tl_g", IntegerType, nullable = false),
+        StructField("tl_r", IntegerType, nullable = false),
+        StructField("sum_b", LongType, nullable = false),
+        StructField("sum_g", LongType, nullable = false),
+        StructField("sum_r", LongType, nullable = false)))))
+    val idx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val payload = Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.empty[Byte])
+        val decoded = decodeBmp(payload) match {
+          case Some(img) =>
+            val p = img.pixels
+            var (sb, sg, sr) = (0L, 0L, 0L)
+            var j = 0
+            while (j < p.length) {
+              sb += p(j) & 0xff; sg += p(j + 1) & 0xff; sr += p(j + 2) & 0xff
+              j += 3
+            }
+            Row(img.width, img.height,
+              p(0) & 0xff, p(1) & 0xff, p(2) & 0xff, sb, sg, sr)
+          case None => null
+        }
+        Row.fromSeq(r.toSeq :+ decoded)
+      }
+    }(enc)
+  }
+
   /** Decode metadata for a binary column → appends a typed `meta` struct
     * (width, height, channels, byte_len). Batch kernel, one pass.
     */

@@ -108,6 +108,54 @@ object MediaQueries {
         .orderBy(col("lang"))
     }),
 
+    // REAL codec #3 (Multimodal.decodeBmp): 24-bit BMP with the three
+    // behaviors PPM/WAV don't exercise — explicit data offset (a planted
+    // DEADBEEF gap on every 3rd doc), 4-byte row padding (width % 3
+    // varies the pad, pad bytes are 0xAA poison), bottom-up row order
+    // (the top-left witness pixel lives in the LAST stored row). Every
+    // 10th payload is truncated and must quarantine as null, not crash.
+    "q167_bmp_decode" -> ((s, dir) => {
+      def le(e: String, bytes: Int): String = (0 until bytes)
+        .map(k => s"lpad(hex((($e) div ${1L << (8 * k)}) % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      def b1(e: String): String = s"lpad(hex($e), 2, '0')"
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("w", (col("doc_id") % 3 + 2).cast("int"))
+        .withColumn("h", (col("doc_id") % 2 + 2).cast("int"))
+        .withColumn("stride", expr("((3 * w + 3) div 4) * 4"))
+        .withColumn("pad", expr("stride - 3 * w"))
+        .withColumn("gap", expr("CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 0 END"))
+      val hx = s"""concat(
+        |  '424D', ${le("54 + gap + stride * h", 4)}, '00000000',
+        |  ${le("54 + gap", 4)},
+        |  '28000000', ${le("w", 4)}, ${le("h", 4)}, '0100', '1800',
+        |  '00000000', ${le("stride * h", 4)},
+        |  '130B0000', '130B0000', '00000000', '00000000',
+        |  CASE WHEN doc_id % 3 = 0 THEN 'DEADBEEF' ELSE '' END,
+        |  array_join(transform(sequence(0, h - 1), yf ->
+        |    concat(
+        |      array_join(transform(sequence(0, w - 1), x -> concat(
+        |        ${b1("(doc_id*31 + 17*(h-1-yf) + 5*x) % 256")},
+        |        ${b1("(doc_id*31 + 17*(h-1-yf) + 5*x + 1) % 256")},
+        |        ${b1("(doc_id*31 + 17*(h-1-yf) + 5*x + 2) % 256")})), ''),
+        |      repeat('AA', pad))), ''))""".stripMargin
+      val media = base.withColumn("hx", expr(hx))
+        .withColumn("payload", expr(
+          "unhex(CASE WHEN doc_id % 10 = 9 THEN left(hx, length(hx) - 10) ELSE hx END)"))
+      Multimodal.decodeBmpStats(media, "payload")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("bmp").isNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(col("bmp.width").cast("long")).as("sum_w"),
+          sum((col("bmp.tl_b") + col("bmp.tl_g") + col("bmp.tl_r"))
+            .cast("long")).as("sum_tl"),
+          sum(col("bmp.sum_b")).as("sum_b"),
+          sum(col("bmp.sum_g")).as("sum_g"),
+          sum(col("bmp.sum_r")).as("sum_r"))
+        .orderBy(col("lang"))
+    }),
+
     // Frame sampling (video/audio chunk shape): frames per source.
     "q39_frame_count" -> ((s, dir) => {
       val media = Tables.load(s, dir, "documents")
@@ -146,6 +194,41 @@ object MediaQueries {
         |  CAST(sum(h) AS BIGINT) AS sum_height,
         |  CAST(sum(psum) AS BIGINT) AS sum_pixels
         |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Planted-pixel arithmetic in LOGICAL (top-down) coordinates: the
+    // offset gap, the 0xAA padding, and the bottom-up storage are all
+    // invisible here — exactly why a decoder that mishandles any of them
+    // fails the hash. Truncated payloads (doc_id % 10 = 9) are excluded
+    // from pixel sums and counted as n_bad.
+    "q167_bmp_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, 2 + doc_id % 3 AS w, 2 + doc_id % 2 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT lang, w,
+        |    (doc_id*31) % 256 + (doc_id*31 + 1) % 256
+        |      + (doc_id*31 + 2) % 256 AS tl,
+        |    list_sum(list_transform(range(0, w*h),
+        |      i -> (doc_id*31 + 17*(i // w) + 5*(i % w)) % 256)) AS sb,
+        |    list_sum(list_transform(range(0, w*h),
+        |      i -> (doc_id*31 + 17*(i // w) + 5*(i % w) + 1) % 256)) AS sg,
+        |    list_sum(list_transform(range(0, w*h),
+        |      i -> (doc_id*31 + 17*(i // w) + 5*(i % w) + 2) % 256)) AS sr
+        |  FROM d WHERE doc_id % 10 <> 9),
+        |agg AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_bad
+        |  FROM d GROUP BY 1),
+        |ps AS (
+        |  SELECT lang, CAST(sum(w) AS BIGINT) AS sum_w,
+        |    CAST(sum(tl) AS BIGINT) AS sum_tl,
+        |    CAST(sum(sb) AS BIGINT) AS sum_b,
+        |    CAST(sum(sg) AS BIGINT) AS sum_g,
+        |    CAST(sum(sr) AS BIGINT) AS sum_r
+        |  FROM px GROUP BY 1)
+        |SELECT agg.lang, n, n_bad, sum_w, sum_tl, sum_b, sum_g, sum_r
+        |FROM agg JOIN ps USING (lang) ORDER BY lang""".stripMargin,
 
     // The decoder's ground truth restated as arithmetic: every clip
     // parses (n_bad = 0, the junk chunk never derails the walk), the

@@ -115,6 +115,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(Array.empty[Byte]).isEmpty)
   }
 
+  test("decodeBmp: offset gap honored, padding stripped, bottom-up flipped") {
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
+    // 2x2, 24bpp: stride = 8 (2 pad bytes of 0xAA), 4-byte gap before
+    // pixels. Logical pixels (y,x) -> BGR = (10y+x, 100+10y+x, 200+10y+x);
+    // stored bottom-up: file row 0 = logical row 1.
+    def px(y: Int, x: Int): Array[Byte] =
+      Array((10 * y + x).toByte, (100 + 10 * y + x).toByte,
+        (200 + 10 * y + x).toByte)
+    val pad = Array(0xAA.toByte, 0xAA.toByte)
+    val gap = Array[Byte](0xDE.toByte, 0xAD.toByte, 0xBE.toByte, 0xEF.toByte)
+    def header(w: Int, h: Int, off: Int, size: Int): Array[Byte] =
+      "BM".getBytes("US-ASCII") ++ le(size.toLong, 4) ++ le(0L, 4) ++
+        le(off.toLong, 4) ++ le(40L, 4) ++ le(w.toLong, 4) ++
+        le(h.toLong, 4) ++ le(1L, 2) ++ le(24L, 2) ++ le(0L, 4) ++
+        le(16L, 4) ++ le(2835L, 4) ++ le(2835L, 4) ++ le(0L, 4) ++ le(0L, 4)
+    val rows = (px(1, 0) ++ px(1, 1) ++ pad) ++ (px(0, 0) ++ px(0, 1) ++ pad)
+    val good = header(2, 2, 58, 58 + 16) ++ gap ++ rows
+    val img = Multimodal.decodeBmp(good).get
+    assert(img.width == 2 && img.height == 2)
+    // top-down logical order, padding gone
+    assert(img.pixels.toSeq ==
+      (px(0, 0) ++ px(0, 1) ++ px(1, 0) ++ px(1, 1)).toSeq)
+    // negative height = already top-down
+    val td = header(2, 2, 58, 58 + 16).clone()
+    le(-2L & 0xffffffffL, 4).copyToArray(td, 22)
+    val imgTd = Multimodal.decodeBmp(td ++ gap ++
+      (px(0, 0) ++ px(0, 1) ++ pad) ++ (px(1, 0) ++ px(1, 1) ++ pad)).get
+    assert(imgTd.pixels.toSeq == img.pixels.toSeq)
+    // rejected: truncated pixel array, bad magic, 32bpp, compressed
+    assert(Multimodal.decodeBmp(good.dropRight(3)).isEmpty)
+    assert(Multimodal.decodeBmp("XX".getBytes ++ good.drop(2)).isEmpty)
+    val bpp32 = good.clone(); bpp32(28) = 32.toByte
+    assert(Multimodal.decodeBmp(bpp32).isEmpty)
+    val comp = good.clone(); comp(30) = 1.toByte
+    assert(Multimodal.decodeBmp(comp).isEmpty)
+    assert(Multimodal.decodeBmp(Array.empty[Byte]).isEmpty)
+  }
+
   test("extractEmbedding yields fixed-dim [0,1) floats that feed similarity ops") {
     val out = Multimodal.extractEmbedding(media, "payload", 16)
     out.select($"embedding").collect().foreach { r =>
