@@ -223,6 +223,27 @@ object ExtraQueries {
           ok(col("est_int"), col("exact_int")).as("ok_int"))
     }),
 
+    // Cohort retention — the product-analytics staple: users bucketed by
+    // first-seen day, each later active day counted as (cohort_day,
+    // day_offset, n_users). Scale shape: per-user min (hash agg) + the
+    // distinct (user, day) activity set (hash agg) + ONE keyed join on
+    // user_id — both sides arrive hash-partitioned on it — then a final
+    // partial-aggregable count; (user, day) uniqueness makes count(*)
+    // exactly the distinct-user count per cell, no count-distinct needed.
+    "q168_cohort_retention" -> ((s, dir) => {
+      val days = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val activity = days.distinct()
+      val first = activity.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      activity.join(first, "user_id")
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // Winsorized robust aggregates from EXACT order statistics: clip each
     // event_type's values at the ceil(0.01n)/ceil(0.99n) ranks and compare
     // raw vs clipped mean — the outlier-robust twin of q128's 3σ sweep.
@@ -878,6 +899,17 @@ object ExtraQueries {
         |SELECT c_ts // 86400000000 AS day_id, CAST(count(*) AS BIGINT) AS n_clicks,
         |  CAST(sum(hit) AS BIGINT) AS n_conversions
         |FROM conv GROUP BY day_id ORDER BY day_id""".stripMargin,
+
+    "q168_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // row_number replays rangeRank's (v_c, event_id) total order; the
     // ceil-rank bounds and clipped mean re-derive from the same integers.
