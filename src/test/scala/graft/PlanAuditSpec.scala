@@ -143,6 +143,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "semantic dedup degenerated to an all-pairs comparison")
   }
 
+  test("bm25 retrieval: term tables broadcast, corpus never cartesian-joined") {
+    // q159: query terms / dfreq / totals must all reach the postings scan
+    // as broadcasts; the only data-sized exchange is the dl join on
+    // doc_id; ranking is the partial top-k (ObjectHashAggregate), not a
+    // window sort over candidates.
+    val plan = run("q159_bm25_search")
+    assert(plan.contains("BroadcastHashJoin"), "term filter lost its broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "bm25 degenerated to a cartesian join")
+    assert(plan.contains("ObjectHashAggregate"),
+      "per-query ranking is not the partial top-k aggregate")
+    assert(!plan.contains("Window"),
+      "a window sort crept into the bm25 ranking path")
+  }
+
   test("partition-pruned scan reads only the selected partition") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_pp_").toString
