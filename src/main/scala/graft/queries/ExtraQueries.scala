@@ -223,6 +223,71 @@ object ExtraQueries {
           ok(col("est_int"), col("exact_int")).as("ok_int"))
     }),
 
+    // Correlation strength as an EXACT rational: r² in basis points from
+    // the same five sums as q164 plus Σy² — r² = num²/(den_x·den_y) needs
+    // no square root, so unlike Pearson r itself it is integer-exact and
+    // hash-gateable (sign reported separately). num² would pass even
+    // DECIMAL(38,0)/HUGEINT around n=2e5 groups at these unit scales
+    // (num ~ n²·cov), so num and the dens are first truncated by S=1e6 —
+    // a DEFINED deterministic surrogate both engines replay bit-for-bit;
+    // the precision cost is ~S/num (negligible when a correlation exists,
+    // rounds to 0 when |num| < S, which is the right answer there) and
+    // the headroom extends to ~3e6 rows per group (raise S beyond that).
+    "q169_value_corr" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 1000000").as("x"),
+          CoreOps.cents(col("value")).as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+        .withColumn("num", expr("(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) div 1000000"))
+        .withColumn("den_x", expr("(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) div 1000000"))
+        .withColumn("den_y", expr("(n * syy - CAST(sy AS DECIMAL(38,0)) * sy) div 1000000"))
+        .withColumn("r2_bp", when(col("den_x") === 0 || col("den_y") === 0,
+            lit(null))
+          .otherwise(expr(
+            """CAST((CAST(num AS DECIMAL(38,0)) * num * 10000)
+              | div (CAST(den_x AS DECIMAL(38,0)) * den_y) AS BIGINT)""".stripMargin)))
+        .withColumn("slope_sign", signum(col("num")).cast("long"))
+        .select(col("event_type"), col("n"), col("r2_bp"), col("slope_sign"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Cross-source vocabulary overlap — the corpus-mixture contamination
+    // question ("how much does source A's token space overlap B's"):
+    // exact pairwise Jaccard over distinct token sets, in basis points.
+    // Scale shape: one distinct (source, token) hash agg; the pair stage
+    // joins that table to itself ON TOKEN — the candidate set is (number
+    // of sources sharing a token choose 2) per token, bounded by the
+    // SOURCE count (a handful), never |vocab|²; per-source sizes
+    // broadcast back. The KMV sketch (q158) is the approximate path when
+    // sources number in the thousands.
+    "q170_source_overlap" -> ((s, dir) => {
+      val st = Tables.load(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .distinct()
+      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n_toks"))
+      val pairs = st.as("a").join(st.as("b"), Seq("tok"))
+        .filter(col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      pairs
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("n_toks").as("n_a"))), Seq("src_a"))
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("n_toks").as("n_b"))), Seq("src_b"))
+        .withColumn("jaccard_bp", expr(
+          "(n_common * 10000) div (n_a + n_b - n_common)"))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          col("n_common"), col("jaccard_bp"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // Cohort retention — the product-analytics staple: users bucketed by
     // first-seen day, each later active day counted as (cohort_day,
     // day_offset, n_users). Scale shape: per-user min (hash agg) + the
@@ -899,6 +964,52 @@ object ExtraQueries {
         |SELECT c_ts // 86400000000 AS day_id, CAST(count(*) AS BIGINT) AS n_clicks,
         |  CAST(sum(hit) AS BIGINT) AS n_conversions
         |FROM conv GROUP BY day_id ORDER BY day_id""".stripMargin,
+
+    "q169_value_corr" ->
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS x,
+         |    ${C.format("value")} AS y
+         |  FROM events),
+         |agg AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |    sum(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM e GROUP BY 1),
+         |s AS (
+         |  SELECT event_type, n,
+         |    (n * sxy - CAST(sx AS HUGEINT) * sy) // 1000000 AS num,
+         |    (n * sxx - CAST(sx AS HUGEINT) * sx) // 1000000 AS den_x,
+         |    (n * syy - CAST(sy AS HUGEINT) * sy) // 1000000 AS den_y
+         |  FROM agg)
+         |SELECT event_type, n,
+         |  CASE WHEN den_x = 0 OR den_y = 0 THEN NULL
+         |       ELSE CAST((num * num * 10000) // (den_x * den_y) AS BIGINT)
+         |  END AS r2_bp,
+         |  CAST(sign(num) AS BIGINT) AS slope_sign
+         |FROM s ORDER BY event_type""".stripMargin,
+
+    "q170_source_overlap" ->
+      """WITH st AS (
+        |  SELECT DISTINCT source, tok FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) WHERE len(tok) > 0),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_toks
+        |       FROM st GROUP BY 1),
+        |p AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, za.n_toks AS n_a, zb.n_toks AS n_b, n_common,
+        |  (n_common * 10000) // (za.n_toks + zb.n_toks - n_common)
+        |    AS jaccard_bp
+        |FROM p
+        |JOIN sz za ON za.source = p.src_a
+        |JOIN sz zb ON zb.source = p.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "q168_cohort_retention" ->
       """WITH a AS (
