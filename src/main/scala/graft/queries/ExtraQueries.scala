@@ -288,6 +288,30 @@ object ExtraQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // Behavior-flow transition matrix (first-order Markov counts): per
+    // user, consecutive event pairs ordered by (ts, event_id); rolled up
+    // to (prev_type, type) counts + row-normalized probabilities in
+    // basis points. Scale shape: ONE hash partition by user + per-user
+    // sort (the lag window — bounded by a user's history, parallel
+    // across users), then partial-aggregable counts; row totals are a
+    // handful of rows broadcast back.
+    "q171_transitions" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val t = e.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = t.groupBy(col("prev_type")).agg(sum(col("n")).as("row_n"))
+      t.join(broadcast(tot), "prev_type")
+        .withColumn("p_bp", expr("(n * 10000) div row_n"))
+        .select(col("prev_type"), col("event_type"), col("n"), col("p_bp"))
+        .orderBy(col("prev_type"), col("event_type"))
+    }),
+
     // Cohort retention — the product-analytics staple: users bucketed by
     // first-seen day, each later active day counted as (cohort_day,
     // day_offset, n_users). Scale shape: per-user min (hash agg) + the
@@ -964,6 +988,25 @@ object ExtraQueries {
         |SELECT c_ts // 86400000000 AS day_id, CAST(count(*) AS BIGINT) AS n_clicks,
         |  CAST(sum(hit) AS BIGINT) AS n_conversions
         |FROM conv GROUP BY day_id ORDER BY day_id""".stripMargin,
+
+    "q171_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+        |  FROM events),
+        |lagged AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS prev_type
+        |  FROM e),
+        |t AS (
+        |  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM lagged WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_n
+        |        FROM t GROUP BY 1)
+        |SELECT t.prev_type, t.event_type, n, (n * 10000) // row_n AS p_bp
+        |FROM t JOIN tot USING (prev_type)
+        |ORDER BY t.prev_type, t.event_type""".stripMargin,
 
     "q169_value_corr" ->
       s"""WITH e AS (
