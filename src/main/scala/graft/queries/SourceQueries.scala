@@ -84,6 +84,31 @@ object SourceQueries {
     // range query planned off the manifest — reads ~2 of 16 files
     // (asserted in DataSkippingSpec; the gate checks values). Oracle is
     // the unpruned filter: skipping must be invisible to results.
+    // Bloom-index data skipping — the POINT-LOOKUP complement of q99:
+    // the layout clusters on user_id, so every file's event_id min/max
+    // spans ~the whole range and q99's manifest can prune NOTHING; the
+    // per-file bloom on event_id still prunes a 5-key lookup to the
+    // handful of files that hold those ids (DataSkippingSpec asserts the
+    // file count; this gate proves result-invariance — blooms have no
+    // false negatives, so pruned == full scan).
+    "q172_bloom_skip" -> ((s, dir) => {
+      import graft.sources.{DataSkipping, Layout}
+      val clustered = FixtureCache.dir("q172_userclustered", dir) { out =>
+        Layout.writeClustered(
+          Tables.load(s, dir, "events").select(
+            col("event_id"), col("user_id"), col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("value_cents")),
+          out, Seq("user_id"), files = 16)
+      }
+      val bm = DataSkipping.buildBloomManifest(s, clustered, "event_id",
+        expectedPerFile = 8192, fpp = 0.01)
+      DataSkipping.bloomPrunedRead(s, clustered, bm, "event_id",
+          Seq(777L, 1234L, 4242L, 6789L, 9001L))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value_cents"))
+        .orderBy(col("event_id"))
+    }),
+
     "q99_manifest_skip" -> ((s, dir) => {
       import graft.sources.{DataSkipping, Layout}
       val clustered = FixtureCache.dir("q99_clustered", dir) { out =>
@@ -115,6 +140,13 @@ object SourceQueries {
          |  ORDER BY ts_u DESC LIMIT 500)
          |SELECT event_id, event_type, value_cents, ts_u FROM topk
          |ORDER BY ts_u""".stripMargin,
+
+    // Skipping must be invisible to results: the plain IN-list lookup.
+    "q172_bloom_skip" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS value_cents
+        |FROM events WHERE event_id IN (777, 1234, 4242, 6789, 9001)
+        |ORDER BY event_id""".stripMargin,
 
     "q99_manifest_skip" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

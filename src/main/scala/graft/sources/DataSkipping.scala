@@ -57,6 +57,60 @@ object DataSkipping {
     base.filter(col(statCol) >= lo && col(statCol) <= hi)
   }
 
+  /** Per-file BLOOM index — the point-lookup complement of min/max
+    * skipping: min/max prunes only when the layout CLUSTERS the probe
+    * column; a bloom per file prunes point lookups on any
+    * high-cardinality column regardless of layout (the Delta "bloom
+    * filter index" pattern). One distributed scan, one partial-aggregable
+    * bloom per file ([[graft.functions.BloomAgg]] — built map-side,
+    * OR-merged), emitted as a (file, bloom) manifest frame to persist
+    * next to the min/max manifest.
+    *
+    * Size `expectedPerFile` to the real per-file row count: an undersized
+    * filter saturates and stops pruning (it never lies — false positives
+    * only — it just reads more files).
+    */
+  def buildBloomManifest(spark: SparkSession, dir: String, keyCol: String,
+                         expectedPerFile: Long = 100000L,
+                         fpp: Double = 0.01): DataFrame =
+    spark.read.parquet(dir)
+      .select(input_file_name().as("file"), col(keyCol).cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("file"))
+      .agg(graft.functions.BloomAgg.bloom(expectedPerFile, fpp)(col("k"))
+        .as("bloom"))
+
+  /** Read only the files whose bloom might contain ANY of `keys`, then
+    * re-apply the exact membership predicate — identical results to the
+    * full scan for any key set (blooms have no false negatives). The
+    * membership probes run DISTRIBUTED over the manifest (a kernel, not
+    * a driver loop over blooms — at 1e5 files × ~100 KiB of bits the
+    * manifest is executor data); only the surviving file NAMES land on
+    * the driver, the same bounded artifact [[prunedRead]] collects.
+    */
+  def bloomPrunedRead(spark: SparkSession, dir: String, bloomManifest: DataFrame,
+                      keyCol: String, keys: Seq[Long]): DataFrame = {
+    require(keys.nonEmpty, "bloomPrunedRead needs at least one probe key")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    implicit val enc = Encoders.row(StructType(Seq(
+      StructField("file", StringType))))
+    val probe = keys.toArray
+    val files = bloomManifest.select(col("file"), col("bloom"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          if (probe.exists(k => graft.functions.BloomAgg.mightContain(bytes, k)))
+            Iterator(Row(r.getString(0)))
+          else Iterator.empty
+        }
+      }.collect().map(r => globSafe(r.getString(0)))
+    val base =
+      if (files.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(keyCol).isin(keys: _*))
+  }
+
   /** Build the manifest for `dataDir` and publish it at `manifestDir`
     * via a POINTER FLIP — the actual metastore/table-format protocol, not
     * a directory swap: the new manifest lands as an immutable versioned

@@ -150,6 +150,41 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom manifest prunes point lookups the min/max manifest cannot") {
+    import graft.sources.{DataSkipping, Layout}
+    val out = Files.createTempDirectory("layout_bloom_").toString + "/t"
+    // layout clusters on grp, so each file's id min/max spans ~everything
+    val rows = (0L until 4096L).map(i => (i, i % 8))
+    Layout.writeClustered(rows.toDF("id", "grp"), out, Seq("grp"), files = 8)
+    val minmax = DataSkipping.buildManifest(spark, out, "id")
+    val nFiles = minmax.count()
+    assert(nFiles >= 4, "fixture degenerated to too few files")
+    // min/max is blind here: a point id intersects (almost) every file
+    val mmSurvivors =
+      minmax.filter($"max_v" >= 777L && $"min_v" <= 777L).count()
+    assert(mmSurvivors >= nFiles - 1,
+      s"fixture broken: min/max pruned a grp-clustered layout ($mmSurvivors/$nFiles)")
+    // the bloom prunes to ~the one file holding the key (fpp=0.01 slack)
+    val bm = DataSkipping.buildBloomManifest(spark, out, "id",
+      expectedPerFile = 1024, fpp = 0.01)
+    assert(bm.count() == nFiles)
+    val bloomSurvivors = bm.select($"bloom").as[Array[Byte]].collect()
+      .count(b => graft.functions.BloomAgg.mightContain(b, 777L))
+    assert(bloomSurvivors < nFiles / 2,
+      s"bloom pruned nothing: $bloomSurvivors of $nFiles files survive")
+    // no false negatives: the pruned read returns exactly the full answer
+    val got = DataSkipping.bloomPrunedRead(spark, out, bm, "id",
+        Seq(777L, 1234L, 4000L))
+      .select($"id").as[Long].collect().toSet
+    assert(got == Set(777L, 1234L, 4000L))
+    // empty probe rejected; absent keys return empty, not error
+    intercept[IllegalArgumentException] {
+      DataSkipping.bloomPrunedRead(spark, out, bm, "id", Nil)
+    }
+    assert(DataSkipping.bloomPrunedRead(spark, out, bm, "id", Seq(999999L))
+      .count() == 0L)
+  }
+
   test("ORC sink/source roundtrip with predicate pushdown (format breadth)") {
     val dir = Files.createTempDirectory("layout_orc_").toString
     val df = (1L to 1000L).map(i => (i, s"name$i", i % 7)).toDF("id", "name", "grp")
