@@ -170,7 +170,47 @@ object StreamQueries {
     StructField("event_type", StringType),
     StructField("value_cents", LongType)))
 
+  /** charHash(s) in DuckDB (mirrors Dedup.charHash / CharHash.scala). */
+  private def chSql(s: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.10 ⊕ sketches: windowed DISTINCT inside the STREAMING
+    // aggregation state — the KMV bottom-k buffer (q158's engine) rides
+    // the state store per (window, type) group and OR/merge-collapses
+    // duplicate hashes across micro-batches, so the state holds ≤ k longs
+    // per group forever instead of the key universe (the 100 TB form of
+    // streaming COUNT DISTINCT). Sub-k groups report the EXACT distinct
+    // count; estimator-regime groups report the (k-1)·M div h_k order
+    // statistic — both replayed bit-for-bit by the oracle, no tolerance
+    // needed.
+    "q173_stream_distinct" -> ((s, dir) => {
+      import graft.functions.KmvAgg
+      val src = landing("events_x2", dir, eventsFlat(s, dir), 2, "event_id")
+      val ss = streamSession(s)
+      val stream = SocialStream
+        .readJsonStream(ss, src, eventsFlatSchema, maxFilesPerTrigger = 1)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withColumn("h", graft.dedup.Dedup.charHash(
+          concat(col("value_cents").cast("string"), lit("#sd"))))
+      val agg = stream.withWatermark("ts", Horizon)
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(KmvAgg.kmv(128)(col("h")).as("sk"))
+      val sink = uniq("q173_sink_")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      q.stop()
+      ss.table(sink)
+        .select(unix_seconds(col("window.start")).as("bucket_start"),
+          col("event_type"),
+          size(col("sk")).cast("long").as("k_filled"),
+          KmvAgg.estimate(128, col("sk")).as("n_distinct_est"))
+        .orderBy(col("bucket_start"), col("event_type"))
+    }),
+
     // §2.10 tumbling-window counts: landing JSON → file-source micro-batches
     // → window(15 min) + watermark agg → complete-mode memory sink.
     // Two files → two genuine micro-batches: multi-batch semantics at the
@@ -529,6 +569,36 @@ object StreamQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // Grouped bottom-k replay of the KMV state: distinct hashes per
+    // (6 h bucket, type), rank by h, exact count below k, the
+    // (k-1)·M // h_k order statistic at k. Streaming vs batch is
+    // invisible to the sketch (the buffer is a pure function of the
+    // input SET), which is exactly what the gate pins.
+    "q173_stream_distinct" -> {
+      val h = chSql("concat(CAST(value_cents AS VARCHAR), '#sd')")
+      s"""WITH e AS (
+         |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000) * 21600
+         |      AS bucket_start,
+         |    event_type, CAST(round(value * 100) AS BIGINT) AS value_cents
+         |  FROM events),
+         |d AS (
+         |  SELECT DISTINCT bucket_start, event_type, $h AS h FROM e),
+         |rk AS (
+         |  SELECT bucket_start, event_type, h,
+         |    row_number() OVER (PARTITION BY bucket_start, event_type
+         |      ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY bucket_start, event_type) AS nd
+         |  FROM d)
+         |SELECT bucket_start, event_type,
+         |  CAST(CASE WHEN max(nd) < 128 THEN max(nd) ELSE 128 END AS BIGINT)
+         |    AS k_filled,
+         |  CAST(CASE WHEN max(nd) < 128 THEN max(nd)
+         |       ELSE CAST(127 AS BIGINT) * 1000000007
+         |         // max(CASE WHEN rn = 128 THEN h END) END AS BIGINT)
+         |    AS n_distinct_est
+         |FROM rk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
     // The anti join restated: survivors are exactly the non-%5 ids.
     "q157_stream_decontam" ->
       """SELECT user_id % 10 AS bucket, count(*) AS n,
