@@ -57,6 +57,51 @@ object DataSkipping {
     base.filter(col(statCol) >= lo && col(statCol) <= hi)
   }
 
+  /** Incremental manifest maintenance for an append-only table: stat
+    * only the files the manifest hasn't seen, drop rows for files that
+    * vanished (compaction), keep everything else verbatim — the nightly
+    * landing-zone shape where rescanning years of history to re-derive
+    * unchanged min/max rows is the read-time tax this module exists to
+    * kill. One FS listing (driver, one row per file — the same artifact
+    * Spark's own file index holds) decides the delta; the only
+    * distributed work is the scan of NEW files.
+    */
+  def updateManifest(spark: SparkSession, dir: String, oldManifest: DataFrame,
+                     statCol: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    // `input_file_name()` URIs (file:///x) and FS-listing paths (file:/x)
+    // spell the same file differently — compare on the scheme-free path
+    // or the delta silently degenerates to a full rescan.
+    def norm(p: String): String = new Path(p).toUri.getPath
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.listStatus(new Path(dir)).iterator
+      .map(_.getPath.toString)
+      .filter { p =>
+        val n = p.substring(p.lastIndexOf('/') + 1)
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }.toSeq
+    val liveNorm = live.map(norm).toSet
+    // the manifest is one (path, min, max) row per file — the same
+    // bounded driver artifact as the FS listing itself
+    val oldRows = oldManifest.select(col("file"), col("min_v"), col("max_v"))
+      .collect()
+    val knownNorm = oldRows.map(r => norm(r.getString(0))).toSet
+    val fresh = live.filterNot(p => knownNorm.contains(norm(p))).sorted
+    val keptRows = oldRows.filter(r => liveNorm.contains(norm(r.getString(0))))
+    val kept = spark.createDataFrame(
+      java.util.Arrays.asList(keptRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType),
+        oldManifest.schema("min_v"), oldManifest.schema("max_v"))))
+    if (fresh.isEmpty) kept
+    else kept.unionByName(
+      spark.read.parquet(fresh: _*)
+        .select(input_file_name().as("file"), col(statCol))
+        .groupBy(col("file"))
+        .agg(min(col(statCol)).as("min_v"), max(col(statCol)).as("max_v")))
+  }
+
   /** Per-file BLOOM index — the point-lookup complement of min/max
     * skipping: min/max prunes only when the layout CLUSTERS the probe
     * column; a bloom per file prunes point lookups on any

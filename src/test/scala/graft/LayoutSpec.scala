@@ -185,6 +185,39 @@ class LayoutSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("updateManifest stats only NEW files and drops vanished ones") {
+    import graft.sources.DataSkipping
+    val dir = Files.createTempDirectory("layout_incr_").toString
+    (0L until 100L).map(i => (i, i)).toDF("id", "v")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val m0 = DataSkipping.buildManifest(spark, dir, "v")
+    val m0Rows = m0.collect()
+    assert(m0Rows.length == 4)
+    // append two more files
+    (100L until 150L).map(i => (i, i)).toDF("id", "v")
+      .repartition(2).write.mode("append").parquet(dir)
+    val m1 = DataSkipping.updateManifest(spark, dir, m0, "v")
+    // the incremental scan's plan touches ONLY the two fresh files
+    assert(m1.inputFiles.length == 2,
+      s"incremental update rescanned ${m1.inputFiles.length} files, expected 2")
+    val m1Rows = m1.collect()
+    assert(m1Rows.length == 6)
+    // old rows survive verbatim (same file → same stats object)
+    val oldByFile = m0Rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    m1Rows.filter(r => oldByFile.contains(r.getString(0))).foreach { r =>
+      assert(oldByFile(r.getString(0)) == ((r.getLong(1), r.getLong(2))))
+    }
+    // the updated manifest prunes and stays exact over the grown table
+    val got = DataSkipping.prunedRead(spark, dir, m1, "v", 120L, 130L)
+      .select($"id").as[Long].collect().toSet
+    assert(got == (120L to 130L).toSet)
+    // a vanished file's row is dropped, not kept as a dangling pointer
+    val victim = new java.io.File(new java.net.URI(m0Rows.head.getString(0)))
+    assert(victim.delete(), s"couldn't delete $victim")
+    val m2 = DataSkipping.updateManifest(spark, dir, m1, "v")
+    assert(m2.count() == 5)
+  }
+
   test("ORC sink/source roundtrip with predicate pushdown (format breadth)") {
     val dir = Files.createTempDirectory("layout_orc_").toString
     val df = (1L to 1000L).map(i => (i, s"name$i", i % 7)).toDF("id", "name", "grp")
