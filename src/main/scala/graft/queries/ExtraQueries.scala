@@ -288,6 +288,29 @@ object ExtraQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // Recency-decayed engagement rollup: each event's cents halve per
+    // day of age against the corpus horizon (exponential decay with a
+    // 1-day half-life, computed as INTEGER `div` by a capped power of
+    // two — exact on any engine and partition order, where float
+    // exp-decay sums are neither). The horizon is one broadcast scalar;
+    // the decay is scan-local; shift capped at 40 so 2^shift stays far
+    // inside a long (a week-old row already rounds to 0 cents anyway).
+    "q175_decayed_rollup" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          CoreOps.cents(col("value")).as("v_c"))
+      val horizon = e.agg(max(col("day")).as("max_day"))
+      e.crossJoin(broadcast(horizon))
+        .withColumn("age", least(col("max_day") - col("day"), lit(40L)))
+        .withColumn("dv", expr("v_c div shiftleft(1L, CAST(age AS INT))"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v_c")).as("raw_cents"),
+          sum(col("dv")).as("decayed_cents"))
+        .orderBy(col("event_type"))
+    }),
+
     // Behavior-flow transition matrix (first-order Markov counts): per
     // user, consecutive event pairs ordered by (ts, event_id); rolled up
     // to (prev_type, type) counts + row-normalized probabilities in
@@ -988,6 +1011,20 @@ object ExtraQueries {
         |SELECT c_ts // 86400000000 AS day_id, CAST(count(*) AS BIGINT) AS n_clicks,
         |  CAST(sum(hit) AS BIGINT) AS n_conversions
         |FROM conv GROUP BY day_id ORDER BY day_id""".stripMargin,
+
+    "q175_decayed_rollup" ->
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         |    ${C.format("value")} AS v_c
+         |  FROM events),
+         |h AS (SELECT max(day) AS max_day FROM e)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(v_c) AS BIGINT) AS raw_cents,
+         |  CAST(sum(v_c // (CAST(1 AS BIGINT) <<
+         |    least(max_day - day, 40))) AS BIGINT) AS decayed_cents
+         |FROM e CROSS JOIN h
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q171_transitions" ->
       """WITH e AS (

@@ -71,6 +71,37 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Per-source DATA CARD — the datasheet row a corpus curator reads
+    // before mixing a source in: volume (docs, tokens, mean/median doc
+    // length), language spread (distinct + majority), and exact-dup mass
+    // (docs minus distinct content fingerprints). One pass derives the
+    // per-doc columns; two partial-aggregable aggs (card + lang modes);
+    // the median is the exact p50 over integer token counts (half-sum
+    // interpolation is exact in binary — the quarter-quantile rule).
+    "q174_data_card" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          TextOps.tokenCount(col("text")).as("toks"),
+          Dedup.charHash(col("text")).as("fp"))
+      val base = d.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        expr("sum(toks) div count(1)").as("mean_tokens"),
+        expr("percentile(toks, 0.5D)").as("p50_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"))
+      val top = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(min_by(col("lang"), struct((-col("c")).as("nc"), col("lang")))
+          .as("top_lang"))
+      base.join(top, "source")
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("mean_tokens"), col("p50_tokens"), col("n_langs"),
+          col("top_lang"), col("n_dup_docs"))
+        .orderBy(col("source"))
+    }),
+
     // PMI collocation mining (TextOps.pmiCollocations): adjacent pairs
     // ranked by the integer-exact exp(PMI) surrogate, minCount = 5
     // against the rare-pair degeneracy, top-25 collocations.
@@ -714,6 +745,36 @@ object TextQueries {
          |SELECT CAST(query_id AS BIGINT) AS query_id,
          |  CAST(rank AS BIGINT) AS rank, id, rrf_micros
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // quantile_cont replays Spark's exact `percentile` (both interpolate
+    // the half-sum of two ints — exact in binary); the majority lang is
+    // the (count DESC, lang) window head.
+    "q174_data_card" -> {
+      val fp = chSqlOf("text")
+      s"""WITH d AS (
+         |  SELECT source, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+         |    $fp AS fp
+         |  FROM documents),
+         |base AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(toks) AS BIGINT) AS total_tokens,
+         |    CAST(sum(toks) // count(*) AS BIGINT) AS mean_tokens,
+         |    quantile_cont(toks, 0.5) AS p50_tokens,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_docs
+         |  FROM d GROUP BY 1),
+         |top AS (
+         |  SELECT source, lang AS top_lang FROM (
+         |    SELECT source, lang,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY count(*) DESC, lang) AS rn
+         |    FROM d GROUP BY source, lang)
+         |  WHERE rn = 1)
+         |SELECT base.source, n_docs, total_tokens, mean_tokens, p50_tokens,
+         |  n_langs, top_lang, n_dup_docs
+         |FROM base JOIN top USING (source) ORDER BY source""".stripMargin
+    },
 
     // Unigram counts over ALL tokens, T = total pairs, HUGEINT products
     // replaying the DECIMAL(38,0) arithmetic; same tie policy.
