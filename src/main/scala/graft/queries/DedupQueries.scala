@@ -393,6 +393,18 @@ object DedupQueries {
         .orderBy(col("n_probe"))
     }),
 
+    // IVF+PQ — the canonical billion-vector index (FAISS IVFPQ): coarse
+    // cells + residual product codes + per-probed-cell ADC tables, all
+    // integer after the micros conversion, so the ENTIRE index —
+    // assignment, residuals, codebooks, probes, ranked distances —
+    // hash-gates exactly against a from-first-principles SQL replay.
+    "q176_ivfpq" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nCells = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Product quantization + asymmetric-distance top-k (Jégou et al.
     // 2011): corpus vectors as m 4-bit codes, query distance = sum of
     // per-subspace table lookups. Integer micros end to end — codebook,
@@ -750,6 +762,97 @@ object DedupQueries {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Generated oracle for [[graft.similarity.Similarity.ivfPqTopK]]:
+    * first principles, integer end to end — leading-sign coarse seeds,
+    * truncating-mean centroids, one Lloyd reassignment by integer L2,
+    * per-vector RESIDUALS, PQ codebooks/codes on the residuals, query
+    * probes + per-probed-cell ADC tables, ranked ADC sums.
+    */
+  def ivfPqOracle(queryPred: String, k: Int, nCells: Int, nProbe: Int,
+                  m: Int, dim: Int): String = {
+    val cplanes = java.lang.Integer.numberOfTrailingZeros(nCells)
+    val sub = dim / m
+    val seed = (0 until cplanes)
+      .map(j => s"(CASE WHEN v[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH vm AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |ex0 AS MATERIALIZED (
+       |  SELECT vec_id, i, v[i] AS x, $seed AS cell0
+       |  FROM vm, LATERAL (SELECT unnest(range(1, ${dim + 1})) AS i) r),
+       |cc AS MATERIALIZED (
+       |  SELECT cell0 AS cell, i, CAST(sum(x) AS BIGINT) // count(*) AS cu
+       |  FROM ex0 GROUP BY 1, 2),
+       |cd AS MATERIALIZED (
+       |  SELECT e.vec_id, c.cell,
+       |    CAST(sum((e.x - c.cu) * (e.x - c.cu)) AS BIGINT) AS d
+       |  FROM ex0 e JOIN cc c ON c.i = e.i GROUP BY 1, 2),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |    FROM cd) WHERE rn = 1),
+       |rex AS MATERIALIZED (
+       |  SELECT e.vec_id, a.cell, (e.i - 1) // $sub AS s, e.i AS pos,
+       |    e.x - c.cu AS xr
+       |  FROM ex0 e JOIN asg a USING (vec_id)
+       |  JOIN cc c ON c.cell = a.cell AND c.i = e.i),
+       |pcell AS MATERIALIZED (
+       |  SELECT vec_id, s,
+       |    CAST(sum(CASE WHEN (pos - 1) % $sub < 4 AND xr >= 0
+       |      THEN (1 << CAST((pos - 1) % $sub AS INT)) ELSE 0 END) AS BIGINT)
+       |      AS pc
+       |  FROM rex GROUP BY 1, 2),
+       |cb AS MATERIALIZED (
+       |  SELECT r.s, p.pc AS cell, r.pos,
+       |    CAST(sum(r.xr) AS BIGINT) // count(*) AS cu
+       |  FROM rex r JOIN pcell p ON p.vec_id = r.vec_id AND p.s = r.s
+       |  GROUP BY 1, 2, 3),
+       |pdist AS MATERIALIZED (
+       |  SELECT r.vec_id, r.s, c.cell,
+       |    CAST(sum((r.xr - c.cu) * (r.xr - c.cu)) AS BIGINT) AS d
+       |  FROM rex r JOIN cb c ON c.s = r.s AND c.pos = r.pos
+       |  GROUP BY 1, 2, 3),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, s, cell AS code FROM (
+       |    SELECT vec_id, s, cell,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cell) AS rn
+       |    FROM pdist) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id FROM embeddings b WHERE $queryPred),
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT cd.vec_id, cd.cell,
+       |      row_number() OVER (PARTITION BY cd.vec_id ORDER BY d, cell) AS rn
+       |    FROM cd JOIN q ON q.query_id = cd.vec_id)
+       |  WHERE rn <= $nProbe),
+       |qrex AS MATERIALIZED (
+       |  SELECT p.query_id, p.cell, (e.i - 1) // $sub AS s, e.i AS pos,
+       |    e.x - c.cu AS xr
+       |  FROM probes p JOIN ex0 e ON e.vec_id = p.query_id
+       |  JOIN cc c ON c.cell = p.cell AND c.i = e.i),
+       |qdist AS MATERIALIZED (
+       |  SELECT r.query_id, r.cell, r.s, cb.cell AS pqc,
+       |    CAST(sum((r.xr - cb.cu) * (r.xr - cb.cu)) AS BIGINT) AS d
+       |  FROM qrex r JOIN cb ON cb.s = r.s AND cb.pos = r.pos
+       |  GROUP BY 1, 2, 3, 4),
+       |adc AS (
+       |  SELECT qd.query_id, co.vec_id AS corpus_id,
+       |    CAST(sum(qd.d) AS BIGINT) AS adist
+       |  FROM codes co JOIN asg a ON a.vec_id = co.vec_id
+       |  JOIN qdist qd ON qd.cell = a.cell AND qd.s = co.s
+       |    AND qd.pqc = co.code
+       |  WHERE co.vec_id <> qd.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, corpus_id, adist FROM (
+       |  SELECT query_id, corpus_id, adist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist, corpus_id) AS BIGINT) AS rank
+       |  FROM adc)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   def ivfOracle(queryPred: String, k: Int, nCells: Int, nProbe: Int): String = {
     s"""WITH ${kmeansCtes(nCells)},
        |probes AS (
@@ -964,6 +1067,9 @@ object DedupQueries {
         |FROM cosd GROUP BY label ORDER BY label""".stripMargin,
 
     "q160_pq_adc" -> pqOracle("b.vec_id < 5", k = 10, m = 8, dim = 64),
+
+    "q176_ivfpq" -> ivfPqOracle("b.vec_id < 5", k = 10, nCells = 16,
+      nProbe = 4, m = 8, dim = 64),
 
     "q154_multiprobe_recall" -> {
       def level(p: Int): String = {

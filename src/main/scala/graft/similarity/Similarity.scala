@@ -606,12 +606,18 @@ object Similarity {
     */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
               m: Int = 8, dim: Int = 64): DataFrame = {
+    val vm = transform(col(vecCol), x =>
+      round(x.cast("double") * 1e6).cast("long"))
+    pqTrainMicros(corpus.select(col(idCol).as("id"), vm.as("vm")), m, dim)
+  }
+
+  /** [[pqTrain]] on an already-micros (id, vm: Array[Long]) frame — the
+    * entry point [[ivfPqTopK]] uses to train codebooks on RESIDUALS.
+    */
+  private[graft] def pqTrainMicros(base: DataFrame, m: Int, dim: Int): DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
     require(sub >= 4, "seed bits read the first 4 dims of each subspace")
-    val vm = transform(col(vecCol), x =>
-      round(x.cast("double") * 1e6).cast("long"))
-    val base = corpus.select(col(idCol).as("id"), vm.as("vm"))
     val sCol = floor(col("pos") / sub).cast("long")
     val cellExpr = (0 until 4).map { j =>
       when(element_at(col("vm"),
@@ -719,6 +725,167 @@ object Similarity {
           }
         }
       }(enc)
+    pairs.groupBy(col("query_id"))
+      .agg(TopKAgg.topK(k, -col("adist"), col("corpus_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.id").as("corpus_id"), (-col("col.v")).as("adist"))
+  }
+
+  /** IVF+PQ — the canonical billion-vector index (FAISS IVFPQ; Jégou et
+    * al. 2011 §V): a coarse quantizer partitions the corpus into cells,
+    * each vector stores only the PQ code of its RESIDUAL against its
+    * cell centroid, and a query probes its `nProbe` nearest cells,
+    * building one ADC table per probed cell from the query's
+    * cell-relative residual. Everything after the micros conversion is
+    * integer — coarse seeds from leading-dim signs, centroids as
+    * truncating means, assignment/encode by integer L2 argmin, ADC sums
+    * — so the whole index, probes included, hash-gates exactly.
+    *
+    * Scale shape: centroids and codebooks are bounded collected
+    * artifacts (nCells·dim + m·16·dim/m longs — broadcast-variable
+    * class); assignment+residual and encode+ADC each run as ONE kernel
+    * pass over the corpus; per-query work is nProbe cells' candidates,
+    * not the corpus; per-vector storage is log2(nCells) bits + m
+    * nibbles. Ranking is the k-bounded partial top-k.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 8, dim: Int = 64): DataFrame = {
+    import graft.functions.TopKAgg
+    require(nCells > 1 && (nCells & (nCells - 1)) == 0, "nCells must be a power of 2")
+    val cplanes = java.lang.Integer.numberOfTrailingZeros(nCells)
+    require(cplanes <= dim, "more coarse planes than dims")
+    require(nProbe >= 1 && nProbe <= nCells, "nProbe in [1, nCells]")
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    val vmExpr = transform(col(vecCol), x =>
+      round(x.cast("double") * 1e6).cast("long"))
+    val base = corpus.select(col(idCol).cast("long").as("id"), vmExpr.as("vm"))
+
+    // coarse seeds: leading-dim signs; centroids: truncating micro means
+    val seedCell = (0 until cplanes).map { j =>
+      when(element_at(col("vm"), j + 1) >= 0L, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val cc = Array.fill(nCells)(null: Array[Long])
+    base.select(seedCell.as("cell"), posexplode(col("vm")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(count(lit(1)).as("cnt"), sum(col("col")).as("su"))
+      .withColumn("cu", expr("su div cnt"))
+      .collect().foreach { r =>
+        val cell = r.getLong(0).toInt
+        if (cc(cell) == null) cc(cell) = new Array[Long](dim)
+        cc(cell)(r.getInt(1)) = r.getAs[Long]("cu")
+      }
+    def l2(a: Array[Long], b: Array[Long], off: Int, len: Int): Long = {
+      var d = 0L
+      var i = 0
+      while (i < len) { val x = a(off + i) - b(off + i); d += x * x; i += 1 }
+      d
+    }
+    // one Lloyd step: reassign to nearest centroid, keep residuals
+    val bcc = spark.sparkContext.broadcast(cc)
+    val residSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cell", LongType, nullable = false),
+      StructField("vm", ArrayType(LongType))))
+    implicit val renc = Encoders.row(residSchema)
+    val resid = base.mapPartitions { it =>
+      val cents = bcc.value
+      def near(v: Array[Long]): Int = {
+        var best = -1; var bestD = Long.MaxValue; var c = 0
+        while (c < cents.length) {
+          if (cents(c) != null) {
+            var d = 0L; var i = 0
+            while (i < v.length) { val x = v(i) - cents(c)(i); d += x * x; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+          }
+          c += 1
+        }
+        best
+      }
+      it.map { r =>
+        val v = r.getSeq[Long](1).toArray
+        val cell = near(v)
+        val cent = cents(cell)
+        val rm = new Array[Long](v.length)
+        var i = 0
+        while (i < v.length) { rm(i) = v(i) - cent(i); i += 1 }
+        Row(r.getLong(0), cell.toLong, rm.toSeq)
+      }
+    }(renc).localCheckpoint() // codebook agg + encode both read it
+
+    // PQ codebooks on residuals
+    val cb = Array.fill(m, 16)(null: Array[Long])
+    pqTrainMicros(resid.select(col("id"), col("vm")), m, dim)
+      .collect().foreach { r =>
+        val (s, cell, pos) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toInt)
+        if (cb(s)(cell) == null) cb(s)(cell) = new Array[Long](sub)
+        cb(s)(cell)((pos - 1) % sub) = r.getLong(3)
+      }
+
+    // probes + per-probed-cell ADC tables, from the PLAN's micros
+    val qRows = queries.select(col(idCol).cast("long").as("id"), vmExpr.as("vm"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val cellToQueries: Map[Int, Array[(Long, Array[Array[Long]])]] = qRows
+      .flatMap { case (qid, qv) =>
+        val byDist = (0 until nCells).filter(cc(_) != null).map { c =>
+          var d = 0L; var i = 0
+          while (i < dim) { val x = qv(i) - cc(c)(i); d += x * x; i += 1 }
+          (d, c)
+        }.sorted.take(nProbe)
+        byDist.map { case (_, c) =>
+          val qres = Array.tabulate(dim)(i => qv(i) - cc(c)(i))
+          val table = Array.fill(m, 16)(Long.MaxValue)
+          for (s <- 0 until m; pc <- 0 until 16 if cb(s)(pc) != null)
+            table(s)(pc) = l2(qres, {
+              val full = new Array[Long](dim)
+              System.arraycopy(cb(s)(pc), 0, full, s * sub, sub)
+              full
+            }, s * sub, sub)
+          (c, (qid, table))
+        }
+      }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val bq = spark.sparkContext.broadcast((cb, cellToQueries))
+    val pairSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("corpus_id", LongType, nullable = false),
+      StructField("adist", LongType, nullable = false)))
+    implicit val penc = Encoders.row(pairSchema)
+    val pairs = resid.mapPartitions { it =>
+      val (cbv, c2q) = bq.value
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val cell = r.getLong(1).toInt
+        val probers = c2q.getOrElse(cell, Array.empty[(Long, Array[Array[Long]])])
+        if (probers.isEmpty) Iterator.empty
+        else {
+          val rm = r.getSeq[Long](2).toArray
+          val code = new Array[Int](m)
+          var s = 0
+          while (s < m) {
+            var best = -1; var bestD = Long.MaxValue; var c = 0
+            while (c < 16) {
+              val cent = cbv(s)(c)
+              if (cent != null) {
+                var d = 0L; var j = 0
+                while (j < sub) { val x = rm(s * sub + j) - cent(j); d += x * x; j += 1 }
+                if (d < bestD) { bestD = d; best = c }
+              }
+              c += 1
+            }
+            code(s) = best
+            s += 1
+          }
+          probers.iterator.filter(_._1 != id).map { case (qid, t) =>
+            var ad = 0L
+            var s2 = 0
+            while (s2 < m) { ad += t(s2)(code(s2)); s2 += 1 }
+            Row(qid, id, ad)
+          }
+        }
+      }
+    }(penc)
     pairs.groupBy(col("query_id"))
       .agg(TopKAgg.topK(k, -col("adist"), col("corpus_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")))

@@ -196,6 +196,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("ivfPqTopK: planted clusters retrieved first; partition-invariant") {
+    // two tight clusters with opposite signs in every dim — the coarse
+    // quantizer must separate them, and ADC must rank own-cluster first
+    val dim = 16
+    val vecs = (0L until 24L).map { i =>
+      val cluster = if (i < 12L) 1.0f else -1.0f
+      (i, (0 until dim).map(d =>
+        cluster * (0.5f + 0.01f * ((i * 7 + d) % 13).toFloat)))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def run(parts: Int) =
+      Similarity.ivfPqTopK(df.repartition(parts),
+          df.filter(col("vec_id").isin(0L, 13L)), "vec_id", "embedding",
+          k = 8, nCells = 4, nProbe = 2, m = 4, dim = dim)
+        .orderBy($"query_id", $"rank")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    val out = run(3)
+    // query 0 (cluster A): all 8 hits from A; query 13 (cluster B): from B
+    val hitsA = out.filter(_._1 == 0L).map(_._3)
+    val hitsB = out.filter(_._1 == 13L).map(_._3)
+    assert(hitsA.nonEmpty && hitsA.forall(_ < 12L), s"cross-cluster hits: $hitsA")
+    assert(hitsB.nonEmpty && hitsB.forall(_ >= 12L), s"cross-cluster hits: $hitsB")
+    // ranks contiguous, distances non-decreasing within a query
+    Seq(0L, 13L).foreach { q =>
+      val rows = out.filter(_._1 == q)
+      assert(rows.map(_._2) == (1L to rows.length))
+      assert(rows.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+    // integer pipeline ⇒ identical output under any partitioning
+    assert(run(7) == out)
+  }
+
   test("pqTrain codebook is the truncating integer mean per (s, cell, dim)") {
     // two vectors land in the same cell of subspace 0 (both all-positive
     // in dims 1-4); centroid must be the element-wise su div cnt
