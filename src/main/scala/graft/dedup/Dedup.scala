@@ -226,16 +226,46 @@ object Dedup {
     * in-bucket pair meets in exactly one (tl ≤ tr) group and no group holds
     * more than ~cap rows per side. Unskewed buckets (n ≤ cap) have T = 1 —
     * zero replication, the plain bucket join.
+    *
+    * Only the HOT buckets (n > cap) are carried into the tiling machinery:
+    * the census is a partial-aggregated count (the exchange moves
+    * (key, partial-count) rows, not payloads) filtered to oversized buckets,
+    * which in any non-degenerate corpus is empty or tiny — at most n/cap
+    * rows (0.02% of input rows at the default cap) even when EVERY bucket is
+    * hot — so it broadcasts, and cold rows take a map-side "tile 0" stamp.
+    * The previous form sort-merge-joined every row against the full
+    * per-bucket size table, paying two extra sorts per side even on corpora
+    * with no hot bucket at all (the q131/q138 regression of VERDICT r6).
     */
   def bucketedPairSides(keyed: DataFrame, keyCols: Seq[String], idCol: String,
                         cap: Int): (DataFrame, DataFrame) = {
     val payload = struct(keyed.columns.filterNot(keyCols.contains).map(col): _*)
-    val sizes = keyed.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n"))
-    // Join back on the bucket key: co-partitioned with the groupBy shuffle,
-    // and a hot key has ONE build row — the probe side streams through.
-    val tiled = keyed.join(sizes, keyCols)
-      .withColumn("_nt", ceil(col("_n").cast("double") / cap).cast("int"))
-      .withColumn("_tile", pmod(xxhash64(col(idCol)), col("_nt")).cast("int"))
+    // One explicit (bucket-key) hash exchange feeds the census AND both
+    // replicated sides: the three identical subtrees collapse to a
+    // ReusedExchange, so the upstream banding kernel runs once (the plain
+    // self-join would pay this same exchange anyway).
+    val keyedP = keyed.repartition(keyCols.map(col): _*)
+    // The census aggregation PINS every payload column (a throwaway
+    // first()) so column pruning cannot narrow its copy of the exchange
+    // input: a pruned subtree canonicalizes differently and the reuse —
+    // the whole point of branching off keyedP — silently dies, leaving
+    // the upstream banding kernel to run twice (observed live on q138's
+    // plan: the census branch re-ran minhash_band_keys with id pruned).
+    val payloadCols = keyed.columns.filterNot(keyCols.contains).toSeq
+    val pins = payloadCols.map(c => first(col(c)).as(s"_pin_$c"))
+    val hot = broadcast(
+      keyedP.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_n"), pins: _*)
+        .filter(col("_n") > cap)
+        .select((keyCols.map(col) :+ col("_n")): _*))
+    // Left join against the broadcast hot list: cold rows (no match) get
+    // T = 1, tile 0 with zero replication and zero shuffle for the stamp.
+    val tiled = keyedP.join(hot, keyCols, "left")
+      .withColumn("_nt",
+        coalesce(ceil(col("_n").cast("double") / cap).cast("int"), lit(1)))
+      .withColumn("_tile",
+        when(col("_n").isNull, lit(0))
+          .otherwise(pmod(xxhash64(col(idCol)), col("_nt")).cast("int")))
     val aSide = tiled
       .withColumn("_tr", explode(sequence(col("_tile"), col("_nt") - 1)))
       .select((keyCols.map(col) :+ col("_tile").as("_tl") :+ col("_tr") :+
@@ -303,8 +333,8 @@ object Dedup {
     * T tiles; the join key becomes (band, bh, tile). Every cross pair
     * still meets exactly once, no reducer sees more than ~cap history
     * rows per batch row, and unskewed buckets (T = 1, the overwhelming
-    * case) pay zero replication. The size join is co-partitioned with
-    * the bucket exchange and its build side is one row per bucket.
+    * case) pay zero replication — the hot-bucket list is a broadcast
+    * census, so cold corpora pay only one partial-aggregated count.
     */
   /** The tiled sides of [[incrementalCandidates]], exposed for the
     * hot-bucket bound spec: (batch side keyed `id_new`, history side
@@ -312,30 +342,51 @@ object Dedup {
     */
   def incrementalCandidateSides(nb: DataFrame, hb: DataFrame,
                                 bucketCap: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    // Bucket sizes via a window over (band, bh) — NOT a separate groupBy
-    // + join back, which would exchange the full history band table a
-    // second time. The window's hash exchange is the very partitioning
-    // the (band, bh, _tile) join needs (a subset of the join keys
-    // satisfies its clustering), and the sort it induces is one the
-    // sort-merge join would perform regardless — so the skew bound costs
-    // zero additional shuffles of the big side.
-    val wB = Window.partitionBy(col("band"), col("bh"))
-    val hSized = hb.withColumn("_n", count(lit(1)).over(wB))
+    // HOT-bucket census only (VERDICT r6 item 1): a partial-aggregated
+    // count over the history band table — the exchange carries
+    // (band, bh, partial-count) rows, never ids — filtered to buckets
+    // whose size exceeds the cap. In any non-degenerate corpus this is
+    // empty or tiny (bounded by n/cap rows, 0.02% of band rows at the
+    // default cap, even when every bucket is hot), so it broadcasts and
+    // both sides stamp their tile map-side. The previous form computed a
+    // window count over the full sorted history band table and sort-
+    // merge-joined the batch against the full per-bucket size table even
+    // when no bucket was hot — two extra sorts plus a join that cold
+    // corpora paid for nothing (the 2.7x q138 regression).
+    // The census is a SEPARATE partial-agg branch over the banded
+    // history, NOT a shared explicit repartition: map-side combine means
+    // its exchange carries only (band, bh, partial-count) rows, and —
+    // decisive when the batch is small, the common incremental case —
+    // the main join stays free to broadcast the batch side and never
+    // exchange history at all. (Measured both ways on q138: a forced
+    // repartition(band, bh) to share one exchange re-adds a full shuffle
+    // of the history band table that AQE's broadcast plan never needed,
+    // and loses to the extra banding pass this branch costs.)
+    // first(id) pins the id column through the census agg so column
+    // pruning cannot narrow its copy of hb's subtree: when hb ends in an
+    // exchange (the in-plan form's shared RR repartition), a pruned copy
+    // canonicalizes differently and the ReusedExchange dies, re-running
+    // the banding kernel for the census (seen live on q138's plan). When
+    // hb is a parquet state scan the pin merely reads one extra column.
+    val hot = broadcast(
+      hb.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("_n"), first(col("id")).as("_pin"))
+        .filter(col("_n") > bucketCap)
+        .select(col("band"), col("bh"), col("_n")))
     val nt = ceil(col("_n").cast("double") / bucketCap).cast("int")
-    val hTiled = hSized
+    val hTiled = hb.join(hot, Seq("band", "bh"), "left")
       .select(col("band"), col("bh"),
-        pmod(xxhash64(col("id")), nt).cast("int").as("_tile"),
+        when(col("_n").isNull, lit(0))
+          .otherwise(pmod(xxhash64(col("id")), nt)).cast("int").as("_tile"),
         col("id").as("id_old"))
-    // Batch side reads only the small one-row-per-bucket size table
-    // (derived ON TOP of the sized history — partial agg over existing
-    // partitioning, no new history exchange). The inner join doubles as
-    // early pruning: a batch band with no history occupancy can produce
-    // no candidate and never fans out.
-    val sizes = hSized.groupBy(col("band"), col("bh")).agg(max(col("_n")).as("_n"))
-    val nTiled = nb.join(sizes, Seq("band", "bh"))
+    // Batch rows of a hot bucket replicate to all T tiles; everything
+    // else passes through once with tile 0. Batch bands absent from
+    // history are dropped by the main (band, bh, _tile) inner join —
+    // the old eager-pruning join against the size table bought nothing
+    // once that join stopped being required for tiling.
+    val nTiled = nb.join(hot, Seq("band", "bh"), "left")
       .select(col("band"), col("bh"),
-        explode(sequence(lit(0), nt - 1)).as("_tile"),
+        explode(sequence(lit(0), coalesce(nt - 1, lit(0)))).as("_tile"),
         col("id").as("id_new"))
     (nTiled, hTiled)
   }
@@ -374,6 +425,15 @@ object Dedup {
                           bands: Int = 4, threshold: Double = 0.5,
                           bucketCap: Int = 4096): DataFrame = {
     val nb = minhashBands(batch, idCol, textCol, shingleK, numHashes, bands)
+    // The history side is banded twice in this in-plan form (main join +
+    // hot-bucket census) — deliberately. Both sharing alternatives were
+    // measured slower on q138: a keyed repartition(band, bh) forces a
+    // full exchange of the band table that AQE's broadcast-batch plan
+    // never needed, and a round-robin exchange above the kernel pays
+    // materialization + sort-before-repartition that outweighs one
+    // fully-pipelined codegen recompute. The production nightly shape
+    // ([[incrementalNearDupsFromState]]) reads bands from parquet state,
+    // where the census's second scan prunes to two columns and is ~free.
     val hb = minhashBands(history, idCol, textCol, shingleK, numHashes, bands)
     val hs = shingleHashSets(history, idCol, textCol, shingleK)
     incrementalVerify(batch, nb, hb, hs, idCol, textCol, shingleK,
