@@ -244,13 +244,18 @@ object Multimodal {
     val h = math.abs(hRaw)
     if (w <= 0 || h == 0) return None
     if (u16(26) != 1 || u16(28) != 24 || u32(30) != 0L) return None
-    val stride = (3 * w + 3) & ~3
-    if (off < 54 || off + stride.toLong * h > b.length) return None
+    // Stride and pixel-array size in LONG: a crafted header with
+    // w > ~715M overflows 3*w in Int, making stride negative — the
+    // bounds check below would pass and the allocation/arraycopy throw,
+    // violating the quarantine-not-crash contract (ADVICE r6).
+    val stride = (3L * w + 3) & ~3L
+    if (w.toLong * h * 3 > Int.MaxValue) return None
+    if (off < 54 || off + stride * h > b.length) return None
     val out = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
       val srcRow = if (bottomUp) h - 1 - y else y
-      System.arraycopy(b, off.toInt + srcRow * stride, out, y * w * 3, w * 3)
+      System.arraycopy(b, (off + srcRow * stride).toInt, out, y * w * 3, w * 3)
       y += 1
     }
     Some(BmpImage(w, h, out))

@@ -74,13 +74,31 @@ object DataSkipping {
     // or the delta silently degenerates to a full rescan.
     def norm(p: String): String = new Path(p).toUri.getPath
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = fs.listStatus(new Path(dir)).iterator
-      .map(_.getPath.toString)
-      .filter { p =>
-        val n = p.substring(p.lastIndexOf('/') + 1)
-        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-      }.toSeq
+    // RECURSIVE listing: buildManifest/prunedRead go through
+    // spark.read.parquet(dir), which also resolves partitioned
+    // (nested-directory) layouts — a flat listStatus on such a layout
+    // would see zero live files and silently empty the manifest
+    // (ADVICE r6). Directory-level dot/underscore filtering matches
+    // Spark's own InMemoryFileIndex visibility rules.
+    val rootPath = fs.makeQualified(new Path(dir))
+    val liveIt = fs.listFiles(rootPath, true)
+    val liveBuf = Seq.newBuilder[String]
+    while (liveIt.hasNext) {
+      val p = liveIt.next().getPath
+      // hidden if any component BELOW the listing root is dotted or
+      // underscored (the root itself may legitimately be, e.g. /a/.cache)
+      val hidden = Iterator.iterate(p)(_.getParent)
+        .takeWhile(q => q != null && q != rootPath)
+        .map(_.getName)
+        .exists(n => n.startsWith("_") || n.startsWith("."))
+      if (p.getName.endsWith(".parquet") && !hidden) liveBuf += p.toString
+    }
+    val live = liveBuf.result()
     val liveNorm = live.map(norm).toSet
+    require(live.nonEmpty || oldManifest.isEmpty,
+      s"updateManifest found no live parquet files under $dir but the old " +
+        "manifest is non-empty — refusing to silently empty the manifest " +
+        "(wrong dir, or the table moved?)")
     // the manifest is one (path, min, max) row per file — the same
     // bounded driver artifact as the FS listing itself
     val oldRows = oldManifest.select(col("file"), col("min_v"), col("max_v"))
@@ -144,8 +162,12 @@ object DataSkipping {
     val files = bloomManifest.select(col("file"), col("bloom"))
       .mapPartitions { it =>
         it.flatMap { r =>
-          val bytes = r.getAs[Array[Byte]](1)
-          if (probe.exists(k => graft.functions.BloomAgg.mightContain(bytes, k)))
+          // Deserialize the filter ONCE per file row, then probe all
+          // keys against the instance — per-probe readFrom re-parses a
+          // ~100 KiB byte image |keys| times per row (ADVICE r6).
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          if (probe.exists(bf.mightContainLong))
             Iterator(Row(r.getString(0)))
           else Iterator.empty
         }

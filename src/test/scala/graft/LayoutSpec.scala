@@ -218,6 +218,27 @@ class LayoutSpec extends AnyFunSuite {
     assert(m2.count() == 5)
   }
 
+  test("updateManifest handles partitioned (nested-dir) layouts and refuses to empty silently") {
+    import graft.sources.DataSkipping
+    // Hive-partitioned layout: data files live in nested p=*/ dirs — a
+    // flat listing sees zero files and would silently drop every manifest
+    // row as "vanished" (ADVICE r6); the recursive listing must see them.
+    val dir = Files.createTempDirectory("layout_part_").toString
+    (0L until 100L).map(i => (i, i, i % 3)).toDF("id", "v", "p")
+      .write.partitionBy("p").mode("overwrite").parquet(dir)
+    val m0 = DataSkipping.buildManifest(spark, dir, "v")
+    val n0 = m0.count()
+    assert(n0 >= 3, s"expected >=3 partition files, got $n0")
+    val m1 = DataSkipping.updateManifest(spark, dir, m0, "v")
+    assert(m1.count() == n0, "nested files mistaken for vanished")
+    // an empty/wrong dir with a non-empty old manifest must fail loudly,
+    // never return an emptied manifest
+    val emptyDir = Files.createTempDirectory("layout_empty_").toString
+    intercept[IllegalArgumentException] {
+      DataSkipping.updateManifest(spark, emptyDir, m0, "v")
+    }
+  }
+
   test("ORC sink/source roundtrip with predicate pushdown (format breadth)") {
     val dir = Files.createTempDirectory("layout_orc_").toString
     val df = (1L to 1000L).map(i => (i, s"name$i", i % 7)).toDF("id", "name", "grp")

@@ -147,6 +147,14 @@ class MultimodalSpec extends AnyFunSuite {
     // rejected: truncated pixel array, bad magic, 32bpp, compressed
     assert(Multimodal.decodeBmp(good.dropRight(3)).isEmpty)
     assert(Multimodal.decodeBmp("XX".getBytes ++ good.drop(2)).isEmpty)
+    // crafted giant width: 3*w overflows Int (stride would go negative
+    // and the bounds check would pass) — must quarantine, not throw
+    // (ADVICE r6); same for a w*h pixel count past Int.MaxValue
+    val wide = good.clone(); le(0x30000000L, 4).copyToArray(wide, 18)
+    assert(Multimodal.decodeBmp(wide).isEmpty)
+    val big = good.clone()
+    le(70000L, 4).copyToArray(big, 18); le(70000L, 4).copyToArray(big, 22)
+    assert(Multimodal.decodeBmp(big).isEmpty)
     val bpp32 = good.clone(); bpp32(28) = 32.toByte
     assert(Multimodal.decodeBmp(bpp32).isEmpty)
     val comp = good.clone(); comp(30) = 1.toByte
