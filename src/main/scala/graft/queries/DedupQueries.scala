@@ -416,6 +416,28 @@ object DedupQueries {
       Similarity.pqTopK(e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // The UNBOUNDED-query-set PQ path (VERDICT r6 item 3): query ADC
+    // tables built by a distributed kernel (never collected), scoring
+    // through a joined plan. Must land on exactly the rows q160's
+    // broadcast path produces — same oracle, same hash.
+    "q177_pq_adc_dist" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.pqTopKDistributed(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // The unbounded-query-set IVF+PQ path: probe state distributed,
+    // candidates meet probers through an equi-join on the coarse cell —
+    // the shuffle key a cell-partitioned serving layout uses at scale.
+    // Same oracle, same hash as q176.
+    "q178_ivfpq_dist" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.ivfPqTopKDistributed(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nCells = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
     }))
 
   // ---------------------------------------------------------------- oracles
@@ -1069,6 +1091,12 @@ object DedupQueries {
     "q160_pq_adc" -> pqOracle("b.vec_id < 5", k = 10, m = 8, dim = 64),
 
     "q176_ivfpq" -> ivfPqOracle("b.vec_id < 5", k = 10, nCells = 16,
+      nProbe = 4, m = 8, dim = 64),
+
+    // distributed variants: identical semantics, identical oracles
+    "q177_pq_adc_dist" -> pqOracle("b.vec_id < 5", k = 10, m = 8, dim = 64),
+
+    "q178_ivfpq_dist" -> ivfPqOracle("b.vec_id < 5", k = 10, nCells = 16,
       nProbe = 4, m = 8, dim = 64),
 
     "q154_multiprobe_recall" -> {

@@ -136,13 +136,42 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int,
-                     dim: Int = 64): DataFrame = {
+                     dim: Int = 64,
+                     maxQueryBatch: Int = DefaultMaxQueryBatch): DataFrame = {
+    // The query side is broadcast (executor memory, not driver) — still a
+    // bounded-serving-batch contract: an unbounded evaluation set would
+    // OOM every executor at once. Count is cheap (no data movement).
+    val nq = queries.limit(maxQueryBatch + 1).count()
+    require(nq <= maxQueryBatch,
+      s"query batch exceeds maxQueryBatch=$maxQueryBatch — the broadcast " +
+        "nested-loop path ships every query to every executor; use " +
+        "bruteForceTopKDistributed for large query sets")
+    bruteForceScored(corpus, broadcast(bruteForceQ(queries, idCol, vecCol, dim)),
+      idCol, vecCol, k, dim)
+  }
+
+  /** [[bruteForceTopK]] for UNBOUNDED query sets: same |Q|×|C| scoring,
+    * but as a non-broadcast join (Spark picks a cartesian product whose
+    * tasks tile both sides) — no single executor ever holds the whole
+    * query set. Output is identical (shared scoring/ranking tail).
+    */
+  def bruteForceTopKDistributed(corpus: DataFrame, queries: DataFrame,
+                                idCol: String, vecCol: String, k: Int,
+                                dim: Int = 64): DataFrame =
+    bruteForceScored(corpus, bruteForceQ(queries, idCol, vecCol, dim),
+      idCol, vecCol, k, dim)
+
+  private def bruteForceQ(queries: DataFrame, idCol: String, vecCol: String,
+                          dim: Int): DataFrame =
+    bucketNorm(queries, idCol, vecCol, 0, dim)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnorm"))
+
+  private def bruteForceScored(corpus: DataFrame, q: DataFrame, idCol: String,
+                               vecCol: String, k: Int, dim: Int): DataFrame = {
     val c = bucketNorm(corpus, idCol, vecCol, 0, dim)
       .select(col("id").as("corpus_id"), col("v").as("cv"), col("nrm").as("cnorm"))
-    val q = bucketNorm(queries, idCol, vecCol, 0, dim)
-      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnorm"))
     val scored = appendCosine(
-      c.join(broadcast(q), col("corpus_id") =!= col("query_id")),
+      c.join(q, col("corpus_id") =!= col("query_id")),
       "cv", "qv", "cnorm", "qnorm", "sim")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("corpus_id").asc)
@@ -651,42 +680,21 @@ object Similarity {
     * @return (query_id, rank, corpus_id, adist) — adist in squared micros.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, k: Int, m: Int = 8, dim: Int = 64): DataFrame = {
+             vecCol: String, k: Int, m: Int = 8, dim: Int = 64,
+             maxQueryBatch: Int = DefaultMaxQueryBatch): DataFrame = {
     import graft.functions.TopKAgg
     val sub = dim / m
     val spark = corpus.sparkSession
-    // codebook → [s][cell] = centroid micros (null = empty seed cell)
-    val cb = Array.fill(m, 16)(null: Array[Long])
-    pqTrain(corpus, idCol, vecCol, m, dim).collect().foreach { r =>
-      val (s, cell, pos) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toInt)
-      if (cb(s)(cell) == null) cb(s)(cell) = new Array[Long](sub)
-      cb(s)(cell)((pos - 1) % sub) = r.getLong(3)
-    }
-    val vm = transform(col(vecCol), x =>
-      round(x.cast("double") * 1e6).cast("long"))
+    val cb = collectCodebook(pqTrain(corpus, idCol, vecCol, m, dim), m, sub)
     // query ADC tables — micros collected from the PLAN (same round() as
-    // the corpus; JVM math.round ties differ from SQL HALF_UP on .5)
-    val qRows = queries.select(col(idCol).cast("long").as("id"), vm.as("vm"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    val qTables = qRows.map { case (qid, q) =>
-      val t = Array.fill(m, 16)(Long.MaxValue)
-      for (s <- 0 until m; c <- 0 until 16 if cb(s)(c) != null) {
-        var d = 0L
-        var j = 0
-        while (j < sub) {
-          val diff = q(s * sub + j) - cb(s)(c)(j); d += diff * diff; j += 1
-        }
-        t(s)(c) = d
-      }
-      (qid, t)
-    }
+    // the corpus; JVM math.round ties differ from SQL HALF_UP on .5).
+    // The collect is limit-bounded BEFORE it reaches the driver.
+    val qRows = boundedQueryBatch(queries, idCol, vecCol, maxQueryBatch,
+      "pqTopKDistributed")
+    val qTables = qRows.map { case (qid, q) => (qid, adcTableFlat(q, cb, sub)) }
     val bc = spark.sparkContext.broadcast((cb, qTables))
-    val schema = StructType(Seq(
-      StructField("query_id", LongType, nullable = false),
-      StructField("corpus_id", LongType, nullable = false),
-      StructField("adist", LongType, nullable = false)))
-    implicit val enc = Encoders.row(schema)
-    val pairs = corpus.select(col(idCol).cast("long").as("id"), vm.as("vm"))
+    implicit val enc = Encoders.row(pairSchema)
+    val pairs = corpus.select(col(idCol).cast("long").as("id"), microsVec(vecCol).as("vm"))
       .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         val (cbv, qts) = bc.value
@@ -694,42 +702,198 @@ object Similarity {
         val subv = if (mm == 0) 0 else cbv(0).map(c => if (c == null) 0 else c.length).max
         it.flatMap { r =>
           val id = r.getLong(0)
-          val v = r.getSeq[Long](1).toArray
-          // encode: per-subspace argmin squared L2, tie → lower cell
-          val code = new Array[Int](mm)
-          var s = 0
-          while (s < mm) {
-            var best = -1
-            var bestD = Long.MaxValue
-            var c = 0
-            while (c < 16) {
-              val cent = cbv(s)(c)
-              if (cent != null) {
-                var d = 0L
-                var j = 0
-                while (j < subv) {
-                  val diff = v(s * subv + j) - cent(j); d += diff * diff; j += 1
-                }
-                if (d < bestD) { bestD = d; best = c }
-              }
-              c += 1
-            }
-            code(s) = best
-            s += 1
-          }
+          val code = encodeSubspaces(r.getSeq[Long](1).toArray, cbv, subv)
           qts.iterator.filter(_._1 != id).map { case (qid, t) =>
             var ad = 0L
             var s2 = 0
-            while (s2 < mm) { ad += t(s2)(code(s2)); s2 += 1 }
+            while (s2 < mm) { ad += t(s2 * 16 + code(s2)); s2 += 1 }
             Row(qid, id, ad)
           }
         }
       }(enc)
+    pairsTopK(pairs, k)
+  }
+
+  /** [[pqTopK]] for UNBOUNDED query sets — evaluation sweeps, corpus-vs-
+    * corpus audits — where collecting per-query ADC tables on the driver
+    * (the broadcast path's serving-batch shape) would OOM it. The query
+    * tables are built by a distributed kernel and never leave the
+    * executors; scoring is the same |Q|×|C| work as the broadcast path,
+    * shuffled as a cross join instead of driver-held; ranking stays the
+    * k-bounded partial top-k. Output is bit-identical to [[pqTopK]]
+    * (shared codebook, encode, and ADC helpers — spec-pinned).
+    */
+  def pqTopKDistributed(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, m: Int = 8,
+                        dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    val cb = collectCodebook(pqTrain(corpus, idCol, vecCol, m, dim), m, sub)
+    val bcb = spark.sparkContext.broadcast(cb)
+    val codeSchema = StructType(Seq(
+      StructField("corpus_id", LongType, nullable = false),
+      StructField("code", ArrayType(IntegerType, containsNull = false))))
+    val codes = {
+      implicit val enc = Encoders.row(codeSchema)
+      corpus.select(col(idCol).cast("long").as("id"), microsVec(vecCol).as("vm"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapPartitions { it =>
+          val cbv = bcb.value
+          val subv = cbv(0).map(c => if (c == null) 0 else c.length).max
+          it.map { r =>
+            Row(r.getLong(0),
+              encodeSubspaces(r.getSeq[Long](1).toArray, cbv, subv).toSeq)
+          }
+        }(enc)
+    }
+    val tblSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("qt", ArrayType(LongType, containsNull = false))))
+    val tables = {
+      implicit val enc = Encoders.row(tblSchema)
+      queries.select(col(idCol).cast("long").as("id"), microsVec(vecCol).as("vm"))
+        .mapPartitions { it =>
+          val cbv = bcb.value
+          val subv = cbv(0).map(c => if (c == null) 0 else c.length).max
+          it.map { r =>
+            Row(r.getLong(0),
+              adcTableFlat(r.getSeq[Long](1).toArray, cbv, subv).toSeq)
+          }
+        }(enc)
+    }
+    implicit val penc = Encoders.row(pairSchema)
+    val pairs = codes.crossJoin(tables).mapPartitions { it =>
+      it.flatMap { r =>
+        val cid = r.getLong(0)
+        val qid = r.getLong(2)
+        if (qid == cid) Iterator.empty
+        else {
+          val code = r.getSeq[Int](1)
+          val qt = r.getSeq[Long](3)
+          var ad = 0L
+          var s = 0
+          while (s < code.length) { ad += qt(s * 16 + code(s)); s += 1 }
+          Iterator(Row(qid, cid, ad))
+        }
+      }
+    }(penc)
+    pairsTopK(pairs, k)
+  }
+
+  /** Driver-side query-batch bound for the broadcast ANN paths: above
+    * this, the collect that builds per-query state is refused (the
+    * collect itself is limit-bounded, so the refusal happens BEFORE the
+    * driver holds the oversized batch) and the error names the
+    * distributed variant to use instead.
+    */
+  val DefaultMaxQueryBatch: Int = 250000
+
+  private def microsVec(vecCol: String): Column =
+    transform(col(vecCol), x => round(x.cast("double") * 1e6).cast("long"))
+
+  /** Collect a trained (s, cell, pos, cu) codebook frame into the
+    * [s][cell] = centroid-micros array form (null = empty seed cell) —
+    * a bounded artifact: m·16·sub longs.
+    */
+  private def collectCodebook(trained: DataFrame, m: Int,
+                              sub: Int): Array[Array[Array[Long]]] = {
+    val cb = Array.fill(m, 16)(null: Array[Long])
+    trained.collect().foreach { r =>
+      val (s, cell, pos) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toInt)
+      if (cb(s)(cell) == null) cb(s)(cell) = new Array[Long](sub)
+      cb(s)(cell)((pos - 1) % sub) = r.getLong(3)
+    }
+    cb
+  }
+
+  /** Per-subspace argmin-L2 encode (tie → lower cell). Shared by the
+    * broadcast and distributed PQ paths so they cannot drift.
+    */
+  private def encodeSubspaces(v: Array[Long], cbv: Array[Array[Array[Long]]],
+                              sub: Int): Array[Int] = {
+    val mm = cbv.length
+    val code = new Array[Int](mm)
+    var s = 0
+    while (s < mm) {
+      var best = -1
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < 16) {
+        val cent = cbv(s)(c)
+        if (cent != null) {
+          var d = 0L
+          var j = 0
+          while (j < sub) {
+            val diff = v(s * sub + j) - cent(j); d += diff * diff; j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+        }
+        c += 1
+      }
+      code(s) = best
+      s += 1
+    }
+    code
+  }
+
+  /** Flat m·16 ADC table for one query (residual): entry s·16+c is the
+    * squared L2 between the query's subspace-s slice and centroid c
+    * (Long.MaxValue for empty cells). Shared by both PQ paths.
+    */
+  private def adcTableFlat(q: Array[Long], cbv: Array[Array[Array[Long]]],
+                           sub: Int): Array[Long] = {
+    val mm = cbv.length
+    val t = Array.fill(mm * 16)(Long.MaxValue)
+    var s = 0
+    while (s < mm) {
+      var c = 0
+      while (c < 16) {
+        val cent = cbv(s)(c)
+        if (cent != null) {
+          var d = 0L
+          var j = 0
+          while (j < sub) {
+            val diff = q(s * sub + j) - cent(j); d += diff * diff; j += 1
+          }
+          t(s * 16 + c) = d
+        }
+        c += 1
+      }
+      s += 1
+    }
+    t
+  }
+
+  private val pairSchema = StructType(Seq(
+    StructField("query_id", LongType, nullable = false),
+    StructField("corpus_id", LongType, nullable = false),
+    StructField("adist", LongType, nullable = false)))
+
+  /** Shared (query_id, corpus_id, adist) → ranked top-k tail. */
+  private def pairsTopK(pairs: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TopKAgg
     pairs.groupBy(col("query_id"))
       .agg(TopKAgg.topK(k, -col("adist"), col("corpus_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
         col("col.id").as("corpus_id"), (-col("col.v")).as("adist"))
+  }
+
+  /** Limit-bounded query-micros collect: refuses batches above
+    * `maxQueryBatch` BEFORE the driver holds them, naming the
+    * distributed variant in the error.
+    */
+  private def boundedQueryBatch(queries: DataFrame, idCol: String,
+                                vecCol: String, maxQueryBatch: Int,
+                                distributedVariant: String): Array[(Long, Array[Long])] = {
+    val rows = queries
+      .select(col(idCol).cast("long").as("id"), microsVec(vecCol).as("vm"))
+      .limit(maxQueryBatch + 1).collect()
+    require(rows.length <= maxQueryBatch,
+      s"query batch exceeds maxQueryBatch=$maxQueryBatch — the broadcast " +
+        s"path collects per-query state on the driver (a bounded serving " +
+        s"batch); use $distributedVariant for large query sets")
+    rows.map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
   }
 
   /** IVF+PQ — the canonical billion-vector index (FAISS IVFPQ; Jégou et
@@ -751,18 +915,131 @@ object Similarity {
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
-                m: Int = 8, dim: Int = 64): DataFrame = {
-    import graft.functions.TopKAgg
+                m: Int = 8, dim: Int = 64,
+                maxQueryBatch: Int = DefaultMaxQueryBatch): DataFrame = {
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    val (cc, resid, cb) = buildIvfPqIndex(corpus, idCol, vecCol, nCells, m, dim)
+    // probes + per-probed-cell ADC tables, from the PLAN's micros; the
+    // collect is limit-bounded BEFORE it reaches the driver
+    val qRows = boundedQueryBatch(queries, idCol, vecCol, maxQueryBatch,
+      "ivfPqTopKDistributed")
+    val cellToQueries: Map[Int, Array[(Long, Array[Long])]] = qRows
+      .flatMap { case (qid, qv) =>
+        probeTables(qv, cc, cb, nCells, nProbe, dim, sub)
+          .map { case (c, t) => (c, (qid, t)) }
+      }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val bq = spark.sparkContext.broadcast((cb, cellToQueries))
+    implicit val penc = Encoders.row(pairSchema)
+    val pairs = resid.mapPartitions { it =>
+      val (cbv, c2q) = bq.value
+      val mm = cbv.length
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val probers = c2q.getOrElse(r.getLong(1).toInt,
+          Array.empty[(Long, Array[Long])])
+        if (probers.isEmpty) Iterator.empty
+        else {
+          val code = encodeSubspaces(r.getSeq[Long](2).toArray, cbv, sub)
+          probers.iterator.filter(_._1 != id).map { case (qid, t) =>
+            var ad = 0L
+            var s2 = 0
+            while (s2 < mm) { ad += t(s2 * 16 + code(s2)); s2 += 1 }
+            Row(qid, id, ad)
+          }
+        }
+      }
+    }(penc)
+    pairsTopK(pairs, k)
+  }
+
+  /** [[ivfPqTopK]] for UNBOUNDED query sets: per-query probe state is
+    * built by a distributed kernel (centroids + codebooks broadcast —
+    * they are the bounded artifacts; the QUERIES never leave the
+    * executors), and candidates meet their probers through an equi-join
+    * on the coarse cell — the shuffle key a cell-partitioned ANN serving
+    * layout would use at 100 TB. Output is bit-identical to the
+    * broadcast path (shared index build, probe, encode, and ADC helpers
+    * — spec-pinned).
+    */
+  def ivfPqTopKDistributed(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           nCells: Int = 16, nProbe: Int = 4,
+                           m: Int = 8, dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    val (cc, resid, cb) = buildIvfPqIndex(corpus, idCol, vecCol, nCells, m, dim)
+    val bIdx = spark.sparkContext.broadcast((cc, cb))
+    // corpus side: one encode pass over the residuals -> (cell, corpus_id, code)
+    val codeSchema = StructType(Seq(
+      StructField("cell", LongType, nullable = false),
+      StructField("corpus_id", LongType, nullable = false),
+      StructField("code", ArrayType(IntegerType, containsNull = false))))
+    val codes = {
+      implicit val enc = Encoders.row(codeSchema)
+      resid.mapPartitions { it =>
+        val cbv = bIdx.value._2
+        it.map { r =>
+          Row(r.getLong(1), r.getLong(0),
+            encodeSubspaces(r.getSeq[Long](2).toArray, cbv, sub).toSeq)
+        }
+      }(enc)
+    }
+    // query side: nProbe (cell, query_id, table) rows per query, distributed
+    val tblSchema = StructType(Seq(
+      StructField("cell", LongType, nullable = false),
+      StructField("query_id", LongType, nullable = false),
+      StructField("qt", ArrayType(LongType, containsNull = false))))
+    val probes = {
+      implicit val enc = Encoders.row(tblSchema)
+      queries.select(col(idCol).cast("long").as("id"), microsVec(vecCol).as("vm"))
+        .mapPartitions { it =>
+          val (ccv, cbv) = bIdx.value
+          it.flatMap { r =>
+            val qid = r.getLong(0)
+            probeTables(r.getSeq[Long](1).toArray, ccv, cbv,
+                ccv.length, nProbe, ccv.filter(_ != null).head.length, sub)
+              .iterator.map { case (c, t) => Row(c.toLong, qid, t.toSeq) }
+          }
+        }(enc)
+    }
+    implicit val penc = Encoders.row(pairSchema)
+    val pairs = codes.join(probes, "cell").mapPartitions { it =>
+      it.flatMap { r =>
+        val cid = r.getLong(1)
+        val qid = r.getLong(3)
+        if (qid == cid) Iterator.empty
+        else {
+          val code = r.getSeq[Int](2)
+          val qt = r.getSeq[Long](4)
+          var ad = 0L
+          var s = 0
+          while (s < code.length) { ad += qt(s * 16 + code(s)); s += 1 }
+          Iterator(Row(qid, cid, ad))
+        }
+      }
+    }(penc)
+    pairsTopK(pairs, k)
+  }
+
+  /** Shared IVF+PQ index build: coarse centroids (seeded by leading-dim
+    * signs, one truncating-mean Lloyd step), cell-relative residuals
+    * (localCheckpointed — codebook agg and encode both read them), and
+    * PQ codebooks trained on the residuals. Centroids and codebooks are
+    * bounded collected artifacts (nCells·dim + m·16·sub longs).
+    *
+    * @return (centroids by cell (null = empty), resid frame
+    *         (id, cell, vm=residual micros), codebook [s][cell])
+    */
+  private def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                              nCells: Int, m: Int, dim: Int):
+      (Array[Array[Long]], DataFrame, Array[Array[Array[Long]]]) = {
     require(nCells > 1 && (nCells & (nCells - 1)) == 0, "nCells must be a power of 2")
     val cplanes = java.lang.Integer.numberOfTrailingZeros(nCells)
     require(cplanes <= dim, "more coarse planes than dims")
-    require(nProbe >= 1 && nProbe <= nCells, "nProbe in [1, nCells]")
     val sub = dim / m
     val spark = corpus.sparkSession
-    val vmExpr = transform(col(vecCol), x =>
-      round(x.cast("double") * 1e6).cast("long"))
-    val base = corpus.select(col(idCol).cast("long").as("id"), vmExpr.as("vm"))
-
+    val base = corpus.select(col(idCol).cast("long").as("id"), microsVec(vecCol).as("vm"))
     // coarse seeds: leading-dim signs; centroids: truncating micro means
     val seedCell = (0 until cplanes).map { j =>
       when(element_at(col("vm"), j + 1) >= 0L, lit(1L << j)).otherwise(lit(0L))
@@ -777,12 +1054,6 @@ object Similarity {
         if (cc(cell) == null) cc(cell) = new Array[Long](dim)
         cc(cell)(r.getInt(1)) = r.getAs[Long]("cu")
       }
-    def l2(a: Array[Long], b: Array[Long], off: Int, len: Int): Long = {
-      var d = 0L
-      var i = 0
-      while (i < len) { val x = a(off + i) - b(off + i); d += x * x; i += 1 }
-      d
-    }
     // one Lloyd step: reassign to nearest centroid, keep residuals
     val bcc = spark.sparkContext.broadcast(cc)
     val residSchema = StructType(Seq(
@@ -814,82 +1085,29 @@ object Similarity {
         Row(r.getLong(0), cell.toLong, rm.toSeq)
       }
     }(renc).localCheckpoint() // codebook agg + encode both read it
+    val cb = collectCodebook(
+      pqTrainMicros(resid.select(col("id"), col("vm")), m, dim), m, sub)
+    (cc, resid, cb)
+  }
 
-    // PQ codebooks on residuals
-    val cb = Array.fill(m, 16)(null: Array[Long])
-    pqTrainMicros(resid.select(col("id"), col("vm")), m, dim)
-      .collect().foreach { r =>
-        val (s, cell, pos) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toInt)
-        if (cb(s)(cell) == null) cb(s)(cell) = new Array[Long](sub)
-        cb(s)(cell)((pos - 1) % sub) = r.getLong(3)
-      }
-
-    // probes + per-probed-cell ADC tables, from the PLAN's micros
-    val qRows = queries.select(col(idCol).cast("long").as("id"), vmExpr.as("vm"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    val cellToQueries: Map[Int, Array[(Long, Array[Array[Long]])]] = qRows
-      .flatMap { case (qid, qv) =>
-        val byDist = (0 until nCells).filter(cc(_) != null).map { c =>
-          var d = 0L; var i = 0
-          while (i < dim) { val x = qv(i) - cc(c)(i); d += x * x; i += 1 }
-          (d, c)
-        }.sorted.take(nProbe)
-        byDist.map { case (_, c) =>
-          val qres = Array.tabulate(dim)(i => qv(i) - cc(c)(i))
-          val table = Array.fill(m, 16)(Long.MaxValue)
-          for (s <- 0 until m; pc <- 0 until 16 if cb(s)(pc) != null)
-            table(s)(pc) = l2(qres, {
-              val full = new Array[Long](dim)
-              System.arraycopy(cb(s)(pc), 0, full, s * sub, sub)
-              full
-            }, s * sub, sub)
-          (c, (qid, table))
-        }
-      }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
-    val bq = spark.sparkContext.broadcast((cb, cellToQueries))
-    val pairSchema = StructType(Seq(
-      StructField("query_id", LongType, nullable = false),
-      StructField("corpus_id", LongType, nullable = false),
-      StructField("adist", LongType, nullable = false)))
-    implicit val penc = Encoders.row(pairSchema)
-    val pairs = resid.mapPartitions { it =>
-      val (cbv, c2q) = bq.value
-      it.flatMap { r =>
-        val id = r.getLong(0)
-        val cell = r.getLong(1).toInt
-        val probers = c2q.getOrElse(cell, Array.empty[(Long, Array[Array[Long]])])
-        if (probers.isEmpty) Iterator.empty
-        else {
-          val rm = r.getSeq[Long](2).toArray
-          val code = new Array[Int](m)
-          var s = 0
-          while (s < m) {
-            var best = -1; var bestD = Long.MaxValue; var c = 0
-            while (c < 16) {
-              val cent = cbv(s)(c)
-              if (cent != null) {
-                var d = 0L; var j = 0
-                while (j < sub) { val x = rm(s * sub + j) - cent(j); d += x * x; j += 1 }
-                if (d < bestD) { bestD = d; best = c }
-              }
-              c += 1
-            }
-            code(s) = best
-            s += 1
-          }
-          probers.iterator.filter(_._1 != id).map { case (qid, t) =>
-            var ad = 0L
-            var s2 = 0
-            while (s2 < m) { ad += t(s2)(code(s2)); s2 += 1 }
-            Row(qid, id, ad)
-          }
-        }
-      }
-    }(penc)
-    pairs.groupBy(col("query_id"))
-      .agg(TopKAgg.topK(k, -col("adist"), col("corpus_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
-        col("col.id").as("corpus_id"), (-col("col.v")).as("adist"))
+  /** A query's nProbe nearest non-empty cells (tie -> lower cell), each
+    * with the flat ADC table of the query's CELL-RELATIVE residual.
+    * Shared by the broadcast and distributed IVF+PQ paths.
+    */
+  private def probeTables(qv: Array[Long], cc: Array[Array[Long]],
+                          cb: Array[Array[Array[Long]]], nCells: Int,
+                          nProbe: Int, dim: Int,
+                          sub: Int): Seq[(Int, Array[Long])] = {
+    require(nProbe >= 1 && nProbe <= nCells, "nProbe in [1, nCells]")
+    val byDist = (0 until nCells).filter(cc(_) != null).map { c =>
+      var d = 0L; var i = 0
+      while (i < dim) { val x = qv(i) - cc(c)(i); d += x * x; i += 1 }
+      (d, c)
+    }.sorted.take(nProbe)
+    byDist.map { case (_, c) =>
+      val qres = Array.tabulate(dim)(i => qv(i) - cc(c)(i))
+      (c, adcTableFlat(qres, cb, sub))
+    }
   }
 }
+

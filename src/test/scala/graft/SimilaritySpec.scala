@@ -245,4 +245,50 @@ class SimilaritySpec extends AnyFunSuite {
     val s1 = cb.filter(r => r._1 == 1L).map(_._4).toSeq
     assert(s1 == Seq(-300000L, -400000L, -500000L, -600000L))
   }
+
+  test("distributed ANN variants match the broadcast paths bit-for-bit") {
+    // VERDICT r6 item 3: the broadcast paths collect/broadcast per-query
+    // state (a bounded serving batch); the distributed variants must
+    // produce IDENTICAL rankings through the joined plans.
+    val dim = 16
+    val vecs = (0L until 30L).map { i =>
+      (i, (0 until dim).map(d => math.sin(i * 31 + d * 7 + 2).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val qs = df.filter(col("vec_id") < 5)
+    def sorted(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(sorted(Similarity.pqTopKDistributed(df, qs, "vec_id", "embedding",
+        k = 6, m = 4, dim = dim)) ==
+      sorted(Similarity.pqTopK(df, qs, "vec_id", "embedding",
+        k = 6, m = 4, dim = dim)))
+    assert(sorted(Similarity.ivfPqTopKDistributed(df, qs, "vec_id", "embedding",
+        k = 6, nCells = 4, nProbe = 2, m = 4, dim = dim)) ==
+      sorted(Similarity.ivfPqTopK(df, qs, "vec_id", "embedding",
+        k = 6, nCells = 4, nProbe = 2, m = 4, dim = dim)))
+    assert(sorted(Similarity.bruteForceTopKDistributed(df, qs, "vec_id",
+        "embedding", k = 6, dim = dim)) ==
+      sorted(Similarity.bruteForceTopK(df, qs, "vec_id", "embedding",
+        k = 6, dim = dim)))
+  }
+
+  test("broadcast ANN paths refuse an oversized query batch by name") {
+    val dim = 8
+    val df = (0L until 10L).map { i =>
+      (i, (0 until dim).map(d => math.cos(i * 13 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    // maxQueryBatch = 3 with 10 queries: all three broadcast paths must
+    // throw BEFORE holding the batch, naming the distributed variant
+    Seq(
+      () => Similarity.pqTopK(df, df, "vec_id", "embedding",
+        k = 2, m = 2, dim = dim, maxQueryBatch = 3),
+      () => Similarity.ivfPqTopK(df, df, "vec_id", "embedding",
+        k = 2, nCells = 2, nProbe = 1, m = 2, dim = dim, maxQueryBatch = 3),
+      () => Similarity.bruteForceTopK(df, df, "vec_id", "embedding",
+        k = 2, dim = dim, maxQueryBatch = 3)
+    ).foreach { f =>
+      val e = intercept[IllegalArgumentException](f())
+      assert(e.getMessage.contains("Distributed"), e.getMessage)
+    }
+  }
 }
