@@ -52,6 +52,35 @@ object GraphBuilder {
       .dropDuplicates("src", "dst", "rel")
   }
 
+  /** Dev-path user↔user tweet graph
+    * (`neo4j_insert/neo4j_twitter_insert.py:6-41,60-82`): edges between
+    * the TWEETING user and each mentioned user (`mentioned`), plus
+    * tweeter → inReplyToUser (`inReplyToUser`). The script's four-way
+    * if/elif branching (both present / mentions only / reply only /
+    * neither) collapses under MERGE semantics to two null-safe
+    * projections + dedup — each edge type is emitted exactly when its
+    * field is present, independent of the other. Python truthiness:
+    * null AND empty-string both mean "absent" (`if tweet[...]` at
+    * `neo4j_twitter_insert.py:66,71,76`). This is the user↔user shape
+    * the production Glue path does NOT build (it makes tweet→user
+    * MENTIONS instead — [[edges]]); mirrored here for parity with the
+    * local insert script.
+    */
+  def userUserEdges(tweets: DataFrame): DataFrame = {
+    val hasMentions = col("mentionedUsers").isNotNull && col("mentionedUsers") =!= ""
+    val mentioned = tweets.filter(hasMentions)
+      .select(col("username").as("src"),
+        explode(split(col("mentionedUsers"), ",")).as("dst"),
+        lit("mentioned").as("rel"))
+    val hasReply = col("inReplyToUser").isNotNull && col("inReplyToUser") =!= ""
+    val replies = tweets.filter(hasReply)
+      .select(col("username").as("src"), col("inReplyToUser").as("dst"),
+        lit("inReplyToUser").as("rel"))
+    mentioned.unionByName(replies)
+      .filter(col("src").isNotNull) // Cypher MERGE on a null key throws
+      .dropDuplicates("src", "dst", "rel")
+  }
+
   /** K3 sink: graph tables to parquet, overwrite = the reference's
     * wipe-and-reload dev flow (`neo4j_insert/neo4j_reddit_insert.py:56-68`).
     */

@@ -41,7 +41,34 @@ object GraphQueries {
         .otherwise(concat(lit("u"), col("user_id") % 7, lit(",u"), col("user_id") % 11))
         .as("mentionedUsers"))
 
+  /** q179's fixture: [[tweets]] plus an `inReplyToUser` column, sliced
+    * so all four of the dev insert script's branches occur — both
+    * fields present, mentions only, reply only, neither — plus the
+    * Python-falsy EMPTY-STRING mentions case (user_id % 9 == 1).
+    */
+  private def tweetsReply(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .filter(col("event_type") === "click" && col("event_id") % 20 === 0)
+      .select(
+        col("event_id").as("id"),
+        concat(lit("u"), col("user_id")).as("username"),
+        when(col("user_id") % 3 === 0, lit(null))
+          .when(col("user_id") % 9 === 1, lit(""))
+          .otherwise(concat(lit("u"), col("user_id") % 7, lit(",u"), col("user_id") % 11))
+          .as("mentionedUsers"),
+        when(col("user_id") % 2 === 0, lit(null))
+          .otherwise(concat(lit("r"), col("user_id") % 5)).as("inReplyToUser"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Dev-path user↔user tweet relationships with the four-way null
+    // branching (neo4j_twitter_insert.py:60-82): tweeter→mentioned edges
+    // when mentions present, tweeter→inReplyToUser when present, node
+    // only when neither; empty string is Python-falsy, so the '' case
+    // must yield NO mention edges. Full deduped edge list gated.
+    "q179_user_user_edges" -> ((s, dir) => {
+      GraphBuilder.userUserEdges(tweetsReply(s, dir))
+        .orderBy(col("src"), col("dst"), col("rel"))
+    }),
     // Strongly connected components (directed — mutual reachability, vs
     // q76/q82's undirected CC): who is in a reply CYCLE with whom, not
     // just the same thread. Fixture: two 6-node rings (one SCC each)
@@ -258,6 +285,14 @@ object GraphQueries {
       |CASE WHEN user_id % 3 = 0 THEN NULL
       |     ELSE 'u' || CAST(user_id % 7 AS VARCHAR) || ',u' || CAST(user_id % 11 AS VARCHAR) END AS mentionedUsers
       |FROM events WHERE event_type = 'click'""".stripMargin
+  private val tweetsReplySql =
+    """SELECT event_id AS id, 'u' || CAST(user_id AS VARCHAR) AS username,
+      |CASE WHEN user_id % 3 = 0 THEN NULL
+      |     WHEN user_id % 9 = 1 THEN ''
+      |     ELSE 'u' || CAST(user_id % 7 AS VARCHAR) || ',u' || CAST(user_id % 11 AS VARCHAR) END AS mentionedUsers,
+      |CASE WHEN user_id % 2 = 0 THEN NULL
+      |     ELSE 'r' || CAST(user_id % 5 AS VARCHAR) END AS inReplyToUser
+      |FROM events WHERE event_type = 'click' AND event_id % 20 = 0""".stripMargin
 
   /** Shared CC oracle: both the hash-min and log-n variants must produce
     * identical component-size tables.
@@ -456,6 +491,18 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q179_user_user_edges" ->
+      s"""WITH t AS ($tweetsReplySql),
+         |e AS (
+         |  SELECT DISTINCT src, dst, rel FROM (
+         |    SELECT username AS src, u.m AS dst, 'mentioned' AS rel
+         |    FROM t, UNNEST(string_split(t.mentionedUsers, ',')) AS u(m)
+         |    WHERE t.mentionedUsers IS NOT NULL AND t.mentionedUsers <> ''
+         |    UNION ALL
+         |    SELECT username, inReplyToUser, 'inReplyToUser' FROM t
+         |    WHERE inReplyToUser IS NOT NULL AND inReplyToUser <> '')
+         |  WHERE src IS NOT NULL)
+         |SELECT src, dst, rel FROM e ORDER BY src, dst, rel""".stripMargin,
     // SCC from first principles: closure r both ways, scc(v) = least
     // mutual partner (mut includes v itself whenever v sits on a cycle;
     // nodes on no cycle fall back to themselves via the left join).

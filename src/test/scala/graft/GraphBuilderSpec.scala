@@ -43,6 +43,27 @@ class GraphBuilderSpec extends AnyFunSuite {
     assert(d.filter($"dst" === "europe").head().getLong(1) == 2L)
   }
 
+  test("userUserEdges mirrors the dev script's four-way null branching") {
+    // neo4j_twitter_insert.py:60-82: both present / mentions only /
+    // reply only / neither; empty string is Python-falsy (line 66)
+    val t = Seq(
+      ("alice", "bob,carol", "dave"),  // both → 2 mentioned + 1 reply
+      ("erin", "bob", null),           // mentions only
+      ("frank", null, "alice"),        // reply only
+      ("gina", null, null),            // neither → node only, no edges
+      ("hank", "", "bob"),             // '' mentions is falsy → reply only
+      ("alice", "bob", "dave")         // MERGE dedup: repeats collapse
+    ).toDF("username", "mentionedUsers", "inReplyToUser")
+    val e = GraphBuilder.userUserEdges(t)
+      .as[(String, String, String)].collect().toSet
+    assert(e == Set(
+      ("alice", "bob", "mentioned"), ("alice", "carol", "mentioned"),
+      ("alice", "dave", "inReplyToUser"),
+      ("erin", "bob", "mentioned"),
+      ("frank", "alice", "inReplyToUser"),
+      ("hank", "bob", "inReplyToUser")))
+  }
+
   test("graph write/read round-trips as parquet tables") {
     val dir = java.nio.file.Files.createTempDirectory("graft-graph").toString
     GraphBuilder.write(
