@@ -58,46 +58,26 @@ object StreamQueries {
       df.repartition(n, col(splitCol)).write.mode("overwrite").parquet(dir)
     }
 
-  /** Parquet landing whose FINAL micro-batch is a sentinel row set: data
-    * lands first, the sentinel is appended as its own part file, and
-    * [[stampFileOrder]] pins it to a later mtime so the mtime-ascending
-    * file source delivers it last (the parquet analog of the
-    * `zz_sentinel.json` trick — part-file names aren't controllable, so
-    * the sentinel file is identified by a before/after listing diff).
+  /** One-file landing with the sentinel rows folded INTO the data file:
+    * a watermark computed from batch N only takes effect in batch N+1,
+    * and with noDataMicroBatches on that next batch exists with no data
+    * — so the sentinel needs no file (= micro-batch) of its own. Saves
+    * a whole batch of state-store commits + planning (~1 s at sf0.1)
+    * per invocation for the eviction-driven fixtures (q104, q126),
+    * with emissions identical: data buffers in batch 0's state, the
+    * no-data batch applies the far-future watermark and flushes
+    * timeouts / outer rows. Cross-batch STATE coverage deliberately
+    * stays with the multi-file fixtures (q98's two files per side,
+    * q66/q67/q68's two-file landings).
     */
-  private def parquetLandingWithSentinel(key: String, sfDir: String,
-                                         df: => DataFrame,
-                                         sentinel: => DataFrame): String =
+  private def parquetLandingFused(key: String, sfDir: String, df: => DataFrame,
+                                  sentinel: => DataFrame): String =
     FixtureCache.dir(key, sfDir) { dir =>
-      def files(): Set[String] = new java.io.File(dir).listFiles()
-        .map(_.getName).filter(n => !n.startsWith(".") && !n.startsWith("_")).toSet
-      df.coalesce(1).write.mode("overwrite").parquet(dir)
-      val before = files()
-      sentinel.coalesce(1).write.mode("append").parquet(dir)
-      val sentinelName = (files() -- before).head
-      stampFileOrder(dir, sentinelName)
+      df.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(dir)
     }
 
   private def uniq(prefix: String): String =
     prefix + java.util.UUID.randomUUID().toString.replace("-", "")
-
-  /** Pin a deterministic file-delivery order into a landing dir: every
-    * file gets one fixed mtime except `lastName`, which gets a later one.
-    * The file source (oldest-first by modification time) then delivers
-    * `lastName` as its own FINAL micro-batch — which lets a far-future
-    * watermark sentinel be pre-staged in the fixture itself instead of
-    * appended mid-run, so sentinel queries run one start + one drain
-    * instead of two. The absolute epoch is arbitrary (only relative
-    * order matters); the 10-minute gap stays far inside the source's
-    * maxFileAge window.
-    */
-  private def stampFileOrder(d: String, lastName: String): Unit = {
-    val t0 = 1600000000000L
-    new java.io.File(d).listFiles().foreach { f =>
-      val t = if (f.getName == lastName) t0 + 600000L else t0
-      f.setLastModified(t): Unit
-    }
-  }
 
   /** Memory-backed checkpoint root shared by every stream query in this
     * JVM. A streaming query's fixed cost is dominated by checkpoint
@@ -146,9 +126,11 @@ object StreamQueries {
           s2.conf.set("spark.sql.streaming.checkpointLocation", ckptRoot)
           // NOTE deliberately NOT disabling noDataMicroBatches: a
           // watermark computed from batch N's data only takes effect in
-          // batch N+1, so the trailing no-data batch is precisely where
-          // sentinel-driven final emissions (session closes, outer-join
-          // nulls) happen. Removing it would strand them.
+          // batch N+1, so the trailing no-data batch is where
+          // sentinel-driven final emissions (q104's session closes,
+          // q126's outer-join nulls) happen. For Horizon-watermark
+          // queries it never fires anyway (the 36500-day delay floors
+          // the watermark below epoch — measured: zero cost).
           s2
         }
       })
@@ -292,15 +274,15 @@ object StreamQueries {
     // stream gates don't touch (merging-session state, append-mode
     // emission on watermark passage). Determinism: ALL real rows land as
     // ONE file → one micro-batch → nothing is ever late; a far-future
-    // sentinel row is PRE-STAGED in the fixture as a later-mtime file, so
-    // the source delivers it as batch 2, driving the watermark past every
-    // real session so append mode flushes them (the no-data micro-batch
-    // after it emits the tail) — one start, one drain, landing built once
-    // per sf dir. The sentinel's own open session never closes and is
-    // filtered out. Oracle = q49's lag-based batch sessionization.
+    // sentinel row rides INSIDE that file ([[parquetLandingFused]] — the
+    // post-batch watermark passes every real session, and the trailing
+    // no-data batch flushes them in append mode) — one start, one drain,
+    // one data batch, landing built once per sf dir. The sentinel's own
+    // open session never closes and is filtered out. Oracle = q49's
+    // lag-based batch sessionization.
     "q104_stream_sessions" -> ((s, dir) => {
       val ss = streamSession(s)
-      val src = parquetLandingWithSentinel("q104_landing_pq", dir,
+      val src = parquetLandingFused("q104_landing_fused", dir,
         Tables.load(s, dir, "events")
           .select(col("user_id"), unix_micros(col("ts")).as("ts_us")),
         {
@@ -475,13 +457,13 @@ object StreamQueries {
     // q98: views with NO click inside the 2-hour horizon must emit with
     // null once the watermark passes their deadline (state eviction =
     // null emission). Determinism: all real rows land as ONE file per
-    // side (one batch each, nothing late); the far-future sentinel
-    // (constant, year ~2200 — the fixture's event times are bounded) is
-    // PRE-STAGED on BOTH sides as a later-mtime file, so batch 2 drives
-    // the global watermark past every deadline and the outer rows flush.
-    // The landing dirs are fully immutable → cached once per sf dir, no
-    // per-invocation copy or append. The sentinels (user −1) match
-    // nothing and are filtered.
+    // side (one batch, nothing late); the far-future sentinel (constant,
+    // year ~2200 — the fixture's event times are bounded) rides INSIDE
+    // that file on BOTH sides, so the trailing no-data batch applies the
+    // post-batch watermark and flushes the outer rows — one data batch
+    // total per side ([[parquetLandingFused]]). The landing dirs are
+    // fully immutable → cached once per sf dir, no per-invocation copy
+    // or append. The sentinels (user −1) match nothing and are filtered.
     "q126_stream_outer_join" -> ((s, dir) => {
       val ss = streamSession(s)
       val far = 7258118400000000L
@@ -489,7 +471,7 @@ object StreamQueries {
         StructField("event_id", LongType),
         StructField("ts_us", LongType),
         StructField("user_id", LongType)))
-      def mk(t: String): String = parquetLandingWithSentinel(s"q126_${t}_pq", dir,
+      def mk(t: String): String = parquetLandingFused(s"q126_${t}_fused", dir,
         Tables.load(s, dir, "events")
           .filter(col("event_type") === t)
           .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
