@@ -158,6 +158,54 @@ class PlanAuditSpec extends AnyFunSuite {
       "a window sort crept into the bm25 ranking path")
   }
 
+  // ---- bench-profile top queries (VERDICT r6 item 6): lock the plan
+  // shapes the wall-time leaders depend on, so a future change can't
+  // silently regress them into all-pairs / window-sort forms.
+
+  test("ivf recall curve: one shared clustering, no cartesian corpus join") {
+    // Three nProbe levels share ONE kmeans assignment + ground truth —
+    // visible as ReusedExchange on the executed plan. The brute-force
+    // ground truth is a broadcast nested loop of the 5-query side, never
+    // a cartesian product of data×data.
+    val plan = run("q143_ivf_recall_curve")
+    assert(!plan.contains("CartesianProduct"),
+      "recall-curve ground truth degenerated to a cartesian product")
+    assert(plan.contains("ReusedExchange"),
+      "probe levels stopped sharing the clustering/ground-truth exchanges")
+  }
+
+  test("log-n connected components: equi-joins only, partial aggregation") {
+    // Large-star/small-star rounds are hash equi-joins on node ids; a
+    // nested-loop or cartesian here is quadratic death at scale.
+    val plan = run("q82_cc_logn")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "CC round joins lost their equi-join shape")
+    assert(plan.contains("HashAggregate"),
+      "CC dedup/convergence aggregates lost partial aggregation")
+  }
+
+  test("ngram-jaccard near-dups: banded exchange reused, never all-pairs") {
+    val plan = run("q31_ngram_jaccard")
+    assert(!plan.contains("CartesianProduct"),
+      "near-dup candidate stage degenerated to all-pairs")
+    assert(plan.contains("ReusedExchange"),
+      "banding exchange recomputed per side — census/pair reuse died")
+  }
+
+  test("leakage split + soft-dedup inherit the near-dup pipeline's shapes") {
+    // The no-cartesian bound is the invariant that matters (these run
+    // the full near-dup cluster pipeline as input); exchange reuse is
+    // asserted on q31 where the final AQE plan surfaces it stably —
+    // at sf0.001 AQE folds q141/q151's shared subtrees into broadcasts
+    // whose reuse isn't printed.
+    for (q <- Seq("q141_split_fractions", "q151_softdedup_weights")) {
+      val plan = run(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: pair stage degenerated to a cartesian product")
+    }
+  }
+
   test("partition-pruned scan reads only the selected partition") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_pp_").toString
