@@ -345,6 +345,56 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual average-hash (aHash) over a decoded PPM: the classic
+    * image near-dup fingerprint — bit j is set iff the gray level of
+    * pixel (j mod n_pix) exceeds the image's mean gray. All-integer to
+    * keep the hash engine-exact: "gray" is the raw r+g+b channel sum and
+    * the mean comparison is cross-multiplied (`gray·n_pix > total`), so
+    * no division ever rounds. `bits` ≤ 60 keeps the hash a positive
+    * long. Malformed payloads quarantine as null like every decoder
+    * here.
+    *
+    * Production-shape notes: a real aHash first resamples to 8×8 — the
+    * resample is a per-row kernel exactly like this one and changes
+    * nothing about the distribution story. Equal-hash (or banded
+    * Hamming, via [[graft.expressions.MinhashExpr]]'s band trick)
+    * grouping then finds near-dup images with one narrow exchange of
+    * (w, h, hash) — never pixels, never all-pairs.
+    */
+  def aHash(df: DataFrame, payloadCol: String, bits: Int = 60): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"bits must be in [1,60], got $bits")
+    val schema = StructType(df.schema.fields :+ StructField("ahash", LongType))
+    val idx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val payload = Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.empty[Byte])
+        val h: Any = decodePpm(payload) match {
+          case Some(img) if img.width > 0 && img.height > 0 =>
+            val nPix = img.width * img.height
+            val gray = new Array[Long](nPix)
+            var tot = 0L
+            var m = 0
+            while (m < nPix) {
+              val g = (img.pixels(3 * m) & 0xffL) +
+                (img.pixels(3 * m + 1) & 0xffL) +
+                (img.pixels(3 * m + 2) & 0xffL)
+              gray(m) = g; tot += g; m += 1
+            }
+            var hash = 0L
+            var j = 0
+            while (j < bits) {
+              if (gray(j % nPix) * nPix > tot) hash |= 1L << j
+              j += 1
+            }
+            hash
+          case _ => null
+        }
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(enc)
+  }
+
   /** Frame sampling: one output row per `frameSize`-byte window every
     * `stride` bytes (video frame / audio chunk sampling shape). Generator
     * semantics via flatMap — the multimodal analog of `explode`.

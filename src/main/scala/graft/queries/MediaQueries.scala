@@ -70,6 +70,42 @@ object MediaQueries {
         .orderBy(col("lang"))
     }),
 
+    // Image near-dup via perceptual average-hash over the REAL PPM codec:
+    // q130's planted-pixel fixture → decodePpm → all-integer aHash
+    // (bit j = gray(j mod n_pix)·n_pix > total gray) → equal-hash
+    // grouping per image geometry. Docs congruent mod 127·(geometry
+    // period) plant identical images, so true dup groups exist and the
+    // pair counts are non-trivial; the oracle recomputes every hash bit
+    // from the planted arithmetic, so a decoder or hash off by one bit
+    // anywhere fails the gate. The exchange carries (w, h, ahash) only —
+    // never pixels — and no pair join is needed for equal-hash dup
+    // detection (group sizes give the pair counts).
+    "q185_image_ahash" -> ((s, dir) => {
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id"))
+        .withColumn("w", (col("doc_id") % 5 + 4).cast("int"))
+        .withColumn("h", (col("doc_id") % 4 + 3).cast("int"))
+        .withColumn("payload", expr(
+          """cast(concat('P6
+            |', w, ' ', h, '
+            |# planted-pixel fixture
+            |127
+            |', array_join(transform(sequence(0, w * h * 3 - 1),
+            |     j -> char(1 + (doc_id * 31 + 7 * j) % 127)), '')) as binary)""".stripMargin))
+      Multimodal.aHash(media, "payload", bits = 60)
+        .groupBy(col("w"), col("h"), col("ahash"))
+        .agg(count(lit(1)).as("ng"))
+        .groupBy(col("w"), col("h"))
+        .agg(sum(col("ng")).as("n_images"),
+          count(lit(1)).as("n_hash_groups"),
+          sum(expr("ng * (ng - 1) div 2")).as("n_dup_pairs"),
+          sum(col("ahash") % 1000000007L).as("sum_hash_mod"))
+        .select(col("w").cast("long").as("w"), col("h").cast("long").as("h"),
+          col("n_images"), col("n_hash_groups"), col("n_dup_pairs"),
+          col("sum_hash_mod"))
+        .orderBy(col("w"), col("h"))
+    }),
+
     // REAL codec #2 end-to-end: each doc becomes a genuine RIFF/WAVE PCM
     // clip — built as a hex string in the plan (header, fmt chunk, a
     // planted 'junk' chunk on every third doc to force a real chunk
@@ -194,6 +230,35 @@ object MediaQueries {
         |  CAST(sum(h) AS BIGINT) AS sum_height,
         |  CAST(sum(psum) AS BIGINT) AS sum_pixels
         |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Every aHash bit recomputed from the planted-pixel formula: gray of
+    // pixel m is the sum of its three channel bytes, bit j compares
+    // gray(j mod n_pix)·n_pix against the total (cross-multiplied — no
+    // division anywhere in either engine).
+    "q185_image_ahash" ->
+      """WITH d AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, w, h, w * h AS np,
+        |    list_transform(range(0, w * h), m ->
+        |      3 + (doc_id*31 + 21*m) % 127 + (doc_id*31 + 21*m + 7) % 127
+        |        + (doc_id*31 + 21*m + 14) % 127) AS grays
+        |  FROM d),
+        |t AS (SELECT doc_id, w, h, np, grays, list_sum(grays) AS tg FROM g),
+        |ah AS (
+        |  SELECT doc_id, w, h,
+        |    CAST(list_sum(list_transform(range(0, 60), j ->
+        |      CASE WHEN grays[1 + (j % np)] * np > tg
+        |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS ahash
+        |  FROM t),
+        |grp AS (SELECT w, h, ahash, count(*) AS ng FROM ah GROUP BY 1, 2, 3)
+        |SELECT CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(sum(ng) AS BIGINT) AS n_images,
+        |  count(*) AS n_hash_groups,
+        |  CAST(sum(ng * (ng - 1) // 2) AS BIGINT) AS n_dup_pairs,
+        |  CAST(sum(ahash % 1000000007) AS BIGINT) AS sum_hash_mod
+        |FROM grp GROUP BY w, h ORDER BY w, h""".stripMargin,
 
     // Planted-pixel arithmetic in LOGICAL (top-down) coordinates: the
     // offset gap, the 0xAA padding, and the bottom-up storage are all

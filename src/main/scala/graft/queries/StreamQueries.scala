@@ -193,6 +193,39 @@ object StreamQueries {
         .orderBy(col("bucket_start"), col("event_type"))
     }),
 
+    // §2.10 ⊕ ranking: top-k INSIDE the streaming aggregation state — the
+    // k-bounded merge buffer (q80's engine) rides the state store per
+    // (window, type) group, so streaming "top sellers per window" holds
+    // ≤ k (value, id) pairs per group forever instead of buffering the
+    // window's raw rows (the 100 TB form of streaming ranked leaderboards;
+    // a rank window over the sink would re-sort the universe per batch).
+    // Merge is order-insensitive (sorted k-merge), so batch splits can't
+    // change the final buffer and the oracle replays it as a batch
+    // row_number.
+    "q184_stream_topk" -> ((s, dir) => {
+      import graft.functions.TopKAgg
+      val src = landing("events_x2", dir, eventsFlat(s, dir), 2, "event_id")
+      val ss = streamSession(s)
+      val stream = SocialStream
+        .readJsonStream(ss, src, eventsFlatSchema, maxFilesPerTrigger = 1)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val agg = stream.withWatermark("ts", Horizon)
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(TopKAgg.topK(3, col("value_cents"), col("event_id")).as("top"))
+      val sink = uniq("q184_sink_")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      q.stop()
+      ss.table(sink)
+        .select(unix_seconds(col("window.start")).as("bucket_start"),
+          col("event_type"), posexplode(col("top")))
+        .select(col("bucket_start"), col("event_type"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("event_id"), col("col.v").as("value_cents"))
+        .orderBy(col("bucket_start"), col("event_type"), col("rank"))
+    }),
+
     // §2.10 tumbling-window counts: landing JSON → file-source micro-batches
     // → window(15 min) + watermark agg → complete-mode memory sink.
     // Two files → two genuine micro-batches: multi-batch semantics at the
@@ -580,6 +613,21 @@ object StreamQueries {
          |    AS n_distinct_est
          |FROM rk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+
+    // Streaming top-3 replayed as a batch ranking over the same source.
+    "q184_stream_topk" ->
+      """SELECT bucket_start, event_type, rank, event_id, value_cents FROM (
+        |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000) * 21600
+        |      AS bucket_start,
+        |    event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS value_cents,
+        |    row_number() OVER (
+        |      PARTITION BY (epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000),
+        |        event_type
+        |      ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id ASC)
+        |      AS rank
+        |  FROM events)
+        |WHERE rank <= 3 ORDER BY bucket_start, event_type, rank""".stripMargin,
 
     // The anti join restated: survivors are exactly the non-%5 ids.
     "q157_stream_decontam" ->

@@ -79,6 +79,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L).isEmpty)
   }
 
+  test("aHash: hand-computed bits over a real PPM; wraps past n_pix; null on junk") {
+    // 1x2 image, grays: pixel0 = 10+11+12 = 33, pixel1 = 100+101+102 = 303.
+    // total = 336, nPix = 2: bit j set iff gray(j%2)*2 > 336 -> odd j only.
+    val px = Array[Byte](10, 11, 12, 100, 101, 102)
+    val rows = Seq(
+      (1L, "P6\n1 2\n255\n".getBytes("US-ASCII") ++ px),
+      (2L, "junk".getBytes("US-ASCII")))
+    val out = Multimodal.aHash(rows.toDF("media_id", "payload"), "payload", bits = 6)
+      .select($"media_id", $"ahash").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // odd bits of 6: 0b101010 = 42
+    assert(out(1L) == Some(42L))
+    assert(out(2L).isEmpty)
+  }
+
   test("decodeWav: real RIFF walk — junk chunks skipped, malformed rejected") {
     def le(v: Long, n: Int): Array[Byte] =
       (0 until n).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
