@@ -22,7 +22,8 @@ class VerifyContractSpec extends AnyFunSuite {
     ("StreamQueries", StreamQueries.all, StreamQueries.oracles),
     ("LifecycleQueries", LifecycleQueries.all, LifecycleQueries.oracles),
     ("SourceQueries", SourceQueries.all, SourceQueries.oracles),
-    ("DriftQueries", DriftQueries.all, DriftQueries.oracles))
+    ("DriftQueries", DriftQueries.all, DriftQueries.oracles),
+    ("ResolutionQueries", ResolutionQueries.all, ResolutionQueries.oracles))
 
   test("every query has an oracle and every oracle has a query") {
     val q = SparkEntry.queries.keySet
