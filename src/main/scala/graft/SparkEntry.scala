@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ TextQueries.all ++ DedupQueries.all ++ MediaQueries.all ++
       ExtraQueries.all ++ GraphQueries.all ++ StreamQueries.all ++ LifecycleQueries.all ++
-      SourceQueries.all ++ DriftQueries.all ++ ResolutionQueries.all
+      SourceQueries.all ++ DriftQueries.all ++ ResolutionQueries.all ++
+      CurationQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++ MediaQueries.oracles ++
       ExtraQueries.oracles ++ GraphQueries.oracles ++ StreamQueries.oracles ++ LifecycleQueries.oracles ++
-      SourceQueries.oracles ++ DriftQueries.oracles ++ ResolutionQueries.oracles
+      SourceQueries.oracles ++ DriftQueries.oracles ++ ResolutionQueries.oracles ++
+      CurationQueries.oracles
 }

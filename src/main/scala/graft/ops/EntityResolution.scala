@@ -85,4 +85,72 @@ object EntityResolution {
       .filter(col("dist") >= 0)
       .drop("__pre_a", "__pre_b", "__bk")
   }
+
+  /** AllPairs/PPJoin-style prefix-filtering set-similarity self-join
+    * (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW 2007;
+    * Xiao et al. ICDE 2008; distributed form: Vernica et al. SIGMOD 2010).
+    *
+    * Finds all record pairs whose ELEMENT-SET Jaccard is ≥ tNum/tDen,
+    * exactly, without the all-pairs join: order every record's elements by
+    * ascending global frequency (rarest first, ties by element value —
+    * a total order both engines replay), and keep only each record's
+    * PREFIX of the first `s − ceil(t·s) + 1` elements. Two records whose
+    * prefixes are disjoint cannot reach the threshold (if they shared
+    * nothing in either prefix, their overlap is confined to the two
+    * suffixes, which are too short) — so candidates are exactly the pairs
+    * sharing ≥ 1 prefix element, a plain equi-join keyed on the element.
+    *
+    * Scale shape: frequency ranking is one partial-aggregated count plus a
+    * keyed join (never a driver-side vocabulary); the candidate join is
+    * keyed on PREFIX elements, which are each record's globally rarest —
+    * the join's per-key fan-out is the prefix document frequency, which the
+    * ordering minimizes by construction (the blocking twin of q31's
+    * shingle buckets, but frequency-adaptive: hot elements are pushed out
+    * of prefixes instead of needing a purge). Verify is scan-local
+    * (`array_intersect` on the two carried sets) with the integer
+    * cross-multiplied Jaccard test, plus the length filter
+    * (t·|A| ≤ |B| ≤ |A|/t) — implied by the threshold, so it prunes
+    * without changing results.
+    *
+    * `elemsCol` must be a DISTINCT-element array column. Returns
+    * `(id_a, id_b, inter, sz_a, sz_b)` plus `carryCols` from the left row.
+    */
+  def prefixFilterPairs(df: DataFrame, idCol: String, elemsCol: Column,
+                        tNum: Int, tDen: Int,
+                        carryCols: Seq[String] = Nil): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val r = df.select((col(idCol).as("__id") +: elemsCol.as("__ts") +:
+      carryCols.map(col)): _*)
+    val tok = r.select(col("__id"), explode(col("__ts")).as("__t"))
+    val freq = tok.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+
+    // Per-record frequency-sorted element list; prefix length from the
+    // integer ceil: p = s − ((tNum·s + tDen − 1) div tDen) + 1 ≥ 1.
+    val ordered = tok.join(freq, "__t")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__t")))).as("__ord"))
+      .withColumn("__sz", size(col("__ord")))
+      .withColumn("__p",
+        col("__sz") - expr(s"(__sz * $tNum + ${tDen - 1}) div $tDen") + 1)
+      .select(col("__id"),
+        explode(expr("transform(slice(__ord, 1, int(__p)), x -> x.__t)")).as("__t"))
+
+    val cand = ordered.select(col("__id").as("id_a"), col("__t"))
+      .join(ordered.select(col("__id").as("id_b"), col("__t")), Seq("__t"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+
+    val left = r.select((col("__id").as("id_a") +: col("__ts").as("__ts_a") +:
+      carryCols.map(col)): _*)
+    val right = r.select(col("__id").as("id_b"), col("__ts").as("__ts_b"))
+    cand.join(left, "id_a").join(right, "id_b")
+      .withColumn("sz_a", size(col("__ts_a")).cast("long"))
+      .withColumn("sz_b", size(col("__ts_b")).cast("long"))
+      // Length filter: a pair failing t·|A| ≤ |B| can't pass Jaccard ≥ t.
+      .filter(col("sz_a") * tNum <= col("sz_b") * tDen &&
+        col("sz_b") * tNum <= col("sz_a") * tDen)
+      .withColumn("inter", size(array_intersect(col("__ts_a"), col("__ts_b"))).cast("long"))
+      .filter(col("inter") * tDen >= lit(tNum) * (col("sz_a") + col("sz_b") - col("inter")))
+      .drop("__ts_a", "__ts_b")
+  }
 }

@@ -430,4 +430,84 @@ object TextOps {
     val restored = regexp_replace(noUtm, "^([^&]*)&", "$1?")
     regexp_replace(restored, "/$", "")
   }
+
+  /** CCNet-style sub-document boilerplate REMOVAL (Wenzek et al. 2020
+    * dedup step, at chunk grain): cut every document into non-overlapping
+    * `w`-token chunks (last chunk may be short), drop each chunk that
+    * appears — by content fingerprint — in ≥ `minDocs` DISTINCT documents,
+    * and rebuild the document from its surviving chunks in order. This is
+    * the REWRITE twin of [[boilerplateStats]]/q186, which only measure:
+    * headers, footers, and licence blocks vanish while unique prose
+    * survives, the transformation a crawl pipeline actually applies.
+    *
+    * Chunks travel as the 8-byte portable [[fingerprint]] (never the chunk
+    * string): the corpus count is a partial-aggregable hash agg keyed on
+    * the fingerprint, and the count join back to the exploded chunks is an
+    * 8-byte-keyed hash join whose skew is bounded by docs-per-boilerplate-
+    * chunk. Fingerprint collisions (p = 1e9+7) conflate two chunks' counts
+    * — both engines compute the identical fingerprint, so the gate is
+    * exact over the DEFINED (fingerprint-keyed) semantics. Reconstruction
+    * is one per-doc hash agg: `sort_array(collect_list(struct(ci, chunk)))`
+    * rebuilds order without a window sort.
+    *
+    * Returns one row per input doc: (idCol, carryCols…, n_chunks,
+    * n_dropped, new_text) — `new_text` is "" when everything was dropped.
+    */
+  def removeBoilerplateChunks(docs: DataFrame, idCol: String, textCol: String,
+                              w: Int, minDocs: Long,
+                              carryCols: Seq[String] = Nil): DataFrame = {
+    require(w > 0, "chunk width must be positive")
+    val toks = docs.select((col(idCol) +: carryCols.map(col) :+
+      split(col(textCol), " ").as("__toks")): _*)
+    val chunks = toks
+      .select((col(idCol) +: carryCols.map(col) :+
+        posexplode(expr(
+          s"transform(sequence(0, int((size(__toks) + ${w - 1}) div $w) - 1)," +
+          s" i -> concat_ws(' ', slice(__toks, i * $w + 1, $w)))"))): _*)
+      .withColumnRenamed("pos", "__ci").withColumnRenamed("col", "__chunk")
+      .withColumn("__fp", fingerprint(col("__chunk")))
+    val cnt = chunks.select(col(idCol), col("__fp")).distinct()
+      .groupBy(col("__fp")).agg(count(lit(1)).as("__nd"))
+    chunks.join(cnt, "__fp")
+      .groupBy((col(idCol) +: carryCols.map(col)): _*)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__nd") >= minDocs, 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ", expr(
+          s"transform(sort_array(collect_list(CASE WHEN __nd < $minDocs" +
+          " THEN struct(__ci, __chunk) END)), x -> x.__chunk)")).as("new_text"))
+  }
+
+  /** DSIR-style importance scoring (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023, at unigram
+    * grain, integer surrogate): score each raw document by how much its
+    * vocabulary looks like a TARGET corpus. Per distinct token,
+    * weight = (target_df · scale) div raw_df — the floor-divided integer
+    * surrogate of the target/raw frequency ratio (tokens absent from the
+    * target weigh 0); a document's score is the mean token weight
+    * (Σ weights div n_distinct_tokens), so long documents aren't favored.
+    * Integer end to end — any engine replays the ranking bit-for-bit.
+    *
+    * Scale shape: both frequency tables are partial-aggregable hash aggs
+    * (the target one over the filtered slice); weights join into the
+    * exploded token stream by token (hash join, vocabulary-sized build
+    * side — never collected to the driver); the per-doc sum is one keyed
+    * agg. No broadcast of the corpus, no driver-side vocabulary.
+    *
+    * Returns one row per doc: (idCol, carryCols…, n_tok, score) with
+    * score in `scale` units.
+    */
+  def importanceScores(docs: DataFrame, idCol: String, textCol: String,
+                       targetPred: Column, scale: Long = 1000000L,
+                       carryCols: Seq[String] = Nil): DataFrame = {
+    val toks = docs.select((col(idCol) +: targetPred.as("__tgt") +:
+        carryCols.map(col) :+
+        explode(array_distinct(split(col(textCol), " "))).as("__t")): _*)
+    val freq = toks.groupBy(col("__t")).agg(
+      count(lit(1)).as("__rdf"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tdf"))
+    toks.join(freq, "__t")
+      .groupBy((col(idCol) +: carryCols.map(col)): _*)
+      .agg(count(lit(1)).as("n_tok"),
+        expr(s"sum((__tdf * ${scale}L) div __rdf) div count(1)").as("score"))
+  }
 }

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.EntityResolution
+import graft.text.TextOps
+
+/** Wave-8 curation operators: prefix-filter similarity join exactness
+  * (vs a brute-force all-pairs replay), boilerplate chunk removal and
+  * reconstruction, and DSIR importance-score semantics.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sets(rows: Seq[(Long, Seq[String])]) =
+    rows.toDF("id", "ts")
+
+  test("prefixFilterPairs matches brute-force all-pairs exactly") {
+    // 40 synthetic element-sets with a controlled near-dup structure:
+    // pairs (2i, 2i+1) share most elements when i % 3 == 0; everything
+    // else overlaps only through a handful of common elements.
+    val rows = (0L until 40L).map { i =>
+      val base = (0 until 12).map(j => s"e${(i / 2) * 17 + j}")
+      val noise =
+        if (i % 2 == 0) Seq(s"n$i") else Seq(s"n$i", s"m$i", "common")
+      (i, ((if (i / 2 % 3 == 0) base else base.map(e => s"$e-${i % 2}")) ++
+        noise).distinct)
+    }
+    val df = sets(rows)
+    val got = EntityResolution
+      .prefixFilterPairs(df, "id", col("ts"), 6, 10)
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+    val byId = rows.toMap
+    val want = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+      sa = byId(a).toSet; sb = byId(b).toSet
+      inter = (sa & sb).size
+      if inter * 10 >= 6 * (sa.size + sb.size - inter)
+    } yield (a, b, inter.toLong, sa.size.toLong, sb.size.toLong)).toSet
+    assert(want.nonEmpty, "fixture must contain qualifying pairs")
+    assert(got == want)
+  }
+
+  test("prefixFilterPairs at threshold 1.0 finds exactly the identical sets") {
+    val df = sets(Seq(
+      1L -> Seq("a", "b", "c"), 2L -> Seq("c", "b", "a"),
+      3L -> Seq("a", "b"), 4L -> Seq("a", "b", "c", "d")))
+    val got = EntityResolution.prefixFilterPairs(df, "id", col("ts"), 1, 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("removeBoilerplateChunks drops cross-doc chunks and rebuilds in order") {
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // one exact chunk
+    val docs = Seq(
+      (1L, s"$boiler u1 u2 u3"), // boiler + short unique tail
+      (2L, s"$boiler v1 v2"),
+      (3L, s"$boiler w1"),
+      (4L, "x1 x2 x3"), // untouched: no boilerplate
+      (5L, boiler) // fully emptied
+    ).toDF("doc_id", "text")
+    val out = TextOps
+      .removeBoilerplateChunks(docs, "doc_id", "text", w = 10, minDocs = 3L)
+      .select("doc_id", "n_chunks", "n_dropped", "new_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(out(1L) == ((2L, 1L, "u1 u2 u3")))
+    assert(out(2L) == ((2L, 1L, "v1 v2")))
+    assert(out(3L) == ((2L, 1L, "w1")))
+    assert(out(4L) == ((1L, 0L, "x1 x2 x3")))
+    assert(out(5L) == ((1L, 1L, "")))
+  }
+
+  test("removeBoilerplateChunks keeps multi-chunk order and partial tails") {
+    val c1 = (1 to 10).map(i => s"a$i").mkString(" ")
+    val c2 = (1 to 10).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$c1 mid1 mid2 mid3 mid4 mid5 mid6 mid7 mid8 mid9 mid10 $c2 tail"),
+      (2L, c1), (3L, c1), // make c1 cross-doc boilerplate (3 docs)
+      (4L, c2), (5L, c2)  // c2 only in 3 docs too
+    ).toDF("doc_id", "text")
+    val out = TextOps
+      .removeBoilerplateChunks(docs, "doc_id", "text", w = 10, minDocs = 3L)
+      .filter(col("doc_id") === 1L)
+      .select("n_chunks", "n_dropped", "new_text")
+      .as[(Long, Long, String)].head()
+    // doc 1 = [c1][mid×10][c2][tail]; c1 and c2 dropped, order kept.
+    assert(out == ((4L, 2L,
+      (1 to 10).map(i => s"mid$i").mkString(" ") + " tail")))
+  }
+
+  test("importanceScores weighs target-distribution tokens up, integer-exactly") {
+    val docs = Seq(
+      (1L, "aa bb", true), (2L, "aa cc", true), // target slice
+      (3L, "aa bb", false), (4L, "dd dd dd", false)
+    ).toDF("doc_id", "text", "tgt")
+    val out = TextOps
+      .importanceScores(docs, "doc_id", "text", col("tgt"), scale = 1000L)
+      .select("doc_id", "n_tok", "score")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // dfs: aa raw 3 / tgt 2; bb raw 2 / tgt 1; cc raw 1 / tgt 1; dd raw 1 / tgt 0
+    // weights(scale 1000): aa (2000 div 3)=666, bb 500, cc 1000, dd 0
+    assert(out(1L) == ((2L, (666L + 500L) / 2)))
+    assert(out(2L) == ((2L, (666L + 1000L) / 2)))
+    assert(out(3L) == ((2L, (666L + 500L) / 2)))
+    assert(out(4L) == ((1L, 0L)))
+  }
+}

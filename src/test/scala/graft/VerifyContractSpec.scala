@@ -23,7 +23,8 @@ class VerifyContractSpec extends AnyFunSuite {
     ("LifecycleQueries", LifecycleQueries.all, LifecycleQueries.oracles),
     ("SourceQueries", SourceQueries.all, SourceQueries.oracles),
     ("DriftQueries", DriftQueries.all, DriftQueries.oracles),
-    ("ResolutionQueries", ResolutionQueries.all, ResolutionQueries.oracles))
+    ("ResolutionQueries", ResolutionQueries.all, ResolutionQueries.oracles),
+    ("CurationQueries", CurationQueries.all, CurationQueries.oracles))
 
   test("every query has an oracle and every oracle has a query") {
     val q = SparkEntry.queries.keySet
