@@ -97,4 +97,35 @@ object Intervals {
       .agg(sum(col("__v") * col("__held")).as("weighted_sum_units"),
         sum(col("__held")).as("held_secs"))
   }
+
+  /** Time-grid gap-fill with forward-fill — the resampling step every
+    * point-in-time reporting pipeline needs (daily balance snapshots,
+    * sensor grids): one row per (key, slot) for every slot in
+    * [minSlot, maxSlot], carrying the key's last observed value at or
+    * before that slot.
+    *
+    * `df` must hold ≤ 1 row per (key, slot) — collapse multi-event slots
+    * first (e.g. latest-wins per slot) so "the value at slot t" is
+    * well-defined. Returns (key, slot, observed, filled): `observed` is
+    * the slot's own value (null for gap slots), `filled` the
+    * forward-filled one (null until the key's first observation).
+    *
+    * Scale shape: the dense grid is `explode(sequence(...))` over the
+    * DISTINCT key list — generated, never shuffled in from a table — and
+    * the fill is ONE `last(ignoreNulls) over (key, slot rows unbounded
+    * preceding)` window, i.e. a single keyed exchange + per-key sort of
+    * (slots) rows. Slot count is the caller's grid resolution: bound it
+    * (slots per key, not corpus size) exactly as a real resampler does.
+    */
+  def gapFill(df: DataFrame, key: String, slotCol: String, valCol: String,
+              minSlot: Long, maxSlot: Long): DataFrame = {
+    require(maxSlot >= minSlot, "empty slot range")
+    val grid = df.select(col(key)).distinct()
+      .select(col(key), explode(expr(s"sequence(${minSlot}L, ${maxSlot}L)")).as("slot"))
+    val obs = df.select(col(key), col(slotCol).as("slot"), col(valCol).as("observed"))
+    val w = Window.partitionBy(col(key)).orderBy(col("slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq(key, "slot"), "left")
+      .withColumn("filled", last(col("observed"), ignoreNulls = true).over(w))
+  }
 }

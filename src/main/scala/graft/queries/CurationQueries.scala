@@ -1,10 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{CoreOps, EntityResolution}
+import graft.ops.{CoreOps, EntityResolution, Intervals}
+import graft.similarity.Similarity
 import graft.text.TextOps
 
 /** Wave 8 — corpus-curation operators: prefix-filtering set-similarity
@@ -110,6 +111,135 @@ object CurationQueries {
         .select(col("doc_id"), col("source"), col("n_tok"), col("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(25)
+    }),
+
+    // MMR diversified re-ranking (λ = 0.7): 5 picks from the 20 most
+    // query-similar vectors, each step trading relevance against max
+    // similarity to what's already chosen. Relevance is one distributed
+    // kernel pass + TakeOrdered; only the 20 candidates reach the driver.
+    "q191_mmr_rerank" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Similarity.mmrRerank(e.filter(col("vec_id") =!= 0), qv,
+          "vec_id", "embedding", topN = 20, k = 5, relW = 7L, divW = 3L)
+        .select(col("step"), col("id").as("vec_id"), col("rel"))
+        .orderBy(col("step"))
+    }),
+
+    // Time-grid gap-fill + forward-fill: daily per-user value snapshots
+    // over the events span — slots with no event carry the user's last
+    // observed value (the point-in-time reporting primitive). Grid bounds
+    // are one 1-row aggregate; the fill is a single keyed window.
+    "q192_gap_fill" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("slot"),
+          unix_micros(col("ts")).as("tsm"), col("event_id"),
+          cents(col("value")).as("v_c"))
+      val d = e.groupBy(col("user_id"), col("slot"))
+        .agg(max(struct(col("tsm").as("t"), col("event_id").as("e"),
+          col("v_c").as("v"))).getField("v").as("observed"))
+      val b = e.agg(min(col("slot")), max(col("slot"))).head()
+      Intervals.gapFill(d, "user_id", "slot", "observed",
+          b.getLong(0), b.getLong(1))
+        .groupBy(col("slot"))
+        .agg(count(col("observed")).as("n_active"),
+          sum(when(col("observed").isNull && col("filled").isNotNull, 1L)
+            .otherwise(0L)).as("n_carried"),
+          sum(col("filled")).as("sum_filled"))
+        .orderBy(col("slot"))
+    }),
+
+    // Distribution drift between the first and second half of the event
+    // timeline: 10 equi-width integer bins per event_type over the global
+    // [min, max] cents range, per-bin proportions in basis points, and
+    // the summed/max absolute deviation — the integer-exact total-
+    // variation surrogate of the PSI monitoring metric (PSI's ln term
+    // needs floats; TV distance gates bit-for-bit and bounds it).
+    "q193_tv_drift" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("v_c"),
+          (expr("unix_micros(ts) div 86400000000") <
+            expr("unix_micros(timestamp'2024-01-16 00:00:00') div 86400000000"))
+            .as("first_half"))
+      val mm = e.groupBy(col("event_type"))
+        .agg(min(col("v_c")).as("lo"), max(col("v_c")).as("hi"))
+      val b = e.join(broadcast(mm), "event_type")
+        .withColumn("bin",
+          least(lit(9L), expr("((v_c - lo) * 10) div (hi - lo + 1)")))
+      val n = b.groupBy(col("event_type")).agg(
+        sum(when(col("first_half"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("first_half"), 1L).otherwise(0L)).as("nb"))
+      val c = b.groupBy(col("event_type"), col("bin")).agg(
+        sum(when(col("first_half"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("first_half"), 1L).otherwise(0L)).as("cb"))
+      c.join(broadcast(n), "event_type")
+        .withColumn("dev", abs(expr("ca * 10000 div na - cb * 10000 div nb")))
+        .groupBy(col("event_type"))
+        .agg(min(col("na")).as("n_first"), min(col("nb")).as("n_second"),
+          sum(col("dev")).as("sum_abs_bp"), max(col("dev")).as("max_abs_bp"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Last-touch attribution: each purchase credited to the user's latest
+    // click/view within 7 days — the backward as-of join (one keyed
+    // shuffle, linear per key) instead of the quadratic-per-hot-user
+    // window join; same-timestamp touches pre-collapsed by max event_id
+    // so the match is total-order deterministic.
+    "q194_attribution" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("v_c"))
+      val t = ev.filter(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .agg(max(struct(col("event_id").as("i"), col("event_type").as("t")))
+          .getField("t").as("touch"))
+      graft.ops.AsofJoin.asofJoin(p, t, Seq("user_id"), "ts_us", "ts_us",
+          toleranceMicros = Some(604800000000L))
+        .groupBy(coalesce(col("touch"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("v_c")).as("sum_cents"))
+        .orderBy(col("channel"))
+    }),
+
+    // Data-quality expectation suite (the dbt-test / Great-Expectations
+    // report): FK integrity, range, uniqueness, nullness, and a generator
+    // invariant (n_chars = length(text)), one (check, checked, failed)
+    // row each. Each check is a partial-aggregable scan (the FK check a
+    // broadcast anti-join count); the report is a union of 1-row aggs.
+    "q195_dq_expectations" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val customer = Tables.load(s, dir, "customer")
+      val lineitem = Tables.load(s, dir, "lineitem")
+      val documents = Tables.load(s, dir, "documents")
+      val events = Tables.load(s, dir, "events")
+      def check(name: String, df: org.apache.spark.sql.DataFrame,
+                failed: Column): org.apache.spark.sql.DataFrame =
+        df.agg(count(lit(1)).as("n_checked"),
+            sum(when(failed, 1L).otherwise(0L)).as("n_failed"))
+          .select(lit(name).as("check_name"), col("n_checked"), col("n_failed"))
+      val fk = orders.join(broadcast(customer.select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left")
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_failed"))
+        .select(lit("orders_custkey_fk").as("check_name"),
+          col("n_checked"), col("n_failed"))
+      val uniq = customer
+        .agg(count(lit(1)).as("n_checked"),
+          (count(lit(1)) - countDistinct(col("c_custkey"))).as("n_failed"))
+        .select(lit("customer_key_unique").as("check_name"),
+          col("n_checked"), col("n_failed"))
+      fk.unionByName(uniq)
+        .unionByName(check("lineitem_qty_range", lineitem,
+          col("l_quantity") < 1 || col("l_quantity") > 50))
+        .unionByName(check("lineitem_price_positive", lineitem,
+          !(col("l_extendedprice") > 0)))
+        .unionByName(check("documents_nchars_consistent", documents,
+          col("n_chars") =!= length(col("text"))))
+        .unionByName(check("events_value_nonnull", events,
+          col("value").isNull))
+        .orderBy(col("check_name"))
     }))
 
   /** q27's portable rolling-hash fingerprint as DuckDB SQL. */
@@ -203,6 +333,146 @@ object CurationQueries {
         |    AS BIGINT) AS n_outliers
         |FROM d JOIN mad USING (event_type) JOIN n USING (event_type)
         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+
+    // Unrolled 5-step greedy (MATERIALIZED CTEs keep the chain linear;
+    // the recursive-CTE form miscomputes correlated aggregates in the
+    // recursive term on some engines). Every pick key replays the Spark
+    // side's (relW·rel − divW·maxsim)·1e6 − id composite exactly.
+    "q191_mmr_rerank" -> {
+      val dotS = (a: String, b: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+          s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+      val cosS = (a: String, b: String) =>
+        s"CASE WHEN sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)}) = 0.0 THEN 0.0 " +
+          s"ELSE (${dotS(a, b)}) / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)})) END"
+      val chain = new StringBuilder(
+        "p1 AS MATERIALIZED (SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT 1),\n" +
+        "c1 AS MATERIALIZED (SELECT vec_id FROM p1)")
+      for (k <- 2 to 5) {
+        val prev = s"c${k - 1}"
+        chain.append(s""",
+          |s$k AS MATERIALIZED (
+          |  SELECT c.vec_id,
+          |    (7 * c.rel - 3 * (SELECT max(s) FROM sims WHERE ia = c.vec_id
+          |        AND ib IN (SELECT vec_id FROM $prev))) * 1000000 - c.vec_id AS key
+          |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)),
+          |p$k AS MATERIALIZED (SELECT vec_id FROM s$k ORDER BY key DESC LIMIT 1),
+          |c$k AS MATERIALIZED (SELECT vec_id FROM $prev UNION ALL SELECT vec_id FROM p$k)""".stripMargin)
+      }
+      val union = (1 to 5)
+        .map(k => s"SELECT $k AS step, vec_id FROM p$k").mkString(" UNION ALL ")
+      s"""WITH q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cand AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    CAST(floor((${cosS("embedding", "qv")}) * 1000000) AS BIGINT) AS rel
+         |  FROM embeddings, q WHERE vec_id <> 0
+         |  ORDER BY rel DESC, vec_id LIMIT 20),
+         |sims AS MATERIALIZED (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    CAST(floor((${cosS("a.embedding", "b.embedding")}) * 1000000) AS BIGINT) AS s
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |${chain.result()}
+         |SELECT u.step, u.vec_id, cand.rel
+         |FROM ($union) u JOIN cand USING (vec_id) ORDER BY u.step""".stripMargin
+    },
+
+    "q192_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS slot,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsm, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events),
+        |d AS (SELECT user_id, slot, max({'t': tsm, 'e': event_id, 'v': v_c}).v AS observed
+        |      FROM e GROUP BY 1, 2),
+        |grid AS (SELECT user_id,
+        |           unnest(range((SELECT min(slot) FROM e), (SELECT max(slot) FROM e) + 1)) AS slot
+        |         FROM (SELECT DISTINCT user_id FROM e)),
+        |g AS (
+        |  SELECT grid.user_id, grid.slot, d.observed,
+        |    last_value(d.observed IGNORE NULLS) OVER (
+        |      PARTITION BY grid.user_id ORDER BY grid.slot
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |  FROM grid LEFT JOIN d ON d.user_id = grid.user_id AND d.slot = grid.slot)
+        |SELECT slot, CAST(count(observed) AS BIGINT) AS n_active,
+        |  CAST(sum(CASE WHEN observed IS NULL AND filled IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_carried,
+        |  CAST(sum(filled) AS BIGINT) AS sum_filled
+        |FROM g GROUP BY slot ORDER BY slot""".stripMargin,
+
+    "q193_tv_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 <
+        |     epoch_us(TIMESTAMP '2024-01-16 00:00:00') // 86400000000) AS first_half
+        |  FROM events),
+        |mm AS (SELECT event_type, min(v_c) AS lo, max(v_c) AS hi FROM e GROUP BY 1),
+        |b AS (
+        |  SELECT e.event_type, first_half,
+        |    least(9, ((v_c - lo) * 10) // (hi - lo + 1)) AS bin
+        |  FROM e JOIN mm USING (event_type)),
+        |n AS (SELECT event_type,
+        |        CAST(sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |        CAST(sum(CASE WHEN NOT first_half THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |      FROM b GROUP BY 1),
+        |c AS (SELECT event_type, bin,
+        |        CAST(sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |        CAST(sum(CASE WHEN NOT first_half THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |      FROM b GROUP BY 1, 2)
+        |SELECT c.event_type, min(na) AS n_first, min(nb) AS n_second,
+        |  CAST(sum(abs(ca * 10000 // na - cb * 10000 // nb)) AS BIGINT) AS sum_abs_bp,
+        |  CAST(max(abs(ca * 10000 // na - cb * 10000 // nb)) AS BIGINT) AS max_abs_bp
+        |FROM c JOIN n USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q194_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    max({'i': event_id, 't': event_type}) AS m
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+        |m AS (
+        |  SELECT p.user_id, p.event_id, p.v_c,
+        |    CASE WHEN p.ts_us - t.ts_us <= 604800000000 THEN t.m.t END AS channel
+        |  FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts_us >= t.ts_us)
+        |SELECT coalesce(channel, 'none') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(v_c) AS BIGINT) AS sum_cents
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q195_dq_expectations" ->
+      """SELECT * FROM (
+        |  SELECT 'orders_custkey_fk' AS check_name,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_checked,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |      WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                        WHERE c.c_custkey = o.o_custkey)) AS n_failed
+        |  UNION ALL
+        |  SELECT 'customer_key_unique',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer),
+        |    (SELECT CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer)
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_range',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     WHERE l_quantity < 1 OR l_quantity > 50)
+        |  UNION ALL
+        |  SELECT 'lineitem_price_positive',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     WHERE NOT (l_extendedprice > 0))
+        |  UNION ALL
+        |  SELECT 'documents_nchars_consistent',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM documents),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |     WHERE n_chars <> length(text))
+        |  UNION ALL
+        |  SELECT 'events_value_nonnull',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM events),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM events WHERE value IS NULL)
+        |) ORDER BY check_name""".stripMargin,
 
     "q190_importance_select" ->
       """WITH tok AS (SELECT doc_id, source, (source IN ('src1','src2')) AS tgt,

@@ -1109,5 +1109,81 @@ object Similarity {
       (c, adcTableFlat(qres, cb, sub))
     }
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
+    * 1998): pick `k` results greedily from the `topN` most-relevant
+    * candidates, each step maximizing
+    * `relW·rel − divW·max(sim to already-chosen)` — the standard
+    * relevance/diversity trade-off behind RAG context selection and
+    * diversified search (relW/divW is λ/(1−λ) scaled to integers).
+    *
+    * Scale shape: relevance is ONE distributed kernel pass over the corpus
+    * (query vector broadcast in the closure) + a TakeOrdered top-`topN` —
+    * the corpus is never collected or pairwise-joined. Only the `topN`
+    * candidates (a bounded serving artifact, `require`d ≤ 4096 like the
+    * other broadcast-path guards) reach the driver, where the O(topN²)
+    * pairwise similarities and the O(k·topN) greedy loop run on ≤ 4096
+    * rows. All scores are floor(cosine·1e6) longs with the same fold order
+    * as a list_reduce, so any ANSI engine replays every pick bit-for-bit;
+    * ties break to the smaller id via the `score·1e6 − id` composite key.
+    *
+    * Returns (step, id, rel) for steps 1..k in pick order.
+    */
+  def mmrRerank(corpus: DataFrame, queryVec: Array[Float], idCol: String,
+                vecCol: String, topN: Int, k: Int,
+                relW: Long, divW: Long): DataFrame = {
+    require(topN >= k && k >= 1, "need topN >= k >= 1")
+    require(topN <= 4096, "topN is a driver-held candidate batch; keep it bounded")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    def cosMicros(a: Seq[Float], b: Seq[Float]): Long = {
+      // Three separate index-order folds + one divide, exactly the SQL
+      // cosine's shape — never a fused/reordered accumulation.
+      var d = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+      var na = 0.0; i = 0
+      while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+      var nb = 0.0; i = 0
+      while (i < b.length) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      val c = if (nn == 0.0) 0.0 else d / nn
+      math.floor(c * 1000000.0).toLong
+    }
+
+    val q = spark.sparkContext.broadcast(queryVec)
+    val cand = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, v, cosMicros(v, q.value.toSeq)) }
+      .toDF("id", "v", "rel")
+      .orderBy(col("rel").desc, col("id"))
+      .limit(topN)
+      .as[(Long, Seq[Float], Long)].collect()
+
+    val ids = cand.map(_._1)
+    val rels = cand.map(_._3)
+    val vecs = cand.map(_._2)
+    val nC = cand.length
+    val sims = Array.tabulate(nC, nC)((i, j) =>
+      if (i == j) Long.MinValue else cosMicros(vecs(i), vecs(j)))
+
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val picks = (1 to math.min(k, nC)).map { step =>
+      val best =
+        if (chosen.isEmpty) {
+          // step 1: pure relevance, ties to the smaller id
+          (0 until nC).maxBy(i => (rels(i), -ids(i)))
+        } else {
+          (0 until nC).filterNot(chosen.contains).maxBy { i =>
+            val maxSim = chosen.map(j => sims(i)(j)).max
+            (relW * rels(i) - divW * maxSim) * 1000000L - ids(i)
+          }
+        }
+      chosen += best
+      (step, ids(best), rels(best))
+    }
+    picks.toDF("step", "id", "rel")
+  }
 }
 

@@ -93,6 +93,54 @@ class CurationSpec extends AnyFunSuite {
       (1 to 10).map(i => s"mid$i").mkString(" ") + " tail")))
   }
 
+  test("mmrRerank diversifies: near-duplicate of pick 1 loses to a diverse pick") {
+    import graft.similarity.Similarity
+    // Query along e0; candidates at +1° (a), +2° (b, near-dup of a) and
+    // −5° (c, diverse). Pure relevance ranks b second (cos 2° > cos 5°),
+    // but at λ = 0.5: score_b = cos2° − cos1° < 0 < cos5° − cos6° =
+    // score_c, so MMR must pick c second.
+    def ang(d: Double) = Seq(math.cos(math.toRadians(d)).toFloat,
+      math.sin(math.toRadians(d)).toFloat)
+    val corpus = Seq(
+      (10L, ang(1)), (11L, ang(2)), (12L, ang(-5)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(corpus, Array(1f, 0f),
+        "vec_id", "embedding", topN = 3, k = 3, relW = 1L, divW = 1L)
+      .select("step", "id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(10L, 12L, 11L))
+  }
+
+  test("mmrRerank step 1 is pure relevance with id tie-break") {
+    import graft.similarity.Similarity
+    val corpus = Seq(
+      (5L, Seq(1f, 0f)), (3L, Seq(1f, 0f)), (4L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(corpus, Array(1f, 0f),
+        "vec_id", "embedding", topN = 3, k = 1, relW = 7L, divW = 3L)
+      .select("id").as[Long].collect()
+    assert(out.toSeq == Seq(3L)) // equal rel → smaller id wins
+  }
+
+  test("gapFill carries the last observation forward, null before first") {
+    import graft.ops.Intervals
+    val obs = Seq(
+      (1L, 2L, 100L), (1L, 5L, 200L), // key 1: observed at slots 2 and 5
+      (2L, 4L, 999L)                  // key 2: first observation at slot 4
+    ).toDF("k", "slot", "v")
+    val out = Intervals.gapFill(obs, "k", "slot", "v", 1L, 6L)
+      .select("k", "slot", "observed", "filled")
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out.size == 12) // 2 keys × 6 slots
+    assert(out((1L, 1L)) == ((None, None)))       // before first obs
+    assert(out((1L, 2L)) == ((Some(100L), Some(100L))))
+    assert(out((1L, 3L)) == ((None, Some(100L)))) // carried
+    assert(out((1L, 5L)) == ((Some(200L), Some(200L))))
+    assert(out((1L, 6L)) == ((None, Some(200L))))
+    assert(out((2L, 3L)) == ((None, None)))
+    assert(out((2L, 6L)) == ((None, Some(999L))))
+  }
+
   test("importanceScores weighs target-distribution tokens up, integer-exactly") {
     val docs = Seq(
       (1L, "aa bb", true), (2L, "aa cc", true), // target slice

@@ -206,6 +206,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filter simjoin: candidate and verify stages are equi-joins") {
+    val plan = run("q187_prefix_simjoin")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "prefix-filter join degenerated to all-pairs")
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+      "no hash aggregation in the frequency/census stages")
+  }
+
+  test("gap-fill grid join is an equi-join; fill is one window pass") {
+    val plan = run("q192_gap_fill")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "grid join degenerated to nested-loop")
+    assert(plan.linesIterator.count(_.trim.startsWith("Window")) <= 1,
+      "more than one window pass in the forward-fill")
+  }
+
   test("partition-pruned scan reads only the selected partition") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_pp_").toString
