@@ -21,19 +21,21 @@ object CurationQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // AllPairs/PPJoin prefix-filtering similarity self-join over trigram
-    // shingle sets at Jaccard ≥ 0.7: candidates must share one of each
-    // doc's RAREST trigrams (global-frequency order), so the candidate
-    // join fans out by rare-token df instead of hot-token df — 28
+    // AllPairs/PPJoin prefix-filtering similarity self-join over 3-shingle
+    // sets at Jaccard ≥ 0.7: candidates must share one of each doc's
+    // RAREST shingles (global-frequency order), so the candidate join
+    // fans out by rare-element df instead of hot-element df — 28
     // candidate pairs at sf0.01 where all-pairs would be 12.5M. Exact
     // verify via integer cross-multiplied Jaccard; per-lang rollup.
+    // Shingles travel as the codegen'd 8-byte `shingle_hashes` (q31/q186
+    // semantics): the frequency join, prefix explode, and candidate join
+    // all exchange longs, never trigram strings — the string form cost
+    // 16.8 s at sf0.1 against 6-7 s hashed, in BOTH engines.
     "q187_prefix_simjoin" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
       val r = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
-        .withColumn("ts", when(size(col("toks")) >= 3, array_distinct(expr(
-          "transform(sequence(1, size(toks) - 2)," +
-          " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)," +
-          " element_at(toks, i + 2)))"))).otherwise(expr("array()")))
+        .select(col("doc_id"), col("lang"),
+          call_function("shingle_hashes", col("text"), lit(3)).as("ts"))
         .filter(size(col("ts")) >= 1)
       EntityResolution.prefixFilterPairs(r, "doc_id", col("ts"), 7, 10,
           carryCols = Seq("lang"))
@@ -250,37 +252,32 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
 
-    // Replays the prefix filter from first principles: trigram sets,
-    // global (df, token) order, integer-ceil prefix length, candidate =
-    // shared prefix token, exact Jaccard ≥ 7/10 by cross-multiplication.
+    // Replays the prefix filter from first principles: shared shingle-hash
+    // CTEs (the q31/q186 portable hash chain), global (df, hash) order,
+    // integer-ceil prefix length, candidate = shared prefix element,
+    // exact Jaccard ≥ 7/10 by cross-multiplication.
     "q187_prefix_simjoin" ->
-      """WITH t0 AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
-        |            FROM documents),
-        |r AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(list_transform(range(1, len(toks)-1),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ts
-        |  FROM t0),
-        |r2 AS (SELECT * FROM r WHERE len(ts) >= 1),
-        |tok AS (SELECT doc_id, unnest(ts) AS t FROM r2),
-        |freq AS (SELECT t, count(*) AS df FROM tok GROUP BY 1),
-        |ord AS (
-        |  SELECT tok.doc_id, tok.t,
-        |    row_number() OVER (PARTITION BY tok.doc_id ORDER BY df, tok.t) AS rn,
-        |    count(*) OVER (PARTITION BY tok.doc_id) AS s
-        |  FROM tok JOIN freq USING (t)),
-        |pre AS (SELECT doc_id, t FROM ord WHERE rn <= s - (7*s + 9)//10 + 1),
-        |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-        |         FROM pre a JOIN pre b ON a.t = b.t AND a.doc_id < b.doc_id),
-        |v AS (
-        |  SELECT ida, idb, len(list_intersect(ra.ts, rb.ts)) AS i,
-        |         len(ra.ts) AS sa, len(rb.ts) AS sb, ra.lang
-        |  FROM cand JOIN r2 ra ON ra.doc_id = ida JOIN r2 rb ON rb.doc_id = idb)
-        |SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs,
-        |  CAST(sum(i) AS BIGINT) AS sum_inter,
-        |  CAST(sum(sa + sb - i) AS BIGINT) AS sum_union
-        |FROM v WHERE i * 10 >= 7 * (sa + sb - i)
-        |GROUP BY lang ORDER BY lang""".stripMargin,
+      s"""WITH ${DedupQueries.shingleCtes(3, extraCols = " lang,")},
+         |r2 AS (SELECT doc_id, lang, hs AS ts FROM h WHERE len(hs) >= 1),
+         |el AS (SELECT doc_id, unnest(ts) AS t FROM r2),
+         |freq AS (SELECT t, count(*) AS df FROM el GROUP BY 1),
+         |ord AS (
+         |  SELECT el.doc_id, el.t,
+         |    row_number() OVER (PARTITION BY el.doc_id ORDER BY df, el.t) AS rn,
+         |    count(*) OVER (PARTITION BY el.doc_id) AS s
+         |  FROM el JOIN freq USING (t)),
+         |pre AS (SELECT doc_id, t FROM ord WHERE rn <= s - (7*s + 9)//10 + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |         FROM pre a JOIN pre b ON a.t = b.t AND a.doc_id < b.doc_id),
+         |v AS (
+         |  SELECT ida, idb, len(list_intersect(ra.ts, rb.ts)) AS i,
+         |         len(ra.ts) AS sa, len(rb.ts) AS sb, ra.lang
+         |  FROM cand JOIN r2 ra ON ra.doc_id = ida JOIN r2 rb ON rb.doc_id = idb)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(i) AS BIGINT) AS sum_inter,
+         |  CAST(sum(sa + sb - i) AS BIGINT) AS sum_union
+         |FROM v WHERE i * 10 >= 7 * (sa + sb - i)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q188_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
