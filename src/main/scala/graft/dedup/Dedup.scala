@@ -240,24 +240,23 @@ object Dedup {
   def bucketedPairSides(keyed: DataFrame, keyCols: Seq[String], idCol: String,
                         cap: Int): (DataFrame, DataFrame) = {
     val payload = struct(keyed.columns.filterNot(keyCols.contains).map(col): _*)
-    // One explicit (bucket-key) hash exchange feeds the census AND both
-    // replicated sides: the three identical subtrees collapse to a
-    // ReusedExchange, so the upstream banding kernel runs once (the plain
-    // self-join would pay this same exchange anyway).
-    val keyedP = keyed.repartition(keyCols.map(col): _*)
-    // The census aggregation PINS every payload column (a throwaway
-    // first()) so column pruning cannot narrow its copy of the exchange
-    // input: a pruned subtree canonicalizes differently and the reuse —
-    // the whole point of branching off keyedP — silently dies, leaving
-    // the upstream banding kernel to run twice (observed live on q138's
-    // plan: the census branch re-ran minhash_band_keys with id pruned).
-    val payloadCols = keyed.columns.filterNot(keyCols.contains).toSeq
-    val pins = payloadCols.map(c => first(col(c)).as(s"_pin_$c"))
+    // The banded table feeds THREE consumers (census + both replicated
+    // sides). Sharing the subtree via ReusedExchange is canonicalization-
+    // fragile: column pruning narrows the census's copy (it only needs the
+    // keys), the pruned subtree canonicalizes differently, and the reuse
+    // silently dies — observed live at sf1, where the banding kernel ran
+    // 4× and q31 regressed 7.6× while sf0.1 stayed flat (first()-pinning
+    // the payload does NOT survive, because the pins are themselves pruned
+    // above the census's key-only select). localCheckpoint materializes
+    // the banded rows ONCE — ids and band keys, a few bytes per row, the
+    // same rows the self-join must exchange anyway — and every consumer
+    // scans the materialized partitions; on a cluster the same role is
+    // played by a reliable checkpoint or an explicit staging table.
+    val keyedP = keyed.repartition(keyCols.map(col): _*).localCheckpoint()
     val hot = broadcast(
       keyedP.groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("_n"), pins: _*)
-        .filter(col("_n") > cap)
-        .select((keyCols.map(col) :+ col("_n")): _*))
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > cap))
     // Left join against the broadcast hot list: cold rows (no match) get
     // T = 1, tile 0 with zero replication and zero shuffle for the stamp.
     val tiled = keyedP.join(hot, keyCols, "left")
