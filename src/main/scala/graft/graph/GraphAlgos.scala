@@ -460,4 +460,53 @@ object GraphAlgos {
     }
     tc(done)
   }
+
+  /** Neighborhood function via KMV sketch propagation — the HyperANF
+    * shape (Boldi, Rosa & Vigna, "HyperANF: Approximating the
+    * Neighbourhood Function of Very Large Graphs", WWW 2011) with a KMV
+    * bottom-k sketch instead of HyperLogLog so the estimate is INTEGER
+    * arithmetic an oracle replays exactly: per node and hop h, the
+    * (estimated) size of the out-ball {m : node reaches m in ≤ h hops}.
+    * The hop-h sketch is the KMV merge of the node's own hop-(h−1) sketch
+    * with its successors' — set-union semantics ride the bottom-k merge,
+    * so the whole distance distribution costs O(E·k) per round instead of
+    * the O(n·ball) exact frontier sets (the difference between "effective
+    * diameter of the mention graph" being computable at 100 TB or not).
+    *
+    * Sketches are plain sorted arrays (merge = flatten → sort →
+    * distinct → take k — a pure set function, partition-order invariant);
+    * node ids hash through the portable linear hash, estimates through
+    * [[graft.functions.KmvAgg.estimate]] ((k−1)·M div h_k, exact below
+    * k). Lineage truncated per hop like every iterative pass here.
+    *
+    * Returns (node, hop, n_sk, est) for hops 1..maxHops.
+    */
+  def neighborhoodKmv(edges: DataFrame, srcCol: String, dstCol: String,
+                      k: Int, maxHops: Int,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    import graft.functions.KmvAgg
+    require(k > 1 && maxHops >= 1, "need k > 1 and maxHops >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val h0 = graft.dedup.Dedup.seeded(col("node"), 0)
+    var state = nodes.select(col("node"), array(h0).as("sk"))
+    var out: DataFrame = null
+    for (hop <- 1 to maxHops) {
+      val fromSucc = e.join(state, e("dst") === state("node"))
+        .select(e("src").as("node"), col("sk"))
+      state = truncate(
+        state.unionByName(fromSucc)
+          .groupBy(col("node"))
+          .agg(expr(s"slice(array_distinct(sort_array(flatten(collect_list(sk)))), 1, $k)")
+            .as("sk")),
+        checkpointDir)
+      val snap = state.select(col("node"), lit(hop).as("hop"),
+        size(col("sk")).cast("long").as("n_sk"),
+        KmvAgg.estimate(k, col("sk")).as("est"))
+      out = if (out == null) snap else out.unionByName(snap)
+    }
+    out
+  }
 }

@@ -205,6 +205,75 @@ object CurationQueries {
         .orderBy(col("channel"))
     }),
 
+    // Neighborhood function (distance distribution) via KMV sketch
+    // propagation — the HyperANF shape with an exactly-replayable
+    // bottom-k sketch. Graph: the saturated event_id residue domain
+    // gives a fixed 97-node out-degree-2 graph at every SF; 4 hops span
+    // the exact regime (ball < k) and the estimator regime (ball ≥ k).
+    "q196_neighborhood_kmv" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select((col("event_id") % 97).as("src"),
+          ((col("event_id") * 31 + 7) % 97).as("dst"))
+        .union(Tables.load(s, dir, "events")
+          .select((col("event_id") % 97).as("src"),
+            ((col("event_id") * 17 + 3) % 97).as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+      graft.graph.GraphAlgos.neighborhoodKmv(e, "src", "dst",
+          k = 12, maxHops = 4)
+        .orderBy(col("hop"), col("node"))
+    }),
+
+    // Johnson–Lindenstrauss 64→16 reduction feeding ANN: top-10 by
+    // integer L2 in the reduced space vs exact full-space cosine top-10,
+    // recall per query — the q124 recall-gate pattern for the
+    // dimensionality-reduction front-end (4× less data on the wire).
+    "q197_jl_recall" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val red = Similarity.jlProject(e, "vec_id", "embedding", outDims = 16)
+      val qr = red.filter(col("id") < 5)
+        .select(col("id").as("query_id"), col("rv").as("qrv"))
+      val dist = expr("aggregate(zip_with(rv, qrv, (x, y) -> (x - y) * (x - y)), 0L, (acc, d) -> acc + d)")
+      val approx = red.join(broadcast(qr), col("id") =!= col("query_id"))
+        .withColumn("d", dist)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+            .orderBy(col("d"), col("id"))))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("id").as("corpus_id"))
+      val exact = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("corpus_id"))
+      qr.select(col("query_id"))
+        .join(exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("hits")),
+          Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("n_hits"))
+        .orderBy(col("query_id"))
+    }),
+
+    // k-anonymity audit (Sweeney 2002): customers grouped by the
+    // quasi-identifier (segment, nation, balance decile); groups with
+    // < 5 members are re-identification risks and would be suppressed.
+    // Decile bounds are one broadcast row; everything else is two
+    // partial-aggregable counts.
+    "q198_k_anonymity" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_nationkey"),
+          cents(col("c_acctbal")).as("bal"))
+      val mm = c.agg(min(col("bal")).as("lo"), max(col("bal")).as("hi"))
+      val g = c.join(broadcast(mm))
+        .withColumn("decile",
+          least(lit(9L), expr("((bal - lo) * 10) div (hi - lo + 1)")))
+        .groupBy(col("c_mktsegment"), col("c_nationkey"), col("decile"))
+        .agg(count(lit(1)).as("n"))
+      g.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_risky_groups"),
+          sum(col("n")).as("n_rows"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L)).as("n_suppressed"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Data-quality expectation suite (the dbt-test / Great-Expectations
     // report): FK integrity, range, uniqueness, nullness, and a generator
     // invariant (n_chars = length(text)), one (check, checked, failed)
@@ -470,6 +539,109 @@ object CurationQueries {
         |    (SELECT CAST(count(*) AS BIGINT) FROM events),
         |    (SELECT CAST(count(*) AS BIGINT) FROM events WHERE value IS NULL)
         |) ORDER BY check_name""".stripMargin,
+
+    // Exact ball sets from 4 unrolled frontier expansions, then the same
+    // portable hash → bottom-k → (k−1)·M div h_k estimate per (node, hop).
+    "q196_neighborhood_kmv" -> {
+      val ballCtes = (1 to 4).map { h =>
+        s"""b$h AS MATERIALIZED (
+           |  SELECT DISTINCT node, m FROM (
+           |    SELECT node, m FROM b${h - 1}
+           |    UNION ALL
+           |    SELECT ed.src AS node, b.m FROM ed JOIN b${h - 1} b ON b.node = ed.dst))""".stripMargin
+      }.mkString(",\n")
+      val hashUnion = (1 to 4).map { h =>
+        s"SELECT $h AS hop, node, (${graft.dedup.Dedup.hashA(0)} * m + ${graft.dedup.Dedup.hashB(0)}) % 1000000007 AS mh FROM b$h"
+      }.mkString(" UNION ALL ")
+      s"""WITH ed AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT event_id % 97 AS src, (event_id * 31 + 7) % 97 AS dst FROM events
+         |    UNION ALL
+         |    SELECT event_id % 97, (event_id * 17 + 3) % 97 FROM events)
+         |  WHERE src <> dst),
+         |n0 AS (SELECT DISTINCT src AS node FROM ed
+         |       UNION SELECT DISTINCT dst FROM ed),
+         |b0 AS (SELECT node, node AS m FROM n0),
+         |$ballCtes,
+         |hh AS ($hashUnion),
+         |r AS (
+         |  SELECT hop, node, mh,
+         |    row_number() OVER (PARTITION BY hop, node ORDER BY mh) AS rn,
+         |    count(*) OVER (PARTITION BY hop, node) AS c
+         |  FROM hh)
+         |SELECT node, hop, CAST(least(c, 12) AS BIGINT) AS n_sk,
+         |  CAST(CASE WHEN min(c) < 12 THEN min(c)
+         |       ELSE (CAST(11 AS BIGINT) * 1000000007)
+         |            // min(CASE WHEN rn = 12 THEN mh END) END
+         |    AS BIGINT) AS est
+         |FROM r GROUP BY node, hop, c
+         |ORDER BY hop, node""".stripMargin
+    },
+
+    // Both retrieval paths replayed: reduced vectors from the ±1
+    // sin-sign planes (floor micros), integer L2 top-10 vs exact cosine
+    // top-10, hits counted per query.
+    "q197_jl_recall" -> {
+      val dotS = (a: String, b: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+          s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+      val cosS = (a: String, b: String) =>
+        s"CASE WHEN sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)}) = 0.0 THEN 0.0 " +
+          s"ELSE (${dotS(a, b)}) / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)})) END"
+      s"""WITH red AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(range(1, 17), p -> CAST(floor(1000000 *
+         |      list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+         |        i -> CAST(embedding[i] AS DOUBLE) *
+         |             CAST(sign(sin(CAST(i * p AS DOUBLE))) AS DOUBLE))),
+         |        (acc, x) -> acc + x)) AS BIGINT)) AS rv
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, rv AS qrv FROM red WHERE vec_id < 5),
+         |approx AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT q.query_id, red.vec_id AS corpus_id,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(range(1, 17),
+         |            j -> (red.rv[j] - q.qrv[j]) * (red.rv[j] - q.qrv[j]))),
+         |          (acc, d) -> acc + d),
+         |        red.vec_id) AS rn
+         |    FROM red CROSS JOIN q WHERE red.vec_id <> q.query_id)
+         |  WHERE rn <= 10),
+         |exact AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT q2.query_id, c.vec_id AS corpus_id,
+         |      row_number() OVER (PARTITION BY q2.query_id
+         |        ORDER BY ${cosS("c.embedding", "q2.qv")} DESC, c.vec_id) AS rn
+         |    FROM embeddings c CROSS JOIN
+         |      (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |       WHERE vec_id < 5) q2
+         |    WHERE c.vec_id <> q2.query_id)
+         |  WHERE rn <= 10),
+         |hits AS (
+         |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM exact e JOIN approx a
+         |    ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+         |  GROUP BY e.query_id)
+         |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+         |FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin
+    },
+
+    "q198_k_anonymity" ->
+      """WITH c AS (SELECT c_mktsegment, c_nationkey,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+        |mm AS (SELECT min(bal) AS lo, max(bal) AS hi FROM c),
+        |g AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    least(9, ((bal - lo) * 10) // (hi - lo + 1)) AS decile,
+        |    count(*) AS n
+        |  FROM c, mm GROUP BY 1, 2, 3)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_suppressed
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q190_importance_select" ->
       """WITH tok AS (SELECT doc_id, source, (source IN ('src1','src2')) AS tgt,

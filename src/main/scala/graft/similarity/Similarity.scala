@@ -1110,6 +1110,49 @@ object Similarity {
     }
   }
 
+  /** Johnson–Lindenstrauss random projection to `outDims` dimensions with
+    * the deterministic ±1 planes of [[planesArr]] (Achlioptas 2003: a
+    * Rademacher projection matrix preserves pairwise distances within
+    * 1 ± ε at outDims = O(log n / ε²)) — the dimensionality-reduction
+    * front-end that makes downstream ANN exchange `outDims` longs per
+    * vector instead of `dim` floats. Output components are
+    * floor(1e6·Σᵢ vᵢ·±1) longs, so reduced-space L2 is pure integer
+    * arithmetic any engine replays bit-for-bit.
+    *
+    * One mapPartitions kernel pass (outDims·dim multiply-adds per row, no
+    * per-component column explosion), carrying `extra` columns through.
+    */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+                outDims: Int, dim: Int = 64,
+                extra: Seq[String] = Nil): DataFrame = {
+    require(outDims >= 1, "outDims must be positive")
+    val in = df.select(col(idCol).as("id") +: col(vecCol).as("v") +:
+      extra.map(col): _*)
+    val idType = df.schema(idCol).dataType
+    val outSchema = StructType(Seq(
+      StructField("id", idType),
+      StructField("rv", ArrayType(LongType, containsNull = false))) ++
+      extra.map(c => df.schema(c)))
+    val pl = planesArr(outDims, dim)
+    implicit val enc = Encoders.row(outSchema)
+    in.mapPartitions { it =>
+      it.map { r =>
+        val v = r.getSeq[Float](1)
+        val rv = new Array[Long](outDims)
+        var p = 0
+        while (p < outDims) {
+          var s = 0.0
+          var i = 0
+          val n = math.min(v.length, dim)
+          while (i < n) { s += v(i).toDouble * pl(p)(i); i += 1 }
+          rv(p) = math.floor(s * 1000000.0).toLong
+          p += 1
+        }
+        Row.fromSeq(Seq(r.get(0), rv.toSeq) ++ (2 until r.length).map(r.get))
+      }
+    }(enc)
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
     * 1998): pick `k` results greedily from the `topN` most-relevant
     * candidates, each step maximizing

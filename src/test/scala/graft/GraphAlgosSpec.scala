@@ -259,4 +259,31 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(ok == (ring(0) ++ ring(10) ++ ring(20)).map(_._1)
       .map(n => n -> (n / 10 * 10)).toMap)
   }
+
+  // ------------------------------------------- neighborhood function (KMV)
+
+  test("neighborhoodKmv is exact on a chain while balls stay below k") {
+    // 1→2→3→4: ball_h(n) grows by one node per hop until the chain ends.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = GraphAlgos.neighborhoodKmv(edges, "src", "dst", k = 8, maxHops = 3)
+      .select("node", "hop", "est").as[(Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 1)) == 2L && out((1L, 2)) == 3L && out((1L, 3)) == 4L)
+    assert(out((4L, 3)) == 1L) // sink: ball never grows
+    assert(out((3L, 1)) == 2L && out((3L, 2)) == 2L)
+  }
+
+  test("neighborhoodKmv estimator regime replays the (k-1)M/h_k statistic") {
+    // Star: center → 20 leaves. ball_1(center) has 21 members > k = 4, so
+    // the estimate must be the exact order-statistic formula over the
+    // portable hash — replayed here from first principles.
+    val leaves = (100L to 119L)
+    val edges = leaves.map(l => (1L, l)).toDF("src", "dst")
+    val est = GraphAlgos.neighborhoodKmv(edges, "src", "dst", k = 4, maxHops = 1)
+      .filter($"node" === 1L).select("est").as[Long].head()
+    val hashes = (leaves :+ 1L)
+      .map(n => (graft.dedup.Dedup.hashA(0) * n + graft.dedup.Dedup.hashB(0)) % 1000000007L)
+      .sorted
+    assert(est == 3L * 1000000007L / hashes(3))
+  }
 }

@@ -291,4 +291,30 @@ class SimilaritySpec extends AnyFunSuite {
       assert(e.getMessage.contains("Distributed"), e.getMessage)
     }
   }
+
+  test("jlProject components are the floor-micro signed sums of the planes") {
+    // A unit basis vector e_i projects to exactly the i-th column of the
+    // ±1 plane matrix (scaled to micros): floor(±1·1e6) = ±1000000.
+    val dim = 8
+    val i = 3 // e_3 (0-based)
+    val df = Seq((7L, Seq.tabulate(dim)(j => if (j == i) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rv = Similarity.jlProject(df, "vec_id", "embedding",
+        outDims = 4, dim = dim)
+      .select("rv").as[Seq[Long]].head()
+    val want = (0 until 4).map { p =>
+      math.floor(Similarity.planesArr(4, dim)(p)(i) * 1000000.0).toLong
+    }
+    assert(rv == want)
+    assert(rv.forall(v => v == 1000000L || v == -1000000L))
+  }
+
+  test("jlProject preserves identical vectors (reduced distance zero)") {
+    val v = Seq.tabulate(8)(j => (j * 0.17f) - 0.5f)
+    val out = Similarity.jlProject(
+        Seq((1L, v), (2L, v)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", outDims = 4, dim = 8)
+      .select("rv").as[Seq[Long]].collect()
+    assert(out(0) == out(1))
+  }
 }
