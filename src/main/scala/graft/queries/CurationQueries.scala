@@ -274,6 +274,81 @@ object CurationQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Harmonic centrality from the KMV ball sizes (HyperBall, Boldi &
+    // Vigna 2013): H(n) = Σ_h (|ball_h| − |ball_{h−1}|)/h — how many
+    // nodes n reaches, discounted by distance — in integer micros from
+    // q196's sketch propagation (|ball_0| = 1). The whole centrality
+    // costs one lag window over the (node, hop) estimates.
+    "q199_harmonic_centrality" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select((col("event_id") % 97).as("src"),
+          ((col("event_id") * 31 + 7) % 97).as("dst"))
+        .union(Tables.load(s, dir, "events")
+          .select((col("event_id") % 97).as("src"),
+            ((col("event_id") * 17 + 3) % 97).as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+      val nf = graft.graph.GraphAlgos.neighborhoodKmv(e, "src", "dst",
+        k = 12, maxHops = 4)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node")).orderBy(col("hop"))
+      nf.withColumn("prev", coalesce(lag(col("est"), 1).over(w), lit(1L)))
+        .withColumn("gain", greatest(col("est") - col("prev"), lit(0L)))
+        .groupBy(col("node"))
+        .agg(sum(expr("(gain * 1000000) div hop")).as("h_micros"))
+        .orderBy(col("h_micros").desc, col("node"))
+        .limit(20)
+    }),
+
+    // Heaps-law vocabulary growth at TRIGRAM grain: new distinct
+    // 3-shingles contributed by each decile of the corpus (by doc_id
+    // order) and the cumulative vocabulary — the "does more data buy
+    // more diversity" scaling diagnostic (unigram vocab saturates in the
+    // first decile on any real corpus; higher-order n-grams are where
+    // the curve lives). First occurrence = one min agg per shingle hash;
+    // the decile histogram + running sum are driver-sized (10 rows).
+    "q200_heaps_law" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
+      val docs = Tables.load(s, dir, "documents")
+      val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val first = docs
+        .select(col("doc_id"),
+          explode(call_function("shingle_hashes", col("text"), lit(3))).as("t"))
+        .groupBy(col("t")).agg(min(col("doc_id")).as("first_doc"))
+      val dec = first
+        .withColumn("decile", least(lit(9L), expr(s"(first_doc * 10) div ${n}L")))
+        .groupBy(col("decile")).agg(count(lit(1)).as("n_new_shingles"))
+      dec.withColumn("cum_vocab",
+          sum(col("n_new_shingles")).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("decile"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .orderBy(col("decile"))
+    }),
+
+    // Retrieval-eval MRR: for each of 20 label-carrying queries, the
+    // reciprocal rank (micros) of the first SAME-LABEL vector in the
+    // brute-force cosine top-10 — the eval loop every embedding pipeline
+    // runs. Ranks come from the shared bruteForceTopK; the label joins
+    // in by corpus id (hash join, no second kernel pass).
+    "q201_retrieval_mrr" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val labels = e.select(col("vec_id"), col("label"))
+      val top = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", 10)
+        .join(labels.select(col("vec_id").as("corpus_id"),
+          col("label").as("c_label")), "corpus_id")
+        .join(broadcast(labels.select(col("vec_id").as("query_id"),
+          col("label").as("q_label"))), "query_id")
+      val rr = top.filter(col("c_label") === col("q_label"))
+        .groupBy(col("query_id"))
+        .agg(min(col("rank")).as("first_hit"))
+        .withColumn("rr_micros", expr("1000000 div first_hit"))
+      top.select(col("query_id")).distinct()
+        .join(rr, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("rr_micros").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+          expr("coalesce(sum(rr_micros), 0L) div count(1)").as("mean_rr_micros"))
+    }),
+
     // Data-quality expectation suite (the dbt-test / Great-Expectations
     // report): FK integrity, range, uniqueness, nullness, and a generator
     // invariant (n_chars = length(text)), one (check, checked, failed)
@@ -576,6 +651,93 @@ object CurationQueries {
          |    AS BIGINT) AS est
          |FROM r GROUP BY node, hop, c
          |ORDER BY hop, node""".stripMargin
+    },
+
+    // q196's ball-size replay extended by the lag-difference harmonic sum.
+    "q199_harmonic_centrality" -> {
+      val ballCtes = (1 to 4).map { h =>
+        s"""b$h AS MATERIALIZED (
+           |  SELECT DISTINCT node, m FROM (
+           |    SELECT node, m FROM b${h - 1}
+           |    UNION ALL
+           |    SELECT ed.src AS node, b.m FROM ed JOIN b${h - 1} b ON b.node = ed.dst))""".stripMargin
+      }.mkString(",\n")
+      val hashUnion = (1 to 4).map { h =>
+        s"SELECT $h AS hop, node, (${graft.dedup.Dedup.hashA(0)} * m + ${graft.dedup.Dedup.hashB(0)}) % 1000000007 AS mh FROM b$h"
+      }.mkString(" UNION ALL ")
+      s"""WITH ed AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT event_id % 97 AS src, (event_id * 31 + 7) % 97 AS dst FROM events
+         |    UNION ALL
+         |    SELECT event_id % 97, (event_id * 17 + 3) % 97 FROM events)
+         |  WHERE src <> dst),
+         |n0 AS (SELECT DISTINCT src AS node FROM ed
+         |       UNION SELECT DISTINCT dst FROM ed),
+         |b0 AS (SELECT node, node AS m FROM n0),
+         |$ballCtes,
+         |hh AS ($hashUnion),
+         |r AS (
+         |  SELECT hop, node, mh,
+         |    row_number() OVER (PARTITION BY hop, node ORDER BY mh) AS rn,
+         |    count(*) OVER (PARTITION BY hop, node) AS c
+         |  FROM hh),
+         |est AS (
+         |  SELECT node, hop,
+         |    CAST(CASE WHEN min(c) < 12 THEN min(c)
+         |         ELSE (CAST(11 AS BIGINT) * 1000000007)
+         |              // min(CASE WHEN rn = 12 THEN mh END) END
+         |      AS BIGINT) AS est
+         |  FROM r GROUP BY node, hop, c),
+         |g AS (
+         |  SELECT node, hop, est,
+         |    greatest(est - coalesce(lag(est) OVER (PARTITION BY node ORDER BY hop),
+         |                            CAST(1 AS BIGINT)), 0) AS gain
+         |  FROM est)
+         |SELECT node, CAST(sum((gain * 1000000) // hop) AS BIGINT) AS h_micros
+         |FROM g GROUP BY node
+         |ORDER BY h_micros DESC, node LIMIT 20""".stripMargin
+    },
+
+    "q200_heaps_law" ->
+      s"""WITH ${DedupQueries.shingleCtes(3)},
+         |f AS (
+         |  SELECT t, min(doc_id) AS first_doc FROM (
+         |    SELECT doc_id, unnest(hs) AS t FROM h) GROUP BY t),
+         |n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         |d AS (
+         |  SELECT least(9, (first_doc * 10) // n.n) AS decile,
+         |    CAST(count(*) AS BIGINT) AS n_new_shingles
+         |  FROM f, n GROUP BY 1)
+         |SELECT decile, n_new_shingles,
+         |  CAST(sum(n_new_shingles) OVER (ORDER BY decile
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+         |FROM d ORDER BY decile""".stripMargin,
+
+    "q201_retrieval_mrr" -> {
+      val dotS = (a: String, b: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+          s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+      val cosS = (a: String, b: String) =>
+        s"CASE WHEN sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)}) = 0.0 THEN 0.0 " +
+          s"ELSE (${dotS(a, b)}) / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)})) END"
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+         |  FROM embeddings WHERE vec_id < 20),
+         |ranked AS (
+         |  SELECT query_id, q_label, corpus_id, c_label, rn FROM (
+         |    SELECT q.query_id, q.q_label, c.vec_id AS corpus_id,
+         |      c.label AS c_label,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosS("c.embedding", "q.qv")} DESC, c.vec_id) AS rn
+         |    FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+         |  WHERE rn <= 10),
+         |rr AS (
+         |  SELECT query_id, 1000000 // min(rn) AS rr_micros
+         |  FROM ranked WHERE c_label = q_label GROUP BY query_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(count(rr.rr_micros) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(sum(rr.rr_micros), 0) // count(*) AS BIGINT) AS mean_rr_micros
+         |FROM q LEFT JOIN rr USING (query_id)""".stripMargin
     },
 
     // Both retrieval paths replayed: reduced vectors from the ±1
