@@ -72,10 +72,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "latest-wins regressed to a windowed sort")
   }
 
-  test("banded self-join reuses the banding exchange instead of recomputing") {
-    // The minhash candidate join reads the SAME banding subplan on both
-    // sides; with AQE broadcast disabled the shuffle must be planned once
-    // and reused (ReusedExchange), not executed twice.
+  test("banded self-join runs the banding kernel once, not per consumer") {
+    // The tiled self-join reads the banded table from THREE consumers
+    // (census + both replicated sides). ReusedExchange proved
+    // canonicalization-fragile (column pruning re-canonicalized the
+    // census branch and the kernel ran 4× at sf1), so the invariant is
+    // now stronger: the banded rows are materialized ONCE (checkpoint)
+    // and the executed plan must contain ZERO banding-kernel calls —
+    // any appearance means a consumer recomputed the kernel.
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -85,8 +89,9 @@ class PlanAuditSpec extends AnyFunSuite {
       val banded = graft.dedup.Dedup.minhashBands(docs, "doc_id", "text", 3, 16, 4)
       val pairs = graft.dedup.Dedup.bucketedPairs(banded, Seq("band", "bh"), "id", 4096)
       val plan = planOf(pairs)
-      assert(plan.contains("ReusedExchange"),
-        "tiled self-join no longer reuses the banding exchange")
+      assert(!plan.contains("minhash_band_keys"),
+        "a consumer of the banded table recomputes the banding kernel " +
+          "instead of scanning the materialized rows")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
