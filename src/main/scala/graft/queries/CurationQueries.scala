@@ -349,6 +349,112 @@ object CurationQueries {
           expr("coalesce(sum(rr_micros), 0L) div count(1)").as("mean_rr_micros"))
     }),
 
+    // Market-basket association rules (A-priori shape): baskets = each
+    // user's distinct item set (props.k), pairs generated per user AFTER
+    // the frequent-item prune (left_semi against the broadcast frequent
+    // list — the A-priori monotonicity cut that keeps per-user fan-out
+    // bounded by the FREQUENT basket size), top-20 pairs by support with
+    // both direction confidences in basis points.
+    "q202_assoc_rules" -> ((s, dir) => {
+      val baskets = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull).distinct()
+      val itemSup = baskets.groupBy(col("item")).agg(count(lit(1)).as("sup"))
+      val frequent = itemSup.filter(col("sup") >= 10)
+      val fb = baskets.join(broadcast(frequent.select(col("item"))), Seq("item"), "left_semi")
+      val pairs = fb.select(col("user_id"), col("item").as("i"))
+        .join(fb.select(col("user_id"), col("item").as("j")), "user_id")
+        .filter(col("i") < col("j"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("support"))
+      pairs
+        .join(broadcast(frequent.select(col("item").as("i"), col("sup").as("sup_i"))), "i")
+        .join(broadcast(frequent.select(col("item").as("j"), col("sup").as("sup_j"))), "j")
+        .select(col("i"), col("j"), col("support"),
+          expr("support * 10000 div sup_i").as("conf_ij_bp"),
+          expr("support * 10000 div sup_j").as("conf_ji_bp"))
+        .orderBy(col("support").desc, col("i"), col("j"))
+        .limit(20)
+    }),
+
+    // Local clustering coefficient per node (how close a node's
+    // neighborhood is to a clique): 2·triangles·10⁴ div deg·(deg−1) in
+    // basis points, composing the degree-ordered triangle counter (q92's
+    // wedge bound) with one distinct-neighbor degree agg.
+    "q203_clustering_coeff" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events").select(
+        (col("user_id") % 60).cast("long").as("x"),
+        ((col("user_id") % 60 + 1 + col("event_id") % 5) % 60).cast("long").as("y"))
+      val und = raw.filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+        .distinct()
+      val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val tri = graft.graph.GraphAlgos.triangleCounts(raw, "x", "y")
+      deg.join(tri, Seq("node"), "left")
+        .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+        .withColumn("coeff_bp", when(col("deg") >= 2,
+          expr("(2 * n_tri * 10000) div (deg * (deg - 1))")).otherwise(lit(0L)))
+        .orderBy(col("node"))
+    }),
+
+    // Join-cardinality estimation from CMS sketches (the AGMS/CMS inner
+    // product, Alon et al. / Cormode & Muthukrishnan): |A ⋈ B| on a key
+    // = Σ_v f_A(v)·f_B(v), estimated as the min over sketch rows of the
+    // row inner product — the optimizer-statistics primitive that sizes
+    // a join from two O(depth·width) summaries without touching either
+    // table again. The inner product only ever OVERestimates (hash
+    // collisions add non-negative mass), so ge_ok is deterministic; the
+    // slack bound is the standard N_A·N_B/width with 3× margin.
+    "q204_join_card_est" -> ((s, dir) => {
+      import graft.functions.CountMin
+      val (depth, width) = (4, 1024)
+      val ev = Tables.load(s, dir, "events")
+      def side(t: String, sk: String, n: String) =
+        ev.filter(col("event_type") === t)
+          .agg(CountMin.sketch(depth, width)(col("user_id")).as(sk),
+            count(lit(1)).as(n))
+      val joined = side("click", "ska", "n_a").crossJoin(side("purchase", "skb", "n_b"))
+      val prods = (0 until depth).map { d =>
+        expr(s"aggregate(zip_with(slice(ska, ${d * width + 1}, $width), " +
+          s"slice(skb, ${d * width + 1}, $width), (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+      }
+      val est = least(prods: _*)
+      val exact = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("ca"))
+        .join(ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cb")), "user_id")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_size"))
+      joined.crossJoin(exact)
+        .select(col("exact_size"), col("n_a"), col("n_b"),
+          (est >= col("exact_size")).as("ge_ok"),
+          ((est - col("exact_size")) * width <= col("n_a") * col("n_b") * 3)
+            .as("slack_ok"))
+    }),
+
+    // Equi-depth histogram per event_type (ANALYZE-style optimizer
+    // stats, the equi-DEPTH twin of q193's equi-width bins): 8 buckets
+    // whose boundaries are the exact ceil(i·n/8) order statistics from
+    // rangeRank; per-bucket row counts follow from rank arithmetic
+    // alone — no second data pass.
+    "q205_equidepth_hist" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("event_id"), cents(col("value")).as("v_c"))
+      val n = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val ranked = CoreOps.rangeRank(e, Seq("event_type"),
+        Seq(col("v_c"), col("event_id")))
+      val bounds = ranked.join(broadcast(n), "event_type")
+        .withColumn("bucket", expr("(rank * 8 + n - 1) div n")) // ceil(rank·8/n)
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("v_c")).as("hi"), count(lit(1)).as("n_rows"))
+      bounds
+        .withColumn("lo", lag(col("hi"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type")).orderBy(col("bucket"))))
+        .select(col("event_type"), col("bucket"), col("lo"), col("hi"), col("n_rows"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // Data-quality expectation suite (the dbt-test / Great-Expectations
     // report): FK integrity, range, uniqueness, nullness, and a generator
     // invariant (n_chars = length(text)), one (check, checked, failed)
@@ -652,6 +758,82 @@ object CurationQueries {
          |FROM r GROUP BY node, hop, c
          |ORDER BY hop, node""".stripMargin
     },
+
+    "q202_assoc_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |sup AS (SELECT item, count(*) AS sup FROM b GROUP BY 1),
+        |f AS (SELECT item, sup FROM sup WHERE sup >= 10),
+        |fb AS (SELECT b.user_id, b.item FROM b JOIN f USING (item)),
+        |p AS (
+        |  SELECT l.item AS i, r.item AS j, count(*) AS support
+        |  FROM fb l JOIN fb r ON l.user_id = r.user_id AND l.item < r.item
+        |  GROUP BY 1, 2)
+        |SELECT i, j, CAST(support AS BIGINT) AS support,
+        |  CAST(support * 10000 // fi.sup AS BIGINT) AS conf_ij_bp,
+        |  CAST(support * 10000 // fj.sup AS BIGINT) AS conf_ji_bp
+        |FROM p JOIN f fi ON fi.item = p.i JOIN f fj ON fj.item = p.j
+        |ORDER BY support DESC, i, j LIMIT 20""".stripMargin,
+
+    "q203_clustering_coeff" ->
+      """WITH raw AS (
+        |  SELECT CAST(user_id % 60 AS BIGINT) AS x,
+        |    CAST((user_id % 60 + 1 + event_id % 5) % 60 AS BIGINT) AS y
+        |  FROM events),
+        |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |      FROM raw WHERE x <> y),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tn AS (SELECT node, count(*) AS n_tri
+        |       FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY 1),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
+        |SELECT deg.node, CAST(deg AS BIGINT) AS deg,
+        |  CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+        |  CAST(CASE WHEN deg >= 2
+        |       THEN (2 * coalesce(n_tri, 0) * 10000) // (deg * (deg - 1))
+        |       ELSE 0 END AS BIGINT) AS coeff_bp
+        |FROM deg LEFT JOIN tn ON tn.node = deg.node
+        |ORDER BY deg.node""".stripMargin,
+
+    // Tolerance-boolean pattern (q115): the exact join size replays in
+    // SQL; ge_ok is deterministic (inner products only overestimate) and
+    // slack_ok holds by the N_A·N_B/width bound with 3× margin.
+    "q204_join_card_est" ->
+      """WITH a AS (SELECT user_id, count(*) AS ca FROM events
+        |           WHERE event_type = 'click' GROUP BY 1),
+        |b AS (SELECT user_id, count(*) AS cb FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM events
+        |       WHERE event_type = 'click'),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM events
+        |       WHERE event_type = 'purchase')
+        |SELECT
+        |  (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT)
+        |   FROM a JOIN b USING (user_id)) AS exact_size,
+        |  na.n_a, nb.n_b, true AS ge_ok, true AS slack_ok
+        |FROM na, nb""".stripMargin,
+
+    "q205_equidepth_hist" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS v_c FROM events),
+        |r AS (SELECT event_type, v_c,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY v_c, event_id) AS rank FROM e),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        |bk AS (
+        |  SELECT r.event_type, (rank * 8 + n - 1) // n AS bucket,
+        |    max(v_c) AS hi, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM r JOIN n USING (event_type) GROUP BY 1, 2)
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(lag(hi) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS lo,
+        |  CAST(hi AS BIGINT) AS hi, n_rows
+        |FROM bk ORDER BY event_type, bucket""".stripMargin,
 
     // q196's ball-size replay extended by the lag-difference harmonic sum.
     "q199_harmonic_centrality" -> {
