@@ -212,6 +212,51 @@ object Multimodal {
     }(enc)
   }
 
+  /** Frame-level energy over the REAL WAV decoder: cut each clip's
+    * samples into `frame`-sample windows (last window may be short) and
+    * emit one row per frame with its exact integer energy Σ s² — the
+    * front-end of every silence-removal / voice-activity-detection
+    * pass in an audio training pipeline. Runs in the same mapPartitions
+    * kernel as the decode (no second pass over payload bytes, no sample
+    * array ever leaves the task); malformed payloads contribute zero
+    * rows (the decode gate q142 owns quarantine accounting).
+    */
+  def wavFrameEnergy(df: DataFrame, payloadCol: String,
+                     frame: Int): DataFrame = {
+    require(frame > 0, "frame size must be positive")
+    val idx = df.schema.fieldIndex(payloadCol)
+    val carry = df.schema.fields.zipWithIndex.filter(_._2 != idx)
+    val schema = StructType(carry.map(_._1) ++ Seq(
+      StructField("frame", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("energy", LongType, nullable = false)))
+    implicit val enc = Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.empty[Byte])
+        decodeWav(payload) match {
+          case Some(w) =>
+            val base = carry.map { case (_, i) => r.get(i) }.toSeq
+            (0 until (w.samples.length + frame - 1) / frame).iterator.map { f =>
+              var e = 0L
+              var j = f * frame
+              val end = math.min(j + frame, w.samples.length)
+              val n = end - j
+              while (j < end) {
+                val s = w.samples(j).toLong
+                e += s * s
+                j += 1
+              }
+              // Seq[Any] stops Scala's numeric harmonization from widening
+              // the Int fields to Long (schema says INT for frame/n).
+              Row.fromSeq(base ++ Seq[Any](f, n, e))
+            }
+          case None => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
   /** A decoded BMP: dims and the TOP-DOWN interleaved BGR plane
     * (exactly width·height·3 bytes, row padding stripped).
     */

@@ -455,6 +455,94 @@ object CurationQueries {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // Frame-level audio energy over the REAL WAV codec (the q142
+    // payloads): 8-sample frames, exact integer energy Σ s², silence =
+    // mean-square below 90000 — the VAD/silence-removal front-end. One
+    // decode+frame kernel pass; per-lang rollup.
+    "q206_audio_energy" -> ((s, dir) => {
+      def le(e: String, bytes: Int): String = (0 until bytes)
+        .map(k => s"lpad(hex((($e) div ${1L << (8 * k)}) % 256), 2, '0')")
+        .mkString("concat(", ", ", ")")
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("n", (col("doc_id") % 10 + 20).cast("int"))
+        .withColumn("payload", expr(
+          s"""unhex(concat(
+             |  '52494646', ${le("36 + 2 * n + CASE WHEN doc_id % 3 = 0 THEN 12 ELSE 0 END", 4)},
+             |  '57415645',
+             |  '666D7420', '10000000', '0100', '0100',
+             |  '401F0000', '803E0000', '0200', '1000',
+             |  CASE WHEN doc_id % 3 = 0
+             |    THEN concat('6A756E6B', '04000000', '00000000') ELSE '' END,
+             |  '64617461', ${le("2 * n", 4)},
+             |  array_join(transform(sequence(0, n - 1), j ->
+             |    ${le("((doc_id * 13 + 7 * j) % 2048 + 64512) % 65536", 2)}), '')
+             |))""".stripMargin))
+        .drop("n")
+      graft.multimodal.Multimodal.wavFrameEnergy(media, "payload", frame = 8)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("energy")).as("sum_energy"),
+          sum(when(col("energy") < col("n_samples") * 90000L, 1L).otherwise(0L))
+            .as("n_silent"))
+        .orderBy(col("lang"))
+    }),
+
+    // Leave-one-out target encoding (the leakage-safe categorical
+    // feature): nation → LOO mean balance, each row excluded from its
+    // own encoding ((Σ − own) div (n−1), null for singletons) — the
+    // standard remedy for target leakage in mean encoding. One group
+    // agg + one keyed join back; per-nation rollup gates every LOO value
+    // through the summed encodings.
+    "q207_target_encoding" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_nationkey"), cents(col("c_acctbal")).as("bal"))
+      val g = c.groupBy(col("c_nationkey"))
+        .agg(sum(col("bal")).as("tot"), count(lit(1)).as("n"))
+      c.join(broadcast(g), "c_nationkey")
+        .withColumn("enc", when(col("n") > 1,
+          expr("(tot - bal) div (n - 1)")))
+        .groupBy(col("c_nationkey"))
+        .agg(min(col("n")).as("n"),
+          sum(when(col("enc").isNull, 1L).otherwise(0L)).as("n_null_enc"),
+          coalesce(sum(col("enc")), lit(0L)).as("sum_enc"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // Purged temporal cross-validation folds (de Prado's embargo): three
+    // 10-day test windows over the event timeline; train rows must sit
+    // OUTSIDE test ± 1-day embargo so boundary leakage (labels computed
+    // from windows that straddle the split) can't contaminate training.
+    // One pass: fold ids explode per row, membership is pure arithmetic.
+    "q208_purged_folds" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      val d0 = e.agg(min(col("day"))).head().getLong(0)
+      e.select((col("day") - d0).as("rel"))
+        .select(col("rel"), explode(expr("sequence(0, 2)")).as("fold"))
+        .withColumn("cls",
+          when(col("rel").between(col("fold") * 10, col("fold") * 10 + 9), "test")
+            .when(col("rel").between(col("fold") * 10 - 1, col("fold") * 10 + 10),
+              "embargo")
+            .otherwise("train"))
+        .groupBy(col("fold"))
+        .agg(sum(when(col("cls") === "test", 1L).otherwise(0L)).as("n_test"),
+          sum(when(col("cls") === "embargo", 1L).otherwise(0L)).as("n_embargo"),
+          sum(when(col("cls") === "train", 1L).otherwise(0L)).as("n_train"))
+        .orderBy(col("fold"))
+    }),
+
+    // k-Center greedy coreset (farthest-first, Sener & Savarese 2018):
+    // 5 picks covering the embedding space — each step one distributed
+    // corpus scan against the broadcast chosen set + TakeOrdered(1);
+    // integer-micro L2 so the oracle replays every pick.
+    "q209_kcenter_coreset" -> ((s, dir) => {
+      Similarity.kCenterGreedy(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 5)
+        .select(col("step"), col("id").as("vec_id"), col("dmin"))
+        .orderBy(col("step"))
+    }),
+
     // Data-quality expectation suite (the dbt-test / Great-Expectations
     // report): FK integrity, range, uniqueness, nullness, and a generator
     // invariant (n_chars = length(text)), one (check, checked, failed)
@@ -757,6 +845,85 @@ object CurationQueries {
          |    AS BIGINT) AS est
          |FROM r GROUP BY node, hop, c
          |ORDER BY hop, node""".stripMargin
+    },
+
+    // Samples replayed arithmetically (the q142 fixture formula), framed
+    // by j div 8, signed via the 16-bit two's-complement fold.
+    "q206_audio_energy" ->
+      """WITH d AS (SELECT doc_id, lang, 20 + doc_id % 10 AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, j // 8 AS frame,
+        |    CASE WHEN ((doc_id*13 + 7*j) % 2048 + 64512) % 65536 >= 32768
+        |         THEN ((doc_id*13 + 7*j) % 2048 + 64512) % 65536 - 65536
+        |         ELSE ((doc_id*13 + 7*j) % 2048 + 64512) % 65536 END AS sv
+        |  FROM d, LATERAL (SELECT unnest(range(0, n)) AS j) r),
+        |f AS (SELECT doc_id, lang, frame, count(*) AS ns, sum(sv*sv) AS energy
+        |      FROM s GROUP BY 1, 2, 3)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(energy) AS BIGINT) AS sum_energy,
+        |  CAST(sum(CASE WHEN energy < ns * 90000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_silent
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q207_target_encoding" ->
+      """WITH c AS (SELECT c_nationkey,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+        |g AS (SELECT c_nationkey, sum(bal) AS tot, count(*) AS n
+        |      FROM c GROUP BY 1)
+        |SELECT c.c_nationkey, CAST(min(n) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN n <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_enc,
+        |  CAST(coalesce(sum(CASE WHEN n > 1
+        |    THEN (tot - bal) // (n - 1) END), 0) AS BIGINT) AS sum_enc
+        |FROM c JOIN g USING (c_nationkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q208_purged_folds" ->
+      """WITH e AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+        |    - (SELECT min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+        |       FROM events) AS rel
+        |  FROM events),
+        |x AS (SELECT rel, unnest(range(0, 3)) AS fold FROM e),
+        |c AS (
+        |  SELECT fold,
+        |    CASE WHEN rel BETWEEN fold*10 AND fold*10 + 9 THEN 'test'
+        |         WHEN rel BETWEEN fold*10 - 1 AND fold*10 + 10 THEN 'embargo'
+        |         ELSE 'train' END AS cls
+        |  FROM x)
+        |SELECT fold,
+        |  CAST(sum(CASE WHEN cls = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN cls = 'embargo' THEN 1 ELSE 0 END) AS BIGINT) AS n_embargo,
+        |  CAST(sum(CASE WHEN cls = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+        |FROM c GROUP BY fold ORDER BY fold""".stripMargin,
+
+    // Farthest-first unrolled 4 steps over integer-micro L2 (round, the
+    // microsVec convention), MATERIALIZED chain, ties to smaller id.
+    "q209_kcenter_coreset" -> {
+      val distS =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 65), " +
+          "i -> (m.vm[i] - c.vm[i]) * (m.vm[i] - c.vm[i]))), (acc, x) -> acc + x)"
+      val steps = (2 to 5).map { k =>
+        s"""d$k AS MATERIALIZED (
+           |  SELECT m.id, min($distS) AS dmin
+           |  FROM m JOIN c${k - 1} c ON m.id <> c.id
+           |  WHERE m.id NOT IN (SELECT id FROM c${k - 1})
+           |  GROUP BY m.id),
+           |p$k AS MATERIALIZED (SELECT id, dmin FROM d$k
+           |                     ORDER BY dmin DESC, id LIMIT 1),
+           |c$k AS MATERIALIZED (SELECT id, vm FROM c${k - 1}
+           |  UNION ALL SELECT m.id, m.vm FROM m JOIN p$k USING (id))""".stripMargin
+      }.mkString(",\n")
+      val union = ("SELECT 1 AS step, id, CAST(0 AS BIGINT) AS dmin FROM p1" +:
+        (2 to 5).map(k => s"SELECT $k, id, dmin FROM p$k")).mkString(" UNION ALL ")
+      s"""WITH m AS MATERIALIZED (
+         |  SELECT vec_id AS id,
+         |    list_transform(range(1, 65),
+         |      i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS vm
+         |  FROM embeddings),
+         |p1 AS MATERIALIZED (SELECT min(id) AS id FROM m),
+         |c1 AS MATERIALIZED (SELECT m.id, m.vm FROM m JOIN p1 USING (id)),
+         |$steps
+         |SELECT step, id AS vec_id, dmin FROM ($union) ORDER BY step""".stripMargin
     },
 
     "q202_assoc_rules" ->

@@ -1153,6 +1153,61 @@ object Similarity {
     }(enc)
   }
 
+  /** k-Center greedy coreset selection (farthest-first traversal; Sener &
+    * Savarese, "Active Learning for CNNs: A Core-Set Approach", ICLR
+    * 2018): pick `k` vectors such that every corpus vector is close to
+    * some pick — each step adds the vector FARTHEST from the current
+    * picks (max over corpus of min distance to chosen). The dataset-
+    * distillation / diverse-subset primitive, dual to MMR (coverage, not
+    * query relevance).
+    *
+    * Fully distributed: every step is ONE corpus scan with the ≤ k chosen
+    * vectors broadcast in the closure + a TakeOrdered(1) — the corpus is
+    * never collected and never pairwise-joined, so the cost is O(k·n·dim)
+    * scan work, the standard cluster form. Distances are integer L2 over
+    * floor-micro components (any engine replays them bit-for-bit); ties
+    * break to the smaller id. Seeded at the corpus's smallest id.
+    *
+    * Returns (step, id, dmin) — dmin the pick's distance to the
+    * previously chosen set (0 for the seed).
+    */
+  def kCenterGreedy(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, dim: Int = 64): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = corpus
+      .select(col(idCol).cast("long").as("id"), microsVec(vecCol).as("vm"))
+      .as[(Long, Array[Long])]
+    val seed = m.orderBy(col("id")).limit(1).collect().head
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Array[Long])](seed)
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]((1, seed._1, 0L))
+    for (step <- 2 to k) {
+      val cb = spark.sparkContext.broadcast(chosen.toArray)
+      val far = m.map { case (id, vm) =>
+        var best = Long.MaxValue
+        val cs = cb.value
+        var c = 0
+        while (c < cs.length) {
+          var d = 0L
+          var i = 0
+          val cv = cs(c)._2
+          val n = math.min(vm.length, cv.length)
+          while (i < n) { val x = vm(i) - cv(i); d += x * x; i += 1 }
+          if (d < best) best = d
+          c += 1
+        }
+        (id, vm, best)
+      }.toDF("id", "vm", "dmin")
+        .orderBy(col("dmin").desc, col("id"))
+        .limit(1).as[(Long, Array[Long], Long)].collect().head
+      chosen += ((far._1, far._2))
+      picks += ((step, far._1, far._3))
+      cb.destroy()
+    }
+    picks.toSeq.toDF("step", "id", "dmin")
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
     * 1998): pick `k` results greedily from the `topN` most-relevant
     * candidates, each step maximizing

@@ -141,6 +141,44 @@ class CurationSpec extends AnyFunSuite {
     assert(out((2L, 6L)) == ((None, Some(999L))))
   }
 
+  test("wavFrameEnergy frames real decoded samples with exact integer energy") {
+    import graft.multimodal.Multimodal
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le(body.length.toLong, 4) ++ body
+    val samples = Array[Short](3, -4, 5)
+    val data = samples.flatMap(s => le((s.toInt & 0xffff).toLong, 2))
+    val fmtBody = le(1L, 2) ++ le(1L, 2) ++ le(8000L, 4) ++
+      le(16000L, 4) ++ le(2L, 2) ++ le(16L, 2)
+    val body = "WAVE".getBytes("US-ASCII") ++
+      chunk("fmt ", fmtBody) ++ chunk("data", data)
+    val wav = "RIFF".getBytes("US-ASCII") ++ le(body.length.toLong, 4) ++ body
+    val df = Seq((1L, wav), (2L, Array[Byte](1, 2, 3))) // row 2 malformed
+      .toDF("id", "payload")
+    val out = Multimodal.wavFrameEnergy(df, "payload", frame = 2)
+      .select("id", "frame", "n_samples", "energy")
+      .as[(Long, Int, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    // frames: [3, -4] -> 9+16 = 25; [5] (partial tail) -> 25
+    assert(out.toSeq == Seq((1L, 0, 2, 25L), (1L, 1, 1, 25L)))
+  }
+
+  test("kCenterGreedy picks farthest-first with smaller-id ties") {
+    import graft.similarity.Similarity
+    // 1-dim line: positions 0, 1, 10, 11. Seed = min id (pos 0); next the
+    // far end (pos 11); then positions 1 and 10 tie at distance 1e12 to
+    // the chosen set -> smaller id (pos 1) wins step 3.
+    val corpus = Seq(
+      (1L, Seq(0f)), (2L, Seq(1f)), (3L, Seq(10f)), (4L, Seq(11f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kCenterGreedy(corpus, "vec_id", "embedding",
+        k = 4, dim = 1)
+      .select("step", "id", "dmin").as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(1L, 4L, 2L, 3L))
+    assert(out(1)._3 == 11L * 1000000 * 11L * 1000000)
+    assert(out(2)._3 == 1000000L * 1000000L)
+  }
+
   test("importanceScores weighs target-distribution tokens up, integer-exactly") {
     val docs = Seq(
       (1L, "aa bb", true), (2L, "aa cc", true), // target slice
