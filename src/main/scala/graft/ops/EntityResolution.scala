@@ -153,4 +153,57 @@ object EntityResolution {
       .filter(col("inter") * tDen >= lit(tNum) * (col("sz_a") + col("sz_b") - col("inter")))
       .drop("__ts_a", "__ts_b")
   }
+
+  /** ASYMMETRIC containment join — find (a, b) pairs where a's element
+    * set is mostly inside b's: |A ∩ B| ≥ t·|A| (the "short doc copied
+    * into a longer one" relation plain Jaccard can't see: a tweet quoted
+    * inside an article has tiny symmetric similarity but containment 1).
+    *
+    * Prefix filtering adapts: if A∩B avoided all of A's first
+    * s − ceil(t·s) + 1 rarest elements, the overlap would fit in A's
+    * suffix of ceil(t·s) − 1 < t·s elements — contradiction. So the
+    * candidate join is A-PREFIX elements against B's FULL posting list
+    * (the asymmetric form: only the probe side gets a prefix). Both join
+    * keys are each A's globally rarest elements, and a rare element's
+    * posting list is short by definition — per-key fan-out is bounded by
+    * rare-element frequency on BOTH sides. Verify is scan-local.
+    *
+    * Emits each pair once, directionally: (id_a contained-in id_b), with
+    * |A| < |B|, or |A| = |B| and id_a < id_b (equal sets qualify both
+    * ways; one canonical row).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, elemsCol: Column,
+                       tNum: Int, tDen: Int,
+                       carryCols: Seq[String] = Nil): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val r = df.select((col(idCol).as("__id") +: elemsCol.as("__ts") +:
+      carryCols.map(col)): _*)
+    val tok = r.select(col("__id"), explode(col("__ts")).as("__t"))
+    val freq = tok.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val ordered = tok.join(freq, "__t")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__t")))).as("__ord"))
+      .withColumn("__sz", size(col("__ord")))
+      .withColumn("__p",
+        col("__sz") - expr(s"(__sz * $tNum + ${tDen - 1}) div $tDen") + 1)
+      .select(col("__id"),
+        explode(expr("transform(slice(__ord, 1, int(__p)), x -> x.__t)")).as("__t"))
+
+    val cand = ordered.select(col("__id").as("id_a"), col("__t"))
+      .join(tok.select(col("__id").as("id_b"), col("__t")), Seq("__t"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+
+    val left = r.select((col("__id").as("id_a") +: col("__ts").as("__ts_a") +:
+      carryCols.map(col)): _*)
+    val right = r.select(col("__id").as("id_b"), col("__ts").as("__ts_b"))
+    cand.join(left, "id_a").join(right, "id_b")
+      .withColumn("sz_a", size(col("__ts_a")).cast("long"))
+      .withColumn("sz_b", size(col("__ts_b")).cast("long"))
+      .filter(col("sz_a") < col("sz_b") ||
+        (col("sz_a") === col("sz_b") && col("id_a") < col("id_b")))
+      .withColumn("inter", size(array_intersect(col("__ts_a"), col("__ts_b"))).cast("long"))
+      .filter(col("inter") * tDen >= lit(tNum) * col("sz_a"))
+      .drop("__ts_a", "__ts_b")
+  }
 }

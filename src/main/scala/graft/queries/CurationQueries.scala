@@ -543,6 +543,74 @@ object CurationQueries {
         .orderBy(col("step"))
     }),
 
+    // Asymmetric containment dedup at 80%: docs whose 3-shingle set is
+    // mostly inside another doc's (the quote/copy relation symmetric
+    // Jaccard can't see). A-prefix × B-full-postings candidate join,
+    // verify |A∩B| ≥ 0.8·|A| scan-local; per-lang rollup of contained
+    // docs and their containment mass.
+    "q210_containment_dedup" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
+      val r = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          call_function("shingle_hashes", col("text"), lit(3)).as("ts"))
+        .filter(size(col("ts")) >= 1)
+      EntityResolution.containmentPairs(r, "doc_id", col("ts"), 8, 10,
+          carryCols = Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("id_a")).as("n_contained_docs"),
+          sum(col("inter")).as("sum_inter"),
+          sum(col("sz_a")).as("sum_sz_a"))
+        .orderBy(col("lang"))
+    }),
+
+    // Daily leaderboard churn: top-10 items per day (by event count,
+    // ties to the smaller item), overlap between consecutive days — the
+    // rank-stability diagnostic behind trending/alerting dashboards.
+    // Daily tops are windowed per day (items bounded by the vocabulary);
+    // churn is one self-join keyed on item.
+    "q211_topk_churn" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull)
+        .groupBy(col("day"), col("item")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("day"))
+            .orderBy(col("n").desc, col("item"))))
+        .filter(col("rn") <= 10)
+        .select(col("day"), col("item"))
+      daily.select((col("day") - 1).as("day"), col("item"))
+        .join(daily, Seq("day", "item"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_common"))
+        .select((col("day") + 1).as("day"), col("n_common"))
+        .orderBy(col("day"))
+    }),
+
+    // l-diversity audit (Machanavajjhala et al. 2007, the k-anonymity
+    // complement): within each (segment, nation) quasi-identifier group,
+    // how many DISTINCT sensitive values (balance deciles) appear — a
+    // group of 50 people all in decile 9 is k-anonymous yet leaks the
+    // sensitive attribute outright. Groups under l = 3 are flagged.
+    "q212_l_diversity" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_nationkey"),
+          cents(col("c_acctbal")).as("bal"))
+      val mm = c.agg(min(col("bal")).as("lo"), max(col("bal")).as("hi"))
+      val g = c.join(broadcast(mm))
+        .withColumn("decile",
+          least(lit(9L), expr("((bal - lo) * 10) div (hi - lo + 1)")))
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(countDistinct(col("decile")).as("l"), count(lit(1)).as("n"))
+      g.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_groups"),
+          min(col("l")).as("min_l"),
+          sum(when(col("l") < 3, 1L).otherwise(0L)).as("n_low_diversity"),
+          sum(when(col("l") < 3, col("n")).otherwise(0L)).as("n_exposed_rows"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Data-quality expectation suite (the dbt-test / Great-Expectations
     // report): FK integrity, range, uniqueness, nullness, and a generator
     // invariant (n_chars = length(text)), one (check, checked, failed)
@@ -711,28 +779,35 @@ object CurationQueries {
          |FROM ($union) u JOIN cand USING (vec_id) ORDER BY u.step""".stripMargin
     },
 
+    // Forward fill replayed as an ASOF join against the latest-wins slot
+    // values (the fill value at slot t IS the as-of match at t). Two
+    // DuckDB performance cliffs found at sf1 and avoided here: struct
+    // min/max aggregates (370+ s over 1M rows — row_number latest-wins
+    // instead) and last_value(IGNORE NULLS) over a growing frame (O(n²)
+    // per partition — the ASOF formulation needs no window at all).
     "q192_gap_fill" ->
-      """WITH e AS (
+      """WITH e AS MATERIALIZED (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS slot,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsm, event_id,
         |    CAST(round(value * 100) AS BIGINT) AS v_c
         |  FROM events),
-        |d AS (SELECT user_id, slot, max({'t': tsm, 'e': event_id, 'v': v_c}).v AS observed
-        |      FROM e GROUP BY 1, 2),
-        |grid AS (SELECT user_id,
-        |           unnest(range((SELECT min(slot) FROM e), (SELECT max(slot) FROM e) + 1)) AS slot
-        |         FROM (SELECT DISTINCT user_id FROM e)),
-        |g AS (
-        |  SELECT grid.user_id, grid.slot, d.observed,
-        |    last_value(d.observed IGNORE NULLS) OVER (
-        |      PARTITION BY grid.user_id ORDER BY grid.slot
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
-        |  FROM grid LEFT JOIN d ON d.user_id = grid.user_id AND d.slot = grid.slot)
-        |SELECT slot, CAST(count(observed) AS BIGINT) AS n_active,
-        |  CAST(sum(CASE WHEN observed IS NULL AND filled IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_carried,
-        |  CAST(sum(filled) AS BIGINT) AS sum_filled
-        |FROM g GROUP BY slot ORDER BY slot""".stripMargin,
+        |d AS MATERIALIZED (
+        |  SELECT user_id, slot, v_c AS observed FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, slot
+        |      ORDER BY tsm DESC, event_id DESC) AS rn FROM e)
+        |  WHERE rn = 1),
+        |bounds AS (SELECT min(slot) AS lo, max(slot) AS hi FROM e),
+        |grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS slot
+        |         FROM (SELECT DISTINCT user_id FROM e), bounds),
+        |j AS MATERIALIZED (
+        |  SELECT g.slot, d.slot AS obs_slot, d.observed
+        |  FROM grid g ASOF LEFT JOIN d
+        |    ON g.user_id = d.user_id AND g.slot >= d.slot)
+        |SELECT slot,
+        |  CAST(sum(CASE WHEN obs_slot = slot THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+        |  CAST(sum(CASE WHEN obs_slot < slot THEN 1 ELSE 0 END) AS BIGINT) AS n_carried,
+        |  CAST(sum(observed) AS BIGINT) AS sum_filled
+        |FROM j GROUP BY slot ORDER BY slot""".stripMargin,
 
     "q193_tv_drift" ->
       """WITH e AS (
@@ -766,11 +841,11 @@ object CurationQueries {
         |  FROM events WHERE event_type = 'purchase'),
         |t AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-        |    max({'i': event_id, 't': event_type}) AS m
+        |    arg_max(event_type, event_id) AS touch
         |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
         |m AS (
         |  SELECT p.user_id, p.event_id, p.v_c,
-        |    CASE WHEN p.ts_us - t.ts_us <= 604800000000 THEN t.m.t END AS channel
+        |    CASE WHEN p.ts_us - t.ts_us <= 604800000000 THEN t.touch END AS channel
         |  FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts_us >= t.ts_us)
         |SELECT coalesce(channel, 'none') AS channel,
         |  CAST(count(*) AS BIGINT) AS n_purchases,
@@ -846,6 +921,65 @@ object CurationQueries {
          |FROM r GROUP BY node, hop, c
          |ORDER BY hop, node""".stripMargin
     },
+
+    // Containment replay: shared shingle CTEs, A-prefix against B's full
+    // postings, |A∩B| ≥ 0.8·|A|, canonical direction (sz, id).
+    "q210_containment_dedup" ->
+      s"""WITH ${DedupQueries.shingleCtes(3, extraCols = " lang,")},
+         |r2 AS (SELECT doc_id, lang, hs AS ts FROM h WHERE len(hs) >= 1),
+         |el AS (SELECT doc_id, unnest(ts) AS t FROM r2),
+         |freq AS (SELECT t, count(*) AS df FROM el GROUP BY 1),
+         |ord AS (
+         |  SELECT el.doc_id, el.t,
+         |    row_number() OVER (PARTITION BY el.doc_id ORDER BY df, el.t) AS rn,
+         |    count(*) OVER (PARTITION BY el.doc_id) AS s
+         |  FROM el JOIN freq USING (t)),
+         |pre AS (SELECT doc_id, t FROM ord WHERE rn <= s - (8*s + 9)//10 + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |         FROM pre a JOIN el b ON a.t = b.t AND a.doc_id <> b.doc_id),
+         |v AS (
+         |  SELECT ida, idb, len(list_intersect(ra.ts, rb.ts)) AS i,
+         |         len(ra.ts) AS sa, len(rb.ts) AS sb, ra.lang
+         |  FROM cand JOIN r2 ra ON ra.doc_id = ida JOIN r2 rb ON rb.doc_id = idb
+         |  WHERE len(ra.ts) < len(rb.ts)
+         |     OR (len(ra.ts) = len(rb.ts) AND ida < idb))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT ida) AS BIGINT) AS n_contained_docs,
+         |  CAST(sum(i) AS BIGINT) AS sum_inter,
+         |  CAST(sum(sa) AS BIGINT) AS sum_sz_a
+         |FROM v WHERE i * 10 >= 8 * sa
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q211_topk_churn" ->
+      """WITH daily AS (
+        |  SELECT day, item FROM (
+        |    SELECT day, item, row_number() OVER (PARTITION BY day
+        |      ORDER BY n DESC, item) AS rn
+        |    FROM (
+        |      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |        count(*) AS n
+        |      FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |      GROUP BY 1, 2))
+        |  WHERE rn <= 10)
+        |SELECT b.day, CAST(count(*) AS BIGINT) AS n_common
+        |FROM daily a JOIN daily b ON b.day = a.day + 1 AND b.item = a.item
+        |GROUP BY b.day ORDER BY b.day""".stripMargin,
+
+    "q212_l_diversity" ->
+      """WITH c AS (SELECT c_mktsegment, c_nationkey,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+        |mm AS (SELECT min(bal) AS lo, max(bal) AS hi FROM c),
+        |g AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    count(DISTINCT least(9, ((bal - lo) * 10) // (hi - lo + 1))) AS l,
+        |    count(*) AS n
+        |  FROM c, mm GROUP BY 1, 2)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(min(l) AS BIGINT) AS min_l,
+        |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_diversity,
+        |  CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT) AS n_exposed_rows
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Samples replayed arithmetically (the q142 fixture formula), framed
     // by j div 8, signed via the 16-bit two's-complement fold.

@@ -54,6 +54,29 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L)))
   }
 
+  test("containmentPairs matches brute-force asymmetric containment") {
+    val rows = Seq(
+      1L -> Seq("a", "b", "c"),                     // fully inside 2 and 4
+      2L -> Seq("a", "b", "c", "d", "e"),
+      3L -> Seq("x", "y", "z"),                     // unrelated
+      4L -> Seq("a", "b", "c", "q"),
+      5L -> Seq("a", "b", "x", "p", "r"),           // only 2/3 of 1 — below t
+      6L -> Seq("c", "b", "a"))                     // equal set to 1
+    val got = EntityResolution
+      .containmentPairs(rows.toDF("id", "ts"), "id", col("ts"), 8, 10)
+      .select("id_a", "id_b", "inter").as[(Long, Long, Long)].collect().toSet
+    val byId = rows.toMap
+    val want = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a != b
+      sa = byId(a).toSet; sb = byId(b).toSet
+      if sa.size < sb.size || (sa.size == sb.size && a < b)
+      inter = (sa & sb).size if inter * 10 >= 8 * sa.size
+    } yield (a, b, inter.toLong)).toSet
+    assert(want == Set((1L, 2L, 3L), (1L, 4L, 3L), (1L, 6L, 3L),
+      (6L, 2L, 3L), (6L, 4L, 3L)))
+    assert(got == want)
+  }
+
   test("removeBoilerplateChunks drops cross-doc chunks and rebuilds in order") {
     val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // one exact chunk
     val docs = Seq(
