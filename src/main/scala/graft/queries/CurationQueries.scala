@@ -611,6 +611,103 @@ object CurationQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Seasonal-naive forecast baseline + backtest MAE: predict each
+    // day's total as the value 7 days earlier and score the last two
+    // weeks — the sanity baseline every forecasting pipeline must beat,
+    // and the shape (self-join on day−7, integer absolute errors) any
+    // real backtest shares. One daily rollup + one keyed self-join.
+    "q213_seasonal_naive" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(cents(col("value"))).as("v"))
+      val d0 = daily.agg(min(col("day"))).head().getLong(0)
+      daily.select(col("event_type"), col("day"), col("v"))
+        .join(daily.select(col("event_type"), (col("day") + 7).as("day"),
+          col("v").as("pred")), Seq("event_type", "day"))
+        .filter(col("day") >= d0 + 16)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("v") - col("pred"))).as("sum_abs_err"),
+          expr("sum(abs(v - pred)) div count(1)").as("mae_cents"))
+        .orderBy(col("event_type"))
+    }),
+
+    // CUSUM changepoint scan: cumulative deviation of daily totals from
+    // the FIRST-HALF mean (the in-control baseline), flagging where
+    // |cusum| peaks — the classic drift-onset locator. Baseline is one
+    // broadcast row; the cusum is a single per-type running window over
+    // ~30 day rows.
+    "q214_cusum" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(cents(col("value"))).as("v"))
+      val d0 = daily.agg(min(col("day"))).head().getLong(0)
+      val base = daily.filter(col("day") < d0 + 15)
+        .groupBy(col("event_type"))
+        .agg(expr("sum(v) div count(1)").as("mu"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      daily.join(broadcast(base), "event_type")
+        .withColumn("cusum", sum(col("v") - col("mu")).over(w))
+        .groupBy(col("event_type"))
+        .agg(max(abs(col("cusum"))).as("max_abs_cusum"),
+          // scalar argmax key (|cusum|, earlier-day tiebreak): day span
+          // ≤ 1e5 so the composite never collides; struct keys are out —
+          // DuckDB's arg_max has no struct overload.
+          max_by(col("day"),
+            abs(col("cusum")) * 100000L - (col("day") - lit(d0))).as("peak_day"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Session path mining at trigram grain: the top-10 3-step event-type
+    // paths users actually walk (per-user time order, two lag windows) —
+    // q171's transition matrix extended to path shape. Per-user windows
+    // are bounded sorts, parallel across users.
+    "q215_path_trigrams" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .groupBy(col("event_type").as("s1"), col("t2").as("s2"), col("t3").as("s3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+        .limit(10)
+    }),
+
+    // FIFO rank matching: each user's k-th purchase settles against the
+    // k-th click (the inventory/cost-basis allocation shape) — two
+    // per-user rank windows + one (user, rank) equi-join, never a
+    // quadratic interval pairing; unmatched tails counted per side.
+    "q216_fifo_match" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      def ranked(t: String, tsName: String) = ev
+        .filter(col("event_type") === t)
+        .select(col("user_id"), unix_micros(col("ts")).as(tsName), col("event_id"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(col(tsName), col("event_id"))))
+        .drop("event_id")
+      val c = ranked("click", "c_ts")
+      val p = ranked("purchase", "p_ts")
+      val m = p.join(c, Seq("user_id", "rk"))
+      val nP = p.groupBy(col("user_id")).agg(count(lit(1)).as("n_p"))
+      val nC = c.groupBy(col("user_id")).agg(count(lit(1)).as("n_c"))
+      m.groupBy(col("user_id")).agg(count(lit(1)).as("n_matched"),
+          sum(abs(col("p_ts") - col("c_ts"))).as("sum_abs_lag_us"))
+        .join(nP, "user_id").join(nC, "user_id")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_matched")).as("n_matched"),
+          sum(col("n_p") - col("n_matched")).as("n_unmatched_purchases"),
+          sum(col("n_c") - col("n_matched")).as("n_unmatched_clicks"),
+          expr("sum(sum_abs_lag_us) div sum(n_matched)").as("mean_abs_lag_us"))
+    }),
+
     // Data-quality expectation suite (the dbt-test / Great-Expectations
     // report): FK integrity, range, uniqueness, nullness, and a generator
     // invariant (n_chars = length(text)), one (check, checked, failed)
@@ -921,6 +1018,74 @@ object CurationQueries {
          |FROM r GROUP BY node, hop, c
          |ORDER BY hop, node""".stripMargin
     },
+
+    "q213_seasonal_naive" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |d0 AS (SELECT min(day) AS d0 FROM daily)
+        |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(abs(a.v - b.v)) AS BIGINT) AS sum_abs_err,
+        |  CAST(sum(abs(a.v - b.v)) // count(*) AS BIGINT) AS mae_cents
+        |FROM daily a JOIN daily b
+        |  ON b.event_type = a.event_type AND b.day = a.day - 7, d0
+        |WHERE a.day >= d0.d0 + 16
+        |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin,
+
+    "q214_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |d0 AS (SELECT min(day) AS d0 FROM daily),
+        |base AS (SELECT event_type, sum(v) // count(*) AS mu
+        |         FROM daily, d0 WHERE day < d0.d0 + 15 GROUP BY 1),
+        |c AS (
+        |  SELECT daily.event_type, day,
+        |    sum(v - mu) OVER (PARTITION BY daily.event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM daily JOIN base USING (event_type))
+        |SELECT event_type, CAST(max(abs(cusum)) AS BIGINT) AS max_abs_cusum,
+        |  CAST(arg_max(day, abs(cusum) * 100000 - (day - (SELECT d0 FROM d0)))
+        |    AS BIGINT) AS peak_day
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q215_path_trigrams" ->
+      """WITH s AS (
+        |  SELECT event_type AS s1,
+        |    lead(event_type, 1) OVER w AS s2,
+        |    lead(event_type, 2) OVER w AS s3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        |SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE s3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, s1, s2, s3 LIMIT 10""".stripMargin,
+
+    "q216_fifo_match" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rk
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rk
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT p.user_id, count(*) AS n_matched,
+        |        sum(abs(p_ts - c_ts)) AS lag_us
+        |      FROM p JOIN c ON c.user_id = p.user_id AND c.rk = p.rk
+        |      GROUP BY 1),
+        |np AS (SELECT user_id, count(*) AS n_p FROM p GROUP BY 1),
+        |nc AS (SELECT user_id, count(*) AS n_c FROM c GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n_matched) AS BIGINT) AS n_matched,
+        |  CAST(sum(n_p - n_matched) AS BIGINT) AS n_unmatched_purchases,
+        |  CAST(sum(n_c - n_matched) AS BIGINT) AS n_unmatched_clicks,
+        |  CAST(sum(lag_us) // sum(n_matched) AS BIGINT) AS mean_abs_lag_us
+        |FROM m JOIN np USING (user_id) JOIN nc USING (user_id)""".stripMargin,
 
     // Containment replay: shared shingle CTEs, A-prefix against B's full
     // postings, |A∩B| ≥ 0.8·|A|, canonical direction (sz, id).
