@@ -708,6 +708,46 @@ object CurationQueries {
           expr("sum(sum_abs_lag_us) div sum(n_matched)").as("mean_abs_lag_us"))
     }),
 
+    // Gini coefficient of per-user value concentration, exact in basis
+    // points from the rank identity G = (2·Σ rank·x − (n+1)·Σx) /
+    // (n·Σx): ranks are rangeRank order statistics, both Σ terms
+    // partial-aggregable — the inequality metric behind "is our corpus /
+    // revenue dominated by a few contributors" governance checks.
+    "q217_value_gini" -> ((s, dir) => {
+      val u = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(cents(col("value"))).as("x"))
+      val ranked = CoreOps.rangeRank(u, Seq("event_type"),
+        Seq(col("x"), col("user_id")))
+      ranked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x")).as("sum_x"),
+          sum(col("rank") * col("x")).as("sum_rx"))
+        .select(col("event_type"), col("n_users"),
+          expr("((2 * sum_rx - (n_users + 1) * sum_x) * 10000)" +
+            " div (n_users * sum_x)").as("gini_bp"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Winner-take-all share: the top-1%-of-users' fraction of total value
+    // in basis points (ceil(n/100) heaviest users by rangeRank order
+    // statistics) — the concentration complement of q217's Gini.
+    "q218_top_share" -> ((s, dir) => {
+      val u = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(cents(col("value"))).as("x"))
+      val n = u.groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+        sum(col("x")).as("tot"))
+      CoreOps.rangeRank(u, Seq("event_type"), Seq(col("x"), col("user_id")))
+        .join(broadcast(n), "event_type")
+        .filter(col("rank") > col("n") - expr("(n + 99) div 100"))
+        .groupBy(col("event_type"))
+        .agg(min(col("n")).as("n_users"),
+          count(lit(1)).as("n_top"),
+          expr("(sum(x) * 10000) div min(tot)").as("top_share_bp"))
+        .orderBy(col("event_type"))
+    }),
+
     // Data-quality expectation suite (the dbt-test / Great-Expectations
     // report): FK integrity, range, uniqueness, nullness, and a generator
     // invariant (n_chars = length(text)), one (check, checked, failed)
@@ -1018,6 +1058,35 @@ object CurationQueries {
          |FROM r GROUP BY node, hop, c
          |ORDER BY hop, node""".stripMargin
     },
+
+    "q217_value_gini" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, x,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY x, user_id) AS rank FROM u)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(((2 * sum(rank * x) - (count(*) + 1) * sum(x)) * 10000)
+        |    // (count(*) * sum(x)) AS BIGINT) AS gini_bp
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q218_top_share" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, count(*) AS n, sum(x) AS tot FROM u GROUP BY 1),
+        |r AS (SELECT event_type, user_id, x,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY x, user_id) AS rank FROM u)
+        |SELECT r.event_type, CAST(min(n) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_top,
+        |  CAST((sum(x) * 10000) // min(tot) AS BIGINT) AS top_share_bp
+        |FROM r JOIN n USING (event_type)
+        |WHERE rank > n - (n + 99) // 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q213_seasonal_naive" ->
       """WITH daily AS (
