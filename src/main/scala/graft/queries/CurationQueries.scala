@@ -748,6 +748,56 @@ object CurationQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Deterministic negative sampling for recommender training: per user,
+    // the 5 non-interacted items ranked by the portable (user, item)
+    // hash — content-addressed (re-runs and engines agree), uniform over
+    // the complement. Candidates = users × item vocabulary (bounded by
+    // the CATALOG, not events) anti-joined against interactions; at
+    // billion-user scale the same shape runs per hash-bucket block.
+    // Output gates the full sampled set via per-user hash sums.
+    "q219_negative_sampling" -> ((s, dir) => {
+      val b = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull).distinct()
+      val items = b.select(col("item")).distinct()
+      val users = b.select(col("user_id")).distinct()
+      val h = expr(s"(2654435761 * (user_id * 101 + item) + 1013904223) % 1000000007")
+      users.join(items)
+        .join(b, Seq("user_id", "item"), "left_anti")
+        .withColumn("h", h)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(col("h"), col("item"))))
+        .filter(col("rn") <= 5)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_neg"), sum(col("item")).as("sum_items"),
+          sum(col("h")).as("sum_h"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Cohort LTV curve: cumulative value per signup cohort across day
+    // offsets — q168's retention matrix extended to value (the curve
+    // growth teams actually plot). Two partial-aggregable aggs + one
+    // user-keyed join + a per-cohort running window over ≤30 offsets.
+    "q220_cohort_ltv" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          cents(col("value")).as("v"))
+      val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val cell = e.join(first, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("off"))
+        .agg(sum(col("v")).as("v"))
+      cell.withColumn("cum_value_cents",
+          sum(col("v")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cohort_day")).orderBy(col("off"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .select(col("cohort_day"), col("off"), col("v").as("value_cents"),
+          col("cum_value_cents"))
+        .orderBy(col("cohort_day"), col("off"))
+    }),
+
     // Data-quality expectation suite (the dbt-test / Great-Expectations
     // report): FK integrity, range, uniqueness, nullness, and a generator
     // invariant (n_chars = length(text)), one (check, checked, failed)
@@ -1058,6 +1108,42 @@ object CurationQueries {
          |FROM r GROUP BY node, hop, c
          |ORDER BY hop, node""".stripMargin
     },
+
+    "q219_negative_sampling" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |items AS (SELECT DISTINCT item FROM b),
+        |users AS (SELECT DISTINCT user_id FROM b),
+        |cand AS (
+        |  SELECT u.user_id, i.item,
+        |    (2654435761 * (u.user_id * 101 + i.item) + 1013904223)
+        |      % 1000000007 AS h
+        |  FROM users u CROSS JOIN items i
+        |  WHERE NOT EXISTS (SELECT 1 FROM b
+        |    WHERE b.user_id = u.user_id AND b.item = i.item)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY h, item) AS rn FROM cand)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_neg,
+        |  CAST(sum(item) AS BIGINT) AS sum_items,
+        |  CAST(sum(h) AS BIGINT) AS sum_h
+        |FROM r WHERE rn <= 5 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q220_cohort_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+        |cell AS (
+        |  SELECT cohort_day, day - cohort_day AS off, sum(v) AS v
+        |  FROM e JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_day, off, CAST(v AS BIGINT) AS value_cents,
+        |  CAST(sum(v) OVER (PARTITION BY cohort_day ORDER BY off
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_value_cents
+        |FROM cell ORDER BY cohort_day, off""".stripMargin,
 
     "q217_value_gini" ->
       """WITH u AS (
