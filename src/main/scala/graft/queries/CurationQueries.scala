@@ -798,6 +798,46 @@ object CurationQueries {
         .orderBy(col("cohort_day"), col("off"))
     }),
 
+    // Longest consecutive-day activity streak per user, rolled up as a
+    // streak-length histogram — gaps-and-islands on the INTEGER day
+    // axis via the day − row_number constancy trick (consecutive days
+    // share the diff), one distinct + one per-user window; the
+    // engagement metric behind every "7-day streak" product feature.
+    "q221_activity_streaks" -> ((s, dir) => {
+      val days = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      val streaks = days
+        .withColumn("isl", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(count(lit(1)).as("len"))
+      val best = streaks.groupBy(col("user_id")).agg(max(col("len")).as("best"))
+      best.groupBy(col("best").as("streak_len"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("streak_len"))
+    }),
+
+    // Directed-graph reciprocity: the fraction of edges whose reverse
+    // edge also exists (mutual follows/replies), in basis points — one
+    // distinct edge set + one self-semi-join on the swapped key.
+    "q222_reciprocity" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(
+          (col("user_id") % 50).cast("long").as("src"),
+          (((col("user_id") % 50) * 7 + col("event_id") % 11) % 50)
+            .cast("long").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val recip = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      e.agg(count(lit(1)).as("n_edges")).crossJoin(
+          recip.agg(count(lit(1)).as("n_reciprocal")))
+        .select(col("n_edges"), col("n_reciprocal"),
+          expr("(n_reciprocal * 10000) div n_edges").as("reciprocity_bp"))
+    }),
+
     // Data-quality expectation suite (the dbt-test / Great-Expectations
     // report): FK integrity, range, uniqueness, nullness, and a generator
     // invariant (n_chars = length(text)), one (check, checked, failed)
@@ -1108,6 +1148,33 @@ object CurationQueries {
          |FROM r GROUP BY node, hop, c
          |ORDER BY hop, node""".stripMargin
     },
+
+    "q221_activity_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
+        |  FROM days),
+        |streaks AS (SELECT user_id, isl, count(*) AS len FROM s GROUP BY 1, 2),
+        |best AS (SELECT user_id, max(len) AS best FROM streaks GROUP BY 1)
+        |SELECT best AS streak_len, CAST(count(*) AS BIGINT) AS n_users
+        |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q222_reciprocity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(user_id % 50 AS BIGINT) AS src,
+        |    CAST(((user_id % 50) * 7 + event_id % 11) % 50 AS BIGINT) AS dst
+        |  FROM events),
+        |e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+        |r AS (SELECT a.src, a.dst FROM e2 a
+        |      JOIN e2 b ON b.src = a.dst AND b.dst = a.src)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e2) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_reciprocal,
+        |  CAST((SELECT count(*) FROM r) * 10000
+        |    // (SELECT count(*) FROM e2) AS BIGINT) AS reciprocity_bp""".stripMargin,
 
     "q219_negative_sampling" ->
       """WITH b AS (
