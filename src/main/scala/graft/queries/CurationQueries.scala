@@ -838,6 +838,60 @@ object CurationQueries {
           expr("(n_reciprocal * 10000) div n_edges").as("reciprocity_bp"))
     }),
 
+    // Span-corruption masking prep (T5-style denoising objectives):
+    // deterministically mask every 3-token span starting at positions
+    // ≡ 0 (mod 10) — ~30% corruption — emitting the corrupted text with
+    // one sentinel token per span. Pure array transforms (scan-local, no
+    // shuffle beyond the rollup); the summed fingerprint gates every
+    // reconstructed string including sentinel placement.
+    "q223_span_corruption" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("corrupted", expr(
+          """concat_ws(' ', filter(transform(toks, (t, i) ->
+            |  CASE WHEN i % 10 = 0 THEN '<X>'
+            |       WHEN i % 10 < 3 THEN CAST(NULL AS STRING)
+            |       ELSE t END), x -> x IS NOT NULL))""".stripMargin))
+        .withColumn("n_masked", expr(
+          "size(filter(sequence(0, size(toks) - 1), i -> i % 10 < 3))"))
+        .withColumn("n_spans", expr(
+          "size(filter(sequence(0, size(toks) - 1), i -> i % 10 = 0))"))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("size(toks)")).as("n_tokens"),
+          sum(col("n_masked")).as("n_masked"),
+          sum(col("n_spans")).as("n_spans"),
+          sum(TextOps.fingerprint(col("corrupted"))).as("sum_fp"))
+        .orderBy(col("source"))
+    }),
+
+    // Length-distribution matching: per-(source, length-quartile) keep
+    // rates (bp) that reshape every source's length mix to the GLOBAL
+    // mix — rate = min(1, global_share/source_share), the quota-sampling
+    // step that stops one source's short-doc glut from skewing training.
+    // Quartile bounds are global order statistics (rangeRank), shares
+    // two partial aggs, rates a driver-sized frame.
+    "q224_length_matching" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val n = d.count()
+      val ranked = CoreOps.rangeRank(d, Nil, Seq(col("n_chars"), col("doc_id")))
+        .withColumn("quartile", expr(s"((rank - 1) * 4) div ${n}L"))
+      val global = ranked.groupBy(col("quartile"))
+        .agg(count(lit(1)).as("ng"))
+        .withColumn("g_bp", expr(s"(ng * 10000) div ${n}L"))
+      val bySrc = ranked.groupBy(col("source"), col("quartile"))
+        .agg(count(lit(1)).as("ns"))
+      val srcTot = bySrc.groupBy(col("source")).agg(sum(col("ns")).as("nt"))
+      bySrc.join(srcTot, "source").join(broadcast(global), "quartile")
+        .withColumn("s_bp", expr("(ns * 10000) div nt"))
+        .withColumn("keep_bp",
+          least(lit(10000L), expr("(g_bp * 10000) div s_bp")))
+        .select(col("source"), col("quartile"), col("ns"),
+          col("s_bp"), col("g_bp"), col("keep_bp"))
+        .orderBy(col("source"), col("quartile"))
+    }),
+
     // Data-quality expectation suite (the dbt-test / Great-Expectations
     // report): FK integrity, range, uniqueness, nullness, and a generator
     // invariant (n_chars = length(text)), one (check, checked, failed)
@@ -1148,6 +1202,52 @@ object CurationQueries {
          |FROM r GROUP BY node, hop, c
          |ORDER BY hop, node""".stripMargin
     },
+
+    "q223_span_corruption" -> {
+      val fp = (s: String) =>
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))),
+           |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, len(toks) AS n_tok,
+         |    array_to_string(list_filter(
+         |      list_transform(range(0, len(toks)), i ->
+         |        CASE WHEN i % 10 = 0 THEN '<X>'
+         |             WHEN i % 10 < 3 THEN NULL
+         |             ELSE toks[i + 1] END), x -> x IS NOT NULL), ' ') AS corrupted,
+         |    len(list_filter(range(0, len(toks)), i -> i % 10 < 3)) AS n_masked,
+         |    len(list_filter(range(0, len(toks)), i -> i % 10 = 0)) AS n_spans
+         |  FROM t)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_masked) AS BIGINT) AS n_masked,
+         |  CAST(sum(n_spans) AS BIGINT) AS n_spans,
+         |  CAST(sum(${fp("corrupted")}) AS BIGINT) AS sum_fp
+         |FROM c GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q224_length_matching" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |n AS (SELECT count(*) AS n FROM d),
+        |r AS (SELECT source,
+        |        ((row_number() OVER (ORDER BY n_chars, doc_id) - 1) * 4)
+        |          // (SELECT n FROM n) AS quartile
+        |      FROM d),
+        |g AS (SELECT quartile, count(*) AS ng,
+        |        (count(*) * 10000) // (SELECT n FROM n) AS g_bp
+        |      FROM r GROUP BY 1),
+        |s AS (SELECT source, quartile, count(*) AS ns FROM r GROUP BY 1, 2),
+        |t AS (SELECT source, sum(ns) AS nt FROM s GROUP BY 1)
+        |SELECT s.source, CAST(s.quartile AS BIGINT) AS quartile,
+        |  CAST(ns AS BIGINT) AS ns,
+        |  CAST((ns * 10000) // nt AS BIGINT) AS s_bp,
+        |  CAST(g_bp AS BIGINT) AS g_bp,
+        |  CAST(least(10000, (g_bp * 10000) // ((ns * 10000) // nt)) AS BIGINT)
+        |    AS keep_bp
+        |FROM s JOIN t USING (source) JOIN g USING (quartile)
+        |ORDER BY s.source, s.quartile""".stripMargin,
 
     "q221_activity_streaks" ->
       """WITH days AS (
