@@ -238,7 +238,8 @@ object Dedup {
     * with no hot bucket at all (the q131/q138 regression of VERDICT r6).
     */
   def bucketedPairSides(keyed: DataFrame, keyCols: Seq[String], idCol: String,
-                        cap: Int): (DataFrame, DataFrame) = {
+                        cap: Int,
+                        checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
     val payload = struct(keyed.columns.filterNot(keyCols.contains).map(col): _*)
     // The banded table feeds THREE consumers (census + both replicated
     // sides). Sharing the subtree via ReusedExchange is canonicalization-
@@ -250,9 +251,16 @@ object Dedup {
     // above the census's key-only select). localCheckpoint materializes
     // the banded rows ONCE — ids and band keys, a few bytes per row, the
     // same rows the self-join must exchange anyway — and every consumer
-    // scans the materialized partitions; on a cluster the same role is
-    // played by a reliable checkpoint or an explicit staging table.
-    val keyedP = keyed.repartition(keyCols.map(col): _*).localCheckpoint()
+    // scans the materialized partitions. localCheckpoint lives in
+    // executor-local storage (lost with the executor); cluster callers
+    // pass `checkpointDir` for a reliable HDFS/S3 checkpoint instead.
+    val banded0 = keyed.repartition(keyCols.map(col): _*)
+    val keyedP = checkpointDir match {
+      case Some(d) =>
+        banded0.sparkSession.sparkContext.setCheckpointDir(d)
+        banded0.checkpoint()
+      case None => banded0.localCheckpoint()
+    }
     val hot = broadcast(
       keyedP.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("_n"))
@@ -291,8 +299,9 @@ object Dedup {
     * already must — a pair can share several bucket keys).
     */
   def bucketedPairs(keyed: DataFrame, keyCols: Seq[String], idCol: String,
-                    cap: Int = 4096): DataFrame = {
-    val (aSide, bSide) = bucketedPairSides(keyed, keyCols, idCol, cap)
+                    cap: Int = 4096,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val (aSide, bSide) = bucketedPairSides(keyed, keyCols, idCol, cap, checkpointDir)
     val (ida, idb) = (col(s"a.$idCol"), col(s"b.$idCol"))
     aSide.join(bSide, keyCols ++ Seq("_tl", "_tr"))
       .filter(ida =!= idb)

@@ -109,6 +109,10 @@ object Intervals {
     * well-defined. Returns (key, slot, observed, filled): `observed` is
     * the slot's own value (null for gap slots), `filled` the
     * forward-filled one (null until the key's first observation).
+    * Observations BEFORE `minSlot` seed the fill (the key's latest
+    * pre-grid value carries into every grid slot until its first in-grid
+    * observation) without appearing as `observed`; observations after
+    * `maxSlot` are dropped — the grid is a hard horizon.
     *
     * Scale shape: the dense grid is `explode(sequence(...))` over the
     * DISTINCT key list — generated, never shuffled in from a table — and
@@ -122,10 +126,22 @@ object Intervals {
     require(maxSlot >= minSlot, "empty slot range")
     val grid = df.select(col(key)).distinct()
       .select(col(key), explode(expr(s"sequence(${minSlot}L, ${maxSlot}L)")).as("slot"))
-    val obs = df.select(col(key), col(slotCol).as("slot"), col(valCol).as("observed"))
+    val inGrid = df.filter(col(slotCol).between(minSlot, maxSlot))
+      .select(col(key), col(slotCol).as("slot"), col(valCol).as("observed"))
+    // Latest pre-grid observation per key seeds the fill (max_by on the
+    // original slot) — one partial-aggregable groupBy over only the
+    // pre-grid rows, never the corpus.
+    val seed = df.filter(col(slotCol) < minSlot)
+      .groupBy(col(key))
+      .agg(max(struct(col(slotCol).as("s"), col(valCol).as("v")))
+        .getField("v").as("__seed"))
     val w = Window.partitionBy(col(key)).orderBy(col("slot"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(obs, Seq(key, "slot"), "left")
-      .withColumn("filled", last(col("observed"), ignoreNulls = true).over(w))
+    grid.join(inGrid, Seq(key, "slot"), "left")
+      .join(seed, Seq(key), "left")
+      .withColumn("filled",
+        org.apache.spark.sql.functions.coalesce(
+          last(col("observed"), ignoreNulls = true).over(w), col("__seed")))
+      .drop("__seed")
   }
 }

@@ -696,15 +696,20 @@ object CurationQueries {
       val c = ranked("click", "c_ts")
       val p = ranked("purchase", "p_ts")
       val m = p.join(c, Seq("user_id", "rk"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_matched"),
+          sum(abs(col("p_ts") - col("c_ts"))).as("sum_abs_lag_us"))
       val nP = p.groupBy(col("user_id")).agg(count(lit(1)).as("n_p"))
       val nC = c.groupBy(col("user_id")).agg(count(lit(1)).as("n_c"))
-      m.groupBy(col("user_id")).agg(count(lit(1)).as("n_matched"),
-          sum(abs(col("p_ts") - col("c_ts"))).as("sum_abs_lag_us"))
-        .join(nP, "user_id").join(nC, "user_id")
+      // Full-outer across the per-side counts: users with only clicks or
+      // only purchases still contribute their whole side as unmatched.
+      nP.join(nC, Seq("user_id"), "full_outer")
+        .join(m, Seq("user_id"), "left")
         .agg(count(lit(1)).as("n_users"),
-          sum(col("n_matched")).as("n_matched"),
-          sum(col("n_p") - col("n_matched")).as("n_unmatched_purchases"),
-          sum(col("n_c") - col("n_matched")).as("n_unmatched_clicks"),
+          sum(coalesce(col("n_matched"), lit(0L))).as("n_matched"),
+          sum(coalesce(col("n_p"), lit(0L)) -
+            coalesce(col("n_matched"), lit(0L))).as("n_unmatched_purchases"),
+          sum(coalesce(col("n_c"), lit(0L)) -
+            coalesce(col("n_matched"), lit(0L))).as("n_unmatched_clicks"),
           expr("sum(sum_abs_lag_us) div sum(n_matched)").as("mean_abs_lag_us"))
     }),
 
@@ -885,8 +890,11 @@ object CurationQueries {
       val srcTot = bySrc.groupBy(col("source")).agg(sum(col("ns")).as("nt"))
       bySrc.join(srcTot, "source").join(broadcast(global), "quartile")
         .withColumn("s_bp", expr("(ns * 10000) div nt"))
+        // greatest(s_bp, 1): a quartile share below 1/10000 floors to
+        // s_bp = 0; the guarded divisor keeps both engines total (DuckDB's
+        // // raises on zero) and caps the rate at 10000 anyway.
         .withColumn("keep_bp",
-          least(lit(10000L), expr("(g_bp * 10000) div s_bp")))
+          least(lit(10000L), expr("(g_bp * 10000) div greatest(s_bp, 1)")))
         .select(col("source"), col("quartile"), col("ns"),
           col("s_bp"), col("g_bp"), col("keep_bp"))
         .orderBy(col("source"), col("quartile"))
@@ -1244,8 +1252,8 @@ object CurationQueries {
         |  CAST(ns AS BIGINT) AS ns,
         |  CAST((ns * 10000) // nt AS BIGINT) AS s_bp,
         |  CAST(g_bp AS BIGINT) AS g_bp,
-        |  CAST(least(10000, (g_bp * 10000) // ((ns * 10000) // nt)) AS BIGINT)
-        |    AS keep_bp
+        |  CAST(least(10000, (g_bp * 10000)
+        |    // greatest((ns * 10000) // nt, 1)) AS BIGINT) AS keep_bp
         |FROM s JOIN t USING (source) JOIN g USING (quartile)
         |ORDER BY s.source, s.quartile""".stripMargin,
 
@@ -1403,11 +1411,14 @@ object CurationQueries {
         |np AS (SELECT user_id, count(*) AS n_p FROM p GROUP BY 1),
         |nc AS (SELECT user_id, count(*) AS n_c FROM c GROUP BY 1)
         |SELECT CAST(count(*) AS BIGINT) AS n_users,
-        |  CAST(sum(n_matched) AS BIGINT) AS n_matched,
-        |  CAST(sum(n_p - n_matched) AS BIGINT) AS n_unmatched_purchases,
-        |  CAST(sum(n_c - n_matched) AS BIGINT) AS n_unmatched_clicks,
+        |  CAST(sum(coalesce(n_matched, 0)) AS BIGINT) AS n_matched,
+        |  CAST(sum(coalesce(n_p, 0) - coalesce(n_matched, 0)) AS BIGINT)
+        |    AS n_unmatched_purchases,
+        |  CAST(sum(coalesce(n_c, 0) - coalesce(n_matched, 0)) AS BIGINT)
+        |    AS n_unmatched_clicks,
         |  CAST(sum(lag_us) // sum(n_matched) AS BIGINT) AS mean_abs_lag_us
-        |FROM m JOIN np USING (user_id) JOIN nc USING (user_id)""".stripMargin,
+        |FROM np FULL OUTER JOIN nc USING (user_id)
+        |LEFT JOIN m USING (user_id)""".stripMargin,
 
     // Containment replay: shared shingle CTEs, A-prefix against B's full
     // postings, |A∩B| ≥ 0.8·|A|, canonical direction (sz, id).

@@ -170,10 +170,14 @@ object StreamQueries {
     // needed.
     "q173_stream_distinct" -> ((s, dir) => {
       import graft.functions.KmvAgg
-      val src = landing("events_x2", dir, eventsFlat(s, dir), 2, "event_id")
+      // Compacted landing: the raw-JSON drop shape is covered by
+      // q66/q67/q111; here the operator under test is the KMV state, and
+      // the JSON parse of the full events table was the invocation's
+      // fixed cost at sf0.1.
+      val src = parquetLanding("events_x2_pq", dir, eventsFlat(s, dir), 2, "event_id")
       val ss = streamSession(s)
       val stream = SocialStream
-        .readJsonStream(ss, src, eventsFlatSchema, maxFilesPerTrigger = 1)
+        .readParquetStream(ss, src, eventsFlatSchema, maxFilesPerTrigger = 1)
         .withColumn("ts", timestamp_micros(col("ts_us")))
         .withColumn("h", graft.dedup.Dedup.charHash(
           concat(col("value_cents").cast("string"), lit("#sd"))))
@@ -204,10 +208,12 @@ object StreamQueries {
     // row_number.
     "q184_stream_topk" -> ((s, dir) => {
       import graft.functions.TopKAgg
-      val src = landing("events_x2", dir, eventsFlat(s, dir), 2, "event_id")
+      // Compacted landing (see q173) — the state-store top-k is the
+      // operator under test, not the JSON drop parse.
+      val src = parquetLanding("events_x2_pq", dir, eventsFlat(s, dir), 2, "event_id")
       val ss = streamSession(s)
       val stream = SocialStream
-        .readJsonStream(ss, src, eventsFlatSchema, maxFilesPerTrigger = 1)
+        .readParquetStream(ss, src, eventsFlatSchema, maxFilesPerTrigger = 1)
         .withColumn("ts", timestamp_micros(col("ts_us")))
       val agg = stream.withWatermark("ts", Horizon)
         .groupBy(window(col("ts"), "6 hours"), col("event_type"))
@@ -552,7 +558,8 @@ object StreamQueries {
       // the directory-backed store does not — same mitigation
       // JdbcUpsertSinkSpec documents. Left alive for the JVM's lifetime
       // because the returned frame reads it lazily.
-      val url = "jdbc:derby:" + Files.createTempDirectory("q72db_")
+      val url = "jdbc:derby:" + Files.createTempDirectory(
+          java.nio.file.Paths.get(ckptRoot), "q72db_")
         .resolve("db").toAbsolutePath + ";create=true"
       val table = "events_serving"
       val conn = java.sql.DriverManager.getConnection(url)
@@ -562,7 +569,8 @@ object StreamQueries {
       finally conn.close()
       val stream = SocialStream
         .readParquetStream(streamSession(s), src, eventsFlatSchema, maxFilesPerTrigger = 1)
-      val ckpt = Files.createTempDirectory("q72_ckpt_").toString
+      val ckpt = Files.createTempDirectory(
+        java.nio.file.Paths.get(ckptRoot), "q72_ckpt_").toString
       val q = stream.writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, _: Long) =>

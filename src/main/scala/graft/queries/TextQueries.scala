@@ -455,6 +455,21 @@ object TextQueries {
         .limit(25)
     }),
 
+    // Full BPE vocabulary-training loop — 5 rounds of q144's
+    // count→argmax→merge cycle (Sennrich et al., ACL 2016): each round
+    // counts adjacent pairs corpus-wide (map-local zip + one hash agg,
+    // exactly ONE row to the driver), greedily merges the winner
+    // left-to-right per doc (linear per-row kernel, lineage truncated
+    // per round), and re-counts. Gates both the argmax chain and the
+    // greedy application (n_tokens_after < n_before − n_pairs when
+    // runs overlap).
+    "q225_bpe_train" -> ((s, dir) => {
+      graft.text.TextOps.bpeTrain(
+        Tables.load(s, dir, "documents").filter(length(col("text")) > 0),
+        "doc_id", "text", nMerges = 5)
+        .orderBy(col("step"))
+    }),
+
     // Sliding-window document chunking — long docs split into
     // max-50-token chunks at stride 40 (10-token overlap), the
     // context-length prep step between cleaning and packing (q74 packs
@@ -706,7 +721,46 @@ object TextQueries {
        |  FROM per)""".stripMargin
   }
 
+  /** Unrolled k-round BPE trainer replay (the q191 MATERIALIZED-CTE
+    * pattern — DuckDB's recursive CTEs reject the correlated aggregates
+    * a data-dependent argmax chain needs). Round i: p{i} = the argmax
+    * pair over t{i-1} (ties lexicographic), t{i} = the greedy
+    * left-to-right merge, expressed as a list_reduce fold over
+    * single-element lists (accumulator type must equal element type).
+    * The fold replays the scan exactly: a merged symbol re-matches as
+    * the NEXT pair's left only if it EQUALS l, which needs an empty
+    * right token — excluded by the single-spaced corpus.
+    */
+  private def bpeTrainSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT toks[i] AS l, toks[i + 1] AS r, count(*) AS n
+         |  FROM t${i - 1}, LATERAL (SELECT unnest(range(1, len(toks))) AS i) x
+         |  GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
+         |t$i AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_reduce(list_transform(toks, tk -> [tk]),
+         |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = p$i.l
+         |          AND x[1] = p$i.r
+         |        THEN list_append(acc[1:len(acc) - 1], p$i.l || p$i.r)
+         |        ELSE list_concat(acc, x) END) AS toks
+         |  FROM t${i - 1}, p$i)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to k).map { i =>
+      s"""SELECT $i AS step, l AS left_tok, r AS right_tok,
+         |  CAST(n AS BIGINT) AS n_pairs,
+         |  (SELECT CAST(sum(len(toks)) AS BIGINT) FROM t$i) AS n_tokens_after
+         |FROM p$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t0 AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents WHERE length(text) > 0),
+       |$rounds
+       |SELECT * FROM ($unions) ORDER BY step""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q225_bpe_train" -> bpeTrainSql(5),
     "q159_bm25_search" ->
       s"""WITH $bm25Ctes
          |SELECT CAST(query_id AS BIGINT) AS query_id,

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1022,6 +1022,175 @@ object Similarity {
     pairsTopK(pairs, k)
   }
 
+  /** Persist a frozen IVF+PQ index as parquet state tables — the
+    * nightly-embedding-ingest shape at 100 TB: train once on the standing
+    * corpus, then every new batch assigns/encodes against the FROZEN
+    * centroids+codebooks ([[ivfPqAssignToState]]) and searches run over
+    * the persisted postings ([[ivfPqSearchState]]) without ever
+    * re-scanning, let alone re-training on, the historical vectors.
+    * (FAISS calls the same split "train once, add forever"; re-training
+    * per batch would re-read the whole corpus nightly.)
+    *
+    * Layout under `stateDir`:
+    *  - `centroids`: (cell, cv) — the ≤ nCells coarse centroids (micros);
+    *  - `codebooks`: (s, cell, cu) — the m×16 PQ sub-centroids trained on
+    *    the corpus residuals;
+    *  - `postings`: (cell, corpus_id, code) — every corpus vector as its
+    *    coarse cell + m 4-bit residual codes (log2(nCells) bits + m
+    *    nibbles per vector, the serving footprint).
+    */
+  def writeIvfPqState(corpus: DataFrame, idCol: String, vecCol: String,
+                      stateDir: String, nCells: Int = 16, m: Int = 8,
+                      dim: Int = 64): Unit = {
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    val (cc, resid, cb) = buildIvfPqIndex(corpus, idCol, vecCol, nCells, m, dim)
+    spark.createDataFrame(
+      java.util.Arrays.asList(cc.zipWithIndex.collect {
+        case (cv, cell) if cv != null => Row(cell.toLong, cv.toSeq)
+      }: _*),
+      StructType(Seq(
+        StructField("cell", LongType, nullable = false),
+        StructField("cv", ArrayType(LongType, containsNull = false)))))
+      .repartition(1).write.mode("overwrite").parquet(stateDir + "/centroids")
+    spark.createDataFrame(
+      java.util.Arrays.asList((for {
+        s <- cb.indices; c <- 0 until 16 if cb(s)(c) != null
+      } yield Row(s.toLong, c.toLong, cb(s)(c).toSeq)): _*),
+      StructType(Seq(
+        StructField("s", LongType, nullable = false),
+        StructField("cell", LongType, nullable = false),
+        StructField("cu", ArrayType(LongType, containsNull = false)))))
+      .repartition(1).write.mode("overwrite").parquet(stateDir + "/codebooks")
+    val bcb = spark.sparkContext.broadcast(cb)
+    implicit val enc = Encoders.row(postingSchema)
+    resid.mapPartitions { it =>
+      val cbv = bcb.value
+      it.map { r =>
+        Row(r.getLong(1), r.getLong(0),
+          encodeSubspaces(r.getSeq[Long](2).toArray, cbv, sub).toSeq)
+      }
+    }(enc).write.mode("overwrite").parquet(stateDir + "/postings")
+  }
+
+  private val postingSchema = StructType(Seq(
+    StructField("cell", LongType, nullable = false),
+    StructField("corpus_id", LongType, nullable = false),
+    StructField("code", ArrayType(IntegerType, containsNull = false))))
+
+  /** Read the frozen index model back: (centroids by cell, codebook
+    * [s][cell]) — bounded artifacts (nCells·dim + m·16·sub longs, the
+    * broadcast-variable class), collected once per caller.
+    */
+  private def readIvfPqModel(spark: SparkSession, stateDir: String,
+                             nCells: Int, m: Int,
+                             sub: Int): (Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val cc = Array.fill(nCells)(null: Array[Long])
+    spark.read.parquet(stateDir + "/centroids").collect().foreach { r =>
+      cc(r.getLong(0).toInt) = r.getSeq[Long](1).toArray
+    }
+    val cb = Array.fill(m, 16)(null: Array[Long])
+    spark.read.parquet(stateDir + "/codebooks").collect().foreach { r =>
+      cb(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getSeq[Long](2).toArray
+    }
+    (cc, cb)
+  }
+
+  /** Assign + encode ONLY the new batch against the frozen state: one
+    * kernel pass over the batch (nearest frozen centroid → residual →
+    * per-subspace argmin codes), with the model broadcast. Returns new
+    * postings rows (cell, corpus_id, code) — append them to
+    * `stateDir/postings` (or pass straight to [[ivfPqSearchState]]); the
+    * historical vectors are never touched. Parameters must match the
+    * ones the state was written with.
+    */
+  def ivfPqAssignToState(batch: DataFrame, stateDir: String, idCol: String,
+                         vecCol: String, nCells: Int = 16, m: Int = 8,
+                         dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    val spark = batch.sparkSession
+    val (cc, cb) = readIvfPqModel(spark, stateDir, nCells, m, sub)
+    val bm = spark.sparkContext.broadcast((cc, cb))
+    implicit val enc = Encoders.row(postingSchema)
+    batch.select(col(idCol).cast("long").as("id"), microsVec(vecCol).as("vm"))
+      .mapPartitions { it =>
+        val (ccv, cbv) = bm.value
+        it.map { r =>
+          val v = r.getSeq[Long](1).toArray
+          var best = -1; var bestD = Long.MaxValue; var c = 0
+          while (c < ccv.length) {
+            if (ccv(c) != null) {
+              var d = 0L; var i = 0
+              while (i < v.length) { val x = v(i) - ccv(c)(i); d += x * x; i += 1 }
+              if (d < bestD) { bestD = d; best = c }
+            }
+            c += 1
+          }
+          val cent = ccv(best)
+          val rm = new Array[Long](v.length)
+          var i = 0
+          while (i < v.length) { rm(i) = v(i) - cent(i); i += 1 }
+          Row(best.toLong, r.getLong(0), encodeSubspaces(rm, cbv, sub).toSeq)
+        }
+      }(enc)
+  }
+
+  /** ADC top-k over the PERSISTED postings plus optionally a
+    * just-ingested batch's postings — the serving read of the
+    * incremental index. Probe state is built by a distributed kernel
+    * from the frozen model (queries never leave the executors), and
+    * candidates meet probers through the coarse-cell equi-join, exactly
+    * the [[ivfPqTopKDistributed]] shape — but the corpus side is the m-
+    * nibble postings scan, so the plan provably reads batch vectors +
+    * state tables and nothing else (plan-asserted in PlanAuditSpec).
+    */
+  def ivfPqSearchState(queries: DataFrame, stateDir: String,
+                       extraPostings: Option[DataFrame], idCol: String,
+                       vecCol: String, k: Int, nCells: Int = 16,
+                       nProbe: Int = 4, m: Int = 8,
+                       dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    val spark = queries.sparkSession
+    val (cc, cb) = readIvfPqModel(spark, stateDir, nCells, m, sub)
+    val bm = spark.sparkContext.broadcast((cc, cb))
+    val postings = extraPostings.foldLeft(
+      spark.read.parquet(stateDir + "/postings"))(_ unionByName _)
+    val tblSchema = StructType(Seq(
+      StructField("cell", LongType, nullable = false),
+      StructField("query_id", LongType, nullable = false),
+      StructField("qt", ArrayType(LongType, containsNull = false))))
+    val probes = {
+      implicit val enc = Encoders.row(tblSchema)
+      queries.select(col(idCol).cast("long").as("id"), microsVec(vecCol).as("vm"))
+        .mapPartitions { it =>
+          val (ccv, cbv) = bm.value
+          it.flatMap { r =>
+            val qid = r.getLong(0)
+            probeTables(r.getSeq[Long](1).toArray, ccv, cbv,
+                ccv.length, nProbe, ccv.filter(_ != null).head.length, sub)
+              .iterator.map { case (c, t) => Row(c.toLong, qid, t.toSeq) }
+          }
+        }(enc)
+    }
+    implicit val penc = Encoders.row(pairSchema)
+    val pairs = postings.join(probes, "cell").mapPartitions { it =>
+      it.flatMap { r =>
+        val cid = r.getLong(1)
+        val qid = r.getLong(3)
+        if (qid == cid) Iterator.empty
+        else {
+          val code = r.getSeq[Int](2)
+          val qt = r.getSeq[Long](4)
+          var ad = 0L
+          var s = 0
+          while (s < code.length) { ad += qt(s * 16 + code(s)); s += 1 }
+          Iterator(Row(qid, cid, ad))
+        }
+      }
+    }(penc)
+    pairsTopK(pairs, k)
+  }
+
   /** Shared IVF+PQ index build: coarse centroids (seeded by leading-dim
     * signs, one truncating-mean Lloyd step), cell-relative residuals
     * (localCheckpointed — codebook agg and encode both read them), and
@@ -1184,7 +1353,11 @@ object Similarity {
     val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]((1, seed._1, 0L))
     for (step <- 2 to k) {
       val cb = spark.sparkContext.broadcast(chosen.toArray)
-      val far = m.map { case (id, vm) =>
+      // Exclude already-chosen ids: when every remaining point duplicates a
+      // chosen one (max dmin = 0) the scan must still pick a FRESH id, the
+      // same NOT IN semantics the oracle uses.
+      val chosenIds = chosen.map(_._1).toSet
+      val far = m.filter(r => !chosenIds.contains(r._1)).map { case (id, vm) =>
         var best = Long.MaxValue
         val cs = cb.value
         var c = 0

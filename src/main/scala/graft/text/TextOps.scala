@@ -510,4 +510,94 @@ object TextOps {
       .agg(count(lit(1)).as("n_tok"),
         expr(s"sum((__tdf * ${scale}L) div __rdf) div count(1)").as("score"))
   }
+
+  /** Greedy left-to-right non-overlapping merge of adjacent (l, r) into
+    * `l + sep + r` — one BPE merge application over a symbol sequence,
+    * linear single pass (a merge consumes both symbols, so its output is
+    * never re-examined within the round).
+    */
+  private[graft] def greedyMerge(toks: IndexedSeq[String], l: String,
+                                r: String, sep: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = toks.length
+    while (i < n) {
+      if (i + 1 < n && toks(i) == l && toks(i + 1) == r) {
+        out += (l + sep + r); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Full BPE vocabulary-training loop (Sennrich et al., ACL 2016) at
+    * word-symbol grain: `nMerges` rounds of (count adjacent pairs
+    * corpus-wide → pick the most frequent pair, ties to the
+    * lexicographically smallest → greedily merge every non-overlapping
+    * occurrence left-to-right in every doc). Extends q144's single
+    * pair-count step to the real iterate-merge-recount trainer.
+    *
+    * Scale shape per round: pair extraction is MAP-LOCAL (zip of each
+    * token array with its own tail — no window, no per-doc sort), counts
+    * are one hash aggregate with map-side partial combine, and only ONE
+    * (pair, count) row reaches the driver (TakeOrdered(1)). The merge
+    * application is a linear per-row kernel (mapPartitions shape — a fold
+    * with array-copy-per-step would be O(n²) per doc), and lineage is
+    * truncated every round (localCheckpoint, or a reliable checkpoint
+    * under `checkpointDir` on a cluster) so round k plans O(1) work, not
+    * k stacked kernels. The corpus is never collected; state on the
+    * driver is exactly `nMerges` chosen pairs.
+    *
+    * Returns one row per executed round:
+    * (step, left_tok, right_tok, n_pairs, n_tokens_after) — n_pairs is
+    * the chosen pair's corpus frequency BEFORE merging; n_tokens_after
+    * the corpus token count after applying it. Overlapping runs make
+    * merged occurrences < n_pairs ("a a a" has 2 pairs, 1 merge), so
+    * n_tokens_after gates the greedy application itself, not just the
+    * argmax. Stops early when no adjacent pair remains.
+    */
+  def bpeTrain(docs: DataFrame, idCol: String, textCol: String, nMerges: Int,
+               sep: String = "",
+               checkpointDir: Option[String] = None): DataFrame = {
+    require(nMerges >= 1, "need nMerges >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def truncate(ds: org.apache.spark.sql.Dataset[(Long, IndexedSeq[String])]) =
+      checkpointDir match {
+        case Some(d) =>
+          spark.sparkContext.setCheckpointDir(d)
+          ds.checkpoint()
+        case None => ds.localCheckpoint()
+      }
+    var cur = truncate(docs
+      .select(col(idCol).cast("long").as("id"),
+        split(col(textCol), " ").as("toks"))
+      .as[(Long, IndexedSeq[String])])
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val tdf = cur.toDF("id", "toks")
+      val w = col("toks")
+      val pair = zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (l, r) => struct(l.as("l"), r.as("r")))
+      val top = tdf.select(explode(pair).as("p"))
+        .groupBy(col("p.l"), col("p.r"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).as[(String, String, Long)].collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = top.head
+        cur = truncate(cur.map { case (id, toks) =>
+          (id, greedyMerge(toks, l, r, sep))
+        })
+        val nAfter = cur.map(_._2.length.toLong).reduce(_ + _)
+        out += ((step, l, r, n, nAfter))
+        step += 1
+      }
+    }
+    out.toSeq
+      .toDF("step", "left_tok", "right_tok", "n_pairs", "n_tokens_after")
+  }
 }

@@ -164,6 +164,27 @@ class CurationSpec extends AnyFunSuite {
     assert(out((2L, 6L)) == ((None, Some(999L))))
   }
 
+  test("gapFill: pre-grid observations seed the fill; post-grid are dropped") {
+    import graft.ops.Intervals
+    val obs = Seq(
+      (1L, -3L, 50L), (1L, -1L, 70L), (1L, 4L, 200L), // two pre-grid, latest (70) seeds
+      (2L, 9L, 999L),                                 // post-grid only: ignored
+      (3L, 2L, 5L)                                    // plain in-grid key
+    ).toDF("k", "slot", "v")
+    val out = Intervals.gapFill(obs, "k", "slot", "v", 1L, 6L)
+      .select("k", "slot", "observed", "filled")
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out.size == 18) // 3 keys × 6 slots — post-grid row still grids its key
+    assert(out((1L, 1L)) == ((None, Some(70L))))      // seeded by latest pre-grid
+    assert(out((1L, 3L)) == ((None, Some(70L))))
+    assert(out((1L, 4L)) == ((Some(200L), Some(200L)))) // in-grid takes over
+    assert(out((1L, 6L)) == ((None, Some(200L))))
+    assert(out((2L, 1L)) == ((None, None)))           // post-grid obs never leaks in
+    assert(out((2L, 6L)) == ((None, None)))
+    assert(out((3L, 2L)) == ((Some(5L), Some(5L))))
+  }
+
   test("wavFrameEnergy frames real decoded samples with exact integer energy") {
     import graft.multimodal.Multimodal
     def le(v: Long, n: Int): Array[Byte] =

@@ -211,6 +211,57 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster split: near-dup pipeline shapes hold, banding kernel never re-runs") {
+    // q139 inherits the full near-dup cluster pipeline (bench top-5).
+    // The two invariants that matter at scale: the candidate stage stays
+    // an equi-join, and no consumer of the banded table re-runs the
+    // banding kernel (the materialized-once property the census fix
+    // established — its loss was invisible at sf0.1 and 7.6× at sf1).
+    val plan = run("q139_cluster_split")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "q139: a pair/cluster stage degenerated to all-pairs")
+    assert(!plan.contains("minhash_band_keys"),
+      "q139: a consumer recomputes the banding kernel instead of " +
+        "scanning the materialized banded rows")
+  }
+
+  test("SCC: dual-labeling rounds are equi-joins with partial aggregation") {
+    // q152's forward/backward label propagation must stay hash
+    // equi-joins on node ids (a nested-loop round is quadratic death),
+    // with map-side partial aggregation on the label min/max rollups.
+    // Round COUNT is bounded by GraphAlgos' loud in-code cap (require),
+    // exercised in GraphAlgosSpec — the plan-level invariant is shape.
+    val plan = run("q152_scc")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "q152: an SCC round degenerated to a nested-loop/cartesian join")
+    assert(plan.contains("HashAggregate"),
+      "q152: label rollups lost hash (partial) aggregation")
+  }
+
+  test("incremental IVF+PQ search scans state tables + batch, never retrains") {
+    // q226's serving read: corpus side must be the persisted postings
+    // parquet (+ the batch's in-plan encode), probe side the queries.
+    // A training aggregate (posexplode of the corpus feeding a
+    // cell/pos rollup) in the executed plan means the frozen model was
+    // silently re-trained from the corpus — the exact failure mode
+    // incremental state exists to prevent.
+    val plan = run("q226_ivfpq_incr")
+    assert(plan.contains("postings"),
+      "q226: search plan does not scan the persisted postings state")
+    // pairsTopK legitimately posexplodes the per-query `top` buffer; the
+    // training pipeline is the one that posexplodes the VECTORS (vm).
+    assert(!plan.contains("posexplode(vm"),
+      "q226: plan posexplodes corpus vectors — the frozen model is " +
+        "being re-trained in the serving read")
+    val embScans = plan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("embeddings"))
+    assert(embScans <= 2,
+      s"q226: $embScans embeddings scans in the serving plan (batch + " +
+        "queries are the only legitimate two)")
+  }
+
   test("prefix-filter simjoin: candidate and verify stages are equi-joins") {
     val plan = run("q187_prefix_simjoin")
     assert(!plan.contains("CartesianProduct") &&

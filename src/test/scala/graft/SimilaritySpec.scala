@@ -272,6 +272,38 @@ class SimilaritySpec extends AnyFunSuite {
         k = 6, dim = dim)))
   }
 
+  test("IVF+PQ state: persisted search == distributed path; ingest == build encode") {
+    // Frozen-model invariants: (1) searching the persisted postings with
+    // the persisted centroids/codebooks reproduces the in-memory
+    // distributed path bit-for-bit; (2) re-assigning the corpus against
+    // its own frozen state reproduces the persisted postings exactly
+    // (assign/encode is deterministic given the model) — so a batch
+    // ingested tomorrow gets byte-identical treatment to one indexed at
+    // train time.
+    val dim = 16
+    val df = (0L until 40L).map { i =>
+      (i, (0 until dim).map(d => math.sin(i * 17 + d * 5 + 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = df.filter(col("vec_id") < 4)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_state_").toString
+    Similarity.writeIvfPqState(df, "vec_id", "embedding", stateDir,
+      nCells = 4, m = 4, dim = dim)
+    def sorted(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(sorted(Similarity.ivfPqSearchState(qs, stateDir, None,
+        "vec_id", "embedding", k = 6, nCells = 4, nProbe = 2, m = 4,
+        dim = dim)) ==
+      sorted(Similarity.ivfPqTopKDistributed(df, qs, "vec_id", "embedding",
+        k = 6, nCells = 4, nProbe = 2, m = 4, dim = dim)))
+    val re = Similarity.ivfPqAssignToState(df, stateDir, "vec_id",
+        "embedding", nCells = 4, m = 4, dim = dim)
+      .orderBy("corpus_id").collect().map(_.toSeq).toSeq
+    val persisted = spark.read.parquet(stateDir + "/postings")
+      .orderBy("corpus_id").collect().map(_.toSeq).toSeq
+    assert(re == persisted)
+  }
+
   test("broadcast ANN paths refuse an oversized query batch by name") {
     val dim = 8
     val df = (0L until 10L).map { i =>

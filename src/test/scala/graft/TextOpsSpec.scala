@@ -222,4 +222,32 @@ class TextOpsSpec extends AnyFunSuite {
       .select(TextOps.canonicalizeUrl(col("url"))).as[String].collect()
     assert(out.toSeq == cases.map(_._2))
   }
+
+  test("bpeTrain: argmax merge chain, greedy non-overlap application") {
+    val docs = Seq((1L, "a b a b a"), (2L, "a b c"), (3L, "c c c"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(docs, "doc_id", "text", nMerges = 3)
+      .orderBy("step")
+      .as[(Int, String, String, Long, Long)].collect().toSeq
+    // r1: (a,b)=3 beats (b,a)=2,(c,c)=2 → docs [ab ab a][ab c][c c c], 8 toks
+    // r2: (c,c)=2 wins; GREEDY merges "c c c" once → [cc c], 7 toks
+    // r3: all pairs tie at 1 → lexicographic (ab,a) → [ab aba], 6 toks
+    assert(got == Seq(
+      (1, "a", "b", 3L, 8L),
+      (2, "c", "c", 2L, 7L),
+      (3, "ab", "a", 1L, 6L)))
+  }
+
+  test("bpeTrain stops early when no adjacent pair remains") {
+    val docs = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    assert(TextOps.bpeTrain(docs, "doc_id", "text", nMerges = 4).count() == 0L)
+  }
+
+  test("greedyMerge consumes both symbols (no re-merge within a round)") {
+    assert(TextOps.greedyMerge(Vector("a", "a", "a"), "a", "a", "") ==
+      Vector("aa", "a"))
+    assert(TextOps.greedyMerge(Vector("a", "a", "a", "a"), "a", "a", "") ==
+      Vector("aa", "aa"))
+    assert(TextOps.greedyMerge(Vector("x"), "a", "a", "") == Vector("x"))
+  }
 }
