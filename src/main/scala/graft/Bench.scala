@@ -28,6 +28,13 @@ object Bench {
       case Some(subs) => SparkEntry.queries.filter { case (n, _) => subs.exists(n.contains) }
       case None => SparkEntry.queries
     }
+    // Idle marker (VERDICT r7 item 7): the 1-min load average BEFORE any
+    // Spark work starts. A hot host inflates every query ~uniformly
+    // (r7's driver leg ran 1.15x vs the idle 3-pass median and cost a
+    // round of delta analysis); recording the marker inside the artifact
+    // lets any reader weight a delta by the conditions it ran under.
+    val load1 = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val wall0 = System.nanoTime()
     queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -66,7 +73,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detailed = s"""{"metric":"total","value":${ms(total)},"unit":"sec","wall":${ms(wallSec)},"passes":$nPasses,"stat":"median","errors":$errs,"queries":$qs,"sf":"$sfName"}"""
+    val detailed = s"""{"metric":"total","value":${ms(total)},"unit":"sec","wall":${ms(wallSec)},"passes":$nPasses,"stat":"median","load1_at_start":${ms(load1)},"errors":$errs,"queries":$qs,"sf":"$sfName"}"""
     val short = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{"all":${ms(total)}},"sf":"$sfName"}"""
     // The sf0.1 run is the driver contract and owns BENCH_LOCAL.json /
     // BENCH_DELTA.md; exploratory runs at other SFs write suffixed files

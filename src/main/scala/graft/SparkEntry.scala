@@ -17,7 +17,8 @@ object SparkEntry {
     CoreQueries.all ++ TextQueries.all ++ DedupQueries.all ++ MediaQueries.all ++
       ExtraQueries.all ++ GraphQueries.all ++ StreamQueries.all ++ LifecycleQueries.all ++
       SourceQueries.all ++ DriftQueries.all ++ ResolutionQueries.all ++
-      CurationQueries.all
+      CurationQueries.all ++ AnalyticsQueries.all ++ GovernanceQueries.all ++
+      EvalQueries.all ++ NetworkQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
     CoreQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++ MediaQueries.oracles ++
       ExtraQueries.oracles ++ GraphQueries.oracles ++ StreamQueries.oracles ++ LifecycleQueries.oracles ++
       SourceQueries.oracles ++ DriftQueries.oracles ++ ResolutionQueries.oracles ++
-      CurationQueries.oracles
+      CurationQueries.oracles ++ AnalyticsQueries.oracles ++
+      GovernanceQueries.oracles ++ EvalQueries.oracles ++ NetworkQueries.oracles
 }

@@ -1,0 +1,604 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{CoreOps, EntityResolution, Intervals}
+import graft.similarity.Similarity
+import graft.text.TextOps
+
+/** Behavioral / business-analytics operators over the event stream:
+  * resampling (gap-fill), distribution drift, attribution, association
+  * rules, leaderboard churn, forecasting baselines, changepoint scans,
+  * path mining, rank matching, concentration metrics (Gini / top-share),
+  * cohort LTV, and activity streaks. Split out of CurationQueries along
+  * the family seam (VERDICT r7 item 6); every number integer-exact so
+  * the DuckDB oracle replays bit-for-bit.
+  */
+object AnalyticsQueries {
+
+  import CoreOps.cents
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Time-grid gap-fill + forward-fill: daily per-user value snapshots
+    // over the events span — slots with no event carry the user's last
+    // observed value (the point-in-time reporting primitive). Grid bounds
+    // are one 1-row aggregate; the fill is a single keyed window.
+    "q192_gap_fill" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("slot"),
+          unix_micros(col("ts")).as("tsm"), col("event_id"),
+          cents(col("value")).as("v_c"))
+      val d = e.groupBy(col("user_id"), col("slot"))
+        .agg(max(struct(col("tsm").as("t"), col("event_id").as("e"),
+          col("v_c").as("v"))).getField("v").as("observed"))
+      val b = e.agg(min(col("slot")), max(col("slot"))).head()
+      Intervals.gapFill(d, "user_id", "slot", "observed",
+          b.getLong(0), b.getLong(1))
+        .groupBy(col("slot"))
+        .agg(count(col("observed")).as("n_active"),
+          sum(when(col("observed").isNull && col("filled").isNotNull, 1L)
+            .otherwise(0L)).as("n_carried"),
+          sum(col("filled")).as("sum_filled"))
+        .orderBy(col("slot"))
+    }),
+
+
+    // Distribution drift between the first and second half of the event
+    // timeline: 10 equi-width integer bins per event_type over the global
+    // [min, max] cents range, per-bin proportions in basis points, and
+    // the summed/max absolute deviation — the integer-exact total-
+    // variation surrogate of the PSI monitoring metric (PSI's ln term
+    // needs floats; TV distance gates bit-for-bit and bounds it).
+    "q193_tv_drift" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("v_c"),
+          (expr("unix_micros(ts) div 86400000000") <
+            expr("unix_micros(timestamp'2024-01-16 00:00:00') div 86400000000"))
+            .as("first_half"))
+      val mm = e.groupBy(col("event_type"))
+        .agg(min(col("v_c")).as("lo"), max(col("v_c")).as("hi"))
+      val b = e.join(broadcast(mm), "event_type")
+        .withColumn("bin",
+          least(lit(9L), expr("((v_c - lo) * 10) div (hi - lo + 1)")))
+      val n = b.groupBy(col("event_type")).agg(
+        sum(when(col("first_half"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("first_half"), 1L).otherwise(0L)).as("nb"))
+      val c = b.groupBy(col("event_type"), col("bin")).agg(
+        sum(when(col("first_half"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("first_half"), 1L).otherwise(0L)).as("cb"))
+      c.join(broadcast(n), "event_type")
+        .withColumn("dev", abs(expr("ca * 10000 div na - cb * 10000 div nb")))
+        .groupBy(col("event_type"))
+        .agg(min(col("na")).as("n_first"), min(col("nb")).as("n_second"),
+          sum(col("dev")).as("sum_abs_bp"), max(col("dev")).as("max_abs_bp"))
+        .orderBy(col("event_type"))
+    }),
+
+
+    // Last-touch attribution: each purchase credited to the user's latest
+    // click/view within 7 days — the backward as-of join (one keyed
+    // shuffle, linear per key) instead of the quadratic-per-hot-user
+    // window join; same-timestamp touches pre-collapsed by max event_id
+    // so the match is total-order deterministic.
+    "q194_attribution" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("v_c"))
+      val t = ev.filter(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .agg(max(struct(col("event_id").as("i"), col("event_type").as("t")))
+          .getField("t").as("touch"))
+      graft.ops.AsofJoin.asofJoin(p, t, Seq("user_id"), "ts_us", "ts_us",
+          toleranceMicros = Some(604800000000L))
+        .groupBy(coalesce(col("touch"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("v_c")).as("sum_cents"))
+        .orderBy(col("channel"))
+    }),
+
+
+    // Market-basket association rules (A-priori shape): baskets = each
+    // user's distinct item set (props.k), pairs generated per user AFTER
+    // the frequent-item prune (left_semi against the broadcast frequent
+    // list — the A-priori monotonicity cut that keeps per-user fan-out
+    // bounded by the FREQUENT basket size), top-20 pairs by support with
+    // both direction confidences in basis points.
+    "q202_assoc_rules" -> ((s, dir) => {
+      val baskets = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull).distinct()
+      val itemSup = baskets.groupBy(col("item")).agg(count(lit(1)).as("sup"))
+      val frequent = itemSup.filter(col("sup") >= 10)
+      val fb = baskets.join(broadcast(frequent.select(col("item"))), Seq("item"), "left_semi")
+      val pairs = fb.select(col("user_id"), col("item").as("i"))
+        .join(fb.select(col("user_id"), col("item").as("j")), "user_id")
+        .filter(col("i") < col("j"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("support"))
+      pairs
+        .join(broadcast(frequent.select(col("item").as("i"), col("sup").as("sup_i"))), "i")
+        .join(broadcast(frequent.select(col("item").as("j"), col("sup").as("sup_j"))), "j")
+        .select(col("i"), col("j"), col("support"),
+          expr("support * 10000 div sup_i").as("conf_ij_bp"),
+          expr("support * 10000 div sup_j").as("conf_ji_bp"))
+        .orderBy(col("support").desc, col("i"), col("j"))
+        .limit(20)
+    }),
+
+
+    // Daily leaderboard churn: top-10 items per day (by event count,
+    // ties to the smaller item), overlap between consecutive days — the
+    // rank-stability diagnostic behind trending/alerting dashboards.
+    // Daily tops are windowed per day (items bounded by the vocabulary);
+    // churn is one self-join keyed on item.
+    "q211_topk_churn" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull)
+        .groupBy(col("day"), col("item")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("day"))
+            .orderBy(col("n").desc, col("item"))))
+        .filter(col("rn") <= 10)
+        .select(col("day"), col("item"))
+      daily.select((col("day") - 1).as("day"), col("item"))
+        .join(daily, Seq("day", "item"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_common"))
+        .select((col("day") + 1).as("day"), col("n_common"))
+        .orderBy(col("day"))
+    }),
+
+
+    // Seasonal-naive forecast baseline + backtest MAE: predict each
+    // day's total as the value 7 days earlier and score the last two
+    // weeks — the sanity baseline every forecasting pipeline must beat,
+    // and the shape (self-join on day−7, integer absolute errors) any
+    // real backtest shares. One daily rollup + one keyed self-join.
+    "q213_seasonal_naive" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(cents(col("value"))).as("v"))
+      val d0 = daily.agg(min(col("day"))).head().getLong(0)
+      daily.select(col("event_type"), col("day"), col("v"))
+        .join(daily.select(col("event_type"), (col("day") + 7).as("day"),
+          col("v").as("pred")), Seq("event_type", "day"))
+        .filter(col("day") >= d0 + 16)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("v") - col("pred"))).as("sum_abs_err"),
+          expr("sum(abs(v - pred)) div count(1)").as("mae_cents"))
+        .orderBy(col("event_type"))
+    }),
+
+
+    // CUSUM changepoint scan: cumulative deviation of daily totals from
+    // the FIRST-HALF mean (the in-control baseline), flagging where
+    // |cusum| peaks — the classic drift-onset locator. Baseline is one
+    // broadcast row; the cusum is a single per-type running window over
+    // ~30 day rows.
+    "q214_cusum" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(cents(col("value"))).as("v"))
+      val d0 = daily.agg(min(col("day"))).head().getLong(0)
+      val base = daily.filter(col("day") < d0 + 15)
+        .groupBy(col("event_type"))
+        .agg(expr("sum(v) div count(1)").as("mu"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      daily.join(broadcast(base), "event_type")
+        .withColumn("cusum", sum(col("v") - col("mu")).over(w))
+        .groupBy(col("event_type"))
+        .agg(max(abs(col("cusum"))).as("max_abs_cusum"),
+          // scalar argmax key (|cusum|, earlier-day tiebreak): day span
+          // ≤ 1e5 so the composite never collides; struct keys are out —
+          // DuckDB's arg_max has no struct overload.
+          max_by(col("day"),
+            abs(col("cusum")) * 100000L - (col("day") - lit(d0))).as("peak_day"))
+        .orderBy(col("event_type"))
+    }),
+
+
+    // Session path mining at trigram grain: the top-10 3-step event-type
+    // paths users actually walk (per-user time order, two lag windows) —
+    // q171's transition matrix extended to path shape. Per-user windows
+    // are bounded sorts, parallel across users.
+    "q215_path_trigrams" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .groupBy(col("event_type").as("s1"), col("t2").as("s2"), col("t3").as("s3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+        .limit(10)
+    }),
+
+
+    // FIFO rank matching: each user's k-th purchase settles against the
+    // k-th click (the inventory/cost-basis allocation shape) — two
+    // per-user rank windows + one (user, rank) equi-join, never a
+    // quadratic interval pairing; unmatched tails counted per side.
+    "q216_fifo_match" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      def ranked(t: String, tsName: String) = ev
+        .filter(col("event_type") === t)
+        .select(col("user_id"), unix_micros(col("ts")).as(tsName), col("event_id"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(col(tsName), col("event_id"))))
+        .drop("event_id")
+      val c = ranked("click", "c_ts")
+      val p = ranked("purchase", "p_ts")
+      val m = p.join(c, Seq("user_id", "rk"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_matched"),
+          sum(abs(col("p_ts") - col("c_ts"))).as("sum_abs_lag_us"))
+      val nP = p.groupBy(col("user_id")).agg(count(lit(1)).as("n_p"))
+      val nC = c.groupBy(col("user_id")).agg(count(lit(1)).as("n_c"))
+      // Full-outer across the per-side counts: users with only clicks or
+      // only purchases still contribute their whole side as unmatched.
+      nP.join(nC, Seq("user_id"), "full_outer")
+        .join(m, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_users"),
+          sum(coalesce(col("n_matched"), lit(0L))).as("n_matched"),
+          sum(coalesce(col("n_p"), lit(0L)) -
+            coalesce(col("n_matched"), lit(0L))).as("n_unmatched_purchases"),
+          sum(coalesce(col("n_c"), lit(0L)) -
+            coalesce(col("n_matched"), lit(0L))).as("n_unmatched_clicks"),
+          expr("sum(sum_abs_lag_us) div sum(n_matched)").as("mean_abs_lag_us"))
+    }),
+
+
+    // Gini coefficient of per-user value concentration, exact in basis
+    // points from the rank identity G = (2·Σ rank·x − (n+1)·Σx) /
+    // (n·Σx): ranks are rangeRank order statistics, both Σ terms
+    // partial-aggregable — the inequality metric behind "is our corpus /
+    // revenue dominated by a few contributors" governance checks.
+    "q217_value_gini" -> ((s, dir) => {
+      val u = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(cents(col("value"))).as("x"))
+      val ranked = CoreOps.rangeRank(u, Seq("event_type"),
+        Seq(col("x"), col("user_id")))
+      ranked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x")).as("sum_x"),
+          sum(col("rank") * col("x")).as("sum_rx"))
+        .select(col("event_type"), col("n_users"),
+          expr("((2 * sum_rx - (n_users + 1) * sum_x) * 10000)" +
+            " div (n_users * sum_x)").as("gini_bp"))
+        .orderBy(col("event_type"))
+    }),
+
+
+    // Winner-take-all share: the top-1%-of-users' fraction of total value
+    // in basis points (ceil(n/100) heaviest users by rangeRank order
+    // statistics) — the concentration complement of q217's Gini.
+    "q218_top_share" -> ((s, dir) => {
+      val u = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(cents(col("value"))).as("x"))
+      val n = u.groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+        sum(col("x")).as("tot"))
+      CoreOps.rangeRank(u, Seq("event_type"), Seq(col("x"), col("user_id")))
+        .join(broadcast(n), "event_type")
+        .filter(col("rank") > col("n") - expr("(n + 99) div 100"))
+        .groupBy(col("event_type"))
+        .agg(min(col("n")).as("n_users"),
+          count(lit(1)).as("n_top"),
+          expr("(sum(x) * 10000) div min(tot)").as("top_share_bp"))
+        .orderBy(col("event_type"))
+    }),
+
+
+    // Cohort LTV curve: cumulative value per signup cohort across day
+    // offsets — q168's retention matrix extended to value (the curve
+    // growth teams actually plot). Two partial-aggregable aggs + one
+    // user-keyed join + a per-cohort running window over ≤30 offsets.
+    "q220_cohort_ltv" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          cents(col("value")).as("v"))
+      val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val cell = e.join(first, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("off"))
+        .agg(sum(col("v")).as("v"))
+      cell.withColumn("cum_value_cents",
+          sum(col("v")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cohort_day")).orderBy(col("off"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .select(col("cohort_day"), col("off"), col("v").as("value_cents"),
+          col("cum_value_cents"))
+        .orderBy(col("cohort_day"), col("off"))
+    }),
+
+
+    // Longest consecutive-day activity streak per user, rolled up as a
+    // streak-length histogram — gaps-and-islands on the INTEGER day
+    // axis via the day − row_number constancy trick (consecutive days
+    // share the diff), one distinct + one per-user window; the
+    // engagement metric behind every "7-day streak" product feature.
+    "q221_activity_streaks" -> ((s, dir) => {
+      val days = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      val streaks = days
+        .withColumn("isl", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(count(lit(1)).as("len"))
+      val best = streaks.groupBy(col("user_id")).agg(max(col("len")).as("best"))
+      best.groupBy(col("best").as("streak_len"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("streak_len"))
+    }),
+
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    // Forward fill replayed as an ASOF join against the latest-wins slot
+    // values (the fill value at slot t IS the as-of match at t). Two
+    // DuckDB performance cliffs found at sf1 and avoided here: struct
+    // min/max aggregates (370+ s over 1M rows — row_number latest-wins
+    // instead) and last_value(IGNORE NULLS) over a growing frame (O(n²)
+    // per partition — the ASOF formulation needs no window at all).
+    "q192_gap_fill" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS slot,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsm, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events),
+        |d AS MATERIALIZED (
+        |  SELECT user_id, slot, v_c AS observed FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, slot
+        |      ORDER BY tsm DESC, event_id DESC) AS rn FROM e)
+        |  WHERE rn = 1),
+        |bounds AS (SELECT min(slot) AS lo, max(slot) AS hi FROM e),
+        |grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS slot
+        |         FROM (SELECT DISTINCT user_id FROM e), bounds),
+        |j AS MATERIALIZED (
+        |  SELECT g.slot, d.slot AS obs_slot, d.observed
+        |  FROM grid g ASOF LEFT JOIN d
+        |    ON g.user_id = d.user_id AND g.slot >= d.slot)
+        |SELECT slot,
+        |  CAST(sum(CASE WHEN obs_slot = slot THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+        |  CAST(sum(CASE WHEN obs_slot < slot THEN 1 ELSE 0 END) AS BIGINT) AS n_carried,
+        |  CAST(sum(observed) AS BIGINT) AS sum_filled
+        |FROM j GROUP BY slot ORDER BY slot""".stripMargin,
+
+
+    "q193_tv_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 <
+        |     epoch_us(TIMESTAMP '2024-01-16 00:00:00') // 86400000000) AS first_half
+        |  FROM events),
+        |mm AS (SELECT event_type, min(v_c) AS lo, max(v_c) AS hi FROM e GROUP BY 1),
+        |b AS (
+        |  SELECT e.event_type, first_half,
+        |    least(9, ((v_c - lo) * 10) // (hi - lo + 1)) AS bin
+        |  FROM e JOIN mm USING (event_type)),
+        |n AS (SELECT event_type,
+        |        CAST(sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |        CAST(sum(CASE WHEN NOT first_half THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |      FROM b GROUP BY 1),
+        |c AS (SELECT event_type, bin,
+        |        CAST(sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |        CAST(sum(CASE WHEN NOT first_half THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |      FROM b GROUP BY 1, 2)
+        |SELECT c.event_type, min(na) AS n_first, min(nb) AS n_second,
+        |  CAST(sum(abs(ca * 10000 // na - cb * 10000 // nb)) AS BIGINT) AS sum_abs_bp,
+        |  CAST(max(abs(ca * 10000 // na - cb * 10000 // nb)) AS BIGINT) AS max_abs_bp
+        |FROM c JOIN n USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q194_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    arg_max(event_type, event_id) AS touch
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+        |m AS (
+        |  SELECT p.user_id, p.event_id, p.v_c,
+        |    CASE WHEN p.ts_us - t.ts_us <= 604800000000 THEN t.touch END AS channel
+        |  FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts_us >= t.ts_us)
+        |SELECT coalesce(channel, 'none') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(v_c) AS BIGINT) AS sum_cents
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q202_assoc_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |sup AS (SELECT item, count(*) AS sup FROM b GROUP BY 1),
+        |f AS (SELECT item, sup FROM sup WHERE sup >= 10),
+        |fb AS (SELECT b.user_id, b.item FROM b JOIN f USING (item)),
+        |p AS (
+        |  SELECT l.item AS i, r.item AS j, count(*) AS support
+        |  FROM fb l JOIN fb r ON l.user_id = r.user_id AND l.item < r.item
+        |  GROUP BY 1, 2)
+        |SELECT i, j, CAST(support AS BIGINT) AS support,
+        |  CAST(support * 10000 // fi.sup AS BIGINT) AS conf_ij_bp,
+        |  CAST(support * 10000 // fj.sup AS BIGINT) AS conf_ji_bp
+        |FROM p JOIN f fi ON fi.item = p.i JOIN f fj ON fj.item = p.j
+        |ORDER BY support DESC, i, j LIMIT 20""".stripMargin,
+
+
+    "q211_topk_churn" ->
+      """WITH daily AS (
+        |  SELECT day, item FROM (
+        |    SELECT day, item, row_number() OVER (PARTITION BY day
+        |      ORDER BY n DESC, item) AS rn
+        |    FROM (
+        |      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |        count(*) AS n
+        |      FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |      GROUP BY 1, 2))
+        |  WHERE rn <= 10)
+        |SELECT b.day, CAST(count(*) AS BIGINT) AS n_common
+        |FROM daily a JOIN daily b ON b.day = a.day + 1 AND b.item = a.item
+        |GROUP BY b.day ORDER BY b.day""".stripMargin,
+
+
+    "q213_seasonal_naive" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |d0 AS (SELECT min(day) AS d0 FROM daily)
+        |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(abs(a.v - b.v)) AS BIGINT) AS sum_abs_err,
+        |  CAST(sum(abs(a.v - b.v)) // count(*) AS BIGINT) AS mae_cents
+        |FROM daily a JOIN daily b
+        |  ON b.event_type = a.event_type AND b.day = a.day - 7, d0
+        |WHERE a.day >= d0.d0 + 16
+        |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin,
+
+
+    "q214_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |d0 AS (SELECT min(day) AS d0 FROM daily),
+        |base AS (SELECT event_type, sum(v) // count(*) AS mu
+        |         FROM daily, d0 WHERE day < d0.d0 + 15 GROUP BY 1),
+        |c AS (
+        |  SELECT daily.event_type, day,
+        |    sum(v - mu) OVER (PARTITION BY daily.event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM daily JOIN base USING (event_type))
+        |SELECT event_type, CAST(max(abs(cusum)) AS BIGINT) AS max_abs_cusum,
+        |  CAST(arg_max(day, abs(cusum) * 100000 - (day - (SELECT d0 FROM d0)))
+        |    AS BIGINT) AS peak_day
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q215_path_trigrams" ->
+      """WITH s AS (
+        |  SELECT event_type AS s1,
+        |    lead(event_type, 1) OVER w AS s2,
+        |    lead(event_type, 2) OVER w AS s3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        |SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE s3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, s1, s2, s3 LIMIT 10""".stripMargin,
+
+
+    "q216_fifo_match" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rk
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rk
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT p.user_id, count(*) AS n_matched,
+        |        sum(abs(p_ts - c_ts)) AS lag_us
+        |      FROM p JOIN c ON c.user_id = p.user_id AND c.rk = p.rk
+        |      GROUP BY 1),
+        |np AS (SELECT user_id, count(*) AS n_p FROM p GROUP BY 1),
+        |nc AS (SELECT user_id, count(*) AS n_c FROM c GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(coalesce(n_matched, 0)) AS BIGINT) AS n_matched,
+        |  CAST(sum(coalesce(n_p, 0) - coalesce(n_matched, 0)) AS BIGINT)
+        |    AS n_unmatched_purchases,
+        |  CAST(sum(coalesce(n_c, 0) - coalesce(n_matched, 0)) AS BIGINT)
+        |    AS n_unmatched_clicks,
+        |  CAST(sum(lag_us) // sum(n_matched) AS BIGINT) AS mean_abs_lag_us
+        |FROM np FULL OUTER JOIN nc USING (user_id)
+        |LEFT JOIN m USING (user_id)""".stripMargin,
+
+
+    "q217_value_gini" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, x,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY x, user_id) AS rank FROM u)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(((2 * sum(rank * x) - (count(*) + 1) * sum(x)) * 10000)
+        |    // (count(*) * sum(x)) AS BIGINT) AS gini_bp
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q218_top_share" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, count(*) AS n, sum(x) AS tot FROM u GROUP BY 1),
+        |r AS (SELECT event_type, user_id, x,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY x, user_id) AS rank FROM u)
+        |SELECT r.event_type, CAST(min(n) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_top,
+        |  CAST((sum(x) * 10000) // min(tot) AS BIGINT) AS top_share_bp
+        |FROM r JOIN n USING (event_type)
+        |WHERE rank > n - (n + 99) // 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q220_cohort_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+        |cell AS (
+        |  SELECT cohort_day, day - cohort_day AS off, sum(v) AS v
+        |  FROM e JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_day, off, CAST(v AS BIGINT) AS value_cents,
+        |  CAST(sum(v) OVER (PARTITION BY cohort_day ORDER BY off
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_value_cents
+        |FROM cell ORDER BY cohort_day, off""".stripMargin,
+
+
+    "q221_activity_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
+        |  FROM days),
+        |streaks AS (SELECT user_id, isl, count(*) AS len FROM s GROUP BY 1, 2),
+        |best AS (SELECT user_id, max(len) AS best FROM streaks GROUP BY 1)
+        |SELECT best AS streak_len, CAST(count(*) AS BIGINT) AS n_users
+        |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
+
+  )
+}

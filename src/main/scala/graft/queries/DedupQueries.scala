@@ -251,6 +251,18 @@ object DedupQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The UNBOUNDED-query-set brute-force path (completes the distributed
+    // prober bench family with q177/q178 — VERDICT r7 item 8): query
+    // vectors never reach the driver; scoring flows through the joined
+    // plan. Must land on exactly the rows q35's broadcast path produces —
+    // same oracle, same hash.
+    "q227_ann_brute_dist" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopKDistributed(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Hard-negative mining for contrastive training: per query, the 3
     // most-cosine-similar vectors with a DIFFERENT label — "looks like
     // the positive but isn't". Same broadcast + per-query top-k shape as
@@ -1198,6 +1210,20 @@ object DedupQueries {
          |  FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id)
          |SELECT source, count(*) AS n_docs, CAST(sum(w_u) AS BIGINT) AS eff_size_u
          |FROM w GROUP BY source ORDER BY source""".stripMargin,
+
+    // distributed brute-force: identical semantics, identical oracle
+    "q227_ann_brute_dist" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, corpus_id, ${cosineSql("cv", "qv")} AS sim
+         |  FROM c CROSS JOIN q WHERE corpus_id <> query_id),
+         |ranked AS (
+         |  SELECT query_id, corpus_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, corpus_id, sim FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q35_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -1,0 +1,315 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{CoreOps, EntityResolution, Intervals}
+import graft.similarity.Similarity
+import graft.text.TextOps
+
+/** Data-governance operators: expectation suites (dbt-test shape),
+  * privacy audits (k-anonymity, l-diversity), vocabulary-growth and
+  * optimizer-statistics profiling. Split out of CurationQueries along
+  * the family seam (VERDICT r7 item 6).
+  */
+object GovernanceQueries {
+
+  import CoreOps.cents
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Data-quality expectation suite (the dbt-test / Great-Expectations
+    // report): FK integrity, range, uniqueness, nullness, and a generator
+    // invariant (n_chars = length(text)), one (check, checked, failed)
+    // row each. Each check is a partial-aggregable scan (the FK check a
+    // broadcast anti-join count); the report is a union of 1-row aggs.
+    "q195_dq_expectations" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val customer = Tables.load(s, dir, "customer")
+      val lineitem = Tables.load(s, dir, "lineitem")
+      val documents = Tables.load(s, dir, "documents")
+      val events = Tables.load(s, dir, "events")
+      def check(name: String, df: org.apache.spark.sql.DataFrame,
+                failed: Column): org.apache.spark.sql.DataFrame =
+        df.agg(count(lit(1)).as("n_checked"),
+            sum(when(failed, 1L).otherwise(0L)).as("n_failed"))
+          .select(lit(name).as("check_name"), col("n_checked"), col("n_failed"))
+      val fk = orders.join(broadcast(customer.select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left")
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_failed"))
+        .select(lit("orders_custkey_fk").as("check_name"),
+          col("n_checked"), col("n_failed"))
+      val uniq = customer
+        .agg(count(lit(1)).as("n_checked"),
+          (count(lit(1)) - countDistinct(col("c_custkey"))).as("n_failed"))
+        .select(lit("customer_key_unique").as("check_name"),
+          col("n_checked"), col("n_failed"))
+      fk.unionByName(uniq)
+        .unionByName(check("lineitem_qty_range", lineitem,
+          col("l_quantity") < 1 || col("l_quantity") > 50))
+        .unionByName(check("lineitem_price_positive", lineitem,
+          !(col("l_extendedprice") > 0)))
+        .unionByName(check("documents_nchars_consistent", documents,
+          col("n_chars") =!= length(col("text"))))
+        .unionByName(check("events_value_nonnull", events,
+          col("value").isNull))
+        .orderBy(col("check_name"))
+    }),
+
+
+    // k-anonymity audit (Sweeney 2002): customers grouped by the
+    // quasi-identifier (segment, nation, balance decile); groups with
+    // < 5 members are re-identification risks and would be suppressed.
+    // Decile bounds are one broadcast row; everything else is two
+    // partial-aggregable counts.
+    "q198_k_anonymity" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_nationkey"),
+          cents(col("c_acctbal")).as("bal"))
+      val mm = c.agg(min(col("bal")).as("lo"), max(col("bal")).as("hi"))
+      val g = c.join(broadcast(mm))
+        .withColumn("decile",
+          least(lit(9L), expr("((bal - lo) * 10) div (hi - lo + 1)")))
+        .groupBy(col("c_mktsegment"), col("c_nationkey"), col("decile"))
+        .agg(count(lit(1)).as("n"))
+      g.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_risky_groups"),
+          sum(col("n")).as("n_rows"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L)).as("n_suppressed"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+
+    // Heaps-law vocabulary growth at TRIGRAM grain: new distinct
+    // 3-shingles contributed by each decile of the corpus (by doc_id
+    // order) and the cumulative vocabulary — the "does more data buy
+    // more diversity" scaling diagnostic (unigram vocab saturates in the
+    // first decile on any real corpus; higher-order n-grams are where
+    // the curve lives). First occurrence = one min agg per shingle hash;
+    // the decile histogram + running sum are driver-sized (10 rows).
+    "q200_heaps_law" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
+      val docs = Tables.load(s, dir, "documents")
+      val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val first = docs
+        .select(col("doc_id"),
+          explode(call_function("shingle_hashes", col("text"), lit(3))).as("t"))
+        .groupBy(col("t")).agg(min(col("doc_id")).as("first_doc"))
+      val dec = first
+        .withColumn("decile", least(lit(9L), expr(s"(first_doc * 10) div ${n}L")))
+        .groupBy(col("decile")).agg(count(lit(1)).as("n_new_shingles"))
+      dec.withColumn("cum_vocab",
+          sum(col("n_new_shingles")).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("decile"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .orderBy(col("decile"))
+    }),
+
+
+    // Join-cardinality estimation from CMS sketches (the AGMS/CMS inner
+    // product, Alon et al. / Cormode & Muthukrishnan): |A ⋈ B| on a key
+    // = Σ_v f_A(v)·f_B(v), estimated as the min over sketch rows of the
+    // row inner product — the optimizer-statistics primitive that sizes
+    // a join from two O(depth·width) summaries without touching either
+    // table again. The inner product only ever OVERestimates (hash
+    // collisions add non-negative mass), so ge_ok is deterministic; the
+    // slack bound is the standard N_A·N_B/width with 3× margin.
+    "q204_join_card_est" -> ((s, dir) => {
+      import graft.functions.CountMin
+      val (depth, width) = (4, 1024)
+      val ev = Tables.load(s, dir, "events")
+      def side(t: String, sk: String, n: String) =
+        ev.filter(col("event_type") === t)
+          .agg(CountMin.sketch(depth, width)(col("user_id")).as(sk),
+            count(lit(1)).as(n))
+      val joined = side("click", "ska", "n_a").crossJoin(side("purchase", "skb", "n_b"))
+      val prods = (0 until depth).map { d =>
+        expr(s"aggregate(zip_with(slice(ska, ${d * width + 1}, $width), " +
+          s"slice(skb, ${d * width + 1}, $width), (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+      }
+      val est = least(prods: _*)
+      val exact = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("ca"))
+        .join(ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cb")), "user_id")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_size"))
+      joined.crossJoin(exact)
+        .select(col("exact_size"), col("n_a"), col("n_b"),
+          (est >= col("exact_size")).as("ge_ok"),
+          ((est - col("exact_size")) * width <= col("n_a") * col("n_b") * 3)
+            .as("slack_ok"))
+    }),
+
+
+    // Equi-depth histogram per event_type (ANALYZE-style optimizer
+    // stats, the equi-DEPTH twin of q193's equi-width bins): 8 buckets
+    // whose boundaries are the exact ceil(i·n/8) order statistics from
+    // rangeRank; per-bucket row counts follow from rank arithmetic
+    // alone — no second data pass.
+    "q205_equidepth_hist" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("event_id"), cents(col("value")).as("v_c"))
+      val n = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val ranked = CoreOps.rangeRank(e, Seq("event_type"),
+        Seq(col("v_c"), col("event_id")))
+      val bounds = ranked.join(broadcast(n), "event_type")
+        .withColumn("bucket", expr("(rank * 8 + n - 1) div n")) // ceil(rank·8/n)
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("v_c")).as("hi"), count(lit(1)).as("n_rows"))
+      bounds
+        .withColumn("lo", lag(col("hi"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type")).orderBy(col("bucket"))))
+        .select(col("event_type"), col("bucket"), col("lo"), col("hi"), col("n_rows"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+
+    // l-diversity audit (Machanavajjhala et al. 2007, the k-anonymity
+    // complement): within each (segment, nation) quasi-identifier group,
+    // how many DISTINCT sensitive values (balance deciles) appear — a
+    // group of 50 people all in decile 9 is k-anonymous yet leaks the
+    // sensitive attribute outright. Groups under l = 3 are flagged.
+    "q212_l_diversity" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_nationkey"),
+          cents(col("c_acctbal")).as("bal"))
+      val mm = c.agg(min(col("bal")).as("lo"), max(col("bal")).as("hi"))
+      val g = c.join(broadcast(mm))
+        .withColumn("decile",
+          least(lit(9L), expr("((bal - lo) * 10) div (hi - lo + 1)")))
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(countDistinct(col("decile")).as("l"), count(lit(1)).as("n"))
+      g.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_groups"),
+          min(col("l")).as("min_l"),
+          sum(when(col("l") < 3, 1L).otherwise(0L)).as("n_low_diversity"),
+          sum(when(col("l") < 3, col("n")).otherwise(0L)).as("n_exposed_rows"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q195_dq_expectations" ->
+      """SELECT * FROM (
+        |  SELECT 'orders_custkey_fk' AS check_name,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_checked,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |      WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                        WHERE c.c_custkey = o.o_custkey)) AS n_failed
+        |  UNION ALL
+        |  SELECT 'customer_key_unique',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer),
+        |    (SELECT CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer)
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_range',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     WHERE l_quantity < 1 OR l_quantity > 50)
+        |  UNION ALL
+        |  SELECT 'lineitem_price_positive',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     WHERE NOT (l_extendedprice > 0))
+        |  UNION ALL
+        |  SELECT 'documents_nchars_consistent',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM documents),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |     WHERE n_chars <> length(text))
+        |  UNION ALL
+        |  SELECT 'events_value_nonnull',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM events),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM events WHERE value IS NULL)
+        |) ORDER BY check_name""".stripMargin,
+
+
+    "q198_k_anonymity" ->
+      """WITH c AS (SELECT c_mktsegment, c_nationkey,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+        |mm AS (SELECT min(bal) AS lo, max(bal) AS hi FROM c),
+        |g AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    least(9, ((bal - lo) * 10) // (hi - lo + 1)) AS decile,
+        |    count(*) AS n
+        |  FROM c, mm GROUP BY 1, 2, 3)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_suppressed
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "q200_heaps_law" ->
+      s"""WITH ${DedupQueries.shingleCtes(3)},
+         |f AS (
+         |  SELECT t, min(doc_id) AS first_doc FROM (
+         |    SELECT doc_id, unnest(hs) AS t FROM h) GROUP BY t),
+         |n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         |d AS (
+         |  SELECT least(9, (first_doc * 10) // n.n) AS decile,
+         |    CAST(count(*) AS BIGINT) AS n_new_shingles
+         |  FROM f, n GROUP BY 1)
+         |SELECT decile, n_new_shingles,
+         |  CAST(sum(n_new_shingles) OVER (ORDER BY decile
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+         |FROM d ORDER BY decile""".stripMargin,
+
+
+    // Tolerance-boolean pattern (q115): the exact join size replays in
+    // SQL; ge_ok is deterministic (inner products only overestimate) and
+    // slack_ok holds by the N_A·N_B/width bound with 3× margin.
+    "q204_join_card_est" ->
+      """WITH a AS (SELECT user_id, count(*) AS ca FROM events
+        |           WHERE event_type = 'click' GROUP BY 1),
+        |b AS (SELECT user_id, count(*) AS cb FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM events
+        |       WHERE event_type = 'click'),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM events
+        |       WHERE event_type = 'purchase')
+        |SELECT
+        |  (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT)
+        |   FROM a JOIN b USING (user_id)) AS exact_size,
+        |  na.n_a, nb.n_b, true AS ge_ok, true AS slack_ok
+        |FROM na, nb""".stripMargin,
+
+
+    "q205_equidepth_hist" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS v_c FROM events),
+        |r AS (SELECT event_type, v_c,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY v_c, event_id) AS rank FROM e),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        |bk AS (
+        |  SELECT r.event_type, (rank * 8 + n - 1) // n AS bucket,
+        |    max(v_c) AS hi, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM r JOIN n USING (event_type) GROUP BY 1, 2)
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(lag(hi) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS lo,
+        |  CAST(hi AS BIGINT) AS hi, n_rows
+        |FROM bk ORDER BY event_type, bucket""".stripMargin,
+
+
+    "q212_l_diversity" ->
+      """WITH c AS (SELECT c_mktsegment, c_nationkey,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+        |mm AS (SELECT min(bal) AS lo, max(bal) AS hi FROM c),
+        |g AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    count(DISTINCT least(9, ((bal - lo) * 10) // (hi - lo + 1))) AS l,
+        |    count(*) AS n
+        |  FROM c, mm GROUP BY 1, 2)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(min(l) AS BIGINT) AS min_l,
+        |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_diversity,
+        |  CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT) AS n_exposed_rows
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+  )
+}

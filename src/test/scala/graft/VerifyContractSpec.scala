@@ -24,7 +24,11 @@ class VerifyContractSpec extends AnyFunSuite {
     ("SourceQueries", SourceQueries.all, SourceQueries.oracles),
     ("DriftQueries", DriftQueries.all, DriftQueries.oracles),
     ("ResolutionQueries", ResolutionQueries.all, ResolutionQueries.oracles),
-    ("CurationQueries", CurationQueries.all, CurationQueries.oracles))
+    ("CurationQueries", CurationQueries.all, CurationQueries.oracles),
+    ("AnalyticsQueries", AnalyticsQueries.all, AnalyticsQueries.oracles),
+    ("GovernanceQueries", GovernanceQueries.all, GovernanceQueries.oracles),
+    ("EvalQueries", EvalQueries.all, EvalQueries.oracles),
+    ("NetworkQueries", NetworkQueries.all, NetworkQueries.oracles))
 
   test("every query has an oracle and every oracle has a query") {
     val q = SparkEntry.queries.keySet
