@@ -475,6 +475,27 @@ object DedupQueries {
           Some(newPosts), "vec_id", "embedding", k = 10, nCells = 16,
           nProbe = 4, m = 8)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF index-health census after an incremental ingest: postings per
+    // coarse cell over state ∪ tonight's batch — the cell-balance check
+    // that tells an operator when drift has lopsided the index and a
+    // re-train is due (a hot cell makes every probe of it scan-heavy;
+    // FAISS ops watch exactly this). One partial-aggregable count over
+    // the m-nibble postings — vectors are never touched.
+    "q228_ivf_cell_balance" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val isBatch = col("vec_id") % 10 === 7
+      val state = FixtureCache.dir("ivfpq_state", dir) { d =>
+        Similarity.writeIvfPqState(e.filter(!isBatch), "vec_id", "embedding",
+          d, nCells = 16, m = 8)
+      }
+      val newPosts = Similarity.ivfPqAssignToState(e.filter(isBatch), state,
+        "vec_id", "embedding", nCells = 16, m = 8)
+      s.read.parquet(state + "/postings").unionByName(newPosts)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("cell"))
     }))
 
   // ---------------------------------------------------------------- oracles
@@ -837,15 +858,18 @@ object DedupQueries {
     * CTE), while assignment, residuals, codes, probes, and ADC cover the
     * full corpus — the frozen-model incremental-ingest replay.
     */
-  private def ivfPqStateOracle(queryPred: String, k: Int, nCells: Int,
-                               nProbe: Int, m: Int, dim: Int,
-                               trainPred: String): String = {
+  /** The coarse-quantizer CTE prefix shared by the IVF+PQ replays:
+    * micros vectors, per-dim explode, centroids trained on `trainPred`
+    * rows (bare token VID = the vector id, alias-qualified), distances,
+    * and the full-corpus assignment. Callers append their own tail.
+    */
+  private def ivfPqCoarseCtes(nCells: Int, dim: Int,
+                              trainPred: String): String = {
     val cplanes = java.lang.Integer.numberOfTrailingZeros(nCells)
-    val sub = dim / m
     val seed = (0 until cplanes)
       .map(j => s"(CASE WHEN v[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH vm AS MATERIALIZED (
+    s"""vm AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
        |  FROM embeddings),
@@ -864,7 +888,14 @@ object DedupQueries {
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-       |    FROM cd) WHERE rn = 1),
+       |    FROM cd) WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfPqStateOracle(queryPred: String, k: Int, nCells: Int,
+                               nProbe: Int, m: Int, dim: Int,
+                               trainPred: String): String = {
+    val sub = dim / m
+    s"""WITH ${ivfPqCoarseCtes(nCells, dim, trainPred)},
        |rex AS MATERIALIZED (
        |  SELECT e.vec_id, a.cell, (e.i - 1) // $sub AS s, e.i AS pos,
        |    e.x - c.cu AS xr
@@ -1153,6 +1184,13 @@ object DedupQueries {
     "q226_ivfpq_incr" -> ivfPqStateOracle("b.vec_id < 5", k = 10,
       nCells = 16, nProbe = 4, m = 8, dim = 64,
       trainPred = "VID % 10 <> 7"),
+
+    // same frozen coarse model; census of the full-corpus assignment
+    "q228_ivf_cell_balance" ->
+      s"""WITH ${ivfPqCoarseCtes(16, 64, "VID % 10 <> 7")}
+         |SELECT CAST(cell AS BIGINT) AS cell,
+         |  CAST(count(*) AS BIGINT) AS n_vecs
+         |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q154_multiprobe_recall" -> {
       def level(p: Int): String = {

@@ -562,6 +562,62 @@ object TextQueries {
         .orderBy(col("lang"), col("pack_id"))
     }),
 
+    // Packing-efficiency report — the fill-rate audit every context-
+    // window pipeline runs after q74's assignment: per lang, pack count,
+    // token fill in basis points of the pack budget, and the overflow
+    // packs whose last doc spilled past the budget (allowed by
+    // concatenate-then-chunk; watching their share tells you when the
+    // budget is mis-sized for the doc-length mix). One rollup over q74's
+    // per-pack aggregate — no new shuffle shape.
+    "q229_packing_efficiency" -> ((s, dir) => {
+      val B = 512L
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).as("n_tok"))
+      TextOps.packSequences(docs, Seq("lang"), "doc_id", "n_tok", budget = B)
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(sum(col("n_tok")).as("pack_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_packs"),
+          sum(col("pack_tokens")).as("n_tokens"),
+          expr(s"(sum(pack_tokens) * 10000) div (count(1) * $B)").as("fill_bp"),
+          sum(when(col("pack_tokens") > B, 1L).otherwise(0L)).as("n_overflow"),
+          max(col("pack_tokens")).as("max_pack_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // Bigram novelty of the held-out slice vs the training slice (per
+    // lang): the unseen-bigram rate that complements q163's surprisal —
+    // high novelty = the test split genuinely differs from train (the
+    // memorization/contamination dual of q88's decontamination). Bigrams
+    // travel as the portable 8-byte charHash (the q187 lesson: exchange
+    // longs, never token-pair strings); one distinct on the train side,
+    // one hash left-join, per-lang rollup.
+    "q230_bigram_novelty" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("lang"), (col("doc_id") % 5 === 0).as("is_test"),
+          split(col("text"), " ").as("w"))
+      val pair = zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (l, r) => concat(l, lit(" "), r))
+      val bi = d.select(col("lang"), col("is_test"),
+        explode(pair).as("bg"))
+        .select(col("lang"), col("is_test"), Dedup.charHash(col("bg")).as("bh"))
+      val trainVocab = bi.filter(!col("is_test"))
+        .select(col("lang"), col("bh")).distinct()
+        .withColumn("seen", lit(1))
+      bi.filter(col("is_test"))
+        .join(trainVocab, Seq("lang", "bh"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_test_bigrams"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_unseen"),
+          expr("(sum(CASE WHEN seen IS NULL THEN 1 ELSE 0 END) * 10000)" +
+            " div count(1)").as("novelty_bp"))
+        .orderBy(col("lang"))
+    }),
+
     // F4 at reference scale: the Aho-Corasick native expression through
     // contentGate's large-blacklist path (one automaton pass per row).
     "q55_native_blacklist" -> ((s, dir) => {
@@ -761,6 +817,42 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q225_bpe_train" -> bpeTrainSql(5),
+
+    "q229_packing_efficiency" ->
+      """WITH toks AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |packed AS (
+        |  SELECT lang, n_tok,
+        |    CAST(floor(COALESCE(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS pack_id
+        |  FROM toks),
+        |per AS (SELECT lang, pack_id, sum(n_tok) AS pack_tokens
+        |        FROM packed GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_packs,
+        |  CAST(sum(pack_tokens) AS BIGINT) AS n_tokens,
+        |  CAST((sum(pack_tokens) * 10000) // (count(*) * 512) AS BIGINT) AS fill_bp,
+        |  CAST(sum(CASE WHEN pack_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+        |  CAST(max(pack_tokens) AS BIGINT) AS max_pack_tokens
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q230_bigram_novelty" -> {
+      s"""WITH t AS (
+         |  SELECT lang, doc_id % 5 = 0 AS is_test, string_split(text, ' ') AS w
+         |  FROM documents WHERE length(text) > 0),
+         |b AS MATERIALIZED (
+         |  SELECT lang, is_test, ${chSqlOf("w[i] || ' ' || w[i + 1]")} AS bh
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) r),
+         |tv AS (SELECT DISTINCT lang, bh FROM b WHERE NOT is_test)
+         |SELECT b.lang, CAST(count(*) AS BIGINT) AS n_test_bigrams,
+         |  CAST(sum(CASE WHEN tv.bh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unseen,
+         |  CAST((sum(CASE WHEN tv.bh IS NULL THEN 1 ELSE 0 END) * 10000)
+         |    // count(*) AS BIGINT) AS novelty_bp
+         |FROM b LEFT JOIN tv ON tv.lang = b.lang AND tv.bh = b.bh
+         |WHERE b.is_test GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q159_bm25_search" ->
       s"""WITH $bm25Ctes
          |SELECT CAST(query_id AS BIGINT) AS query_id,
