@@ -217,6 +217,40 @@ object CoreQueries {
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token"))
         .limit(20)
+    }),
+
+    // §2.6 NTile: per-user value deciles within event_type (the quota/
+    // tier assignment window) — decile populations and value mass. One
+    // partitioned window (bounded per-type sorts), then a hash rollup.
+    "q231_ntile_deciles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("x"), col("user_id"))
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(cents(col("value"))).as("x"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("x")).as("sum_x"))
+        .orderBy(col("event_type"), col("decile"))
+    }),
+
+    // §2.5 PIVOT: event_type × day-of-week count matrix via Spark's
+    // relational pivot (compiles to one hash aggregate with a CASE per
+    // pivot value — no per-column shuffle); oracle is the equivalent
+    // conditional aggregation.
+    "q232_pivot_dow" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"))
+        .groupBy(col("event_type"))
+        .pivot("dow", Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("event_type"), col("0").as("d0"), col("1").as("d1"),
+          col("2").as("d2"), col("3").as("d3"), col("4").as("d4"),
+          col("5").as("d5"), col("6").as("d6"))
+        .orderBy(col("event_type"))
     }))
 
   // DuckDB oracle SQL. `CAST(ts AS TIMESTAMP)` truncates the parquet NANOS
@@ -353,5 +387,33 @@ object CoreQueries {
       """SELECT token, count(*) AS cnt FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |WHERE token <> '' GROUP BY token
-        |ORDER BY cnt DESC, token LIMIT 20""".stripMargin)
+        |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "q231_ntile_deciles" ->
+      s"""WITH u AS (
+         |  SELECT event_type, user_id, ${cSum("value")} AS x
+         |  FROM events GROUP BY 1, 2),
+         |d AS (
+         |  SELECT event_type, x,
+         |    CAST(ntile(10) OVER (PARTITION BY event_type
+         |      ORDER BY x, user_id) AS BIGINT) AS decile
+         |  FROM u)
+         |SELECT event_type, decile, CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(sum(x) AS BIGINT) AS sum_x
+         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q232_pivot_dow" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS dow
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN dow = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+        |  CAST(sum(CASE WHEN dow = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |  CAST(sum(CASE WHEN dow = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |  CAST(sum(CASE WHEN dow = 3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+        |  CAST(sum(CASE WHEN dow = 4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+        |  CAST(sum(CASE WHEN dow = 5 THEN 1 ELSE 0 END) AS BIGINT) AS d5,
+        |  CAST(sum(CASE WHEN dow = 6 THEN 1 ELSE 0 END) AS BIGINT) AS d6
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)
 }
