@@ -219,6 +219,36 @@ object CoreQueries {
         .limit(20)
     }),
 
+    // §2.6 SLIDING window aggregation (window(ts, 1d, 6h)): each event
+    // lands in exactly 4 overlapping windows — the rolling-24h dashboard
+    // rollup. Spark generates the window replication map-side (one
+    // Expand, no self-join); the oracle replays the k=0..3 replication
+    // arithmetically.
+    "q233_sliding_window" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_cents"))
+        .select(unix_seconds(col("window.start")).as("w_start"),
+          col("event_type"), col("n"), col("sum_value_cents"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // §2.6/§2.10 NATIVE session windows (session_window(ts, 30 min)) —
+    // the built-in merging-window operator, distinct from q10's
+    // lag/cumsum formulation at the exact-gap boundary: an event landing
+    // exactly gap after its predecessor starts a NEW session here
+    // (window end is exclusive), where q10's `> gap` merges it. Summary
+    // per user: session count, events, and the largest session.
+    "q234_session_window" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_ev"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_ev")).as("n_events"),
+          max(col("n_ev")).as("max_session_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // §2.6 NTile: per-user value deciles within event_type (the quota/
     // tier assignment window) — decile populations and value mass. One
     // partitioned window (bounded per-type sorts), then a hash rollup.
@@ -388,6 +418,39 @@ object CoreQueries {
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |WHERE token <> '' GROUP BY token
         |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "q233_sliding_window" ->
+      s"""WITH e AS (
+         |  SELECT event_type, ${C.format("value")} AS v_c,
+         |    (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 21600) * 21600 AS base
+         |  FROM events),
+         |w AS (
+         |  SELECT event_type, v_c, base - k * 21600 AS w_start
+         |  FROM e, LATERAL (SELECT unnest(range(0, 4)) AS k) r)
+         |SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(v_c) AS BIGINT) AS sum_value_cents
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q234_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, us, event_id,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM m),
+        |per AS (SELECT user_id, grp, count(*) AS n_ev FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |  CAST(max(n_ev) AS BIGINT) AS max_session_events
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q231_ntile_deciles" ->
       s"""WITH u AS (

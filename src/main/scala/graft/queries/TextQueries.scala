@@ -618,6 +618,22 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // Tokenizer fertility per lang: subword-per-word ratio in basis
+    // points (the tokenizer-efficiency metric multilingual pipelines
+    // watch — high fertility = a lang pays more context budget per
+    // word). Both counts are codegen'd scan-local expressions; one hash
+    // rollup.
+    "q235_tokenizer_fertility" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .groupBy(col("lang"))
+        .agg(sum(TextOps.tokenCount(col("text"))).as("n_words"),
+          sum(TextOps.subwordCount(col("text"))).as("n_subwords"))
+        .withColumn("fertility_bp",
+          expr("(n_subwords * 10000) div n_words"))
+        .orderBy(col("lang"))
+    }),
+
     // F4 at reference scale: the Aho-Corasick native expression through
     // contentGate's large-blacklist path (one automaton pass per row).
     "q55_native_blacklist" -> ((s, dir) => {
@@ -817,6 +833,18 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q225_bpe_train" -> bpeTrainSql(5),
+
+    "q235_tokenizer_fertility" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z]{1,6}|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS sw
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT lang, CAST(sum(w) AS BIGINT) AS n_words,
+        |  CAST(sum(sw) AS BIGINT) AS n_subwords,
+        |  CAST((sum(sw) * 10000) // sum(w) AS BIGINT) AS fertility_bp
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q229_packing_efficiency" ->
       """WITH toks AS (
