@@ -256,6 +256,30 @@ object StreamQueries {
         .orderBy(col("bucket_start"), col("event_type"))
     }),
 
+    // §2.10 SLIDING windows in the state store (q233's streaming twin):
+    // each event feeds 4 overlapping 24h/6h window aggregates, so the
+    // state holds windowLen/slide open rows per (alignment, type) — the
+    // rolling live-dashboard shape. Complete-mode rollup is batch-split-
+    // invariant; the oracle replays the k=0..3 replication arithmetic.
+    "q236_stream_sliding" -> ((s, dir) => {
+      val src = parquetLanding("events_x2_pq", dir, eventsFlat(s, dir), 2, "event_id")
+      val ss = streamSession(s)
+      val stream = SocialStream
+        .readParquetStream(ss, src, eventsFlatSchema, maxFilesPerTrigger = 1)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val agg = SocialStream.slidingCounts(stream, "ts", Seq("event_type"),
+        windowLen = "1 day", slide = "6 hours", watermark = Horizon)
+      val sink = uniq("q236_sink_")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      q.stop()
+      ss.table(sink)
+        .select(unix_seconds(col("window_start")).as("w_start"),
+          col("event_type"), col("n"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
     // §2.10 stateful latest-wins (flatMapGroupsWithState): the streaming
     // form of the 2-day re-crawl overwriting engagement counts
     // (`reddit/lambda_function_aggregate.py:59-71`). Update-mode memory
@@ -658,6 +682,18 @@ object StreamQueries {
         |              ELSE COALESCE(event_type, '__null__') END AS bucket
         |  FROM events)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // q233's replication arithmetic, counts only (streaming twin).
+    "q236_stream_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 21600) * 21600 AS base
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, base - k * 21600 AS w_start
+        |  FROM e, LATERAL (SELECT unnest(range(0, 4)) AS k) r)
+        |SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Same sessionization semantics as q49's batch oracle: a session
     // breaks when the gap to the previous event reaches 30 minutes.

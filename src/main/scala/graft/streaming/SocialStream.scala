@@ -58,6 +58,21 @@ object SocialStream {
       .select((Seq(col("window.start").as("window_start"),
         col("window.end").as("window_end")) ++ keyCols.map(col) :+ col("n")): _*)
 
+  /** Sliding-window twin of [[tumblingCounts]]: each event contributes to
+    * windowLen/slide overlapping windows, so the state store holds that
+    * many open aggregates per (key, alignment) — the rolling-24h live
+    * dashboard shape. Spark replicates map-side (Expand), never
+    * self-joins the stream.
+    */
+  def slidingCounts(df: DataFrame, tsCol: String, keyCols: Seq[String],
+                    windowLen: String, slide: String,
+                    watermark: String = "2 days"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), windowLen, slide) +: keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"))
+      .select((Seq(col("window.start").as("window_start"),
+        col("window.end").as("window_end")) ++ keyCols.map(col) :+ col("n")): _*)
+
   /** Streaming sessionization: per-key event counts per activity session,
     * where a session extends while consecutive events arrive within
     * `gap`. The stateful streaming twin of the batch `session_window`

@@ -84,4 +84,40 @@ class PropertySpec extends AnyFunSuite {
     assert(mapped.columns.toSeq == posts.columns.toSeq)
     assert(mapped.filter($"id" === "p1").head().getAs[String]("content") == "Hello")
   }
+
+  test("greedyMerge invariants: content-preserving, count-exact, no pair survives adjacent-new") {
+    import graft.text.TextOps
+    val tok: Gen[String] = Gen.oneOf("a", "b", "c", "ab")
+    val toksGen: Gen[Vector[String]] = Gen.listOf(tok).map(_.toVector)
+    val pairGen: Gen[(String, String)] =
+      for { l <- tok; r <- tok } yield (l, r)
+    for (((toks, (l, r)), i) <- samples(Gen.zip(toksGen, pairGen), 300).zipWithIndex) {
+      val out = TextOps.greedyMerge(toks, l, r, sep = "")
+      // merges consume; concatenated content is invariant under sep=""
+      assert(out.mkString == toks.mkString, s"case $i content drifted")
+      // every merge removes exactly one symbol, and the scan reference
+      // (explicit index walk) agrees on the count
+      var ref = 0; var j = 0
+      while (j < toks.length) {
+        if (j + 1 < toks.length && toks(j) == l && toks(j + 1) == r) { ref += 1; j += 2 }
+        else j += 1
+      }
+      assert(out.length == toks.length - ref, s"case $i merge count")
+    }
+  }
+
+  test("bpeTrain: token count strictly decreases per round; pairs bound merges") {
+    import graft.text.TextOps
+    val docs = Seq((1L, "a b a b a b"), (2L, "b a b a"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val rounds = TextOps.bpeTrain(docs, "doc_id", "text", nMerges = 4)
+      .orderBy("step")
+      .as[(Int, String, String, Long, Long)].collect()
+    val n0 = 6L + 4L + 1L
+    val counts = n0 +: rounds.map(_._5)
+    counts.sliding(2).zip(rounds.iterator).foreach { case (Seq(before, after), r) =>
+      assert(after < before, s"round ${r._1} did not shrink the corpus")
+      assert(before - after <= r._4, s"round ${r._1} merged more than its pair count")
+    }
+  }
 }
