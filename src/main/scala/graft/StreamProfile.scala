@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 object StreamProfile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = SparkSession.builder().master("local[*]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -33,8 +33,16 @@ object StreamProfile {
         .withWatermark("ts", "36500 days")
         .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-      val ckpt = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get("/dev/shm"), "sp_ckpt_").toString
+      // tmpfs when the host has it (the Linux bench box), else the JVM
+      // temp dir — the profiler must run anywhere, not just this host.
+      val ckptRoot = {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) shm
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      }
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(ckptRoot, "sp_ckpt_").toString
       val q = stream.writeStream.format("memory").queryName(s"sp_$rep")
         .option("checkpointLocation", ckpt)
         .outputMode("complete").start()

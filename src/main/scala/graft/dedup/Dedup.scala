@@ -257,7 +257,7 @@ object Dedup {
     val banded0 = keyed.repartition(keyCols.map(col): _*)
     val keyedP = checkpointDir match {
       case Some(d) =>
-        banded0.sparkSession.sparkContext.setCheckpointDir(d)
+        graft.ops.Checkpoints.ensureDir(banded0.sparkSession.sparkContext, d)
         banded0.checkpoint()
       case None => banded0.localCheckpoint()
     }

@@ -24,7 +24,7 @@ object GraphAlgos {
   private def truncate(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(d) =>
-        df.sparkSession.sparkContext.setCheckpointDir(d)
+        graft.ops.Checkpoints.ensureDir(df.sparkSession.sparkContext, d)
         df.checkpoint()
       case None => df.localCheckpoint()
     }

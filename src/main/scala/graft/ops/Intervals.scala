@@ -131,7 +131,7 @@ object Intervals {
     // Latest pre-grid observation per key seeds the fill (max_by on the
     // original slot) — one partial-aggregable groupBy over only the
     // pre-grid rows, never the corpus.
-    val seed = df.filter(col(slotCol) < minSlot)
+    val seed = df.filter(col(slotCol) < minSlot && col(valCol).isNotNull)
       .groupBy(col(key))
       .agg(max(struct(col(slotCol).as("s"), col(valCol).as("v")))
         .getField("v").as("__seed"))

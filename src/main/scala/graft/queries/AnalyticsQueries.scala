@@ -32,10 +32,17 @@ object AnalyticsQueries {
           expr("unix_micros(ts) div 86400000000").as("slot"),
           unix_micros(col("ts")).as("tsm"), col("event_id"),
           cents(col("value")).as("v_c"))
+      // gapFill references its input three times (grid keys, in-grid
+      // rows, pre-grid seed) and the bounds are a fourth pass; without
+      // pinning, each subplan rescans events. d is one row per
+      // (user, slot) — checkpoint it and take the slot bounds from d
+      // (identical to bounds over e: every event lands in some group),
+      // so events is scanned exactly once.
       val d = e.groupBy(col("user_id"), col("slot"))
         .agg(max(struct(col("tsm").as("t"), col("event_id").as("e"),
           col("v_c").as("v"))).getField("v").as("observed"))
-      val b = e.agg(min(col("slot")), max(col("slot"))).head()
+        .localCheckpoint()
+      val b = d.agg(min(col("slot")), max(col("slot"))).head()
       Intervals.gapFill(d, "user_id", "slot", "observed",
           b.getLong(0), b.getLong(1))
         .groupBy(col("slot"))
@@ -161,10 +168,16 @@ object AnalyticsQueries {
     // and the shape (self-join on day−7, integer absolute errors) any
     // real backtest shares. One daily rollup + one keyed self-join.
     "q213_seasonal_naive" -> ((s, dir) => {
+      // daily is tiny (event_type x day); localCheckpoint pins it so the
+      // d0 scalar and BOTH self-join sides read the materialized rows —
+      // events is scanned exactly once, never per-subplan (the r8 sf1
+      // regression was this query rescanning events 3x when AQE exchange
+      // reuse didn't fire).
       val daily = Tables.load(s, dir, "events")
         .groupBy(col("event_type"),
           expr("unix_micros(ts) div 86400000000").as("day"))
         .agg(sum(cents(col("value"))).as("v"))
+        .localCheckpoint()
       val d0 = daily.agg(min(col("day"))).head().getLong(0)
       daily.select(col("event_type"), col("day"), col("v"))
         .join(daily.select(col("event_type"), (col("day") + 7).as("day"),
@@ -184,10 +197,14 @@ object AnalyticsQueries {
     // broadcast row; the cusum is a single per-type running window over
     // ~30 day rows.
     "q214_cusum" -> ((s, dir) => {
+      // Same single-scan treatment as q213: daily is event_type x day
+      // rows, so checkpointing it costs nothing and the d0 scalar, the
+      // baseline agg, and the window input all read materialized rows.
       val daily = Tables.load(s, dir, "events")
         .groupBy(col("event_type"),
           expr("unix_micros(ts) div 86400000000").as("day"))
         .agg(sum(cents(col("value"))).as("v"))
+        .localCheckpoint()
       val d0 = daily.agg(min(col("day"))).head().getLong(0)
       val base = daily.filter(col("day") < d0 + 15)
         .groupBy(col("event_type"))

@@ -1079,21 +1079,40 @@ object Similarity {
     StructField("code", ArrayType(IntegerType, containsNull = false))))
 
   /** Read the frozen index model back: (centroids by cell, codebook
-    * [s][cell]) — bounded artifacts (nCells·dim + m·16·sub longs, the
-    * broadcast-variable class), collected once per caller.
+    * [s][cell], dim, sub) — bounded artifacts (nCells·dim + m·16·sub
+    * longs, the broadcast-variable class), collected once per caller.
+    *
+    * Geometry (nCells, m, dim, sub) is DERIVED from the persisted rows,
+    * never trusted from the caller: a parameter smaller than what the
+    * state was written with used to surface as a raw
+    * ArrayIndexOutOfBounds deep in the kernel. Empty/missing state now
+    * fails fast with a named message instead of a kernel
+    * NoSuchElementException.
     */
-  private def readIvfPqModel(spark: SparkSession, stateDir: String,
-                             nCells: Int, m: Int,
-                             sub: Int): (Array[Array[Long]], Array[Array[Array[Long]]]) = {
+  private def readIvfPqModel(spark: SparkSession, stateDir: String)
+      : (Array[Array[Long]], Array[Array[Array[Long]]], Int, Int) = {
+    val centRows = spark.read.parquet(stateDir + "/centroids").collect()
+    require(centRows.nonEmpty,
+      s"ivfpq state at $stateDir/centroids is empty — index was never " +
+        "written or the dir is wrong")
+    val nCells = centRows.iterator.map(_.getLong(0).toInt).max + 1
     val cc = Array.fill(nCells)(null: Array[Long])
-    spark.read.parquet(stateDir + "/centroids").collect().foreach { r =>
-      cc(r.getLong(0).toInt) = r.getSeq[Long](1).toArray
-    }
+    centRows.foreach { r => cc(r.getLong(0).toInt) = r.getSeq[Long](1).toArray }
+    val dim = centRows.head.getSeq[Long](1).length
+    val cbRows = spark.read.parquet(stateDir + "/codebooks").collect()
+    require(cbRows.nonEmpty,
+      s"ivfpq state at $stateDir/codebooks is empty — index was never " +
+        "written or the dir is wrong")
+    val m = cbRows.iterator.map(_.getLong(0).toInt).max + 1
     val cb = Array.fill(m, 16)(null: Array[Long])
-    spark.read.parquet(stateDir + "/codebooks").collect().foreach { r =>
+    cbRows.foreach { r =>
       cb(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getSeq[Long](2).toArray
     }
-    (cc, cb)
+    val sub = cbRows.head.getSeq[Long](2).length
+    require(m * sub == dim,
+      s"ivfpq state at $stateDir inconsistent: m=$m subspaces of width " +
+        s"$sub != centroid dim $dim")
+    (cc, cb, dim, sub)
   }
 
   /** Assign + encode ONLY the new batch against the frozen state: one
@@ -1107,9 +1126,11 @@ object Similarity {
   def ivfPqAssignToState(batch: DataFrame, stateDir: String, idCol: String,
                          vecCol: String, nCells: Int = 16, m: Int = 8,
                          dim: Int = 64): DataFrame = {
-    val sub = dim / m
     val spark = batch.sparkSession
-    val (cc, cb) = readIvfPqModel(spark, stateDir, nCells, m, sub)
+    val (cc, cb, dimS, sub) = readIvfPqModel(spark, stateDir)
+    require(dimS == dim && cb.length == m,
+      s"caller declared dim=$dim m=$m but state at $stateDir was written " +
+        s"with dim=$dimS m=${cb.length}")
     val bm = spark.sparkContext.broadcast((cc, cb))
     implicit val enc = Encoders.row(postingSchema)
     batch.select(col(idCol).cast("long").as("id"), microsVec(vecCol).as("vm"))
@@ -1149,10 +1170,12 @@ object Similarity {
                        vecCol: String, k: Int, nCells: Int = 16,
                        nProbe: Int = 4, m: Int = 8,
                        dim: Int = 64): DataFrame = {
-    val sub = dim / m
     val spark = queries.sparkSession
-    val (cc, cb) = readIvfPqModel(spark, stateDir, nCells, m, sub)
-    val bm = spark.sparkContext.broadcast((cc, cb))
+    val (cc, cb, dimS, sub) = readIvfPqModel(spark, stateDir)
+    require(dimS == dim && cb.length == m,
+      s"caller declared dim=$dim m=$m but state at $stateDir was written " +
+        s"with dim=$dimS m=${cb.length}")
+    val bm = spark.sparkContext.broadcast((cc, cb, dimS))
     val postings = extraPostings.foldLeft(
       spark.read.parquet(stateDir + "/postings"))(_ unionByName _)
     val tblSchema = StructType(Seq(
@@ -1163,11 +1186,11 @@ object Similarity {
       implicit val enc = Encoders.row(tblSchema)
       queries.select(col(idCol).cast("long").as("id"), microsVec(vecCol).as("vm"))
         .mapPartitions { it =>
-          val (ccv, cbv) = bm.value
+          val (ccv, cbv, dimv) = bm.value
           it.flatMap { r =>
             val qid = r.getLong(0)
             probeTables(r.getSeq[Long](1).toArray, ccv, cbv,
-                ccv.length, nProbe, ccv.filter(_ != null).head.length, sub)
+                ccv.length, nProbe, dimv, sub)
               .iterator.map { case (c, t) => Row(c.toLong, qid, t.toSeq) }
           }
         }(enc)

@@ -557,17 +557,16 @@ object TextOps {
     */
   def bpeTrain(docs: DataFrame, idCol: String, textCol: String, nMerges: Int,
                sep: String = "",
-               checkpointDir: Option[String] = None): DataFrame = {
+               checkpointDir: Option[String] = None,
+               kernelCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     require(nMerges >= 1, "need nMerges >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
+    checkpointDir.foreach(d =>
+      graft.ops.Checkpoints.ensureDir(spark.sparkContext, d))
     def truncate(ds: org.apache.spark.sql.Dataset[(Long, IndexedSeq[String])]) =
-      checkpointDir match {
-        case Some(d) =>
-          spark.sparkContext.setCheckpointDir(d)
-          ds.checkpoint()
-        case None => ds.localCheckpoint()
-      }
+      if (checkpointDir.isDefined) ds.checkpoint() else ds.localCheckpoint()
     var cur = truncate(docs
       .select(col(idCol).cast("long").as("id"),
         split(col(textCol), " ").as("toks"))
@@ -589,10 +588,19 @@ object TextOps {
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, n) = top.head
+        // kernelCounter counts merge-kernel doc visits: with per-round
+        // lineage truncation each doc is visited exactly once per round
+        // (rounds × docs total); a broken checkpoint re-runs earlier
+        // kernels and the count goes quadratic — asserted in PlanAuditSpec.
         cur = truncate(cur.map { case (id, toks) =>
+          kernelCounter.foreach(_.add(1L))
           (id, greedyMerge(toks, l, r, sep))
         })
-        val nAfter = cur.map(_._2.length.toLong).reduce(_ + _)
+        // sum(size(toks)) instead of a typed reduce: codegen'd, and
+        // RDD.reduce's ClosureCleaner can't read lambda bytecode under
+        // layered classloaders (sbt test) — NPE'd there.
+        val nAfter = cur.toDF("id", "toks")
+          .agg(sum(size(col("toks")))).head().getLong(0)
         out += ((step, l, r, n, nAfter))
         step += 1
       }

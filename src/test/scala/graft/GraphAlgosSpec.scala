@@ -116,7 +116,13 @@ class GraphAlgosSpec extends AnyFunSuite {
   }
 
   test("reliable checkpointDir: same results, checkpoint files materialize") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    // The SparkContext checkpoint dir is set-once (Checkpoints.ensureDir);
+    // if an earlier suite already pinned it on the shared session, reuse
+    // that root instead of requesting a fresh one (which would be refused).
+    val dir = spark.sparkContext.getCheckpointDir match {
+      case Some(existing) => new java.net.URI(existing).getPath
+      case None => java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    }
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
     val local = GraphAlgos.pageRank(edges, "src", "dst", iters = 3)
       .as[(Long, Long)].collect().toMap

@@ -280,6 +280,41 @@ class PlanAuditSpec extends AnyFunSuite {
       "more than one window pass in the forward-fill")
   }
 
+  test("seasonal-naive backtest scans events once, not per-subplan") {
+    // r8 regression: q213's d0 scalar + both self-join sides each
+    // rescanned events when AQE exchange reuse didn't fire (7.9× at
+    // sf1). The fix pins the daily rollup via localCheckpoint, so the
+    // final plan reads materialized rows — at most 2 events scans are
+    // tolerable, the shipped design has zero.
+    val plan = run("q213_seasonal_naive")
+    val eventsScans = plan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("events"))
+    assert(eventsScans <= 2,
+      s"q213: $eventsScans events scans in the final plan — the daily " +
+        "rollup is being recomputed per consumer")
+    assert(plan.contains("ExistingRDD"),
+      "q213: no materialized (checkpointed) daily rollup in the plan")
+  }
+
+  test("bpeTrain: merge kernel visits each doc exactly once per round") {
+    // The iterative-loop invariant (VERDICT r8 item 6): per-round lineage
+    // truncation means round k plans O(1) kernel work. If the checkpoint
+    // silently stopped truncating, every round would re-run all earlier
+    // merge kernels and the visit count would go quadratic
+    // (rounds*(rounds+1)/2 * docs instead of rounds * docs).
+    import spark.implicits._
+    import graft.text.TextOps
+    val acc = spark.sparkContext.longAccumulator("bpe_kernel_docs")
+    val docs = Seq((1L, "a b a b a b c d"), (2L, "b a b a c d"),
+      (3L, "c d c d")).toDF("doc_id", "text")
+    val rounds = TextOps.bpeTrain(docs, "doc_id", "text", nMerges = 3,
+      kernelCounter = Some(acc)).count().toInt
+    assert(rounds >= 2, "fixture too small to exercise multiple rounds")
+    assert(acc.value == rounds.toLong * 3,
+      s"bpeTrain kernel ran ${acc.value} doc-visits for $rounds rounds " +
+        s"× 3 docs — lineage is not truncated per round")
+  }
+
   test("partition-pruned scan reads only the selected partition") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_pp_").toString

@@ -115,7 +115,7 @@ class PropertySpec extends AnyFunSuite {
       .as[(Int, String, String, Long, Long)].collect()
     val n0 = 6L + 4L + 1L
     val counts = n0 +: rounds.map(_._5)
-    counts.sliding(2).zip(rounds.iterator).foreach { case (Seq(before, after), r) =>
+    counts.sliding(2).zip(rounds.iterator).foreach { case (Array(before, after), r) =>
       assert(after < before, s"round ${r._1} did not shrink the corpus")
       assert(before - after <= r._4, s"round ${r._1} merged more than its pair count")
     }
