@@ -8,6 +8,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
+      // Session artifact isolation (Spark 4 default) keys the codegen
+      // cache on a per-session/query classloader, so every STREAMING
+      // query start recompiled all its generated classes (~14 Janino
+      // compiles, ~0.4-0.6 s per invocation). No runtime artifacts are
+      // ever added here; disable it so the cache hits across queries.
+      .config("spark.sql.artifact.isolation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_ISO", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

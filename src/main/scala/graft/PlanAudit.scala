@@ -13,6 +13,8 @@ object PlanAudit {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // see Bench.scala: codegen cache is classloader-keyed; isolation off
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val interesting = Seq(

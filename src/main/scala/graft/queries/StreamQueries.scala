@@ -123,6 +123,11 @@ object StreamQueries {
           // keys, and every extra shuffle partition is one more state
           // file fsync'd PER micro-batch per stateful operator.
           s2.conf.set("spark.sql.shuffle.partitions", "4")
+          // AQE never applies inside micro-batch plans, and the session's
+          // OTHER queries (memory-sink readbacks, 1-row sentinels) are
+          // tiny — AQE's per-action query-stage materialization is pure
+          // added latency (~0.15 s each, measured in Scratch2).
+          s2.conf.set("spark.sql.adaptive.enabled", "false")
           s2.conf.set("spark.sql.streaming.checkpointLocation", ckptRoot)
           // NOTE deliberately NOT disabling noDataMicroBatches: a
           // watermark computed from batch N's data only takes effect in
