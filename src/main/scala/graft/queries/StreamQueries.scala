@@ -79,6 +79,34 @@ object StreamQueries {
   private def uniq(prefix: String): String =
     prefix + java.util.UUID.randomUUID().toString.replace("-", "")
 
+  /** N-file landing with PINNED batch order: `slices(i)` becomes batch
+    * i. The file source processes oldest-modtime first
+    * (latestFirst=false), so the files' modification times — set a
+    * minute apart — pin which rows establish the watermark and which
+    * arrive behind it. This is the determinism the Horizon queries
+    * side-step: here the batch split IS the semantics under test.
+    */
+  private def orderedLanding(key: String, sfDir: String,
+                             slices: Seq[() => DataFrame]): String =
+    FixtureCache.dir(key, sfDir) { dir =>
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft_ord_").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part in $tmp"))
+        val dst = java.nio.file.Paths.get(dir, name)
+        Files.move(part.toPath, dst): Unit
+        if (!dst.toFile.setLastModified(mtime))
+          sys.error(s"cannot set mtime on $dst")
+      }
+      val t = System.currentTimeMillis()
+      slices.zipWithIndex.foreach { case (df, i) =>
+        writeOne(df(), s"batch$i.parquet", t - 60000L * (slices.size - i))
+      }
+    }
+
   /** Memory-backed checkpoint root shared by every stream query in this
     * JVM. A streaming query's fixed cost is dominated by checkpoint
     * durability IO — offset-log, commit-log, and state-store files are
@@ -282,6 +310,58 @@ object StreamQueries {
       ss.table(sink)
         .select(unix_seconds(col("window_start")).as("w_start"),
           col("event_type"), col("n"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // §2.10 WATERMARK LATENESS, oracle-gated end-to-end: the reference
+    // re-crawls engagement 2 days behind the scrape
+    // (`reddit/lambda_function_aggregate.py:38`), so rows arriving ≥2
+    // days behind the stream's max event time are beyond recovery and a
+    // real deployment DROPS them at the watermark. Spark's late-event
+    // filter runs one trigger BEHIND the displayed watermark (batch N
+    // filters with the value that was current during batch N−1 —
+    // verified empirically: a 2-batch fixture drops nothing), so the
+    // fixture is THREE modtime-ordered files: batch 0 (Jan 10-20)
+    // establishes max event time; batch 1 (the ≥ Jan 21 tail, all kept)
+    // burns the delay trigger, after which the late-filter watermark is
+    // batch 0's max − 2 days ≈ Jan 18.x; batch 2 carries the pre-Jan-10
+    // stragglers — every window end ≤ Jan 10, ≥8 days behind — which
+    // are dropped, plus the fused far-future sentinel that flushes the
+    // append-mode windows in the trailing no-data batch. Margins are so
+    // wide that row-level vs window-level late filtering and </<=
+    // boundary choices all agree. The oracle replays the drop rule in
+    // batch SQL: windows whose end clears (batch-0 max ts − 2 days)
+    // survive.
+    "q237_stream_late_drop" -> ((s, dir) => {
+      val ss = streamSession(s)
+      val far = 7258118400000000L
+      val jan10 = 1704844800000000L // 2024-01-10T00:00:00Z micros
+      val jan21 = 1705795200000000L // 2024-01-21T00:00:00Z micros
+      val src = orderedLanding("q237_ordered", dir, Seq(
+        () => eventsFlat(s, dir)
+          .filter(col("ts_us") >= jan10 && col("ts_us") < jan21),
+        () => eventsFlat(s, dir).filter(col("ts_us") >= jan21),
+        () => {
+          import s.implicits._
+          eventsFlat(s, dir).filter(col("ts_us") < jan10)
+            .unionByName(Seq((-1L, far, "__sentinel", 0L))
+              .toDF("event_id", "ts_us", "event_type", "value_cents"))
+        }))
+      val stream = SocialStream
+        .readParquetStream(ss, src, eventsFlatSchema, maxFilesPerTrigger = 1)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val agg = stream.withWatermark("ts", "2 days")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
+      val sink = uniq("q237_sink_")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      ss.table(sink)
+        .filter(col("event_type") =!= "__sentinel")
+        .select(unix_seconds(col("window.start")).as("w_start"),
+          col("event_type"), col("n"), col("sum_cents"))
         .orderBy(col("w_start"), col("event_type"))
     }),
 
@@ -687,6 +767,35 @@ object StreamQueries {
         |              ELSE COALESCE(event_type, '__null__') END AS bucket
         |  FROM events)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // The watermark drop rule replayed in batch SQL: the watermark is
+    // (max ts of the Jan 10-20 batch) − 2 days; batch-1 rows survive iff
+    // their day-window END clears it. Batch-0 rows always survive (they
+    // defined the watermark). Margins are ≥3 days either side, so any
+    // boundary convention gives the same rows.
+    "q237_stream_late_drop" ->
+      """WITH f1 AS (
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-21 00:00:00'),
+        |f2 AS (
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-10 00:00:00'
+        |     OR CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-21 00:00:00'),
+        |wm AS (SELECT max(t) - INTERVAL 2 DAY AS w FROM f1),
+        |kept AS (
+        |  SELECT * FROM f1
+        |  UNION ALL
+        |  SELECT f2.* FROM f2, wm
+        |  WHERE date_trunc('day', f2.t) + INTERVAL 1 DAY > wm.w)
+        |SELECT CAST(epoch(date_trunc('day', t)) AS BIGINT) AS w_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(vc) AS BIGINT) AS sum_cents
+        |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q233's replication arithmetic, counts only (streaming twin).
     "q236_stream_sliding" ->
