@@ -32,17 +32,15 @@ object AnalyticsQueries {
           expr("unix_micros(ts) div 86400000000").as("slot"),
           unix_micros(col("ts")).as("tsm"), col("event_id"),
           cents(col("value")).as("v_c"))
-      // gapFill references its input three times (grid keys, in-grid
-      // rows, pre-grid seed) and the bounds are a fourth pass; without
-      // pinning, each subplan rescans events. d is one row per
-      // (user, slot) — checkpoint it and take the slot bounds from d
-      // (identical to bounds over e: every event lands in some group),
-      // so events is scanned exactly once.
+      // gapFill references its input three times; the subplans share the
+      // d exchange via AQE reuse. Measured both ways at sf0.1 AND sf1
+      // (r9): pinning d with localCheckpoint costs +0.5 s at sf0.1 and
+      // sf1 shows no reuse failure here (0.62 s) — unlike q213, whose
+      // 3 consumers DID detach. So q192 keeps the declarative shape.
       val d = e.groupBy(col("user_id"), col("slot"))
         .agg(max(struct(col("tsm").as("t"), col("event_id").as("e"),
           col("v_c").as("v"))).getField("v").as("observed"))
-        .localCheckpoint()
-      val b = d.agg(min(col("slot")), max(col("slot"))).head()
+      val b = e.agg(min(col("slot")), max(col("slot"))).head()
       Intervals.gapFill(d, "user_id", "slot", "observed",
           b.getLong(0), b.getLong(1))
         .groupBy(col("slot"))

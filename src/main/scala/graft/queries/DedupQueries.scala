@@ -206,6 +206,43 @@ object DedupQueries {
         .orderBy(col("lang"))
     }),
 
+    // Contamination REPORT — the audit dual of q88's filter: q88 answers
+    // "which corpus docs touch the benchmark", this answers "how badly is
+    // each benchmark doc leaked into the training split", the number an
+    // eval-integrity review actually cites. Per eval doc (doc_id % 97 ==
+    // 0): the share of its DISTINCT 5-gram shingles that appear anywhere
+    // in the train split, in basis points, rolled up per lang. Shingles
+    // exchange as 8-byte charHashes (the q187 lesson — never shuffle the
+    // strings); the train side is a distinct hash set, the probe an
+    // ids-only left join on the hash.
+    "q240_contamination_report" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 5)
+        .withColumn("is_eval", col("doc_id") % 97 === 0)
+      val sh = d.select(col("doc_id"), col("lang"), col("is_eval"),
+          explode(expr("transform(sequence(0, size(w) - 5)," +
+            " i -> concat_ws(' ', slice(w, i + 1, 5)))")).as("g"))
+        .select(col("doc_id"), col("lang"), col("is_eval"),
+          Dedup.charHash(col("g")).as("h"))
+      val trainSet = sh.filter(!col("is_eval")).select(col("h")).distinct()
+        .withColumn("seen", lit(1))
+      sh.filter(col("is_eval"))
+        .select(col("doc_id"), col("lang"), col("h")).distinct()
+        .join(trainSet, Seq("h"), "left")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("seen").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .withColumn("contam_bp", expr("n_hit * 10000 div n_shingles"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_eval_docs"),
+          sum(col("n_hit")).as("sum_hits"),
+          expr("sum(contam_bp) div count(1)").as("mean_contam_bp"),
+          sum(when(col("contam_bp") >= 5000, 1L).otherwise(0L))
+            .as("n_flagged"))
+        .orderBy(col("lang"))
+    }),
+
     // Near-dup clustering: minhash pairs closed under transitivity
     // (hash-min components), per-cluster sizes — the keep-one-per-cluster
     // dedup a training corpus actually ships.
@@ -1097,6 +1134,33 @@ object DedupQueries {
          |FROM h LEFT JOIN ov USING (doc_id)
          |WHERE doc_id % 97 <> 0
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Per-eval-doc distinct-5-gram overlap vs the train split's hash set,
+    // same charHash both sides so the join replays bit-for-bit.
+    "q240_contamination_report" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, doc_id % 97 = 0 AS is_eval,
+         |    string_split(text, ' ') AS w
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+         |s AS MATERIALIZED (
+         |  SELECT doc_id, lang, is_eval,
+         |    ${chSql("w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' ' || " +
+            "w[i + 3] || ' ' || w[i + 4]")} AS h
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) r),
+         |tv AS (SELECT DISTINCT h FROM s WHERE NOT is_eval),
+         |ev AS (SELECT DISTINCT doc_id, lang, h FROM s WHERE is_eval),
+         |per AS (
+         |  SELECT ev.doc_id, ev.lang, count(*) AS n_shingles,
+         |    sum(CASE WHEN tv.h IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+         |  FROM ev LEFT JOIN tv ON tv.h = ev.h GROUP BY 1, 2),
+         |d AS (SELECT lang, n_hit,
+         |  n_hit * 10000 // n_shingles AS contam_bp FROM per)
+         |SELECT lang, count(*) AS n_eval_docs,
+         |  CAST(sum(n_hit) AS BIGINT) AS sum_hits,
+         |  CAST(sum(contam_bp) // count(*) AS BIGINT) AS mean_contam_bp,
+         |  CAST(sum(CASE WHEN contam_bp >= 5000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q33_simhash" ->
       s"""SELECT doc_id, sig FROM (${simhashSigSql()}) WHERE doc_id < 50 ORDER BY doc_id""",

@@ -634,6 +634,61 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // Repetition signal (the Gopher/CCNet "repeated n-grams" quality
+    // gate): per doc, the share of its 4-grams that are repeats of an
+    // earlier 4-gram in the SAME doc, in basis points — the cheapest
+    // high-precision detector for boilerplate/looping text (a failure
+    // mode LLM corpora must filter). Everything is scan-local higher-
+    // order-function arithmetic (transform/array_distinct per row — no
+    // explode, no shuffle of gram rows); one hash rollup per lang.
+    "q238_repetition_score" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 4)
+        .withColumn("n4", (size(col("toks")) - lit(3)).cast("long"))
+        .withColumn("grams", expr(
+          "transform(sequence(0, size(toks) - 4)," +
+            " i -> concat_ws('#', slice(toks, i + 1, 4)))"))
+        .withColumn("rep_bp",
+          expr("(n4 - size(array_distinct(grams))) * 10000 div n4"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("rep_bp")).as("sum_rep_bp"),
+          expr("sum(rep_bp) div count(1)").as("mean_rep_bp"),
+          sum(when(col("rep_bp") > 0, 1L).otherwise(0L)).as("n_with_dup"))
+        .orderBy(col("lang"))
+    }),
+
+    // Largest-remainder (Hamilton) apportionment of a fixed 1M-token
+    // training budget across languages, proportional to corpus token
+    // mass — the data-mixing step every multilingual training run pins
+    // down, done integer-exact so the oracle replays it bit-for-bit
+    // (floating-point proportional allocation never sums to the budget;
+    // quota + ranked-remainder top-up does, provably). The corpus scan
+    // is one partial-aggregable rollup; the apportionment runs on the
+    // per-lang table (a handful of rows — the unpartitioned windows are
+    // driver-scale by construction).
+    "q239_token_budget_apportion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 1000000L
+      val counts = Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy(col("lang")).agg(sum(col("nt")).as("tok_n"))
+      counts
+        .withColumn("total", sum(col("tok_n")).over(Window.partitionBy()))
+        .withColumn("base", expr(s"${B}L * tok_n div total"))
+        .withColumn("rem", expr(s"(${B}L * tok_n) % total"))
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+        .withColumn("seats",
+          lit(B) - sum(col("base")).over(Window.partitionBy()))
+        .select(col("lang"), col("tok_n"),
+          (col("base") +
+            when(col("rn") <= col("seats"), 1L).otherwise(0L)).as("alloc"))
+        .orderBy(col("lang"))
+    }),
+
     // F4 at reference scale: the Aho-Corasick native expression through
     // contentGate's large-blacklist path (one automaton pass per row).
     "q55_native_blacklist" -> ((s, dir) => {
@@ -881,6 +936,46 @@ object TextQueries {
          |FROM b LEFT JOIN tv ON tv.lang = b.lang AND tv.bh = b.bh
          |WHERE b.is_test GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // The per-doc repetition arithmetic replayed with DuckDB list ops.
+    "q238_repetition_score" ->
+      """WITH t AS (
+        |  SELECT lang, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 4),
+        |g AS (
+        |  SELECT lang, CAST(len(toks) - 3 AS BIGINT) AS n4,
+        |    list_transform(range(len(toks) - 3), i ->
+        |      toks[i + 1] || '#' || toks[i + 2] || '#' ||
+        |      toks[i + 3] || '#' || toks[i + 4]) AS grams
+        |  FROM t),
+        |d AS (SELECT lang, n4,
+        |  (n4 - len(list_distinct(grams))) * 10000 // n4 AS rep_bp FROM g)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(rep_bp) AS BIGINT) AS sum_rep_bp,
+        |  CAST(sum(rep_bp) // count(*) AS BIGINT) AS mean_rep_bp,
+        |  CAST(sum(CASE WHEN rep_bp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_dup
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Quota + ranked-remainder top-up, exactly as the Spark plan runs it.
+    "q239_token_budget_apportion" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |    AS tok_n
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(tok_n) AS BIGINT) AS total FROM c),
+        |b AS (
+        |  SELECT lang, tok_n,
+        |    1000000 * tok_n // total AS base,
+        |    (1000000 * tok_n) % total AS rem
+        |  FROM c, t),
+        |r AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS seats FROM b),
+        |rk AS (SELECT lang, tok_n, base,
+        |  row_number() OVER (ORDER BY rem DESC, lang) AS rn FROM b)
+        |SELECT rk.lang, rk.tok_n,
+        |  CAST(rk.base + CASE WHEN rk.rn <= r.seats THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM rk, r ORDER BY rk.lang""".stripMargin,
+
     "q159_bm25_search" ->
       s"""WITH $bm25Ctes
          |SELECT CAST(query_id AS BIGINT) AS query_id,

@@ -120,4 +120,29 @@ class PropertySpec extends AnyFunSuite {
       assert(before - after <= r._4, s"round ${r._1} merged more than its pair count")
     }
   }
+
+  test("repetition-score arithmetic: hand-computable docs give exact bp") {
+    // "a a a a a": 2 four-grams, 1 distinct -> 5000 bp.
+    // "a b c d e f": 3 four-grams, all distinct -> 0 bp.
+    // "x y x y x y x y": 5 four-grams, 2 distinct -> 6000 bp.
+    val df = Seq("a a a a a", "a b c d e f", "x y x y x y x y").toDF("text")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n4", (size(col("toks")) - lit(3)).cast("long"))
+      .withColumn("grams", expr(
+        "transform(sequence(0, size(toks) - 4)," +
+          " i -> concat_ws('#', slice(toks, i + 1, 4)))"))
+      .withColumn("rep_bp",
+        expr("(n4 - size(array_distinct(grams))) * 10000 div n4"))
+    assert(df.select("rep_bp").as[Long].collect().toSeq == Seq(5000L, 0L, 6000L))
+  }
+
+  test("apportionment: allocations sum exactly to the budget (q239)") {
+    // Floating-point proportional allocation never guarantees this; the
+    // quota + ranked-remainder top-up must, for ANY count distribution.
+    val out = SparkEntry.queries("q239_token_budget_apportion")(
+      spark, "/root/testdata/sf0.001")
+    val allocs = out.select(col("alloc")).as[Long].collect()
+    assert(allocs.sum == 1000000L, s"allocs ${allocs.toSeq} do not sum to budget")
+    assert(allocs.forall(_ >= 0L))
+  }
 }
