@@ -254,7 +254,17 @@ object Dedup {
     // scans the materialized partitions. localCheckpoint lives in
     // executor-local storage (lost with the executor); cluster callers
     // pass `checkpointDir` for a reliable HDFS/S3 checkpoint instead.
-    val banded0 = keyed.repartition(keyCols.map(col): _*)
+    // EXPLICIT partition count: without it AQE coalesces this small
+    // exchange (a few MB of banded keys) down to 1-2 partitions before
+    // the checkpoint, the checkpoint freezes that width, and the pair
+    // join — whose OUTPUT is the quadratic part, invisible to AQE's
+    // input-size heuristic — then runs its entire candidate expansion in
+    // 1-2 tasks (measured at sf1: a 21 s two-task stage emitting 12.6M
+    // pairs; 32-way it is ~1.5 s). An explicit count is exempt from AQE
+    // coalescing. Cheap at small SF (tiny tasks), mandatory at scale.
+    val banded0 = keyed.repartition(
+      keyed.sparkSession.sessionState.conf.numShufflePartitions,
+      keyCols.map(col): _*)
     val keyedP = checkpointDir match {
       case Some(d) =>
         graft.ops.Checkpoints.ensureDir(banded0.sparkSession.sparkContext, d)

@@ -113,10 +113,18 @@ object AnalyticsQueries {
     // bounded by the FREQUENT basket size), top-20 pairs by support with
     // both direction confidences in basis points.
     "q202_assoc_rules" -> ((s, dir) => {
+      // The JSON-path parse over the full event log is the CPU and the
+      // basket table has THREE consumers (item support, both self-join
+      // sides) — widen the parse past the local scan's ~3 splits and pin
+      // the (user, item) distinct result (tens of KB) so it computes
+      // exactly once.
       val baskets = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("props"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .select(col("user_id"),
           get_json_object(col("props"), "$.k").cast("long").as("item"))
         .filter(col("item").isNotNull).distinct()
+        .localCheckpoint()
       val itemSup = baskets.groupBy(col("item")).agg(count(lit(1)).as("sup"))
       val frequent = itemSup.filter(col("sup") >= 10)
       val fb = baskets.join(broadcast(frequent.select(col("item"))), Seq("item"), "left_semi")
@@ -142,6 +150,8 @@ object AnalyticsQueries {
     // churn is one self-join keyed on item.
     "q211_topk_churn" -> ((s, dir) => {
       val daily = Tables.load(s, dir, "events")
+        .select(col("ts"), col("props"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .select(expr("unix_micros(ts) div 86400000000").as("day"),
           get_json_object(col("props"), "$.k").cast("long").as("item"))
         .filter(col("item").isNotNull)
@@ -151,6 +161,9 @@ object AnalyticsQueries {
             .orderBy(col("n").desc, col("item"))))
         .filter(col("rn") <= 10)
         .select(col("day"), col("item"))
+        // both churn self-join sides read this ~300-row table; without
+        // the pin each side re-scans and re-parses the full event log
+        .localCheckpoint()
       daily.select((col("day") - 1).as("day"), col("item"))
         .join(daily, Seq("day", "item"))
         .groupBy(col("day"))

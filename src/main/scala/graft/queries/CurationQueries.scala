@@ -176,10 +176,16 @@ object CurationQueries {
     // billion-user scale the same shape runs per hash-bucket block.
     // Output gates the full sampled set via per-user hash sums.
     "q219_negative_sampling" -> ((s, dir) => {
+      // Same treatment as q202: widen the JSON-path parse past the local
+      // scan's ~3 splits and pin the small distinct interaction table —
+      // it feeds the item vocab, the user list, AND the anti-join.
       val b = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("props"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .select(col("user_id"),
           get_json_object(col("props"), "$.k").cast("long").as("item"))
         .filter(col("item").isNotNull).distinct()
+        .localCheckpoint()
       val items = b.select(col("item")).distinct()
       val users = b.select(col("user_id")).distinct()
       val h = expr(s"(2654435761 * (user_id * 101 + item) + 1013904223) % 1000000007")

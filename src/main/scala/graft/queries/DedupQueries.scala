@@ -54,10 +54,17 @@ object DedupQueries {
   }
 
   private[queries] def zipfCorpus(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents").select(col("doc_id")).selectExpr(
-      "doc_id",
-      s"""array_join(transform(sequence(0, 39), i ->
-         |${zipfTokenExpr("STRING")}), ' ') AS text""".stripMargin)
+    // The 40-token generation expression is the CPU here, and the local
+    // single-row-group parquet gives the scan ~2 splits — widen the
+    // doc_id-only projection (8 bytes/row) to the configured shuffle
+    // width BEFORE generating, so the kernel runs at full parallelism
+    // (explicit count: exempt from AQE coalescing).
+    Tables.load(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .selectExpr(
+        "doc_id",
+        s"""array_join(transform(sequence(0, 39), i ->
+           |${zipfTokenExpr("STRING")}), ' ') AS text""".stripMargin)
 
   /** [[zipfCorpus]] as a DuckDB CTE (`zdocs`), token-for-token identical. */
   private[queries] val zipfCorpusCte: String =

@@ -103,7 +103,25 @@ object JdbcUpsertSink {
               cols.indices.foreach { i => stmt.setObject(p, r.get(i)); p += 1 }
               stmt.addBatch()
             }
-            stmt.executeBatch()
+            val counts = stmt.executeBatch()
+            // A key-MERGE logically affects exactly one row, so a zero
+            // (or EXECUTE_FAILED) count is a row the store dropped
+            // WITHOUT raising — observed once under Derby's concurrent-
+            // MERGE generated-code race: keys vanished from a committed
+            // batch with no exception anywhere. Turn silent loss into a
+            // store failure so the bounded retry (idempotent re-MERGE on
+            // a fresh connection) repairs it. SUCCESS_NO_INFO (-2) is a
+            // legitimate batch-mode answer and is accepted. With NO
+            // non-key columns the MERGE has no UPDATE clause, so a
+            // matched (already-present) key legitimately reports 0 —
+            // the check only applies when every row must touch one row.
+            val bad = counts.indexWhere(c =>
+              (c == 0 && nonKeys.nonEmpty) ||
+                c == java.sql.Statement.EXECUTE_FAILED)
+            if (bad >= 0)
+              throw new java.sql.SQLException(
+                s"MERGE batch row $bad reported update count ${counts(bad)}" +
+                  " — store dropped the row without raising; retrying batch")
             conn.commit()
             done = true
           } catch {

@@ -266,9 +266,16 @@ object TextOps {
     val pair = zip_with(
       slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
       (l, r) => struct(l.as("w1"), r.as("w2")))
+    // Two consumers (the LM counts and the scoring pass) and a ~1-split
+    // local scan: widen the tokenize past the scan and materialize the
+    // pair stream once — the same intermediate a real corpus-LM pipeline
+    // persists between its count and score phases.
     val pairs = docs.filter(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col(idCol).as("doc_id"), explode(pair).as("p"))
       .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      .localCheckpoint()
     val big = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
     val lft = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
@@ -457,8 +464,20 @@ object TextOps {
                               w: Int, minDocs: Long,
                               carryCols: Seq[String] = Nil): DataFrame = {
     require(w > 0, "chunk width must be positive")
-    val toks = docs.select((col(idCol) +: carryCols.map(col) :+
-      split(col(textCol), " ").as("__toks")): _*)
+    // Chunking + fingerprinting is the CPU of this operator and it has
+    // TWO consumers (the cross-doc frequency census and the join probe).
+    // Left declarative, each consumer re-runs it, and its parallelism is
+    // whatever the file scan yielded (2 splits for a ~50 MB local
+    // parquet — measured 2x ~9 s two-task stages at sf1). So: widen to
+    // the configured shuffle width BEFORE the heavy map (explicit count
+    // — exempt from AQE coalescing) and materialize the chunk table
+    // once. Chunk rows are (id, carry, ci, chunk, fp) — the same rows
+    // both consumers must exchange anyway; a real pipeline (CCNet)
+    // materializes this table too.
+    val nParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val toks = docs.repartition(nParts)
+      .select((col(idCol) +: carryCols.map(col) :+
+        split(col(textCol), " ").as("__toks")): _*)
     val chunks = toks
       .select((col(idCol) +: carryCols.map(col) :+
         posexplode(expr(
@@ -466,6 +485,7 @@ object TextOps {
           s" i -> concat_ws(' ', slice(__toks, i * $w + 1, $w)))"))): _*)
       .withColumnRenamed("pos", "__ci").withColumnRenamed("col", "__chunk")
       .withColumn("__fp", fingerprint(col("__chunk")))
+      .localCheckpoint()
     val cnt = chunks.select(col(idCol), col("__fp")).distinct()
       .groupBy(col("__fp")).agg(count(lit(1)).as("__nd"))
     chunks.join(cnt, "__fp")
@@ -567,7 +587,12 @@ object TextOps {
       graft.ops.Checkpoints.ensureDir(spark.sparkContext, d))
     def truncate(ds: org.apache.spark.sql.Dataset[(Long, IndexedSeq[String])]) =
       if (checkpointDir.isDefined) ds.checkpoint() else ds.localCheckpoint()
+    // Explicit width before the first truncate: the checkpoint freezes
+    // its partitioning for EVERY subsequent round's kernels, and a local
+    // parquet scan yields ~2 splits — 5 rounds of 2-task merge kernels
+    // (explicit count: exempt from AQE coalescing).
     var cur = truncate(docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col(idCol).cast("long").as("id"),
         split(col(textCol), " ").as("toks"))
       .as[(Long, IndexedSeq[String])])
