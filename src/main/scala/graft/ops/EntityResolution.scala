@@ -119,8 +119,16 @@ object EntityResolution {
                         tNum: Int, tDen: Int,
                         carryCols: Seq[String] = Nil): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    // The element-set computation feeding this (shingle hashing, an
+    // expensive scan-local kernel) has THREE consumers here (frequency
+    // census, candidate prefixes, verify sides) — materialize it once at
+    // full shuffle width (explicit count: exempt from AQE coalescing; a
+    // local single-row-group scan otherwise pins everything to ~2
+    // tasks). Rows are (id, hashes, carry) — ids+longs, bounded payload.
     val r = df.select((col(idCol).as("__id") +: elemsCol.as("__ts") +:
       carryCols.map(col)): _*)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .localCheckpoint()
     val tok = r.select(col("__id"), explode(col("__ts")).as("__t"))
     val freq = tok.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
 
@@ -176,8 +184,16 @@ object EntityResolution {
                        tNum: Int, tDen: Int,
                        carryCols: Seq[String] = Nil): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    // The element-set computation feeding this (shingle hashing, an
+    // expensive scan-local kernel) has THREE consumers here (frequency
+    // census, candidate prefixes, verify sides) — materialize it once at
+    // full shuffle width (explicit count: exempt from AQE coalescing; a
+    // local single-row-group scan otherwise pins everything to ~2
+    // tasks). Rows are (id, hashes, carry) — ids+longs, bounded payload.
     val r = df.select((col(idCol).as("__id") +: elemsCol.as("__ts") +:
       carryCols.map(col)): _*)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .localCheckpoint()
     val tok = r.select(col("__id"), explode(col("__ts")).as("__t"))
     val freq = tok.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
     val ordered = tok.join(freq, "__t")
