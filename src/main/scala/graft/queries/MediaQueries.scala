@@ -106,6 +106,54 @@ object MediaQueries {
         .orderBy(col("w"), col("h"))
     }),
 
+    // Image NEAR-dup at Hamming distance ≤ 6 — q185 (equal-hash exact
+    // dup) composed with the dedup family's banded blocking: the 60-bit
+    // perceptual hash splits into 4×15-bit bands and a candidate must
+    // match at least one band exactly. With ≤ 3 flipped bits that is
+    // guaranteed (pigeonhole over 4 bands); 4-6 flips surface only when
+    // the flips cluster into ≤ 3 bands — banded-simhash's honest partial
+    // recall, which the oracle replays with the IDENTICAL banding, so
+    // the gate pins the real physics rather than a wishful 100%.
+    // Candidates ride the skew-tiled bucket join (hot hash buckets
+    // guaranteed here: planted dup groups), verify is one codegen'd
+    // bit_count(xor) — pixels never leave the hashing kernel, the
+    // exchange carries (id, ahash) longs.
+    "q241_image_hamming_dedup" -> ((s, dir) => {
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id"))
+        .withColumn("w", (col("doc_id") % 5 + 4).cast("int"))
+        .withColumn("h", (col("doc_id") % 4 + 3).cast("int"))
+        .withColumn("payload", expr(
+          """cast(concat('P6
+            |', w, ' ', h, '
+            |# planted-pixel fixture
+            |127
+            |', array_join(transform(sequence(0, w * h * 3 - 1),
+            |     j -> char(1 + (doc_id * 31 + 7 * j) % 127)), '')) as binary)""".stripMargin))
+      val hashed = graft.multimodal.Multimodal.aHash(media, "payload", bits = 60)
+      val mask = (1L << 15) - 1
+      val banded = hashed.select(col("doc_id").as("id"), col("ahash"),
+          col("w"), col("h"), col("w").as("wp"), col("h").as("hp"))
+        .select(col("id"), col("ahash"), col("w"), col("h"),
+          col("wp"), col("hp"),
+          posexplode(array((0 until 4).map(b =>
+            shiftright(col("ahash"), b * 15).bitwiseAND(lit(mask))): _*))
+            .as(Seq("band", "bh")))
+      graft.dedup.Dedup
+        .bucketedPairs(banded, Seq("w", "h", "band", "bh"), "id")
+        .select(col("a.wp").cast("long").as("w"),
+          col("a.hp").cast("long").as("h"),
+          col("a.id").as("id_a"), col("b.id").as("id_b"),
+          expr("bit_count(a.ahash ^ b.ahash)").cast("long").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .distinct()
+        .groupBy(col("w"), col("h"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("hamming")).as("sum_hamming"),
+          sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("n_exact"))
+        .orderBy(col("w"), col("h"))
+    }),
+
     // REAL codec #2 end-to-end: each doc becomes a genuine RIFF/WAVE PCM
     // clip — built as a hex string in the plan (header, fmt chunk, a
     // planted 'junk' chunk on every third doc to force a real chunk
@@ -259,6 +307,43 @@ object MediaQueries {
         |  CAST(sum(ng * (ng - 1) // 2) AS BIGINT) AS n_dup_pairs,
         |  CAST(sum(ahash % 1000000007) AS BIGINT) AS sum_hash_mod
         |FROM grp GROUP BY w, h ORDER BY w, h""".stripMargin,
+
+    // q185's hash recompute + the identical 4x15-bit banding: a pair
+    // counts iff some band matches exactly AND bit_count(xor) <= 6.
+    "q241_image_hamming_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, w, h, w * h AS np,
+        |    list_transform(range(0, w * h), m ->
+        |      3 + (doc_id*31 + 21*m) % 127 + (doc_id*31 + 21*m + 7) % 127
+        |        + (doc_id*31 + 21*m + 14) % 127) AS grays
+        |  FROM d),
+        |t AS (SELECT doc_id, w, h, np, grays, list_sum(grays) AS tg FROM g),
+        |ah AS (
+        |  SELECT doc_id, w, h,
+        |    CAST(list_sum(list_transform(range(0, 60), j ->
+        |      CASE WHEN grays[1 + (j % np)] * np > tg
+        |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS ahash
+        |  FROM t),
+        |b AS MATERIALIZED (
+        |  SELECT doc_id, w, h, ahash, j AS band,
+        |    (ahash >> (j * 15)) & 32767 AS bh
+        |  FROM ah, LATERAL (SELECT unnest(range(0, 4)) AS j) r),
+        |cand AS (
+        |  SELECT DISTINCT x.w, x.h, x.doc_id AS id_a, y.doc_id AS id_b,
+        |    bit_count(xor(x.ahash, y.ahash)) AS hamming
+        |  FROM b x JOIN b y
+        |    ON x.w = y.w AND x.h = y.h AND x.band = y.band AND x.bh = y.bh
+        |      AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.ahash, y.ahash)) <= 6)
+        |SELECT CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(hamming) AS BIGINT) AS sum_hamming,
+        |  CAST(sum(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact
+        |FROM cand GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Planted-pixel arithmetic in LOGICAL (top-down) coordinates: the
     // offset gap, the 0xAA padding, and the bottom-up storage are all
