@@ -250,6 +250,60 @@ object DedupQueries {
         .orderBy(col("lang"))
     }),
 
+    // THE END-TO-END CORPUS BUILD — the whole training-data pipeline as
+    // one composed query, emitting the funnel report every real corpus
+    // release ships: raw -> near-dup keep-best (minhash clusters, best
+    // quality keeper, singletons pass) -> quality gate (heuristic score
+    // >= 0.70) -> benchmark decontamination (3-shingle overlap >= 2
+    // against the held-out slice) -> final doc + token counts per lang.
+    // Every stage is an operator gated elsewhere (q125, q25, q88); what
+    // THIS row pins is their composition — stage ordering, the
+    // unclustered-docs-pass-dedup rule, and the funnel arithmetic.
+    // Scale shape is inherited: banding + tiled buckets for pairs, one
+    // keyed agg per stage, ids-only anti-join for decontam.
+    "q242_corpus_build" -> ((s, dir) => {
+      import graft.queries.{TextQueries => TQ}
+      val docs = Tables.load(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val clusters = Dedup.nearDupClusters(corpus, "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      val qual = corpus.select(col("doc_id"), col("lang"),
+        graft.ops.CoreOps.cents(
+          graft.text.TextOps.qualityScore(col("text"), TQ.stopwords), 6)
+          .as("q_u"))
+      val keepers = clusters
+        .join(qual.select(col("doc_id").as("node"), col("q_u")), "node")
+        .groupBy(col("component"))
+        .agg(max(struct(col("q_u"), (-col("node")).as("nid"))).as("b"))
+        .select((-col("b.nid")).as("doc_id"))
+      val d1 = corpus.select(col("doc_id"))
+        .join(clusters.select(col("node").as("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(keepers)
+        .join(qual, "doc_id")
+      val d2 = d1.filter(col("q_u") >= 700000L)
+      val d2docs = d2.join(corpus.select(col("doc_id"), col("text")), "doc_id")
+      val d3 = d2docs.join(
+        Dedup.decontaminate(d2docs, bench, "doc_id", "text",
+            shingleK = 3, minOverlap = 2)
+          .select(col("id").as("doc_id"), col("contaminated")), "doc_id")
+        .filter(!col("contaminated"))
+      val f0 = corpus.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+      val f1 = d1.groupBy(col("lang")).agg(count(lit(1)).as("n_dedup"))
+      val f2 = d2.groupBy(col("lang")).agg(count(lit(1)).as("n_quality"))
+      val f3 = d3.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_final"),
+          sum(size(split(col("text"), " ")).cast("long")).as("toks_final"))
+      f0.join(f1, Seq("lang"), "left").join(f2, Seq("lang"), "left")
+        .join(f3, Seq("lang"), "left")
+        .select(col("lang"), col("n_raw"),
+          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"),
+          coalesce(col("toks_final"), lit(0L)).as("toks_final"))
+        .orderBy(col("lang"))
+    }),
+
     // Near-dup clustering: minhash pairs closed under transitivity
     // (hash-min components), per-cluster sizes — the keep-one-per-cluster
     // dedup a training corpus actually ships.
@@ -1113,6 +1167,58 @@ object DedupQueries {
     "q77_neardup_clusters" -> minhashClusterOracleSql(3, 16, 4, 0.5),
 
     "q125_keep_best" -> minhashKeepBestOracleSql(3, 16, 4, 0.5),
+
+    // The funnel replayed stage by stage. Clustering runs on corpus-only
+    // pairs: band keys are per-doc, so restricting the verified pair set
+    // to corpus endpoints equals clustering the corpus alone — no bench
+    // doc can bridge two corpus clusters. The shared `h` CTE then serves
+    // both decontamination sides.
+    "q242_corpus_build" ->
+      s"""WITH RECURSIVE ${minhashCtes(3, 16, 4)},
+         |p AS (SELECT id_a, id_b FROM v
+         |      WHERE jaccard >= 0.5 AND id_a % 97 <> 0 AND id_b % 97 <> 0),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT a AS node, a AS r FROM sym
+         |  UNION
+         |  SELECT s2.a, reach.r FROM sym s2 JOIN reach ON reach.node = s2.b),
+         |lab AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+         |corp AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 <> 0),
+         |qual AS (
+         |  SELECT doc_id, lang,
+         |    CAST(round((${TextQueries.qualitySql}) * 1000000.0) AS BIGINT) AS q_u
+         |  FROM corp),
+         |keep1 AS (
+         |  SELECT doc_id FROM corp WHERE doc_id NOT IN (SELECT node FROM lab)
+         |  UNION ALL
+         |  SELECT node AS doc_id FROM (
+         |    SELECT lab.node, row_number() OVER (PARTITION BY component
+         |      ORDER BY q_u DESC, node ASC) AS rn
+         |    FROM lab JOIN qual ON qual.doc_id = lab.node)
+         |  WHERE rn = 1),
+         |d1 AS (SELECT q.doc_id, q.lang, q.q_u
+         |       FROM keep1 k JOIN qual q ON q.doc_id = k.doc_id),
+         |d2 AS (SELECT * FROM d1 WHERE q_u >= 700000),
+         |bsh AS (SELECT DISTINCT unnest(hs) AS bh FROM h WHERE doc_id % 97 = 0),
+         |csh AS (SELECT doc_id, unnest(hs) AS ch FROM h WHERE doc_id % 97 <> 0),
+         |ov AS (SELECT doc_id, count(*) AS n_overlap
+         |       FROM csh JOIN bsh ON csh.ch = bsh.bh GROUP BY doc_id),
+         |d3 AS (SELECT d2.doc_id, d2.lang FROM d2 LEFT JOIN ov USING (doc_id)
+         |       WHERE COALESCE(ov.n_overlap, 0) < 2),
+         |f0 AS (SELECT lang, count(*) AS n_raw FROM corp GROUP BY 1),
+         |f1 AS (SELECT lang, count(*) AS n_dedup FROM d1 GROUP BY 1),
+         |f2 AS (SELECT lang, count(*) AS n_quality FROM d2 GROUP BY 1),
+         |f3 AS (SELECT d3.lang, count(*) AS n_final,
+         |         sum(len(string_split(c.text, ' '))) AS toks
+         |       FROM d3 JOIN corp c ON c.doc_id = d3.doc_id GROUP BY 1)
+         |SELECT f0.lang, f0.n_raw,
+         |  CAST(COALESCE(f1.n_dedup, 0) AS BIGINT) AS n_dedup,
+         |  CAST(COALESCE(f2.n_quality, 0) AS BIGINT) AS n_quality,
+         |  CAST(COALESCE(f3.n_final, 0) AS BIGINT) AS n_final,
+         |  CAST(COALESCE(f3.toks, 0) AS BIGINT) AS toks_final
+         |FROM f0 LEFT JOIN f1 USING (lang) LEFT JOIN f2 USING (lang)
+         |  LEFT JOIN f3 USING (lang)
+         |ORDER BY f0.lang""".stripMargin,
 
     // Text-equality semantics: the engine dedups on a 3-component
     // content fingerprint (len, xxhash64, charHash); the oracle states
