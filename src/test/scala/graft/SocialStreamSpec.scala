@@ -240,4 +240,65 @@ class SocialStreamSpec extends AnyFunSuite {
     runOnce()
     assert(spark.read.parquet(s"$tmp/out").count() == 3)
   }
+
+  test("watermark drops late rows BY THE WATERMARK OPERATOR, one trigger behind") {
+    // The mechanism behind q237's oracle row: (a) modtime order pins the
+    // batch sequence; (b) the late-event filter uses the PREVIOUS
+    // trigger's watermark, so the straggler must arrive two batches
+    // after the watermark-establishing one; (c) the drop is visible in
+    // numRowsDroppedByWatermark — the oracle proves WHAT was dropped,
+    // this proves WHO dropped it.
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-late").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ts_us", LongType)))
+    def us(s: String) = Timestamp.valueOf(s).getTime * 1000L
+    def drop(name: String, mtime: Long, rows: Seq[(Long, Long)]): Unit = {
+      val d = java.nio.file.Files.createTempDirectory("graft-late-w").toString
+      rows.toDF("id", "ts_us").coalesce(1).write.mode("overwrite").parquet(d)
+      val part = new java.io.File(d).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(tmp, name)
+      java.nio.file.Files.move(part.toPath, dst)
+      assert(dst.toFile.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    // batch 0: day 10 (sets the watermark = day 8 after it commits)
+    drop("b0.parquet", t0 - 120000,
+      Seq((1L, us("2024-01-10 12:00:00")), (2L, us("2024-01-10 13:00:00"))))
+    // batch 1: on-time tail (burns the one-trigger late-filter delay)
+    drop("b1.parquet", t0 - 60000, Seq((3L, us("2024-01-11 09:00:00"))))
+    // batch 2: a day-1 straggler (9 days late, window end << day-8 wm)
+    // plus an on-time row
+    // the far-future sentinel flushes append-mode windows in the
+    // trailing no-data batch (same shape as q237's fused sentinel)
+    drop("b2.parquet", t0,
+      Seq((4L, us("2024-01-01 00:30:00")), (5L, us("2024-01-12 08:00:00")),
+        (-1L, us("2200-01-01 00:00:00"))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val agg = stream.withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "1 day")).agg(count(lit(1)).as("n"))
+    // APPEND mode: the only mode where the watermark contract drops
+    // late input (complete mode deliberately keeps everything — a
+    // first version of this spec used it and nothing was dropped)
+    val q = agg.writeStream.format("memory").queryName("late_drop")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 1L, s"expected exactly the day-1 straggler dropped, got $dropped")
+      val windows = spark.table("late_drop")
+        .select(unix_seconds(col("window.start")).as("w"), col("n"))
+        .as[(Long, Long)].collect().toMap
+      // the straggler's day-1 window must NOT exist; on-time days all do
+      assert(!windows.contains(us("2024-01-01 00:00:00") / 1000000L))
+      assert(windows(us("2024-01-10 00:00:00") / 1000000L) == 2L)
+      assert(windows(us("2024-01-11 00:00:00") / 1000000L) == 1L)
+      assert(windows(us("2024-01-12 00:00:00") / 1000000L) == 1L)
+    } finally q.stop()
+  }
 }
