@@ -250,6 +250,41 @@ object DedupQueries {
         .orderBy(col("lang"))
     }),
 
+    // Decontamination with the fact-side exchange REDUCED by a Bloom
+    // sketch of the benchmark's shingle set — the 100 TB form of q88: at
+    // scale the corpus shingle stream is the dominant exchange and only
+    // the sliver matching a bench shingle survives the join, so the
+    // bench keys ship as a ~0.1% -size model artifact and the codegen'd
+    // might_contain prunes corpus shingles BEFORE they shuffle. False
+    // positives are removed by the exact join that follows; false
+    // negatives cannot happen — the result is EXACTLY q88's semantics
+    // (oracle = the plain SQL), the sketch only moves work. The plan is
+    // asserted in PlanAuditSpec (bloom_might_contain below the exchange).
+    "q243_bloom_decontam" -> ((s, dir) => {
+      import graft.ops.BloomJoin
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      val benchSh = Dedup.shingleHashSets(bench, "doc_id", "text", 3)
+        .select(explode(col("sh")).as("h")).distinct()
+      val sketch = BloomJoin.buildSketch(benchSh, "h",
+        expectedItems = 1000000L, fpp = 0.03)
+      val corpusSh = Dedup.shingleHashSets(corpus, "doc_id", "text", 3)
+        .select(col("id"), explode(col("sh")).as("h"))
+      val overlaps = corpusSh
+        .filter(BloomJoin.mightContain(corpusSh, col("h"), sketch))
+        .join(benchSh, "h")
+        .groupBy(col("id")).agg(count(lit(1)).as("n_overlap"))
+      corpus.select(col("doc_id").as("id"), col("lang"))
+        .join(overlaps, Seq("id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(coalesce(col("n_overlap"), lit(0L)) >= 2, 1L)
+            .otherwise(0L)).as("n_contaminated"),
+          sum(coalesce(col("n_overlap"), lit(0L))).as("sum_overlap"))
+        .orderBy(col("lang"))
+    }),
+
     // THE END-TO-END CORPUS BUILD — the whole training-data pipeline as
     // one composed query, emitting the funnel report every real corpus
     // release ships: raw -> near-dup keep-best (minhash clusters, best
@@ -1167,6 +1202,23 @@ object DedupQueries {
     "q77_neardup_clusters" -> minhashClusterOracleSql(3, 16, 4, 0.5),
 
     "q125_keep_best" -> minhashKeepBestOracleSql(3, 16, 4, 0.5),
+
+    // The bloom prefilter is result-transparent: the oracle is the exact
+    // overlap SQL (q88's shape + the summed overlap mass).
+    "q243_bloom_decontam" ->
+      s"""WITH ${shingleCtes(3, " lang,")},
+         |bench AS (SELECT DISTINCT unnest(hs) AS bh FROM h WHERE doc_id % 97 = 0),
+         |corp AS (SELECT doc_id, unnest(hs) AS ch FROM h WHERE doc_id % 97 <> 0),
+         |ov AS (
+         |  SELECT doc_id, count(*) AS n_overlap
+         |  FROM corp JOIN bench ON corp.ch = bench.bh GROUP BY doc_id)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN COALESCE(ov.n_overlap, 0) >= 2 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_contaminated,
+         |  CAST(sum(COALESCE(ov.n_overlap, 0)) AS BIGINT) AS sum_overlap
+         |FROM h LEFT JOIN ov USING (doc_id)
+         |WHERE doc_id % 97 <> 0
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // The funnel replayed stage by stage. Clustering runs on corpus-only
     // pairs: band keys are per-doc, so restricting the verified pair set

@@ -315,6 +315,16 @@ class PlanAuditSpec extends AnyFunSuite {
         s"× 3 docs — lineage is not truncated per round")
   }
 
+  test("bloom decontam: might_contain prunes the corpus-shingle exchange") {
+    val plan = run("q243_bloom_decontam")
+    assert(plan.contains("bloom_might_contain"),
+      "q243: the bloom prefilter is not in the executed plan — the full " +
+        "corpus shingle stream shuffles unreduced")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "q243: overlap join degenerated to nested-loop")
+  }
+
   test("partition-pruned scan reads only the selected partition") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_pp_").toString
