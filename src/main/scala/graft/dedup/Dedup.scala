@@ -199,6 +199,32 @@ object Dedup {
         call_function("shingle_hashes", col("text"), lit(shingleK)).as("sh"))
   }
 
+  /** Append an exact benchmark-overlap count per row, STATELESSLY: the
+    * bench shingle set rides a broadcast (a bounded model artifact, the
+    * same class as a centroid table — fingerprints only, no payload),
+    * and each row's distinct k-shingles are counted against it inside
+    * the scan. This is the streaming-safe decontamination form: no
+    * per-doc aggregation, so it composes with other stateful operators
+    * (Spark allows only restricted stateful chains per query).
+    */
+  def overlapCount(df: DataFrame, textCol: String, shingleK: Int,
+                   bench: org.apache.spark.broadcast.Broadcast[Array[Long]])
+      : DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("n_overlap", LongType, nullable = false))
+    val idx = df.schema.fieldIndex(textCol)
+    implicit val enc = Encoders.row(schema)
+    df.mapPartitions { it =>
+      val set = bench.value.toSet
+      it.map { r =>
+        val toks = Option(r.getString(idx)).getOrElse("").split(" ", -1)
+        var n = 0L
+        shingleHashArr(toks, shingleK).foreach(h => if (set.contains(h)) n += 1)
+        Row.fromSeq(r.toSeq :+ n)
+      }
+    }(enc)
+  }
+
   /** mapPartitions reference form of [[shingleHashSets]] (parity specs). */
   def shingleHashSetsKernel(df: DataFrame, idCol: String, textCol: String,
                             shingleK: Int): DataFrame = {

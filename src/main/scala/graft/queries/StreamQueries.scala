@@ -365,6 +365,57 @@ object StreamQueries {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
+    // §2.10 ⊕ the corpus pipeline: q242's ingest stages AS A STREAM —
+    // the shape a continuously-crawling corpus actually runs. Quality
+    // gate (stateless expr) → shingle decontamination (stateless KERNEL
+    // against a broadcast bench fingerprint set — Dedup.overlapCount;
+    // the per-doc-agg form would be a second stateful operator, which
+    // streaming chains forbid) → cross-batch exact dedup (dropDuplicates
+    // state; unwatermarked here because the gate fixture is bounded —
+    // q68 covers the watermarked form) → APPEND-mode corpus sink. The
+    // per-lang report is a batch query OVER the sink: first-seen batch
+    // per dup may vary with the split, but the emitted SET is
+    // batch-split-invariant, which is all the rollup sees. Dedup keys on
+    // (lang, text) exactly as the oracle states the contract; production
+    // swaps in the 3-component fingerprint (q109) for bounded state.
+    "q244_stream_corpus_ingest" -> ((s, dir) => {
+      import graft.queries.{TextQueries => TQ}
+      val ss = streamSession(s)
+      val src = parquetLanding("docs_x2_pq", dir,
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text")), 2, "doc_id")
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("text", StringType)))
+      val benchHashes = graft.dedup.Dedup.shingleHashSets(
+          Tables.load(ss, dir, "documents").filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", 3)
+        .select(explode(col("sh")).as("h")).distinct()
+        .collect().map(_.getLong(0))
+      val bcast = ss.sparkContext.broadcast(benchHashes)
+      val stream = SocialStream
+        .readParquetStream(ss, src, docsSchema, maxFilesPerTrigger = 1)
+        .filter(col("doc_id") % 97 =!= 0)
+        .filter(graft.ops.CoreOps.cents(
+          graft.text.TextOps.qualityScore(col("text"), TQ.stopwords), 6)
+          >= 700000L)
+      val clean = graft.dedup.Dedup.overlapCount(stream, "text", 3, bcast)
+        .filter(col("n_overlap") < 2)
+        .dropDuplicates("lang", "text")
+      val sink = uniq("q244_sink_")
+      val q = clean.select(col("lang"), col("text")).writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      ss.table(sink)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_toks"))
+        .orderBy(col("lang"))
+    }),
+
     // §2.10 stateful latest-wins (flatMapGroupsWithState): the streaming
     // form of the 2-day re-crawl overwriting engagement counts
     // (`reddit/lambda_function_aggregate.py:59-71`). Update-mode memory
@@ -767,6 +818,27 @@ object StreamQueries {
         |              ELSE COALESCE(event_type, '__null__') END AS bucket
         |  FROM events)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // The ingest stages replayed in batch SQL over the same table:
+    // quality gate, <2-shingle-overlap decontam, dedup by (lang, text).
+    "q244_stream_corpus_ingest" ->
+      s"""WITH ${DedupQueries.shingleCtes(3, " lang, text,")},
+         |bench AS (SELECT DISTINCT unnest(hs) AS bh FROM h WHERE doc_id % 97 = 0),
+         |ov AS (
+         |  SELECT doc_id, count(*) AS n FROM (
+         |    SELECT doc_id, unnest(hs) AS ch FROM h WHERE doc_id % 97 <> 0) c
+         |  JOIN bench ON c.ch = bench.bh GROUP BY doc_id),
+         |base AS (
+         |  SELECT h.doc_id, h.lang, h.text FROM h LEFT JOIN ov USING (doc_id)
+         |  WHERE h.doc_id % 97 <> 0 AND COALESCE(ov.n, 0) < 2),
+         |kept AS (
+         |  SELECT b.lang, b.text FROM base b
+         |  WHERE CAST(round((${TextQueries.qualitySql}) * 1000000.0) AS BIGINT)
+         |    >= 700000
+         |  GROUP BY b.lang, b.text)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
 
     // The watermark drop rule replayed in batch SQL: the watermark is
     // (max ts of the Jan 10-20 batch) − 2 days; batch-1 rows survive iff
