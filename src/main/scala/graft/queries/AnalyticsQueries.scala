@@ -143,6 +143,36 @@ object AnalyticsQueries {
     }),
 
 
+    // Quantile SKETCH under the hard gate (q30's HLL pattern, for
+    // percentiles): approx_percentile's contract is a data value whose
+    // RANK is within n/accuracy of the target — engine-specific output,
+    // so the gate pins the CONTRACT: re-rank the sketch's answer against
+    // the exact data in-query and emit the boolean; the oracle confirms
+    // group sizes and demands TRUE. The exact-percentile twin (q42) pins
+    // values; this row pins the sketch path a 100 TB monitoring rollup
+    // actually ships (mergeable, bounded memory).
+    "q245_approx_quantile_gate" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("v_c"))
+      val ap = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("approx_percentile(v_c, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(v_c, 0.95, 1000)").as("ap95"))
+      e.join(broadcast(ap), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          sum(when(col("v_c") < col("ap50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("v_c") <= col("ap50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("v_c") < col("ap95"), 1L).otherwise(0L)).as("lt95"),
+          sum(when(col("v_c") <= col("ap95"), 1L).otherwise(0L)).as("le95"))
+        .select(col("event_type"), col("n"),
+          (col("lt50") <= expr("n div 2 + n div 1000 + 1") &&
+            col("le50") >= expr("n div 2 - n div 1000 - 1")).as("ok50"),
+          (col("lt95") <= expr("(19 * n) div 20 + n div 1000 + 1") &&
+            col("le95") >= expr("(19 * n) div 20 - n div 1000 - 1")).as("ok95"))
+        .orderBy(col("event_type"))
+    }),
+
     // Daily leaderboard churn: top-10 items per day (by event count,
     // ties to the smaller item), overlap between consecutive days — the
     // rank-stability diagnostic behind trending/alerting dashboards.
@@ -379,6 +409,13 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    // Sketch output is engine-specific; the oracle pins group sizes and
+    // demands the in-query rank-contract booleans come out TRUE.
+    "q245_approx_quantile_gate" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(TRUE AS BOOLEAN) AS ok50, CAST(TRUE AS BOOLEAN) AS ok95
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Forward fill replayed as an ASOF join against the latest-wins slot
     // values (the fill value at slot t IS the as-of match at t). Two
