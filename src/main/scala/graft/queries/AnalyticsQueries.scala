@@ -173,6 +173,66 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Ordered-step conversion funnel: view -> first click AFTER the
+    // view -> first purchase AFTER that click, all inside 24h of the
+    // anchor view — the product-analytics primitive (sequence matching
+    // with a time budget, strictly-ordered steps; q215's path mining
+    // counts shapes, this one converts). Three keyed min-aggs + keyed
+    // joins — each stage is partial-aggregable, no window over raw
+    // events, no per-user sort.
+    "q246_funnel_conversion" -> ((s, dir) => {
+      val day = 86400000000L
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("us") > col("t1") && col("us") <= col("t1") + day)
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as("t2"), min(col("t1")).as("t1"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("us") > col("t2") && col("us") <= col("t1") + day)
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as("t3"), min(col("t1")).as("t1v"))
+      v.join(c.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+        .join(p.select(col("user_id"), col("t3"), col("t1v")),
+          Seq("user_id"), "left")
+        .groupBy((col("user_id") % 4).as("segment"))
+        .agg(count(lit(1)).as("n_viewed"),
+          sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("n_clicked"),
+          sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("n_purchased"),
+          sum(when(col("t3").isNotNull,
+            expr("(t3 - t1v) div 1000000")).otherwise(0L))
+            .as("sum_convert_secs"))
+        .orderBy(col("segment"))
+    }),
+
+    // Weekly retention matrix: users active in week k after their FIRST
+    // activity, k = 0..3, with retention in basis points of the week-0
+    // cohort — the cohort-health readout every growth dashboard leads
+    // with. One min-agg for the anchor, one distinct per (user, k), one
+    // rollup; the week-0 denominator is a broadcast scalar row.
+    "q247_retention_matrix" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val first = e.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+      val weekly = e.join(first, "user_id")
+        .withColumn("k", expr("(day - d0) div 7"))
+        .filter(col("k") >= 0 && col("k") <= 3)
+        .select(col("user_id"), col("k")).distinct()
+      val counts = weekly.groupBy(col("k")).agg(count(lit(1)).as("n_users"))
+      val base = counts.filter(col("k") === 0)
+        .select(col("n_users").as("n0"))
+      counts.crossJoin(broadcast(base))
+        .select(col("k"), col("n_users"),
+          expr("n_users * 10000 div n0").as("retention_bp"))
+        .orderBy(col("k"))
+    }),
+
     // Daily leaderboard churn: top-10 items per day (by event count,
     // ties to the smaller item), overlap between consecutive days — the
     // rank-stability diagnostic behind trending/alerting dashboards.
@@ -409,6 +469,53 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    // Ordered-step funnel replayed with correlated mins.
+    "q246_funnel_conversion" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |v AS (SELECT user_id, min(us) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.us) AS t2, min(v.t1) AS t1
+        |  FROM e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.us > v.t1
+        |    AND e.us <= v.t1 + 86400000000
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.us) AS t3, min(c.t1) AS t1v
+        |  FROM e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.us > c.t2
+        |    AND e.us <= c.t1 + 86400000000
+        |  GROUP BY 1)
+        |SELECT v.user_id % 4 AS segment,
+        |  count(*) AS n_viewed,
+        |  CAST(sum(CASE WHEN c.t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clicked,
+        |  CAST(sum(CASE WHEN p.t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purchased,
+        |  CAST(sum(CASE WHEN p.t3 IS NOT NULL
+        |    THEN (p.t3 - p.t1v) // 1000000 ELSE 0 END) AS BIGINT)
+        |    AS sum_convert_secs
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Distinct (user, week-offset) activity vs the week-0 cohort.
+    "q247_retention_matrix" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS d0 FROM e GROUP BY 1),
+        |w AS (
+        |  SELECT DISTINCT e.user_id, (e.day - f.d0) // 7 AS k
+        |  FROM e JOIN f USING (user_id)
+        |  WHERE (e.day - f.d0) // 7 BETWEEN 0 AND 3),
+        |cnt AS (SELECT k, count(*) AS n_users FROM w GROUP BY 1),
+        |b AS (SELECT n_users AS n0 FROM cnt WHERE k = 0)
+        |SELECT k, n_users,
+        |  CAST(n_users * 10000 // b.n0 AS BIGINT) AS retention_bp
+        |FROM cnt, b ORDER BY k""".stripMargin,
 
     // Sketch output is engine-specific; the oracle pins group sizes and
     // demands the in-query rank-contract booleans come out TRUE.
