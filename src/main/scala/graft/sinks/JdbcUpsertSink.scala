@@ -90,6 +90,13 @@ object JdbcUpsertSink {
       // inside the try: a bad table/SQL must not leak the connection
       conn.setAutoCommit(false)
       stmt = conn.prepareStatement(sql)
+      // Statement timeout: concurrent MERGE tasks into embedded Derby can
+      // PAGE-LATCH deadlock (observed live: a task parked forever in
+      // BasePage.setExclusive — latch waits are exempt from Derby's lock
+      // deadlock detector, so nothing ever aborts). The timeout converts
+      // the stuck state into a SQLException the bounded fresh-connection
+      // retry absorbs; 60 s is far above any honest batch.
+      stmt.setQueryTimeout(60)
       def flush(batch: Seq[Row]): Unit = {
         var attempt = 0
         var first: Throwable = null
@@ -147,6 +154,7 @@ object JdbcUpsertSink {
                 conn = DriverManager.getConnection(url)
                 conn.setAutoCommit(false)
                 stmt = conn.prepareStatement(sql)
+                stmt.setQueryTimeout(60)
               } catch { case p: Exception =>
                 first.addSuppressed(p); throw first }
               Thread.sleep(50L * attempt)
