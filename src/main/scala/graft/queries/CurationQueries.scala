@@ -169,11 +169,14 @@ object CurationQueries {
 
 
     // Deterministic negative sampling for recommender training: per user,
-    // the 5 non-interacted items ranked by the portable (user, item)
-    // hash — content-addressed (re-runs and engines agree), uniform over
-    // the complement. Candidates = users × item vocabulary (bounded by
-    // the CATALOG, not events) anti-joined against interactions; at
-    // billion-user scale the same shape runs per hash-bucket block.
+    // up to 5 non-interacted items drawn by a portable counter hash —
+    // content-addressed (re-runs and engines agree). Candidates are
+    // GENERATED, not enumerated: seq = 0..kc−1 per user, hashed into the
+    // dense item-vocabulary index — O(U·kc) rows total, never the
+    // O(U·|catalog|) cartesian complement (which materializes 10¹¹ rows
+    // at 10⁶ users × 10⁵ items before the anti-join prunes anything).
+    // The vocab index is a bounded CATALOG artifact (broadcast); the
+    // anti-join is keyed; the only per-user window orders ≤ kc rows.
     // Output gates the full sampled set via per-user hash sums.
     "q219_negative_sampling" -> ((s, dir) => {
       // Same treatment as q202: widen the JSON-path parse past the local
@@ -186,15 +189,35 @@ object CurationQueries {
           get_json_object(col("props"), "$.k").cast("long").as("item"))
         .filter(col("item").isNotNull).distinct()
         .localCheckpoint()
-      val items = b.select(col("item")).distinct()
-      val users = b.select(col("user_id")).distinct()
-      val h = expr(s"(2654435761 * (user_id * 101 + item) + 1013904223) % 1000000007")
-      users.join(items)
-        .join(b, Seq("user_id", "item"), "left_anti")
-        .withColumn("h", h)
+      // Dense 0-based vocab index: catalog-bounded, so the one-partition
+      // window and the broadcast are both fine at any event-log scale.
+      val itemIdx = b.select(col("item")).distinct()
+        .withColumn("idx", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("item")))
+          .cast("long") - 1L)
+      val nItems = itemIdx.count()
+      val kc = 40L // 8× over-generation for k=5: collisions + interacted hits
+      // Inner mod keeps the multiplicand ≤ 1e9 so the product stays inside
+      // int64 in BOTH engines (DuckDB raises on BIGINT overflow).
+      val hash =
+        "(2654435761 * ((user_id * 101 + seq) % 1000000007) + 1013904223) % 1000000007"
+      val cand = b.select(col("user_id")).distinct()
+        .select(col("user_id"),
+          explode(sequence(lit(0L), lit(kc - 1L))).as("seq"))
+        .withColumn("h", expr(hash))
+        .withColumn("idx", col("h") % lit(nItems))
+        .join(broadcast(itemIdx), "idx")
+      // Dedup repeats (two seqs can hash to one item) keeping the FIRST
+      // draw; h is a pure function of (user, seq) so recompute it after
+      // the min-agg instead of dragging it through (keeps both engines'
+      // plans trivially aligned).
+      cand.join(b, Seq("user_id", "item"), "left_anti")
+        .groupBy(col("user_id"), col("item"))
+        .agg(min(col("seq")).as("seq"))
+        .withColumn("h", expr(hash))
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-            .orderBy(col("h"), col("item"))))
+            .orderBy(col("seq"))))
         .filter(col("rn") <= 5)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_neg"), sum(col("item")).as("sum_items"),
@@ -449,17 +472,28 @@ object CurationQueries {
         |  SELECT DISTINCT user_id,
         |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
         |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
-        |items AS (SELECT DISTINCT item FROM b),
-        |users AS (SELECT DISTINCT user_id FROM b),
+        |ii AS (SELECT item,
+        |         row_number() OVER (ORDER BY item) - 1 AS idx
+        |       FROM (SELECT DISTINCT item FROM b)),
+        |n AS (SELECT count(*) AS n FROM ii),
         |cand AS (
-        |  SELECT u.user_id, i.item,
-        |    (2654435761 * (u.user_id * 101 + i.item) + 1013904223)
-        |      % 1000000007 AS h
-        |  FROM users u CROSS JOIN items i
+        |  SELECT u.user_id, s.seq,
+        |    (2654435761 * ((u.user_id * 101 + s.seq) % 1000000007)
+        |      + 1013904223) % 1000000007 AS h
+        |  FROM (SELECT DISTINCT user_id FROM b) u
+        |  CROSS JOIN (SELECT unnest(range(0, 40)) AS seq) s),
+        |cj AS (SELECT c.user_id, c.seq, ii.item
+        |       FROM cand c JOIN ii ON ii.idx = c.h % (SELECT n FROM n)),
+        |ded AS (
+        |  SELECT user_id, item, min(seq) AS seq FROM cj
         |  WHERE NOT EXISTS (SELECT 1 FROM b
-        |    WHERE b.user_id = u.user_id AND b.item = i.item)),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
-        |        ORDER BY h, item) AS rn FROM cand)
+        |    WHERE b.user_id = cj.user_id AND b.item = cj.item)
+        |  GROUP BY 1, 2),
+        |r AS (SELECT user_id, item,
+        |    (2654435761 * ((user_id * 101 + seq) % 1000000007)
+        |      + 1013904223) % 1000000007 AS h,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY seq) AS rn
+        |  FROM ded)
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_neg,
         |  CAST(sum(item) AS BIGINT) AS sum_items,
         |  CAST(sum(h) AS BIGINT) AS sum_h

@@ -226,6 +226,21 @@ class PlanAuditSpec extends AnyFunSuite {
         "scanning the materialized banded rows")
   }
 
+  test("negative sampling generates candidates — never the cartesian complement") {
+    // q219: candidates are hash-generated O(U·kc) rows joined to the
+    // broadcast vocab index on idx, then keyed-anti-joined against
+    // interactions. The users×items cartesian complement this replaced
+    // is O(U·|catalog|) — 10¹¹ rows at 10⁶ users × 10⁵ items — so any
+    // unkeyed join reappearing here is the one scale-killer the r9/r10
+    // verdicts named.
+    val plan = run("q219_negative_sampling")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "q219: candidate generation degenerated to the users×items cartesian")
+    assert(plan.contains("BroadcastHashJoin"),
+      "q219: vocab-index lookup lost its broadcast equi-join")
+  }
+
   test("SCC: dual-labeling rounds are equi-joins with partial aggregation") {
     // q152's forward/backward label propagation must stay hash
     // equi-joins on node ids (a nested-loop round is quadratic death),
