@@ -109,9 +109,14 @@ object AnalyticsQueries {
     // Market-basket association rules (A-priori shape): baskets = each
     // user's distinct item set (props.k), pairs generated per user AFTER
     // the frequent-item prune (left_semi against the broadcast frequent
-    // list — the A-priori monotonicity cut that keeps per-user fan-out
-    // bounded by the FREQUENT basket size), top-20 pairs by support with
-    // both direction confidences in basis points.
+    // list — the A-priori monotonicity cut), top-20 pairs by support with
+    // both direction confidences in basis points. The prune bounds
+    // fan-out only by the FREQUENT basket size — one power user holding
+    // all |F| frequent items still lands |F|² pairs on one reducer — so
+    // the pair stage rides the skew-tiled bucket self-join (user =
+    // bucket key, cap rows per side per join group). Tiling preserves
+    // the pair multiset exactly (normalize + per-user distinct), so the
+    // oracle is the plain self-join.
     "q202_assoc_rules" -> ((s, dir) => {
       // The JSON-path parse over the full event log is the CPU and the
       // basket table has THREE consumers (item support, both self-join
@@ -128,9 +133,19 @@ object AnalyticsQueries {
       val itemSup = baskets.groupBy(col("item")).agg(count(lit(1)).as("sup"))
       val frequent = itemSup.filter(col("sup") >= 10)
       val fb = baskets.join(broadcast(frequent.select(col("item"))), Seq("item"), "left_semi")
-      val pairs = fb.select(col("user_id"), col("item").as("i"))
-        .join(fb.select(col("user_id"), col("item").as("j")), "user_id")
-        .filter(col("i") < col("j"))
+      // Exactly-once without a distinct exchange: a cross-tile pair
+      // (_tl < _tr) meets in ONE group in arbitrary orientation (keep,
+      // normalize via least/greatest); a same-tile pair (_tl = _tr)
+      // meets in both orientations (keep only a.item < b.item, which
+      // also drops same-tile self-pairs). Items are distinct per user,
+      // so each (user, i, j) contributes exactly 1 to support.
+      val (aS, bS) = graft.dedup.Dedup.bucketedPairSides(
+        fb.select(col("user_id"), col("item")), Seq("user_id"), "item",
+        cap = 256)
+      val pairs = aS.join(bS, Seq("user_id", "_tl", "_tr"))
+        .filter(col("_tl") < col("_tr") || col("a.item") < col("b.item"))
+        .select(least(col("a.item"), col("b.item")).as("i"),
+          greatest(col("a.item"), col("b.item")).as("j"))
         .groupBy(col("i"), col("j")).agg(count(lit(1)).as("support"))
       pairs
         .join(broadcast(frequent.select(col("item").as("i"), col("sup").as("sup_i"))), "i")

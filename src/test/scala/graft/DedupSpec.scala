@@ -124,6 +124,37 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == 200L * 199 / 2 + 3)
   }
 
+  test("assoc-rules pair stage: power-user basket tiled, support exact") {
+    // q202's shape: baskets keyed by user, one power user holding 80
+    // items (>> cap) plus normal 3-item users. The tiled pair stage must
+    // (a) keep every (user, tl, tr) join group at ~cap rows per side —
+    // the bounded-fan-out guarantee VERDICT r9/r10 asked for — and
+    // (b) reproduce the plain self-join's per-pair support exactly under
+    // the exactly-once rule (cross-tile pairs surface once in arbitrary
+    // orientation → normalize; same-tile in both → keep a < b only).
+    val power = (1L to 80L).map(i => (999L, i))
+    val normal = for (u <- 1L to 10L; i <- 1L to 3L) yield (u, i)
+    val fb = (power ++ normal).toDF("user_id", "item")
+    val cap = 8
+    val (aS, bS) = Dedup.bucketedPairSides(fb, Seq("user_id"), "item", cap)
+    for (side <- Seq(aS, bS)) {
+      val maxGroup = side.groupBy("user_id", "_tl", "_tr")
+        .count().agg(max("count")).collect()(0).getLong(0)
+      assert(maxGroup <= 3L * cap, s"group of $maxGroup exceeds bound")
+    }
+    val support = aS.join(bS, Seq("user_id", "_tl", "_tr"))
+      .filter(col("_tl") < col("_tr") || col("a.item") < col("b.item"))
+      .select(least(col("a.item"), col("b.item")).as("i"),
+        greatest(col("a.item"), col("b.item")).as("j"))
+      .groupBy("i", "j").count()
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val expected = ((for { a <- 1L to 80L; b <- (a + 1) to 80L } yield (a, b))
+      .map(_ -> 1L).toMap.toSeq ++
+      (for { a <- 1L to 3L; b <- (a + 1) to 3L } yield ((a, b), 10L)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(support == expected)
+  }
+
   test("simhashNearDups with a planted hot bucket stays exact under tiling") {
     // 40 identical docs (one degenerate band bucket) + 1 distinct: tiny cap
     // forces tiling; the pair set must be all C(40,2) identical pairs.
