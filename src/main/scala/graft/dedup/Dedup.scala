@@ -206,20 +206,28 @@ object Dedup {
     * the scan. This is the streaming-safe decontamination form: no
     * per-doc aggregation, so it composes with other stateful operators
     * (Spark allows only restricted stateful chains per query).
+    *
+    * The fingerprints are sorted ONCE on the driver and probed with
+    * binary search per shingle — the earlier form shipped a raw array
+    * and rebuilt a hash Set per task (per micro-batch × partition in
+    * streaming), driver-bounded work repeated executor-side forever.
     */
   def overlapCount(df: DataFrame, textCol: String, shingleK: Int,
-                   bench: org.apache.spark.broadcast.Broadcast[Array[Long]])
-      : DataFrame = {
+                   bench: Array[Long]): DataFrame = {
+    val sorted = bench.clone()
+    java.util.Arrays.sort(sorted)
+    val bc = df.sparkSession.sparkContext.broadcast(sorted)
     val schema = StructType(df.schema.fields :+
       StructField("n_overlap", LongType, nullable = false))
     val idx = df.schema.fieldIndex(textCol)
     implicit val enc = Encoders.row(schema)
     df.mapPartitions { it =>
-      val set = bench.value.toSet
+      val arr = bc.value
       it.map { r =>
         val toks = Option(r.getString(idx)).getOrElse("").split(" ", -1)
         var n = 0L
-        shingleHashArr(toks, shingleK).foreach(h => if (set.contains(h)) n += 1)
+        shingleHashArr(toks, shingleK).foreach(h =>
+          if (java.util.Arrays.binarySearch(arr, h) >= 0) n += 1)
         Row.fromSeq(r.toSeq :+ n)
       }
     }(enc)

@@ -19,18 +19,40 @@ object Checkpoints {
     sc.getCheckpointDir match {
       case None => sc.setCheckpointDir(dir)
       case Some(existing) =>
-        // getCheckpointDir returns a Hadoop-qualified URI (file:/tmp/..)
-        // with Spark's random UUID child appended — normalize the scheme
-        // away and prefix-compare against the requested root.
-        def norm(p: String) =
-          p.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:(//)?", "/")
-            .replaceAll("/+", "/").stripSuffix("/")
-        val have = norm(existing)
-        val want = norm(dir)
-        require(have == want || have.startsWith(want + "/"),
+        require(compatible(existing, dir, sc.hadoopConfiguration),
           s"SparkContext checkpoint dir already set to '$existing'; " +
             s"refusing to redirect it to '$dir' mid-session — pick one " +
             "checkpoint root per application")
     }
+  }
+
+  /** Whether the already-set checkpoint dir `existing` (Hadoop-qualified,
+    * possibly with Spark's UUID child appended) lives under the requested
+    * root `dir`. Scheme-less paths are qualified against the default
+    * filesystem exactly as `setCheckpointDir` would; then scheme,
+    * authority, and path prefix must all agree. The earlier form stripped
+    * the scheme before comparing, so 'hdfs:/ckpt' vs a requested
+    * 'file:/ckpt' — two different filesystems — passed silently.
+    */
+  private[graft] def compatible(existing: String, dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    def qualify(p: String): java.net.URI = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val u = path.toUri
+      if (u.getScheme != null) u
+      else {
+        // only a scheme-less path needs the default filesystem; an
+        // explicit-scheme URI is compared as written (no fs class load)
+        val fs = path.getFileSystem(conf)
+        path.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri
+      }
+    }
+    val (have, want) = (qualify(existing), qualify(dir))
+    def nPath(u: java.net.URI) =
+      u.getPath.replaceAll("/+", "/").stripSuffix("/")
+    val (hp, wp) = (nPath(have), nPath(want))
+    have.getScheme == want.getScheme &&
+      Option(have.getAuthority) == Option(want.getAuthority) &&
+      (hp == wp || hp.startsWith(wp + "/"))
   }
 }

@@ -34,6 +34,23 @@ import org.apache.spark.sql.functions._
   */
 object EntityResolution {
 
+  /** Repartition to full shuffle width and materialize once — local
+    * (executor-storage) by default, reliable when `checkpointDir` is
+    * given (the Dedup.bucketedPairSides contract: cluster callers whose
+    * executors can be lost mid-query pass an HDFS/S3 root).
+    */
+  private def materializedOnce(df: DataFrame,
+                               checkpointDir: Option[String]): DataFrame = {
+    val wide = df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    checkpointDir match {
+      case Some(d) =>
+        Checkpoints.ensureDir(wide.sparkSession.sparkContext, d)
+        wide.checkpoint()
+      case None => wide.localCheckpoint()
+    }
+  }
+
   /** The blocking key: (extra blocking columns…, first whitespace token,
     * length bucket). Length bucketing folds the cheap length filter into the
     * block key itself: two strings whose lengths differ by more than the
@@ -117,7 +134,8 @@ object EntityResolution {
     */
   def prefixFilterPairs(df: DataFrame, idCol: String, elemsCol: Column,
                         tNum: Int, tDen: Int,
-                        carryCols: Seq[String] = Nil): DataFrame = {
+                        carryCols: Seq[String] = Nil,
+                        checkpointDir: Option[String] = None): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     // The element-set computation feeding this (shingle hashing, an
     // expensive scan-local kernel) has THREE consumers here (frequency
@@ -125,10 +143,12 @@ object EntityResolution {
     // full shuffle width (explicit count: exempt from AQE coalescing; a
     // local single-row-group scan otherwise pins everything to ~2
     // tasks). Rows are (id, hashes, carry) — ids+longs, bounded payload.
-    val r = df.select((col(idCol).as("__id") +: elemsCol.as("__ts") +:
-      carryCols.map(col)): _*)
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
-      .localCheckpoint()
+    // localCheckpoint lives in executor-local storage (lost with the
+    // executor); cluster callers pass `checkpointDir` for a reliable
+    // HDFS/S3 checkpoint instead — same contract as
+    // Dedup.bucketedPairSides.
+    val r = materializedOnce(df.select((col(idCol).as("__id") +:
+      elemsCol.as("__ts") +: carryCols.map(col)): _*), checkpointDir)
     val tok = r.select(col("__id"), explode(col("__ts")).as("__t"))
     val freq = tok.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
 
@@ -182,7 +202,8 @@ object EntityResolution {
     */
   def containmentPairs(df: DataFrame, idCol: String, elemsCol: Column,
                        tNum: Int, tDen: Int,
-                       carryCols: Seq[String] = Nil): DataFrame = {
+                       carryCols: Seq[String] = Nil,
+                       checkpointDir: Option[String] = None): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     // The element-set computation feeding this (shingle hashing, an
     // expensive scan-local kernel) has THREE consumers here (frequency
@@ -190,10 +211,9 @@ object EntityResolution {
     // full shuffle width (explicit count: exempt from AQE coalescing; a
     // local single-row-group scan otherwise pins everything to ~2
     // tasks). Rows are (id, hashes, carry) — ids+longs, bounded payload.
-    val r = df.select((col(idCol).as("__id") +: elemsCol.as("__ts") +:
-      carryCols.map(col)): _*)
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
-      .localCheckpoint()
+    // Reliable-checkpoint contract as in [[prefixFilterPairs]].
+    val r = materializedOnce(df.select((col(idCol).as("__id") +:
+      elemsCol.as("__ts") +: carryCols.map(col)): _*), checkpointDir)
     val tok = r.select(col("__id"), explode(col("__ts")).as("__t"))
     val freq = tok.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
     val ordered = tok.join(freq, "__t")

@@ -393,14 +393,13 @@ object StreamQueries {
           "doc_id", "text", 3)
         .select(explode(col("sh")).as("h")).distinct()
         .collect().map(_.getLong(0))
-      val bcast = ss.sparkContext.broadcast(benchHashes)
       val stream = SocialStream
         .readParquetStream(ss, src, docsSchema, maxFilesPerTrigger = 1)
         .filter(col("doc_id") % 97 =!= 0)
         .filter(graft.ops.CoreOps.cents(
           graft.text.TextOps.qualityScore(col("text"), TQ.stopwords), 6)
           >= 700000L)
-      val clean = graft.dedup.Dedup.overlapCount(stream, "text", 3, bcast)
+      val clean = graft.dedup.Dedup.overlapCount(stream, "text", 3, benchHashes)
         .filter(col("n_overlap") < 2)
         .dropDuplicates("lang", "text")
       val sink = uniq("q244_sink_")

@@ -34,15 +34,31 @@ object JdbcUpsertSink {
     * Executes on the executors; the driver ships only the SQL string.
     */
   def upsert(df: DataFrame, url: String, table: String, keyCols: Seq[String],
-             batchSize: Int = 500): Unit = {
+             batchSize: Int = 500,
+             strictCounts: Option[Boolean] = None): Unit = {
     val cols = df.columns.toSeq
     require(keyCols.nonEmpty && keyCols.forall(cols.contains),
       s"keyCols $keyCols must be a subset of ${cols.mkString(",")}")
     val sql = mergeSql(table, cols, keyCols)
+    val strict = strictCountsFor(url, strictCounts)
     df.foreachPartition { (rows: Iterator[Row]) =>
-      writePartition(rows, url, sql, cols, keyCols, batchSize)
+      writePartition(rows, url, sql, cols, keyCols, batchSize,
+        strictCounts = Some(strict))
     }
   }
+
+  /** Whether the zero-update-count check applies. "A key-MERGE affects
+    * exactly one row" is DERBY's observed contract (the silent row-loss
+    * race the check repairs is a Derby embedded-engine bug); other stores
+    * legitimately report 0 for no-op updates (e.g. MySQL's
+    * `INSERT … ON DUPLICATE KEY` with unchanged values, conditional-
+    * update rewrites), where treating 0 as loss would retry forever and
+    * then fail an honest batch. So: explicit override wins, else strict
+    * exactly on Derby URLs.
+    */
+  def strictCountsFor(url: String, overrideOpt: Option[Boolean]): Boolean =
+    overrideOpt.getOrElse(url.toLowerCase(java.util.Locale.ROOT)
+      .startsWith("jdbc:derby:"))
 
   /** Derby upsert: merge against the one-row dummy table with the key in
     * the ON clause — the standard Derby per-row MERGE idiom. Binding order:
@@ -78,8 +94,10 @@ object JdbcUpsertSink {
     */
   def writePartition(rows: Iterator[Row], url: String, sql: String,
                      cols: Seq[String], keyCols: Seq[String],
-                     batchSize: Int, maxBatchRetries: Int = 2): Unit = {
+                     batchSize: Int, maxBatchRetries: Int = 2,
+                     strictCounts: Option[Boolean] = None): Unit = {
     if (!rows.hasNext) return
+    val strict = strictCountsFor(url, strictCounts)
     val nonKeys = cols.filterNot(keyCols.contains)
     val keyIdx = keyCols.map(cols.indexOf)
     val nonKeyIdx = nonKeys.map(cols.indexOf)
@@ -121,9 +139,12 @@ object JdbcUpsertSink {
             // legitimate batch-mode answer and is accepted. With NO
             // non-key columns the MERGE has no UPDATE clause, so a
             // matched (already-present) key legitimately reports 0 —
-            // the check only applies when every row must touch one row.
+            // the check only applies when every row must touch one row,
+            // and only on stores where 0 means loss (see
+            // [[strictCountsFor]]); EXECUTE_FAILED is a failure on every
+            // store.
             val bad = counts.indexWhere(c =>
-              (c == 0 && nonKeys.nonEmpty) ||
+              (c == 0 && nonKeys.nonEmpty && strict) ||
                 c == java.sql.Statement.EXECUTE_FAILED)
             if (bad >= 0)
               throw new java.sql.SQLException(

@@ -144,4 +144,18 @@ class JdbcUpsertSinkSpec extends AnyFunSuite {
       } finally conn.close()
     }
   }
+
+  test("zero-update-count strictness gates per driver, override wins") {
+    // The silent-row-loss repair ("a key-MERGE affects exactly one row,
+    // 0 means the store dropped it") is DERBY's observed contract; other
+    // stores legitimately report 0 for no-op updates, where strict mode
+    // would retry and then fail an honest batch.
+    assert(JdbcUpsertSink.strictCountsFor("jdbc:derby:/tmp/db;create=true", None))
+    assert(JdbcUpsertSink.strictCountsFor("JDBC:DERBY:memory:db", None))
+    assert(!JdbcUpsertSink.strictCountsFor("jdbc:postgresql://h/db", None))
+    assert(!JdbcUpsertSink.strictCountsFor("jdbc:mysql://h/db", None))
+    // explicit override beats URL detection in both directions
+    assert(JdbcUpsertSink.strictCountsFor("jdbc:postgresql://h/db", Some(true)))
+    assert(!JdbcUpsertSink.strictCountsFor("jdbc:derby:memory:db", Some(false)))
+  }
 }
