@@ -65,7 +65,12 @@ object ResolutionQueries {
     // is hash-keyed with skew bounded by docs-per-shingle. No pair join.
     "q186_dup_shingle_frac" -> ((s, dir) => {
       org.apache.spark.sql.GraftFunctions.register(s)
+      // Explicit width (the 5043be2 treatment): the shingle kernel +
+      // explode is the CPU and has TWO consumers (census + join side);
+      // at the local scan's 1-3 splits it ran near-serial — twice — at
+      // sf1. Width first; the two consumers then share the h-exchange.
       val sh = Tables.load(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .select(col("doc_id"), col("lang"),
           explode(call_function("shingle_hashes", col("text"), lit(3))).as("h"))
       val cnt = sh.groupBy(col("h")).agg(count(lit(1)).as("nd"))

@@ -441,8 +441,13 @@ object TextQueries {
     // whole exploded token stream to sort it per doc. One merge round;
     // real BPE iterates this query.
     "q144_bpe_pairs" -> ((s, dir) => {
+      // Explicit width (the 5043be2 treatment): the local parquet scan
+      // has 1-3 effective splits, so the pair explode — the CPU — ran
+      // near-serial at sf1; the repartition is exempt from AQE
+      // coalescing and spreads the kernel over every core.
       val docs = Tables.load(s, dir, "documents")
         .filter(length(col("text")) > 0)
+        .repartition(s.sessionState.conf.numShufflePartitions)
       val w = split(col("text"), " ")
       val pair = zip_with(
         slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
@@ -510,7 +515,11 @@ object TextQueries {
     // cutoff. Scan-local, no shuffle; the oracle replays the identical
     // hash-vs-weight comparison.
     "q137_weighted_sample" -> ((s, dir) => {
+      // Explicit width (the 5043be2 treatment): qualityScore over every
+      // doc is the CPU, and the local scan's 1-3 splits ran it
+      // near-serial at sf1.
       val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .withColumn("q_u",
           CoreOps.cents(TextOps.qualityScore(col("text"), stopwords), 6))
       CoreOps.weightedSample(docs, "doc_id", col("q_u"))
