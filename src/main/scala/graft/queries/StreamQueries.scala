@@ -150,7 +150,12 @@ object StreamQueries {
           // 4 state partitions: these fixtures' keyspaces are hundreds of
           // keys, and every extra shuffle partition is one more state
           // file fsync'd PER micro-batch per stateful operator.
-          s2.conf.set("spark.sql.shuffle.partitions", "4")
+          // SPARK_GRAFT_STREAM_PARTS overrides for the width-robustness
+          // leg (VERDICT r10 item 8) — catches stream plans whose
+          // constants only look good at toy width. The driver never sets
+          // it.
+          s2.conf.set("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
           // AQE never applies inside micro-batch plans, and the session's
           // OTHER queries (memory-sink readbacks, 1-row sentinels) are
           // tiny — AQE's per-action query-stage materialization is pure

@@ -517,9 +517,17 @@ object TextQueries {
     "q137_weighted_sample" -> ((s, dir) => {
       // Explicit width (the 5043be2 treatment): qualityScore over every
       // doc is the CPU, and the local scan's 1-3 splits ran it
-      // near-serial at sf1.
+      // near-serial at sf1. The repartition alone is NOT enough here:
+      // weightedSample's keep-filter references only deterministic
+      // expressions, so Catalyst substitutes the score into it and
+      // pushes the whole kernel back below the exchange into the 2-task
+      // scan stage (measured: a 2.6 s 2-task map stage emitting the
+      // already-filtered 39k rows). The checkpoint is a pushdown
+      // barrier: scan+exchange stay cheap, scoring runs at full width.
       val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
         .repartition(s.sessionState.conf.numShufflePartitions)
+        .localCheckpoint()
         .withColumn("q_u",
           CoreOps.cents(TextOps.qualityScore(col("text"), stopwords), 6))
       CoreOps.weightedSample(docs, "doc_id", col("q_u"))
