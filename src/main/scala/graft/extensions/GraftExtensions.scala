@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.expressions.{BloomMightContain, CharHash, ContainsAnyTerm, MinhashBandKeys, ShingleHashes, SimhashSig}
+import graft.expressions.{BloomMightContain, CharHash, ContainsAnyTerm, MinhashBandKeys, QualityScore, ShingleHashes, SimhashSig}
 
 /** Session extensions for the graft engine — `spark.sql.extensions =
   * graft.extensions.GraftExtensions` (set by Verify/Bench/Smoke and the
@@ -124,9 +124,27 @@ object GraftExtensions {
       SimhashSig(args.head, intArg(args(1), "simhash_sig bits"))
     })
 
+  val qualityScoreFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("quality_score"),
+    info("quality_score",
+      "quality_score(text, stop1, stop2, ...) - composite [0,1] doc quality " +
+        "(length/stopword-ratio/punctuation mix) in one codegen'd pass",
+      classOf[QualityScore]),
+    (args: Seq[Expression]) => {
+      require(args.nonEmpty, "quality_score expects a string column")
+      val stops = args.tail.map {
+        case Literal(t: UTF8String, StringType) if t != null => t.toString
+        case e if e.foldable && e.dataType == StringType && e.eval(null) != null =>
+          e.eval(null).toString
+        case other => throw new IllegalArgumentException(
+          s"quality_score stopwords must be string literals, got: ${other.sql}")
+      }
+      QualityScore(args.head, stops)
+    })
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(charHashFn, containsAnyTermFn, bloomMightContainFn, shingleHashesFn,
-      minhashBandKeysFn, simhashSigFn)
+      minhashBandKeysFn, simhashSigFn, qualityScoreFn)
 }
 
 /** Collapse OR-chains of case-insensitive substring tests over one column,

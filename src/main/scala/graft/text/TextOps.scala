@@ -50,8 +50,21 @@ object TextOps {
   /** Composite quality score in [0,1]: rewards mid-length docs with a sane
     * stopword ratio and low punctuation density. Deterministic and
     * SQL-expressible, so it can be oracle-checked; weights are heuristic.
+    *
+    * Dispatches to the native one-pass expression
+    * ([[graft.expressions.QualityScore]], registered as `quality_score`):
+    * the column form below materializes three token arrays per row and
+    * evaluates its lambdas interpreted — ~1.2 ms/doc at sf1, the
+    * bottleneck of every curation query scoring feeds. Results are
+    * bit-identical (TextOpsSpec parity property), so oracles are shared.
     */
-  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    call_function("quality_score", text +: stopwords.map(lit): _*)
+
+  /** The original column/HOF form of [[qualityScore]] — the executable
+    * spec the native expression is parity-tested against.
+    */
+  def qualityScoreHof(text: Column, stopwords: Seq[String]): Column = {
     val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
     val stopScore = lit(1.0) - abs(stopwordRatio(text, stopwords) - lit(0.3))
     val punctPenalty = lit(1.0) - charClassRatio(text, "[^A-Za-z0-9 ]")

@@ -250,4 +250,35 @@ class TextOpsSpec extends AnyFunSuite {
       Vector("aa", "aa"))
     assert(TextOps.greedyMerge(Vector("x"), "a", "a", "") == Vector("x"))
   }
+
+  test("native quality_score is bit-identical to the column/HOF form") {
+    // The native expression claims EXACT parity (shared oracles depend on
+    // it) — compare doubleToLongBits, not approximate equality, over the
+    // split/regex edge cases: empty string, consecutive/leading/trailing
+    // spaces (empty tokens), stopwords at each position, punctuation-only,
+    // >500-char (lenScore clamp), non-ASCII incl. a supplementary-plane
+    // code point (counts once for length, is punctuation-class).
+    val stops = Seq("the", "a", "of")
+    val rows = Seq(
+      "", " ", "  ", "the", "the ", " the", "a of the", "a  of",
+      "word", "hello, world! 42", "!!!???", "éçü の 汉字", "x 😀 y",
+      "the quick brown fox jumps of a fence. " * 20,
+      "a" * 600, ("the " * 200).trim)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val both = rows.select(
+      TextOps.qualityScore(org.apache.spark.sql.functions.col("text"), stops).as("nat"),
+      TextOps.qualityScoreHof(org.apache.spark.sql.functions.col("text"), stops).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}")
+    }
+    // null propagates (null-intolerant), matching the HOF form
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(TextOps.qualityScore(org.apache.spark.sql.functions.col("text"), stops).as("q"))
+      .collect()
+    assert(n(0).isNullAt(0))
+  }
 }
