@@ -98,6 +98,16 @@ object TextOps {
     * int64 overflow where Java wraps). Used for cheap exact-dup candidate keys.
     */
   def fingerprint(text: Column): Column =
+    call_function("char_hash", text)
+
+  /** The original HOF form of [[fingerprint]] — the executable spec the
+    * native [[graft.expressions.CharHash]] is parity-tested against
+    * (TextOpsSpec). Equal for all BMP text: the HOF folds per-character
+    * `ascii()` code points, the native form folds UTF-16 units — they
+    * diverge only on supplementary-plane characters (same caveat as
+    * `Dedup.charHashStr`, and the corpus convention everywhere else).
+    */
+  def fingerprintHof(text: Column): Column =
     aggregate(
       split(text, ""),
       lit(0L),

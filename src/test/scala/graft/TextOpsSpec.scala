@@ -251,6 +251,17 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextOps.greedyMerge(Vector("x"), "a", "a", "") == Vector("x"))
   }
 
+  test("native fingerprint (char_hash) matches the HOF ascii-fold on BMP text") {
+    val rows = Seq("", "a", "hello world", "line1 line2  double",
+      "punct!@# 123", "éçü のテキスト 汉字", "x" * 1000)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val both = rows.select(
+      TextOps.fingerprint($"t").as("nat"),
+      TextOps.fingerprintHof($"t").as("hof")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native ${r.getLong(0)} != hof ${r.getLong(1)}"))
+  }
+
   test("native quality_score is bit-identical to the column/HOF form") {
     // The native expression claims EXACT parity (shared oracles depend on
     // it) — compare doubleToLongBits, not approximate equality, over the
