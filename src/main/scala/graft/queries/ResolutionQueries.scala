@@ -68,7 +68,11 @@ object ResolutionQueries {
       // Explicit width (the 5043be2 treatment): the shingle kernel +
       // explode is the CPU and has TWO consumers (census + join side);
       // at the local scan's 1-3 splits it ran near-serial — twice — at
-      // sf1. Width first; the two consumers then share the h-exchange.
+      // sf1. Width first; the kernel still runs once per consumer (the
+      // census's column pruning re-canonicalizes its copy, so
+      // ReusedExchange never fires), but at full width that duplicate is
+      // cheaper than materializing the 45×-exploded hash rows — measured
+      // both ways: repartition-only 2.13 s sf1, +localCheckpoint 2.72 s.
       val sh = Tables.load(s, dir, "documents")
         .repartition(s.sessionState.conf.numShufflePartitions)
         .select(col("doc_id"), col("lang"),
