@@ -16,4 +16,14 @@ object GraftFunctions {
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
   }
+
+  /** Column ↔ Expression bridges (`classic.ExpressionUtils` is
+    * private[sql]) for graft expressions whose parameters don't encode as
+    * SQL-function varargs (e.g. [[graft.expressions.LangId]]'s marker
+    * map) and therefore bypass the function registry.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

@@ -75,8 +75,21 @@ object TextOps {
     * occur most often wins; ties broken by `langs` order; no hit → "und".
     * An n-gram/dictionary heuristic in the fastText tradition, shrunk to a
     * pure expression. `markers` maps lang → marker tokens.
+    *
+    * Dispatches to the native one-pass expression
+    * ([[graft.expressions.LangId]]): the column form below materializes a
+    * token array and runs one interpreted `filter` pass per language.
+    * Results identical incl. null → "und" (TextOpsSpec parity property).
     */
-  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column =
+    org.apache.spark.sql.GraftFunctions.column(
+      graft.expressions.LangId(
+        org.apache.spark.sql.GraftFunctions.expression(text), markers))
+
+  /** The original column/HOF form of [[langId]] — the executable spec the
+    * native expression is parity-tested against.
+    */
+  def langIdHof(text: Column, markers: Seq[(String, Seq[String])]): Column = {
     val toks = tokens(text)
     val scores = markers.map { case (lang, words) =>
       val isMarker = words.map(w => (t: Column) => t === lit(w))

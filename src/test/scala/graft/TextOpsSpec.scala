@@ -262,6 +262,28 @@ class TextOpsSpec extends AnyFunSuite {
       s"native ${r.getLong(0)} != hof ${r.getLong(1)}"))
   }
 
+  test("native lang_id matches the column/HOF form incl. ties and null") {
+    val markers = Seq("en" -> Seq("the", "a"), "de" -> Seq("der", "die"),
+      "es" -> Seq("el", "la"), "fr" -> Seq("le", "les"))
+    val rows = Seq(
+      "", " ", "no markers here", "the cat", "der hund", "el la el",
+      "the der", // tie en/de -> first in marker order (en)
+      "la le",   // tie es/fr -> es
+      "a the a der die", "die der die", "x the y der z el w le v")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val both = rows.select(
+      TextOps.langId($"t", markers).as("nat"),
+      TextOps.langIdHof($"t", markers).as("hof")).collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"native ${r.getString(0)} != hof ${r.getString(1)}"))
+    // null text: the HOF CASE chain falls through to the "und" seed;
+    // the native form must agree (it is total, not null-intolerant)
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("id", "t")
+      .select(TextOps.langId($"t", markers).as("nat"),
+        TextOps.langIdHof($"t", markers).as("hof")).collect()
+    assert(n(0).getString(0) == "und" && n(0).getString(1) == "und")
+  }
+
   test("native quality_score is bit-identical to the column/HOF form") {
     // The native expression claims EXACT parity (shared oracles depend on
     // it) — compare doubleToLongBits, not approximate equality, over the
