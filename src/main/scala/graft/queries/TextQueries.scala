@@ -106,7 +106,10 @@ object TextQueries {
     // ranked by the integer-exact exp(PMI) surrogate, minCount = 5
     // against the rare-pair degeneracy, top-25 collocations.
     "q163_pmi_collocations" -> ((s, dir) => {
-      TextOps.pmiCollocations(Tables.load(s, dir, "documents"),
+      // Explicit width (the 5043be2 treatment): the bigram explode is the
+      // CPU and the local scan has 1-3 splits.
+      TextOps.pmiCollocations(Tables.load(s, dir, "documents")
+          .repartition(s.sessionState.conf.numShufflePartitions),
         "doc_id", "text", minCount = 5L, k = 25)
     }),
 
@@ -317,7 +320,10 @@ object TextQueries {
     // in tf·N/df), df over the FULL corpus, output restricted to the
     // doc_id % 17 slice to keep the gate compact.
     "q95_tfidf" -> ((s, dir) => {
-      TextOps.tfidfTopTerms(Tables.load(s, dir, "documents"),
+      // Explicit width (the 5043be2 treatment): the token explode is the
+      // CPU and the local scan has 1-3 splits.
+      TextOps.tfidfTopTerms(Tables.load(s, dir, "documents")
+          .repartition(s.sessionState.conf.numShufflePartitions),
           "doc_id", "text", k = 3)
         .filter(col("doc_id") % 17 === 0)
         .orderBy(col("doc_id"), col("rank"))
