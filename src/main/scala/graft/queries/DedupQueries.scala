@@ -408,6 +408,30 @@ object DedupQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Topic-mixture data card: k-means-lite cells (Similarity.kmeansAssign,
+    // the q50/q116 clustering) crossed with the supervision label — per
+    // (cell, label) counts and within-cell shares in bp. The embedding-
+    // space composition report a mixture dashboard ships: which semantic
+    // clusters a source/label dominates, and where clusters mix labels
+    // (annotation noise or genuinely ambiguous regions). Centroids are the
+    // bounded model artifact; the cross is one partial-aggregable rollup
+    // plus a 16-row broadcast of cell totals.
+    "q249_cluster_mixture" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val (assigned, _) = Similarity.kmeansAssign(e, "vec_id", "embedding")
+      val byCell = assigned
+        .select(col("cell").cast("long").as("cell"),
+          col("corpus_id").as("vec_id"))
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("cell"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val tot = byCell.groupBy(col("cell")).agg(sum(col("n")).as("cn"))
+      byCell.join(broadcast(tot), "cell")
+        .select(col("cell"), col("label"), col("n"),
+          expr("(n * 10000) div cn").as("share_bp"))
+        .orderBy(col("cell"), col("label"))
+    }),
+
     // SoftDeDup: instead of DROPPING near-duplicates, down-weight them —
     // every member of an n-doc near-dup cluster carries weight 1/n
     // (integer micros), so a family contributes ~one doc of training
@@ -1112,6 +1136,18 @@ object DedupQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q249_cluster_mixture" ->
+      s"""WITH ${kmeansCtes(16)},
+         |lab AS (
+         |  SELECT CAST(a.cell AS BIGINT) AS cell, e.label, count(*) AS n
+         |  FROM assign1 a JOIN embeddings e ON e.vec_id = a.corpus_id
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT cell, sum(n) AS cn FROM lab GROUP BY 1)
+         |SELECT cell, label, CAST(n AS BIGINT) AS n,
+         |  CAST((n * 10000) // cn AS BIGINT) AS share_bp
+         |FROM lab JOIN tot USING (cell)
+         |ORDER BY cell, label""".stripMargin,
+
     "q131_zipf_neardups" ->
       s"""WITH $zipfCorpusCte,
          |${minhashCtes(3, 16, 4, from = "zdocs")}

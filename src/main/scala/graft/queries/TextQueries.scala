@@ -247,6 +247,20 @@ object TextQueries {
         .orderBy(col("lang_pred"))
     }),
 
+    // Language-ID eval: predicted-vs-labeled confusion matrix — the
+    // agreement report that decides whether the cheap marker classifier
+    // is good enough to route per-language processing (and which label
+    // pairs it confuses). One scan through the native lang_id expression
+    // + one partial-aggregable rollup; the oracle replays the full
+    // marker-voting decision rule per labeled row.
+    "q248_langid_agreement" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), TextOps.langId(col("text"), langMarkers).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+
     // Quality scoring, micro-unit aggregation per source.
     "q25_quality" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -1460,6 +1474,25 @@ object TextQueries {
          |    ELSE 'und' END AS lang_pred
          |  FROM c)
          |SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+    "q248_langid_agreement" ->
+      s"""WITH c AS (
+         |  SELECT lang,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ${sqlList(langMarkers(0)._2)})) AS c_en,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ${sqlList(langMarkers(1)._2)})) AS c_de,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ${sqlList(langMarkers(2)._2)})) AS c_es,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ${sqlList(langMarkers(3)._2)})) AS c_fr
+         |  FROM documents),
+         |p AS (
+         |  SELECT lang, CASE
+         |    WHEN c_en > 0 AND c_en = greatest(c_en, c_de, c_es, c_fr) THEN 'en'
+         |    WHEN c_de > 0 AND c_de = greatest(c_en, c_de, c_es, c_fr) THEN 'de'
+         |    WHEN c_es > 0 AND c_es = greatest(c_en, c_de, c_es, c_fr) THEN 'es'
+         |    WHEN c_fr > 0 AND c_fr = greatest(c_en, c_de, c_es, c_fr) THEN 'fr'
+         |    ELSE 'und' END AS lang_pred
+         |  FROM c)
+         |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q25_quality" ->
       s"""WITH t AS (
