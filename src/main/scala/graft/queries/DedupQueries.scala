@@ -432,6 +432,29 @@ object DedupQueries {
         .orderBy(col("cell"), col("label"))
     }),
 
+    // Embedding normalization audit: every cosine/IVF/PQ operator in this
+    // library assumes unit-ish vectors, so the data-quality gate a real
+    // pipeline runs BEFORE indexing is "are they actually normalized" —
+    // per label: integer-micro deviation of ‖v‖² from 1e12 (sum/max) and
+    // the count beyond a 1e6 tolerance (float32 quantization keeps honest
+    // unit vectors inside ~2e6 here, so the threshold splits the corpus
+    // non-trivially rather than rubber-stamping it). One scan-local
+    // kernel + one partial-aggregable rollup; exact integers both engines.
+    "q250_embedding_norm_check" -> ((s, dir) => {
+      Tables.load(s, dir, "embeddings")
+        .withColumn("n2", expr(
+          """aggregate(transform(embedding,
+            |  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+            |  CAST(0 AS BIGINT), (acc, v) -> acc + v * v)""".stripMargin))
+        .withColumn("dev", abs(col("n2") - lit(1000000000000L)))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("dev")).as("sum_absdev"),
+          max(col("dev")).as("max_absdev"),
+          sum(when(col("dev") > 1000000L, 1L).otherwise(0L)).as("n_offunit"))
+        .orderBy(col("label"))
+    }),
+
     // SoftDeDup: instead of DROPPING near-duplicates, down-weight them —
     // every member of an n-doc near-dup cluster carries weight 1/n
     // (integer micros), so a family contributes ~one doc of training
@@ -1147,6 +1170,23 @@ object DedupQueries {
          |  CAST((n * 10000) // cn AS BIGINT) AS share_bp
          |FROM lab JOIN tot USING (cell)
          |ORDER BY cell, label""".stripMargin,
+
+    "q250_embedding_norm_check" ->
+      """WITH d AS (
+        |  SELECT label, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS du
+        |  FROM embeddings),
+        |v AS (
+        |  SELECT label, abs(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, 65), i -> du[i] * du[i])),
+        |    (a, b) -> a + b) - 1000000000000) AS dev
+        |  FROM d)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(dev) AS BIGINT) AS sum_absdev,
+        |  CAST(max(dev) AS BIGINT) AS max_absdev,
+        |  CAST(sum(CASE WHEN dev > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_offunit
+        |FROM v GROUP BY label ORDER BY label""".stripMargin,
 
     "q131_zipf_neardups" ->
       s"""WITH $zipfCorpusCte,
