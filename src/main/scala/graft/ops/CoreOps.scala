@@ -389,17 +389,26 @@ object CoreOps {
     * corpus-mixing knob (keep probability ∝ a per-row weight, e.g. docs
     * sampled by quality score so high-quality text is over-represented
     * without a hard cutoff): keep a row iff
-    * `hash(key) mod denom < clamp(weight, 0, denom)`, so P(keep) is
-    * exactly weight/denom under the uniform portable hash. Scan-local —
-    * no shuffle, no state, reproducible at any partitioning, and
+    * `mix(hash(key)) mod denom < clamp(weight, 0, denom)`, so P(keep) is
+    * weight/denom under the mixed portable hash. Scan-local — no
+    * shuffle, no state, reproducible at any partitioning, and
     * engine-portable (the oracle replays the identical fold), unlike
     * `rand()`-based sampling which is neither.
+    *
+    * The affine mix `(A·h + B) mod P` (Dedup.seeded's constants) is
+    * load-bearing: the raw char-fold of a SHORT key is small — e.g.
+    * charHash("999") ≈ 56k — so `charHash mod 1e6` is biased toward 0
+    * and a corpus with compact numeric ids keeps (nearly) EVERYTHING
+    * regardless of weight. Round 11's q251 calibration audit caught
+    * exactly that live (n_kept = n_docs at sf0.01, 6σ flag red);
+    * multiplying by a large constant mod the prime spreads any distinct
+    * inputs across the field before the mod-denom cut.
     */
   def weightedSample(df: DataFrame, keyCol: String, weight: Column,
                      denom: Long = 1000000L): DataFrame = {
     require(denom > 0, "denom must be positive")
-    val h = pmod(graft.dedup.Dedup.charHash(col(keyCol).cast("string")),
-      lit(denom))
+    val h = pmod(graft.dedup.Dedup.seeded(
+      graft.dedup.Dedup.charHash(col(keyCol).cast("string")), 0), lit(denom))
     df.filter(h < least(greatest(weight.cast("long"), lit(0L)), lit(denom)))
   }
 

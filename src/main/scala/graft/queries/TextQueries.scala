@@ -261,6 +261,37 @@ object TextQueries {
         .orderBy(col("lang"), col("lang_pred"))
     }),
 
+    // Sampler-calibration audit: does q137's deterministic weighted
+    // sampler actually realize P(keep) = q_u/1e6? Per lang: docs, kept,
+    // the EXPECTED kept mass in micros (Σ q_u), the realized deviation,
+    // and a 6σ binomial-bound flag (dev² ≤ 36·Σ q_u·(1e6−q_u), the
+    // squared form so no sqrt — DECIMAL(38,0) on both engines because
+    // dev² exceeds int64 once |dev| passes ~3e9, reachable at corpus
+    // scale). Both engines derive every value, ok flag included, from
+    // the same deterministic hash — this gates the calibration
+    // ARITHMETIC cross-engine; a biased sampler shows up as ok=false in
+    // both, a broken reimplementation as a hash mismatch.
+    "q251_sample_calibration" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          CoreOps.cents(TextOps.qualityScore(col("text"), stopwords), 6).as("q_u"))
+      val kept = CoreOps.weightedSample(docs, "doc_id", col("q_u"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("q_u")).as("e_micros"),
+          sum(expr("CAST(q_u AS DECIMAL(38,0)) * (1000000 - q_u)"))
+            .as("var2"))
+        .join(kept, Seq("lang"), "left")
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+        .withColumn("dev_micros", expr("n_kept * 1000000 - e_micros"))
+        .withColumn("ok_6sigma", expr(
+          "CAST(dev_micros AS DECIMAL(38,0)) * dev_micros <= 36 * var2"))
+        .select(col("lang"), col("n_docs"), col("n_kept"), col("e_micros"),
+          col("dev_micros"), col("ok_6sigma"))
+        .orderBy(col("lang"))
+    }),
+
     // Quality scoring, micro-unit aggregation per source.
     "q25_quality" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -1190,9 +1221,36 @@ object TextQueries {
          |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
          |  CAST(sum(q_u) AS BIGINT) AS sum_q_u
          |FROM d
-         |WHERE ${chSqlOf("CAST(doc_id AS VARCHAR)")} % 1000000
+         |WHERE (654435747 * (${chSqlOf("CAST(doc_id AS VARCHAR)")})
+         |    + 13904216) % 1000000007 % 1000000
          |  < least(greatest(q_u, 0), 1000000)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q251_sample_calibration" ->
+      s"""WITH d AS (
+         |  SELECT lang, doc_id,
+         |    CAST(round(($qualitySql) * 1000000.0) AS BIGINT) AS q_u
+         |  FROM documents),
+         |k AS (
+         |  SELECT lang, count(*) AS n_kept FROM d
+         |  WHERE (654435747 * (${chSqlOf("CAST(doc_id AS VARCHAR)")})
+         |      + 13904216) % 1000000007 % 1000000
+         |    < least(greatest(q_u, 0), 1000000)
+         |  GROUP BY lang),
+         |e AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(q_u) AS BIGINT) AS e_micros,
+         |    sum(CAST(q_u AS DECIMAL(38,0)) * (1000000 - q_u)) AS var2
+         |  FROM d GROUP BY lang)
+         |SELECT e.lang, n_docs,
+         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+         |  e_micros,
+         |  CAST(coalesce(n_kept, 0) * 1000000 - e_micros AS BIGINT)
+         |    AS dev_micros,
+         |  (CAST(coalesce(n_kept, 0) * 1000000 - e_micros AS DECIMAL(38,0))
+         |     * (coalesce(n_kept, 0) * 1000000 - e_micros) <= 36 * var2)
+         |    AS ok_6sigma
+         |FROM e LEFT JOIN k USING (lang) ORDER BY e.lang""".stripMargin,
 
     "q123_temperature_mix" ->
       s"""WITH d AS (

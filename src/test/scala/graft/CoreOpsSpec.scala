@@ -290,17 +290,27 @@ class CoreOpsSpec extends AnyFunSuite {
   test("weightedSample: keep probability is exactly weight/denom under the hash") {
     import graft.dedup.Dedup
     // weight 0 → nothing; weight = denom → everything; mid weights keep
-    // exactly the rows whose hash falls under them (replayed here), and
-    // negative / over-denom weights clamp instead of misbehaving.
+    // exactly the rows whose MIXED hash falls under them (replayed here:
+    // the affine (A·h + B) mod P spread is load-bearing — raw charHash
+    // of short numeric keys is small, so the unmixed mod-denom cut kept
+    // everything; caught live by q251), and negative / over-denom
+    // weights clamp instead of misbehaving.
     val df = (0L until 1000L).map(i => (i, (i % 5) * 250000L))
       .toDF("id", "w") // weights 0, 250k, 500k, 750k, 1M over denom 1M
     val kept = CoreOps.weightedSample(df, "id", $"w")
       .select($"id").as[Long].collect().toSet
+    var nMidKept = 0
     (0L until 1000L).foreach { i =>
       val w = (i % 5) * 250000L
-      val expect = math.floorMod(Dedup.charHashStr(i.toString), 1000000L) < w
+      val mixed = (654435747L * Dedup.charHashStr(i.toString) + 13904216L) %
+        1000000007L
+      val expect = math.floorMod(mixed, 1000000L) < w
       assert(kept.contains(i) == expect, s"id $i weight $w")
+      if (i % 5 != 0 && i % 5 != 4 && kept.contains(i)) nMidKept += 1
     }
+    // and the mix actually samples: the 600 mid-weight rows (p = .25/.5/
+    // .75, E = 300) must be PARTIALLY kept — the pre-mix bias kept all
+    assert(nMidKept > 150 && nMidKept < 450, s"mid-weight kept $nMidKept")
     assert(!kept.exists(_ % 5 == 0))            // weight 0: never
     assert((4L until 1000L by 5).forall(kept))  // weight = denom: always
     val clamped = CoreOps.weightedSample(
