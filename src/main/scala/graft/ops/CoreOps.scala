@@ -240,8 +240,16 @@ object CoreOps {
     org.apache.spark.sql.GraftFunctions.register(df.sparkSession)
     val nMin = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
       .agg(min(col("n"))).head().getLong(0)
+    // Affine-mixed hash, not the raw fold: charHash is monotone in the
+    // key for same-length numeric ids, so "largest hash wins" would
+    // systematically pick the LARGEST (newest) ids per stratum — a
+    // time-correlated subset masquerading as an arbitrary one. The
+    // (A·h + B) mod P mix (same spread as weightedSample, r11)
+    // decorrelates rank from key order; selection stays a pure function
+    // of the key.
     val hashed = df.select(col(stratumCol).as("stratum"),
-      call_function("char_hash", col(keyCol).cast("string")).as("h"),
+      graft.dedup.Dedup.seeded(
+        call_function("char_hash", col(keyCol).cast("string")), 0).as("h"),
       col(keyCol).as("k"))
     rangeRank(hashed, Seq("stratum"), Seq(col("h").desc, col("k").asc), "__rr")
       .filter(col("__rr") <= nMin)

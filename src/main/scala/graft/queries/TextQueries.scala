@@ -1323,7 +1323,8 @@ object TextQueries {
          |m AS (SELECT min(n) AS k FROM c),
          |r AS (SELECT lang AS stratum, doc_id,
          |        row_number() OVER (PARTITION BY lang
-         |          ORDER BY ${chSqlOf("CAST(doc_id AS VARCHAR)")} DESC, doc_id)
+         |          ORDER BY (654435747 * (${chSqlOf("CAST(doc_id AS VARCHAR)")})
+         |            + 13904216) % 1000000007 DESC, doc_id)
          |          AS rn
          |      FROM documents)
          |SELECT stratum, doc_id FROM r, m WHERE rn <= m.k

@@ -263,9 +263,15 @@ class CoreOpsSpec extends AnyFunSuite {
     val out = CoreOps.balancedSample(df, "lang", "doc_id")
       .as[(String, Long)].collect().groupBy(_._1).view
       .mapValues(_.map(_._2).sorted.toSeq).toMap
+    // mixed hash, not the raw fold: raw charHash is monotone in the key
+    // for same-length numeric ids, so "largest hash wins" would just
+    // pick the largest ids (time-correlated at corpus scale)
+    def mixed(id: Long) =
+      (654435747L * Dedup.charHashStr(id.toString) + 13904216L) % 1000000007L
     val expectA = Seq(1L, 2L, 3L, 4L)
-      .sortBy(id => (-Dedup.charHashStr(id.toString), id)).take(2).sorted
+      .sortBy(id => (-mixed(id), id)).take(2).sorted
     assert(out("A") == expectA)
+    assert(expectA != Seq(3L, 4L), "selection degenerated to largest ids")
     assert(out("B") == Seq(10L, 11L))
     assert(out.values.forall(_.length == 2)) // exact N, not approximate
   }
