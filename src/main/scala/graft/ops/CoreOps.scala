@@ -198,6 +198,12 @@ object CoreOps {
     * oracle-checkable). Uses the engine's portable rolling hash.
     */
   def hashSample(df: DataFrame, keyCol: String, keep: Int, denom: Int = 100): DataFrame =
+    // Raw-fold mod is uniform only while denom ≪ 31^(len(key)−1) (the
+    // hash's magnitude): mod 100/10000 of ≥2/≥3-char keys wraps many
+    // times and sequential keys cycle the residues. A denom that can
+    // EXCEED the fold's magnitude (q137's 1e6 over short numeric ids —
+    // mod became the identity and everything was kept) must go through
+    // the affine mix instead; see [[weightedSample]].
     df.filter(pmod(graft.dedup.Dedup.charHash(col(keyCol).cast("string")), lit(denom.toLong)) < keep)
 
   /** Stratified deterministic sampling: per-stratum keep rates over the
@@ -388,6 +394,9 @@ object CoreOps {
         floor(least(lit(1.0),
           sqrt((col("n_total").cast("double") / col("k_strata")) / col("n_s")))
           * lit(denomBp.toDouble)).cast("long").as("rate_bp"))
+    // denomBp = 10000 stays well under the fold's magnitude for ≥3-char
+    // keys (see the [[hashSample]] note; larger denominators need the
+    // weightedSample affine mix).
     val h = pmod(graft.dedup.Dedup.charHash(col(keyCol).cast("string")),
       lit(denomBp.toLong))
     df.join(broadcast(rates), Seq(stratumCol)).filter(h < col("rate_bp"))
