@@ -153,6 +153,72 @@ object EvalQueries {
         .orderBy(col("fold"))
     }),
 
+
+    // Distributed ROC-AUC via the Mann-Whitney rank statistic — the
+    // standard quality-classifier eval (does `value` separate
+    // purchase/signup events from the rest?). Exact under ties through
+    // integer MIDRANKS: within a tied-score group of consecutive ranks,
+    // 2·midrank = 2·Σrank/n is an exact integer (= min+max), so
+    // 2U = Σ_pos 2·midrank − P(P+1) and auc_micros = 1e6·2U div (2·P·N)
+    // stay in BIGINT with zero float ops. Scale shape: the global rank is
+    // CoreOps.rangeRank (range-partitioned prefix offsets — no
+    // single-partition window), then one groupBy(score) + one 1-row agg.
+    // Long sums hold to ~sf10 (Σrank ≤ N²·½, ×1e6 headroom); past that
+    // the two sums switch to decimal(38,0) with an explicit
+    // multiply-subtract floor div.
+    "q252_auc_rank" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(
+        cents(col("value")).as("sc"),
+        when(col("event_type").isin("purchase", "signup"), 1L)
+          .otherwise(0L).as("y"),
+        col("event_id"))
+      val ranked = CoreOps.rangeRank(e, Seq.empty,
+        Seq(col("sc"), col("event_id")), rankCol = "rnk")
+      val g = ranked.groupBy(col("sc"))
+        .agg(sum(col("rnk")).as("sum_rank"), count(lit(1)).as("n_g"),
+          sum(col("y")).as("p_g"))
+      g.agg(
+          sum(expr("p_g * ((2 * sum_rank) div n_g)")).as("sum2mid"),
+          sum(col("p_g")).as("p"), sum(col("n_g")).as("n"))
+        .select(col("p").as("n_pos"), (col("n") - col("p")).as("n_neg"),
+          expr("(1000000 * (sum2mid - p * (p + 1))) div (2 * p * (n - p))")
+            .as("auc_micros"))
+    }),
+
+
+    // Calibration-by-decile audit + Brier score for a pseudo-probability
+    // (value/max(value), floor micros): per score decile (exact
+    // distributedNtile — no global-window sort), row count, mean
+    // predicted probability vs observed positive rate, their gap, and
+    // the mean squared error in micros² — the reliability-diagram table
+    // every classifier-scored corpus filter ships with its data card.
+    // All integer-exact: probabilities are floor-micros of a rational,
+    // Brier terms are exact squares of micro differences.
+    "q253_calibration_deciles" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(
+        cents(col("value")).as("sc"),
+        when(col("event_type").isin("purchase", "signup"), 1L)
+          .otherwise(0L).as("y"),
+        col("event_id")).withColumn("g", lit(0))
+      val maxSc = e.groupBy(col("g")).agg(max(col("sc")).as("max_sc"))
+      val p = e.join(broadcast(maxSc), Seq("g"))
+        .withColumn("p_micros", expr("(1000000 * sc) div max_sc"))
+      CoreOps.distributedNtile(p, Seq("g"),
+          Seq(col("sc"), col("event_id")), n = 10, binCol = "decile")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("p_micros")).as("sum_p"),
+          sum(col("y")).as("n_pos"),
+          sum(expr("(p_micros - 1000000 * y) * (p_micros - 1000000 * y)"))
+            .as("sum_sq"))
+        .select(col("decile").cast("long").as("decile"), col("n"),
+          expr("sum_p div n").as("mean_p_micros"),
+          expr("(1000000 * n_pos) div n").as("frac_pos_micros"),
+          abs(expr("sum_p div n") - expr("(1000000 * n_pos) div n"))
+            .as("gap_micros"),
+          expr("sum_sq div n").as("brier_micros2"))
+        .orderBy(col("decile"))
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -286,6 +352,52 @@ object EvalQueries {
         |  CAST(sum(CASE WHEN cls = 'embargo' THEN 1 ELSE 0 END) AS BIGINT) AS n_embargo,
         |  CAST(sum(CASE WHEN cls = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train
         |FROM c GROUP BY fold ORDER BY fold""".stripMargin,
+
+
+    // Midranks replayed through a plain row_number: per-score-group
+    // Σrank is order-independent, so the oracle's single sort and the
+    // engine's range-partitioned rank agree exactly.
+    "q252_auc_rank" ->
+      """WITH s AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS sc,
+        |    CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y,
+        |    event_id
+        |  FROM events),
+        |r AS (SELECT sc, y,
+        |        row_number() OVER (ORDER BY sc, event_id) AS rnk FROM s),
+        |g AS (SELECT sc, sum(rnk) AS sum_rank, count(*) AS n_g, sum(y) AS p_g
+        |      FROM r GROUP BY sc),
+        |t AS (SELECT sum(p_g * ((2 * sum_rank) // n_g)) AS sum2mid,
+        |        sum(p_g) AS p, sum(n_g) AS n FROM g)
+        |SELECT CAST(p AS BIGINT) AS n_pos, CAST(n - p AS BIGINT) AS n_neg,
+        |  CAST((1000000 * (sum2mid - p * (p + 1))) // (2 * p * (n - p))
+        |    AS BIGINT) AS auc_micros
+        |FROM t""".stripMargin,
+
+
+    "q253_calibration_deciles" ->
+      """WITH s AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS sc,
+        |    CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y,
+        |    event_id
+        |  FROM events),
+        |p AS (
+        |  SELECT sc, y, event_id,
+        |    (1000000 * sc) // (SELECT max(sc) FROM s) AS p_micros
+        |  FROM s),
+        |b AS (SELECT y, p_micros,
+        |        ntile(10) OVER (ORDER BY sc, event_id) AS decile FROM p),
+        |a AS (
+        |  SELECT decile, count(*) AS n, sum(p_micros) AS sum_p,
+        |    sum(y) AS n_pos,
+        |    sum((p_micros - 1000000 * y) * (p_micros - 1000000 * y)) AS sum_sq
+        |  FROM b GROUP BY decile)
+        |SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n,
+        |  CAST(sum_p // n AS BIGINT) AS mean_p_micros,
+        |  CAST((1000000 * n_pos) // n AS BIGINT) AS frac_pos_micros,
+        |  CAST(abs(sum_p // n - (1000000 * n_pos) // n) AS BIGINT) AS gap_micros,
+        |  CAST(sum_sq // n AS BIGINT) AS brier_micros2
+        |FROM a ORDER BY decile""".stripMargin,
 
   )
 }

@@ -105,6 +105,29 @@ object ResolutionQueries {
         .select(col("c_mktsegment"), col("x").as("acctbal_cents"),
           col("y").as("n_orders"), col("n_points"))
         .orderBy(col("c_mktsegment"), col("acctbal_cents"), col("n_orders"))
+    }),
+
+
+    // Survivorship / golden-record merge — the step AFTER entity
+    // resolution: collapse each matched entity (user_id) to one record
+    // with per-FIELD survivor rules (MDM "most recent wins" for the type,
+    // "highest value wins" for the payload, plus first-seen and exact
+    // totals). Each argmax is a struct-max aggregate — ONE shuffle for
+    // all five fields, no per-field window sorts, tie-broken by the
+    // unique event_id so the survivor is deterministic on any cluster.
+    "q256_survivorship" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        cents(col("value")).as("v_cents"), col("props"))
+      e.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("first_ts"),
+          max(struct(col("ts"), col("event_id"), col("event_type"))).as("l"),
+          max(struct(col("v_cents"), col("event_id"), col("props"))).as("b"),
+          sum(col("v_cents")).as("total_cents"))
+        .select(col("user_id"), col("n_events"), col("first_ts"),
+          col("l.event_type").as("last_event_type"),
+          col("b.props").as("best_props"), col("total_cents"))
+        .orderBy(col("user_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -124,6 +147,27 @@ object ResolutionQueries {
         |  WHERE levenshtein(a.pre, b.pre) <= 10)
         |SELECT lang, count(*) AS n_pairs, CAST(sum(dist) AS BIGINT) AS sum_dist
         |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Survivors replayed via rank-1 windows; struct-max and (ORDER BY ts
+    // DESC, event_id DESC) pick identical rows because event_id is unique.
+    "q256_survivorship" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS v_cents, props
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rl,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY v_cents DESC, event_id DESC) AS rb
+        |  FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts) AS first_ts,
+        |  max(CASE WHEN rl = 1 THEN event_type END) AS last_event_type,
+        |  max(CASE WHEN rb = 1 THEN props END) AS best_props,
+        |  CAST(sum(v_cents) AS BIGINT) AS total_cents
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q181_interval_coalesce" ->
       """WITH iv AS (

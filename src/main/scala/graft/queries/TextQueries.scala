@@ -801,6 +801,28 @@ object TextQueries {
           (abs(col("approx_users") - col("exact_users")) <=
             col("exact_users") * lit(0.15) + lit(16.0)).as("approx_ok"))
         .orderBy(col("event_type"))
+    }),
+
+
+    // Good–Turing unseen-mass estimate per language (Gale & Sampson's
+    // missing-mass rule: P(next token is a NEW type) ≈ f1/N): token
+    // count, vocabulary size, singleton/doubleton type counts, and the
+    // unseen-mass in floor micros. The "is this corpus slice big enough"
+    // audit for a tokenizer/langid training set — high unseen mass means
+    // the vocab is still growing (cf. q200's Heaps exponent, which
+    // measures the growth CURVE; this measures the mass left under it).
+    // Shape: token explode → two keyed aggs, no window, no collect.
+    "q254_good_turing" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+      toks.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("c"))
+        .groupBy(col("lang"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("v_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+        .withColumn("unseen_micros", expr("(1000000 * f1) div n_tokens"))
+        .orderBy(col("lang"))
     }))
 
   /** A blacklist large enough to trip contentGate's native Aho-Corasick
@@ -1398,6 +1420,20 @@ object TextQueries {
         |  WHERE len(token) > 0
         |  GROUP BY lang, token)
         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "q254_good_turing" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT lang, token, count(*) AS c FROM t
+        |      WHERE len(token) > 0 GROUP BY lang, token)
+        |SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS v_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |  CAST((1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // sum(c)
+        |    AS BIGINT) AS unseen_micros
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Adjacent pairs via a lateral index range (DuckDB has no WITH
     // ORDINALITY); 1-based list indexing, range end-exclusive, so
