@@ -870,6 +870,56 @@ object Dedup {
       .select("id_a", "id_b", "cosine").distinct()
   }
 
+  /** Semantic (embedding-space) decontamination: flag every corpus row
+    * whose embedding has cosine ≥ `threshold` against ANY benchmark
+    * vector — the eval-set-leakage check that exact/Bloom decontamination
+    * (q88/q243) cannot do, because a paraphrased benchmark item shares no
+    * n-grams with its source. Complements [[embeddingNearDups]] (within-set)
+    * with the cross-set direction.
+    *
+    * Candidates come from BANDED sign-LSH (OR-amplification, the minhash
+    * banding trick applied to sign signatures): one `bands·bandPlanes`-plane
+    * signature per row, split into `bands` sub-signatures; a (corpus,
+    * benchmark) pair is a candidate if ANY band agrees exactly. With the
+    * 4×4 default a cosine-0.9 pair is a candidate with p ≈ 0.95 vs ≈ 0.54
+    * for the single 16-plane bucket — banding is what makes sign-LSH usable
+    * as a RECALL device rather than a partitioner.
+    *
+    * Scale shape: a benchmark is an eval set — bounded by construction —
+    * so it broadcasts, and the corpus NEVER shuffles: the band explode is
+    * scan-local (×bands rows, vectors stay in place) and the verify
+    * cosine runs inside the broadcast-joined scan. Returns one row per
+    * corpus id: (id, n_hits, max_cosine, contaminated).
+    */
+  def crossSetDecontam(corpus: DataFrame, bench: DataFrame, idCol: String,
+                       vecCol: String, threshold: Double, bands: Int = 4,
+                       bandPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    import graft.similarity.Similarity.{appendCosine, bucketNorm}
+    val planes = bands * bandPlanes
+    require(planes < 63, s"sign-LSH signature must fit a long, got $planes planes")
+    def banded(df: DataFrame): DataFrame = df
+      .withColumn("band", explode(array((0 until bands).map(lit): _*)))
+      .withColumn("sig",
+        expr(s"shiftrightunsigned(bucket, band * $bandPlanes) % ${1L << bandPlanes}"))
+    val c = banded(bucketNorm(corpus, idCol, vecCol, planes, dim))
+      .select(col("band"), col("sig"), col("id"), col("v"), col("nrm"))
+    val b = banded(bucketNorm(bench, idCol, vecCol, planes, dim))
+      .select(col("band"), col("sig"), col("id").as("bid"),
+        col("v").as("bv"), col("nrm").as("bnrm"))
+    val hits = appendCosine(c.join(broadcast(b), Seq("band", "sig")),
+        "v", "bv", "nrm", "bnrm", "cosine")
+      .filter(col("cosine") >= threshold)
+      // a pair that agrees in k bands arrives k times — same cosine bits,
+      // so the distinct collapses it before the per-id rollup
+      .select(col("id"), col("bid"), col("cosine")).distinct()
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("cosine")).as("max_cosine"))
+    corpus.select(col(idCol).as("id")).distinct()
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("max_cosine"), col("n_hits").isNotNull.as("contaminated"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * k-means-cluster the embedding corpus, compare pairs only WITHIN a
     * cluster, and drop every doc that has a lower-id neighbor at cosine ≥

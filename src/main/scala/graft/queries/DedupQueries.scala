@@ -492,6 +492,18 @@ object DedupQueries {
         .orderBy(col("id"))
     }),
 
+    // Semantic decontamination (cross-set, banded sign-LSH candidates,
+    // broadcast benchmark): which corpus vectors sit cosine-≥0.35 to an
+    // eval-set vector — the paraphrase-leakage check exact/Bloom
+    // decontam (q88/q243) can't express. Corpus side never shuffles.
+    "q257_semantic_decontam" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Dedup.crossSetDecontam(
+          e.filter(col("vec_id") >= 25), e.filter(col("vec_id") < 25),
+          "vec_id", "embedding", threshold = 0.35)
+        .orderBy(col("id"))
+    }),
+
     // Int8 scalar quantization of the embedding store (4× compression for
     // the 100 TB vector shelf): exact integer code stats hash-gated; the
     // reconstruction-cosine floor surfaces as the tolerance boolean.
@@ -1654,5 +1666,36 @@ object DedupQueries {
          |SELECT DISTINCT a.id AS id_a, b.id AS id_b, ${cosineSql("a.v", "b.v")} AS cosine
          |FROM e a JOIN e b ON a.bucket = b.bucket AND a.id < b.id
          |WHERE ${cosineSql("a.v", "b.v")} >= 0.4
-         |ORDER BY id_a, id_b""".stripMargin)
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The 16-plane signature replayed, bit-sliced into 4 bands of 4; a
+    // pair is a candidate if any band's sub-signature agrees (DISTINCT
+    // collapses multi-band agreement before the verify cosine).
+    "q257_semantic_decontam" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding", 16)} AS bucket
+         |  FROM embeddings),
+         |bandc AS (
+         |  SELECT vec_id AS id, embedding AS v, band,
+         |    (bucket >> (band * 4)) & 15 AS sig
+         |  FROM e, LATERAL (SELECT unnest(range(0, 4)) AS band) r
+         |  WHERE vec_id >= 25),
+         |bandb AS (
+         |  SELECT vec_id AS bid, embedding AS bv, band,
+         |    (bucket >> (band * 4)) & 15 AS sig
+         |  FROM e, LATERAL (SELECT unnest(range(0, 4)) AS band) r
+         |  WHERE vec_id < 25),
+         |pairs AS (
+         |  SELECT DISTINCT c.id, c.v, b.bid, b.bv
+         |  FROM bandc c JOIN bandb b ON c.band = b.band AND c.sig = b.sig),
+         |hits AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS n_hits,
+         |    max(cos) AS max_cosine
+         |  FROM (SELECT id, bid, ${cosineSql("v", "bv")} AS cos FROM pairs) s
+         |  WHERE cos >= 0.35 GROUP BY id)
+         |SELECT c.id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  h.max_cosine, h.n_hits IS NOT NULL AS contaminated
+         |FROM (SELECT DISTINCT vec_id AS id FROM embeddings WHERE vec_id >= 25) c
+         |LEFT JOIN hits h USING (id)
+         |ORDER BY id""".stripMargin)
 }

@@ -353,4 +353,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scan.matches("(?s).*PartitionFilters: \\[[^\\]]*topic[^\\]]*\\].*"),
       "partition predicate not recognized as a partition filter")
   }
+
+  test("semantic decontam: benchmark broadcasts, corpus side never shuffles") {
+    // q257's candidate join must be a broadcast equi-join on (band, sig):
+    // the benchmark is an eval set (bounded by construction), the corpus
+    // is the 100 TB side — a sort-merge or shuffled-hash join here means
+    // the full corpus (vectors included) crossed the wire; nested-loop
+    // means the banding stopped keying the join at all.
+    val plan = run("q257_semantic_decontam")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "q257: decontam join degenerated to nested-loop/cartesian")
+    assert(plan.contains("BroadcastHashJoin"),
+      "q257: benchmark side lost its broadcast — the corpus would shuffle")
+    assert(!plan.contains("SortMergeJoin"),
+      "q257: candidate join became a sort-merge — the corpus shuffles " +
+        "with vector payloads")
+  }
 }
