@@ -823,6 +823,36 @@ object TextQueries {
           sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
         .withColumn("unseen_micros", expr("(1000000 * f1) div n_tokens"))
         .orderBy(col("lang"))
+    }),
+
+
+    // Character-diversity junk filter over the native one-pass histogram
+    // expression (TextOps.charStats): per-doc Simpson collision index
+    // (Σc²/n² in floor micros — P(two random chars match), the
+    // integer-exact stand-in for character entropy) and top-character
+    // share; per-lang rollup with a low-diversity count (collision >
+    // 0.1 or alphabet < 10 chars — mashing/padding/binary noise). The
+    // histogram never leaves the scan — the HOF alternative is a
+    // |text|-row explode+shuffle per doc. Long math holds to ~3M-char
+    // docs (1e6·Σc² ≤ 1e6·n·max_c); chunk longer docs first (q146).
+    "q255_char_diversity" -> ((s, dir) => {
+      val st = TextOps.charStats(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), st.as("st"))
+        .select(col("lang"), col("st.n_cp").as("n_cp"),
+          col("st.distinct_cp").as("dcp"),
+          col("st.collision_sum").as("coll"), col("st.max_count").as("mx"))
+        .filter(col("n_cp") > 0)
+        .withColumn("cm", expr("(1000000 * coll) div (n_cp * n_cp)"))
+        .withColumn("tsm", expr("(1000000 * mx) div n_cp"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_cp")).as("n_cp_total"),
+          min(col("dcp")).as("min_distinct"),
+          max(col("cm")).as("max_collision_micros"),
+          sum(when(col("cm") > 100000 || col("dcp") < 10, 1L).otherwise(0L))
+            .as("n_low_diversity"),
+          max(col("tsm")).as("max_top_share_micros"))
+        .orderBy(col("lang"))
     }))
 
   /** A blacklist large enough to trip contentGate's native Aho-Corasick
@@ -1434,6 +1464,30 @@ object TextQueries {
         |  CAST((1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // sum(c)
         |    AS BIGINT) AS unseen_micros
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The per-code-point histogram replayed via string_split(text, '')
+    // (DuckDB splits an empty delimiter into code points — the same unit
+    // as the kernel's codePointAt walk).
+    "q255_char_diversity" ->
+      """WITH ch AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, '')) AS c
+        |  FROM documents WHERE length(text) > 0),
+        |h AS (SELECT doc_id, lang, c, count(*) AS n FROM ch GROUP BY 1, 2, 3),
+        |d AS (SELECT doc_id, lang, sum(n) AS n_cp, count(*) AS dcp,
+        |        sum(n * n) AS coll, max(n) AS mx
+        |      FROM h GROUP BY 1, 2),
+        |m AS (SELECT lang, n_cp, dcp,
+        |        (1000000 * coll) // (n_cp * n_cp) AS cm,
+        |        (1000000 * mx) // n_cp AS tsm
+        |      FROM d)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_cp) AS BIGINT) AS n_cp_total,
+        |  CAST(min(dcp) AS BIGINT) AS min_distinct,
+        |  CAST(max(cm) AS BIGINT) AS max_collision_micros,
+        |  CAST(sum(CASE WHEN cm > 100000 OR dcp < 10 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_low_diversity,
+        |  CAST(max(tsm) AS BIGINT) AS max_top_share_micros
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Adjacent pairs via a lateral index range (DuckDB has no WITH
     // ORDINALITY); 1-based list indexing, range end-exclusive, so

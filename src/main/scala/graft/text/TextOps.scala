@@ -71,6 +71,17 @@ object TextOps {
     (lenScore * lit(0.4) + stopScore * lit(0.4) + punctPenalty * lit(0.2))
   }
 
+  /** Per-code-point diversity stats as one native scan
+    * ([[graft.expressions.CharDiversity]]): struct(n_cp, distinct_cp,
+    * collision_sum, max_count). Consumers derive the Simpson collision
+    * index (Σc²·1e6 div n²) and top-character share as exact integer
+    * ratios — the log-free character-"entropy" junk filter.
+    */
+  def charStats(text: Column): Column =
+    org.apache.spark.sql.GraftFunctions.column(
+      graft.expressions.CharDiversity(
+        org.apache.spark.sql.GraftFunctions.expression(text)))
+
   /** Language-ID by marker-token voting: the language whose marker tokens
     * occur most often wins; ties broken by `langs` order; no hit → "und".
     * An n-gram/dictionary heuristic in the fastText tradition, shrunk to a

@@ -314,4 +314,42 @@ class TextOpsSpec extends AnyFunSuite {
       .collect()
     assert(n(0).isNullAt(0))
   }
+
+  test("native char_diversity matches the explode-histogram reference") {
+    import org.apache.spark.sql.functions._
+    // Edge cases the kernel's two paths must agree on with the reference
+    // (and with DuckDB's per-code-point string_split replay): empty
+    // string, single char, all-same (collision = n²), ASCII vs >127
+    // (hash-map path), mixed, and a supplementary-plane code point
+    // (surrogate pair = ONE code point).
+    val rows = Seq(
+      "", "a", "aaaa", "abab", "abcd", "éé汉字汉", "x😀😀y", "a b  c",
+      "the quick brown fox", "汉" * 50 + "z")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val nat = rows.select(col("id"), TextOps.charStats(col("text")).as("st"))
+      .select(col("id"), col("st.n_cp"), col("st.distinct_cp"),
+        col("st.collision_sum"), col("st.max_count"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // reference: per-code-point explode + histogram (the shuffle-shaped
+    // form the native expression replaces)
+    val ref = rows
+      .select(col("id"), explode_outer(split(col("text"), "")).as("c"))
+      .filter(length(col("c")) > 0)
+      .groupBy(col("id"), col("c")).agg(count(lit(1)).as("n"))
+      .groupBy(col("id"))
+      .agg(sum(col("n")).as("n_cp"), count(lit(1)).as("d"),
+        sum(col("n") * col("n")).as("coll"), max(col("n")).as("mx"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    rows.select(col("id")).collect().map(_.getLong(0)).foreach { id =>
+      val expected = ref.getOrElse(id, (0L, 0L, 0L, 0L))
+      assert(nat(id) == expected, s"id=$id: native ${nat(id)} != ref $expected")
+    }
+    // "" yields the zero profile (not null); null text propagates null
+    assert(nat(0L) == ((0L, 0L, 0L, 0L)))
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(TextOps.charStats(col("text")).as("st")).collect()
+    assert(n(0).isNullAt(0))
+  }
 }
