@@ -84,6 +84,42 @@ object AnalyticsQueries {
     }),
 
 
+    // Token-distribution drift between two corpus halves (sources src0-9
+    // vs src10-19) as a chi-square-style statistic on ppm SHARES — the
+    // vocabulary-level dual of q193's value-histogram TV distance, and
+    // the "did the crawl mix shift" alarm a training-corpus refresh runs
+    // before retraining a tokenizer. Computing on per-group shares
+    // (≤ 1e6 by construction) instead of raw counts is what keeps every
+    // product inside a long AT ANY CORPUS SIZE: (pa−pb)² ≤ 1e12 and the
+    // per-token floor-div term ≤ 1e6, so the statistic never needs
+    // decimals no matter how many rows the 100 TB corpus has. Output:
+    // the 5 most-drifted tokens (term desc, token asc) with the global
+    // statistic and vocab size alongside.
+    "q259_chi2_drift" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(when(length(col("source")) === 4, lit("a")).otherwise(lit("b"))
+          .as("grp"), explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val c = toks.groupBy(col("token")).agg(
+        sum(when(col("grp") === "a", 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("grp") === "b", 1L).otherwise(0L)).as("c_b"))
+      val n = c.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+      val terms = c.crossJoin(broadcast(n))
+        .withColumn("p_a", expr("(1000000 * c_a) div n_a"))
+        .withColumn("p_b", expr("(1000000 * c_b) div n_b"))
+        .withColumn("term", when(col("p_a") + col("p_b") === 0, 0L)
+          .otherwise(expr("((p_a - p_b) * (p_a - p_b)) div (p_a + p_b)")))
+        .localCheckpoint()
+      val tot = terms.agg(sum(col("term")).as("chi2_ppm"),
+        count(lit(1)).as("n_tokens"))
+      terms.orderBy(col("term").desc, col("token")).limit(5)
+        .crossJoin(broadcast(tot))
+        .select(col("token"), col("c_a"), col("c_b"), col("p_a"), col("p_b"),
+          col("term").as("term_ppm"), col("chi2_ppm"), col("n_tokens"))
+        .orderBy(col("term_ppm").desc, col("token"))
+    }),
+
+
     // Last-touch attribution: each purchase credited to the user's latest
     // click/view within 7 days — the backward as-of join (one keyed
     // shuffle, linear per key) instead of the quadratic-per-hot-user
@@ -569,6 +605,36 @@ object AnalyticsQueries {
         |  CAST(sum(observed) AS BIGINT) AS sum_filled
         |FROM j GROUP BY slot ORDER BY slot""".stripMargin,
 
+
+    "q259_chi2_drift" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN length(source) = 4 THEN 'a' ELSE 'b' END AS grp,
+        |    unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT token,
+        |    sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS c_a,
+        |    sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS c_b
+        |  FROM t WHERE len(token) > 0 GROUP BY token),
+        |n AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM c),
+        |terms AS (
+        |  SELECT token, c_a, c_b,
+        |    (1000000 * c_a) // n_a AS p_a, (1000000 * c_b) // n_b AS p_b,
+        |    CASE WHEN (1000000 * c_a) // n_a + (1000000 * c_b) // n_b = 0
+        |      THEN 0
+        |      ELSE (((1000000 * c_a) // n_a - (1000000 * c_b) // n_b)
+        |            * ((1000000 * c_a) // n_a - (1000000 * c_b) // n_b))
+        |           // ((1000000 * c_a) // n_a + (1000000 * c_b) // n_b)
+        |    END AS term
+        |  FROM c, n),
+        |tot AS (SELECT sum(term) AS chi2_ppm, count(*) AS n_tokens FROM terms)
+        |SELECT token, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+        |  CAST(p_a AS BIGINT) AS p_a, CAST(p_b AS BIGINT) AS p_b,
+        |  CAST(term AS BIGINT) AS term_ppm,
+        |  CAST(chi2_ppm AS BIGINT) AS chi2_ppm,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM (SELECT * FROM terms ORDER BY term DESC, token LIMIT 5) x, tot
+        |ORDER BY term_ppm DESC, token""".stripMargin,
 
     "q193_tv_drift" ->
       """WITH e AS (

@@ -87,6 +87,47 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Banding-parameter recall curve (the q143/q154 recall-gate pattern
+    // for MinHash LSH): 16 minhashes split as 2/4/8 bands, candidate
+    // volume vs recall of exact-Jaccard-≥0.5 truth — the measured basis
+    // for choosing (bands, rows) before a 100 TB dedup run instead of
+    // trusting the 1-(1-s^r)^b formula. Ground truth is inherently
+    // quadratic, so it runs on a FIXED 400-doc audit panel (whole planted
+    // families — ids ≡ 47/48/49 mod 50 stay contiguous) whose cost does
+    // not grow with SF; candidates come from the production banding
+    // kernel on the same panel.
+    "q260_minhash_recall" -> ((s, dir) => {
+      val panel = zipfCorpus(s, dir).filter(col("doc_id") < 400)
+      val sets = Dedup.shingleHashSets(panel, "doc_id", "text", 3)
+        .localCheckpoint()
+      val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      val truth = Dedup.appendJaccard(
+          a.join(broadcast(b), col("id_a") < col("id_b")), "sh_a", "sh_b", "j")
+        .filter(col("j") >= 0.5)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val perCfg = Seq(2, 4, 8).map { nb =>
+        val bandRows = Dedup.minhashBands(panel, "doc_id", "text", 3, 16, nb)
+        val x = bandRows.select(col("band"), col("bh"), col("id").as("id_a"))
+        val y = bandRows.select(col("band"), col("bh"), col("id").as("id_b"))
+        x.join(y, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+          .withColumn("n_bands", lit(nb.toLong))
+      }.reduce(_ unionByName _)
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      perCfg
+        .join(broadcast(truth.withColumn("hit", lit(1L))),
+          Seq("id_a", "id_b"), "left")
+        .groupBy(col("n_bands"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+        .crossJoin(broadcast(nt))
+        .withColumn("recall_bp", expr("(10000 * n_found) div n_truth"))
+        .select(col("n_bands"), col("n_candidates"), col("n_truth"),
+          col("n_found"), col("recall_bp"))
+        .orderBy(col("n_bands"))
+    }),
+
     // Keep-one-per-cluster over the planted families: transitive closure
     // must recover exactly the {47, 48, 49} (mod 50) triples.
     "q132_zipf_clusters" -> ((s, dir) => {
@@ -1199,6 +1240,51 @@ object DedupQueries {
         |  CAST(sum(CASE WHEN dev > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_offunit
         |FROM v GROUP BY label ORDER BY label""".stripMargin,
+
+    // Signatures computed once; per-config band folds bit-replay
+    // Dedup.minhashBands (same seeded hashes, same 1000003 fold); truth
+    // is the exact shingle-hash Jaccard on the same 400-doc panel.
+    "q260_minhash_recall" -> {
+      val sigExprs = (0 until 16).map { i =>
+        s"list_min(list_transform(hs, h -> (${Dedup.hashA(i)} * h + ${Dedup.hashB(i)}) % $P)) AS s$i"
+      }.mkString(",\n    ")
+      def bandExpr(nb: Int, b: Int): String = {
+        val rpb = 16 / nb
+        (0 until rpb).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
+          s"(($acc * 1000003 + s${b * rpb + r}) % $P)"
+        }
+      }
+      def candCte(nb: Int): String =
+        s"""bands$nb AS (
+           |  SELECT doc_id, unnest([${(0 until nb).mkString(", ")}]) AS band,
+           |    unnest([${(0 until nb).map(b => bandExpr(nb, b)).mkString(", ")}]) AS bh
+           |  FROM sigs),
+           |cand$nb AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands$nb a JOIN bands$nb b
+           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+      s"""WITH $zipfCorpusCte,
+         |panel AS (SELECT doc_id, text FROM zdocs WHERE doc_id < 400),
+         |${shingleCtes(3, from = "panel")},
+         |sigs AS MATERIALIZED (SELECT doc_id, $sigExprs FROM h),
+         |truth AS MATERIALIZED (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |  WHERE ${jaccardSql("a.hs", "b.hs")} >= 0.5),
+         |${Seq(2, 4, 8).map(candCte).mkString(",\n")},
+         |u AS (${Seq(2, 4, 8)
+            .map(nb => s"SELECT $nb AS n_bands, id_a, id_b FROM cand$nb")
+            .mkString(" UNION ALL ")})
+         |SELECT CAST(n_bands AS BIGINT) AS n_bands,
+         |  CAST(count(*) AS BIGINT) AS n_candidates,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         |  CAST(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_found,
+         |  CAST((10000 * sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END))
+         |    // (SELECT count(*) FROM truth) AS BIGINT) AS recall_bp
+         |FROM u LEFT JOIN truth t ON u.id_a = t.id_a AND u.id_b = t.id_b
+         |GROUP BY n_bands ORDER BY n_bands""".stripMargin
+    },
 
     "q131_zipf_neardups" ->
       s"""WITH $zipfCorpusCte,

@@ -853,6 +853,37 @@ object TextQueries {
             .as("n_low_diversity"),
           max(col("tsm")).as("max_top_share_micros"))
         .orderBy(col("lang"))
+    }),
+
+
+    // Flesch reading-ease per language, integer-exact: words = non-space
+    // runs, sentences = [.!?]+ runs (floor 1), syllables ≈ vowel runs
+    // (the classic proxy — per-text count equals the per-word sum), and
+    // the 206.835/1.015/84.6 coefficients premultiplied into micros so
+    // the whole score is two floor divisions and a subtraction. Rollup
+    // ships Σ/min/max rather than a mean — a negative mean would floor
+    // differently between engines (Spark div truncates, DuckDB //
+    // floors), and per-doc scores subtract AFTER their divisions, so
+    // every division in the query sees nonnegative operands.
+    "q258_readability" -> ((s, dir) => {
+      val words = size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0)))
+        .cast("long")
+      val sents = greatest(lit(1L),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+      val syl = size(regexp_extract_all(col("text"), lit("[aeiouAEIOU]+"), lit(0)))
+        .cast("long")
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), words.as("w"), sents.as("sn"), syl.as("sy"))
+        .filter(col("w") > 0)
+        .withColumn("flesch_micros", lit(206835000L)
+          - expr("(1015000 * w) div sn") - expr("(84600000 * sy) div w"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+          sum(col("sn")).as("n_sentences"), sum(col("sy")).as("n_syllables"),
+          sum(col("flesch_micros")).as("sum_flesch_micros"),
+          min(col("flesch_micros")).as("min_flesch_micros"),
+          max(col("flesch_micros")).as("max_flesch_micros"))
+        .orderBy(col("lang"))
     }))
 
   /** A blacklist large enough to trip contentGate's native Aho-Corasick
@@ -1488,6 +1519,28 @@ object TextQueries {
         |    AS BIGINT) AS n_low_diversity,
         |  CAST(max(tsm) AS BIGINT) AS max_top_share_micros
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q258_readability" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS w,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS sn,
+        |    CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS BIGINT) AS sy
+        |  FROM documents),
+        |f AS (
+        |  SELECT lang, w, sn, sy,
+        |    206835000 - (1015000 * w) // sn - (84600000 * sy) // w
+        |      AS flesch_micros
+        |  FROM d WHERE w > 0)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS n_words,
+        |  CAST(sum(sn) AS BIGINT) AS n_sentences,
+        |  CAST(sum(sy) AS BIGINT) AS n_syllables,
+        |  CAST(sum(flesch_micros) AS BIGINT) AS sum_flesch_micros,
+        |  CAST(min(flesch_micros) AS BIGINT) AS min_flesch_micros,
+        |  CAST(max(flesch_micros) AS BIGINT) AS max_flesch_micros
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Adjacent pairs via a lateral index range (DuckDB has no WITH
     // ORDINALITY); 1-based list indexing, range end-exclusive, so
