@@ -60,6 +60,27 @@ object JdbcUpsertSink {
     overrideOpt.getOrElse(url.toLowerCase(java.util.Locale.ROOT)
       .startsWith("jdbc:derby:"))
 
+  /** Embedded Derby gets ONE writer at a time per database. Every observed
+    * manifestation of its concurrent-MERGE generated-code/latch race —
+    * `baseCC`/`_rowMakingMethod` NPEs, the page-latch deadlock the
+    * statement timeout converts, silent row loss (zero update count), and
+    * a DUPLICATE base row surviving past the PRIMARY KEY (seen at sf0.1:
+    * the race dropped the index entry but kept the base row, so the
+    * silent-loss repair's re-MERGE probed NOT MATCHED through the index
+    * and re-inserted — two identical physical rows, one key) — shares one
+    * trigger: two connections executing MERGE into one embedded engine at
+    * once. So for `jdbc:derby:` URLs the execute+commit window serializes
+    * on a JVM-wide per-URL monitor; binding and connection setup stay
+    * parallel. Real stores (the design target, where parallel writers are
+    * the point) take no lock.
+    */
+  private val derbyExecLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def execLockFor(url: String): Option[Object] =
+    if (url.toLowerCase(java.util.Locale.ROOT).startsWith("jdbc:derby:"))
+      Some(derbyExecLocks.computeIfAbsent(url, _ => new Object))
+    else None
+
   /** Derby upsert: merge against the one-row dummy table with the key in
     * the ON clause — the standard Derby per-row MERGE idiom. Binding order:
     * ON keys, UPDATE non-keys, INSERT all columns.
@@ -128,7 +149,11 @@ object JdbcUpsertSink {
               cols.indices.foreach { i => stmt.setObject(p, r.get(i)); p += 1 }
               stmt.addBatch()
             }
-            val counts = stmt.executeBatch()
+            // Derby only: the whole execute → count-check → commit window
+            // runs under the per-database monitor (see [[execLockFor]]);
+            // other stores run it lock-free.
+            def executeCheckCommit(): Unit = {
+              val counts = stmt.executeBatch()
             // A key-MERGE logically affects exactly one row, so a zero
             // (or EXECUTE_FAILED) count is a row the store dropped
             // WITHOUT raising — observed once under Derby's concurrent-
@@ -143,14 +168,19 @@ object JdbcUpsertSink {
             // and only on stores where 0 means loss (see
             // [[strictCountsFor]]); EXECUTE_FAILED is a failure on every
             // store.
-            val bad = counts.indexWhere(c =>
-              (c == 0 && nonKeys.nonEmpty && strict) ||
-                c == java.sql.Statement.EXECUTE_FAILED)
-            if (bad >= 0)
-              throw new java.sql.SQLException(
-                s"MERGE batch row $bad reported update count ${counts(bad)}" +
-                  " — store dropped the row without raising; retrying batch")
-            conn.commit()
+              val bad = counts.indexWhere(c =>
+                (c == 0 && nonKeys.nonEmpty && strict) ||
+                  c == java.sql.Statement.EXECUTE_FAILED)
+              if (bad >= 0)
+                throw new java.sql.SQLException(
+                  s"MERGE batch row $bad reported update count ${counts(bad)}" +
+                    " — store dropped the row without raising; retrying batch")
+              conn.commit()
+            }
+            execLockFor(url) match {
+              case Some(l) => l.synchronized(executeCheckCommit())
+              case None => executeCheckCommit()
+            }
             done = true
           } catch {
             // SQLException is the JDBC contract, but Derby's generated-

@@ -158,4 +158,44 @@ class JdbcUpsertSinkSpec extends AnyFunSuite {
     assert(JdbcUpsertSink.strictCountsFor("jdbc:postgresql://h/db", Some(true)))
     assert(!JdbcUpsertSink.strictCountsFor("jdbc:derby:memory:db", Some(false)))
   }
+
+  test("concurrent writers into one Derby DB stay exactly-once per key") {
+    // Regression net for the concurrent-MERGE race family (NPEs, latch
+    // deadlock, silent loss, and the sf0.1 duplicate-past-the-PK where
+    // the silent-loss repair re-inserted a base row whose index entry the
+    // race had dropped). The sink now serializes Derby's execute+commit
+    // window per database; this drives 8 threads of interleaved,
+    // overlapping-key batches straight through writePartition — the same
+    // call a 4-task repartitioned foreachBatch makes — and demands the
+    // final table is exactly the key set, no duplicates, latest values.
+    withTable(ddl) { table =>
+      val sql = JdbcUpsertSink.mergeSql(table,
+        Seq("k", "name", "score"), Seq("k"))
+      val nThreads = 8
+      val keysPerThread = 400
+      val threads = (0 until nThreads).map { t =>
+        new Thread(() => {
+          // every thread upserts ALL keys (maximal overlap), values
+          // distinguish the writer; small batches maximize interleaving
+          val rows = (0 until keysPerThread).iterator.map(k =>
+            Row(k.toLong, s"w$t", (t * 10000 + k).toLong))
+          JdbcUpsertSink.writePartition(rows, url, sql,
+            Seq("k", "name", "score"), Seq("k"), batchSize = 37)
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      val got = readAll(table)
+      assert(got.size == keysPerThread,
+        s"expected $keysPerThread rows, got ${got.size} — " +
+          "duplicate or lost keys under concurrent MERGE")
+      assert(got.map(_._1) == (0 until keysPerThread).map(_.toLong),
+        "key set damaged under concurrent MERGE")
+      // every surviving value must be SOME writer's value for that key
+      got.foreach { case (k, name, score) =>
+        val t = name.stripPrefix("w").toInt
+        assert(score == t * 10000L + k, s"torn row at k=$k: ($name, $score)")
+      }
+    }
+  }
 }
