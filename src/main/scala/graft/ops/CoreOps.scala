@@ -337,6 +337,90 @@ object CoreOps {
     }(enc)
   }
 
+  /** Running (inclusive) per-stratum prefix SUMS of the long columns in
+    * `weights` along `order` — [[rangeRank]] generalized from counting
+    * rows to accumulating measures, with the identical three-step shape
+    * (range repartition → P × strata mass histogram to the driver →
+    * per-partition accumulator pass). Output adds one `<w>_cum` long
+    * column per weight.
+    *
+    * This is the distributed-CDF primitive: group the data by the order
+    * key first (so the input here is one row per distinct key with
+    * per-key masses), prefix-sum those masses, and any rank / quantile /
+    * KS-style statistic falls out WITHOUT a single-partition window —
+    * `sum(w) OVER (ORDER BY v)` with no PARTITION BY collapses to one
+    * task at any scale, which is exactly the shape this replaces.
+    *
+    * Same caveats as [[rangeRank]]: order must be total (end in a unique
+    * column — after a groupBy(key) the key itself is), and
+    * repartitionByRange double-evaluates the input (localCheckpoint
+    * expensive upstreams first).
+    */
+  def rangePrefixSums(df: DataFrame, strata: Seq[String], order: Seq[Column],
+                      weights: Seq[String],
+                      numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.StructField
+    require(weights.nonEmpty, "rangePrefixSums needs at least one weight column")
+    weights.foreach { w =>
+      require(df.schema(w).dataType == LongType,
+        s"weight column $w must be LONG, got ${df.schema(w).dataType.catalogString}")
+    }
+    val spark = df.sparkSession
+    val nPart =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sortCols = strata.map(col) ++ order
+    val sorted = df.repartitionByRange(nPart, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .localCheckpoint()
+    val sIdx = strata.map(df.schema.fieldIndex)
+    val wIdx = weights.map(df.schema.fieldIndex).toArray
+    def strataKey(r: Row): Seq[Any] = sIdx.map(r.get)
+    // P × strata per-weight mass histogram (tiny, the rangeRank artifact
+    // class): partition p starts stratum s at the mass in partitions < p.
+    val hist = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Array[Long]]()
+      it.foreach { r =>
+        val acc = m.getOrElseUpdate(strataKey(r), new Array[Long](wIdx.length))
+        var i = 0
+        while (i < wIdx.length) { acc(i) += r.getLong(wIdx(i)); i += 1 }
+      }
+      m.iterator.map { case (k, a) => (pid, k, a) }
+    }.collect()
+    val offsets: Map[(Int, Seq[Any]), Array[Long]] = {
+      val byStratum = hist.groupBy(_._2)
+      (for {
+        (k, rows) <- byStratum.iterator
+        sortedRows = rows.sortBy(_._1)
+        (cum, (pid, _, _)) <- sortedRows
+          .scanLeft(new Array[Long](wIdx.length)) { (acc, r) =>
+            val next = acc.clone()
+            var i = 0
+            while (i < next.length) { next(i) += r._3(i); i += 1 }
+            next
+          }.zip(sortedRows)
+      } yield (pid, k) -> cum).toMap
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields ++
+        weights.map(w => StructField(w + "_cum", LongType, nullable = false)))
+    implicit val enc = Encoders.row(outSchema)
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val counters = scala.collection.mutable.HashMap[Seq[Any], Array[Long]]()
+      it.map { r =>
+        val k = strataKey(r)
+        val acc = counters.getOrElseUpdate(k,
+          offsets.getOrElse((pid, k), new Array[Long](wIdx.length)).clone())
+        var i = 0
+        while (i < wIdx.length) { acc(i) += r.getLong(wIdx(i)); i += 1 }
+        // clone before wrapping: the Row must not alias the live accumulator
+        Row.fromSeq(r.toSeq ++ acc.clone().toSeq)
+      }
+    }(enc)
+  }
+
   /** Exact ntile over [[rangeRank]] — identical bucket assignment to
     * `ntile(n).over(Window.partitionBy(strata).orderBy(order))` (spec- and
     * oracle-pinned), at range-partition parallelism instead of

@@ -120,6 +120,65 @@ object AnalyticsQueries {
     }),
 
 
+    // Exact two-sample Kolmogorov-Smirnov statistic (first-half vs
+    // second-half value distributions) — the distribution-shift test
+    // that sees shape changes q193's 10-bin TV distance smooths over.
+    // Shape: ONE groupBy(value) collapses the data to per-distinct-value
+    // masses, then CoreOps.rangePrefixSums turns those into both CDFs in
+    // a single range-partitioned pass — the naive `sum() OVER (ORDER BY
+    // v)` with no PARTITION BY is a one-task sort at any scale and is
+    // exactly what this operator exists to avoid. CDFs compared in floor
+    // micros (shares, so products stay bounded at any corpus size);
+    // argmax location tie-broken to the largest value (struct-max ==
+    // ORDER BY dev DESC, v DESC).
+    "q261_ks_test" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(
+        cents(col("value")).as("v"),
+        (expr("unix_micros(ts) div 86400000000") <
+          expr("unix_micros(timestamp'2024-01-16 00:00:00') div 86400000000"))
+          .as("first_half"))
+      val g = e.groupBy(col("v")).agg(
+        sum(when(col("first_half"), 1L).otherwise(0L)).as("na_v"),
+        sum(when(!col("first_half"), 1L).otherwise(0L)).as("nb_v"))
+      val c = CoreOps.rangePrefixSums(g, Seq.empty, Seq(col("v")),
+        Seq("na_v", "nb_v"))
+      val n = g.agg(sum(col("na_v")).as("n_a"), sum(col("nb_v")).as("n_b"))
+      c.crossJoin(broadcast(n))
+        .withColumn("dev", abs(
+          expr("(1000000 * na_v_cum) div n_a - (1000000 * nb_v_cum) div n_b")))
+        .agg(max(struct(col("dev"), col("v"))).as("m"),
+          min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"),
+          count(lit(1)).as("n_values"))
+        .select(col("n_a"), col("n_b"), col("n_values"),
+          col("m.dev").as("ks_micros"), col("m.v").as("ks_at_value_cents"))
+    }),
+
+
+    // Benford first-digit audit of the value column — the fabricated-data
+    // / unit-mix-error screen. Expected shares are log10(1+1/d) as FIXED
+    // micro literals (engine math never touches a log), observed shares
+    // floor micros of exact counts; one groupBy(digit) + a 1-row total.
+    "q262_benford_audit" -> ((s, dir) => {
+      val bexp = Seq(301030L, 176091L, 124938L, 96910L, 79181L, 66946L,
+        57991L, 51152L, 45757L)
+      val e = Tables.load(s, dir, "events")
+        .select(cents(col("value")).as("c")).filter(col("c") > 0)
+        .withColumn("d",
+          expr("CAST(substring(CAST(c AS STRING), 1, 1) AS BIGINT)"))
+      val n = e.agg(count(lit(1)).as("n_total"))
+      e.groupBy(col("d")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(n))
+        .withColumn("observed_micros", expr("(1000000 * n) div n_total"))
+        .withColumn("expected_micros",
+          element_at(array(bexp.map(lit): _*), col("d").cast("int")))
+        .withColumn("dev_micros",
+          abs(col("observed_micros") - col("expected_micros")))
+        .select(col("d"), col("n"), col("observed_micros"),
+          col("expected_micros"), col("dev_micros"))
+        .orderBy(col("d"))
+    }),
+
+
     // Last-touch attribution: each purchase credited to the user's latest
     // click/view within 7 days — the backward as-of join (one keyed
     // shuffle, linear per key) instead of the quadratic-per-hot-user
@@ -605,6 +664,47 @@ object AnalyticsQueries {
         |  CAST(sum(observed) AS BIGINT) AS sum_filled
         |FROM j GROUP BY slot ORDER BY slot""".stripMargin,
 
+
+    "q261_ks_test" ->
+      """WITH e AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 <
+        |     epoch_us(TIMESTAMP '2024-01-16 00:00:00') // 86400000000) AS fh
+        |  FROM events),
+        |g AS (SELECT v, sum(CASE WHEN fh THEN 1 ELSE 0 END) AS na_v,
+        |             sum(CASE WHEN NOT fh THEN 1 ELSE 0 END) AS nb_v
+        |      FROM e GROUP BY v),
+        |c AS (SELECT v, sum(na_v) OVER (ORDER BY v) AS ca,
+        |             sum(nb_v) OVER (ORDER BY v) AS cb FROM g),
+        |n AS (SELECT sum(na_v) AS n_a, sum(nb_v) AS n_b,
+        |             count(*) AS n_values FROM g),
+        |d AS (SELECT v,
+        |        abs((1000000 * ca) // n_a - (1000000 * cb) // n_b) AS dev
+        |      FROM c, n)
+        |SELECT CAST(n.n_a AS BIGINT) AS n_a, CAST(n.n_b AS BIGINT) AS n_b,
+        |  CAST(n.n_values AS BIGINT) AS n_values,
+        |  CAST(m.dev AS BIGINT) AS ks_micros,
+        |  CAST(m.v AS BIGINT) AS ks_at_value_cents
+        |FROM n, (SELECT dev, v FROM d ORDER BY dev DESC, v DESC LIMIT 1) m""".stripMargin,
+
+    "q262_benford_audit" ->
+      """WITH e AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+        |  WHERE round(value * 100) > 0),
+        |d AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d
+        |      FROM e),
+        |g AS (SELECT d, count(*) AS n FROM d GROUP BY d),
+        |n AS (SELECT sum(n) AS n_total FROM g),
+        |exp(d, expected_micros) AS (VALUES
+        |  (1, 301030), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+        |  (6, 66946), (7, 57991), (8, 51152), (9, 45757))
+        |SELECT g.d, CAST(g.n AS BIGINT) AS n,
+        |  CAST((1000000 * g.n) // n.n_total AS BIGINT) AS observed_micros,
+        |  CAST(exp.expected_micros AS BIGINT) AS expected_micros,
+        |  CAST(abs((1000000 * g.n) // n.n_total - exp.expected_micros)
+        |    AS BIGINT) AS dev_micros
+        |FROM g JOIN exp ON exp.d = g.d CROSS JOIN n
+        |ORDER BY g.d""".stripMargin,
 
     "q259_chi2_drift" ->
       """WITH t AS (

@@ -219,6 +219,34 @@ object EvalQueries {
         .orderBy(col("decile"))
     }),
 
+
+    // Per-segment ROC-AUC (q252's midrank machinery with event_type as
+    // the rangeRank stratum): does value separate weekend from weekday
+    // activity, per event type — the sliced-eval report a classifier
+    // ships (aggregate AUC hides a segment where the score is inverted).
+    // Weekend = epoch-day mod 7 ∈ {2, 3} (Sat/Sun; day 0 = Thursday) —
+    // timezone-free, so both engines label identically.
+    "q263_group_auc" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(
+        col("event_type"), cents(col("value")).as("sc"),
+        when(expr("(unix_micros(ts) div 86400000000) % 7").isin(2, 3), 1L)
+          .otherwise(0L).as("y"),
+        col("event_id"))
+      val ranked = CoreOps.rangeRank(e, Seq("event_type"),
+        Seq(col("sc"), col("event_id")), rankCol = "rnk")
+      val g = ranked.groupBy(col("event_type"), col("sc"))
+        .agg(sum(col("rnk")).as("sum_rank"), count(lit(1)).as("n_g"),
+          sum(col("y")).as("p_g"))
+      g.groupBy(col("event_type"))
+        .agg(sum(expr("p_g * ((2 * sum_rank) div n_g)")).as("sum2mid"),
+          sum(col("p_g")).as("p"), sum(col("n_g")).as("n"))
+        .select(col("event_type"), col("p").as("n_pos"),
+          (col("n") - col("p")).as("n_neg"),
+          expr("(1000000 * (sum2mid - p * (p + 1))) div (2 * p * (n - p))")
+            .as("auc_micros"))
+        .orderBy(col("event_type"))
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -398,6 +426,30 @@ object EvalQueries {
         |  CAST(abs(sum_p // n - (1000000 * n_pos) // n) AS BIGINT) AS gap_micros,
         |  CAST(sum_sq // n AS BIGINT) AS brier_micros2
         |FROM a ORDER BY decile""".stripMargin,
+
+
+    "q263_group_auc" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS sc,
+        |    CASE WHEN (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 7
+        |           IN (2, 3) THEN 1 ELSE 0 END AS y,
+        |    event_id
+        |  FROM events),
+        |r AS (SELECT event_type, sc, y,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY sc, event_id) AS rnk FROM s),
+        |g AS (SELECT event_type, sc, sum(rnk) AS sum_rank, count(*) AS n_g,
+        |        sum(y) AS p_g
+        |      FROM r GROUP BY event_type, sc),
+        |t AS (SELECT event_type,
+        |        sum(p_g * ((2 * sum_rank) // n_g)) AS sum2mid,
+        |        sum(p_g) AS p, sum(n_g) AS n
+        |      FROM g GROUP BY event_type)
+        |SELECT event_type, CAST(p AS BIGINT) AS n_pos,
+        |  CAST(n - p AS BIGINT) AS n_neg,
+        |  CAST((1000000 * (sum2mid - p * (p + 1))) // (2 * p * (n - p))
+        |    AS BIGINT) AS auc_micros
+        |FROM t ORDER BY event_type""".stripMargin,
 
   )
 }

@@ -26,6 +26,28 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("rangePrefixSums matches window running sums exactly, across strata and partitions") {
+    // Two weight columns accumulated at once; per-stratum inclusive
+    // running sums must equal sum(w).over(partitionBy(s).orderBy(v))
+    // bit for bit — including strata straddling partition boundaries and
+    // zero weights. Order ends in the unique v (post-groupBy shape).
+    val df = (0L until 4000L).map { i =>
+      (s"s${i % 3}", (i * 7919) % 100000, i % 5, (i * 13) % 7)
+    }.toDF("s", "v", "wa", "wb")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"s").orderBy($"v")
+    val expected = df
+      .withColumn("wa_cum", sum($"wa").over(w))
+      .withColumn("wb_cum", sum($"wb").over(w))
+      .select($"s", $"v", $"wa_cum", $"wb_cum")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val got = CoreOps.rangePrefixSums(df, Seq("s"), Seq($"v"),
+        Seq("wa", "wb"), numPartitions = 16)
+      .select($"s", $"v", $"wa_cum", $"wb_cum")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("distributedNtile matches window ntile exactly (incl. N < n and remainder fills)") {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"s").orderBy($"v", $"id")
