@@ -179,6 +179,33 @@ object AnalyticsQueries {
     }),
 
 
+    // EXACT p50/p90/p99 per segment at scale — the ground-truth
+    // complement to q245's approx_percentile rank gate and the answer to
+    // "exact quantiles without collecting a group's values": Spark's
+    // exact percentile() buffers every value per group in one aggregation
+    // buffer (OOM-shaped at 100 TB); this is one groupBy(key, value) +
+    // CoreOps.rangePrefixSums + a rational threshold scan. Discrete
+    // quantile = smallest v with cum ≥ ⌈q·N⌉, tested as cum·den ≥ num·N
+    // so no float or ceil ever runs.
+    "q265_dist_quantiles" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("v"))
+      val g = e.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("n"))
+      val c = CoreOps.rangePrefixSums(g, Seq("event_type"), Seq(col("v")),
+        Seq("n"))
+      val tot = g.groupBy(col("event_type")).agg(sum(col("n")).as("n_total"))
+      def qv(num: Int, den: Int, name: String) =
+        min(when(col("n_cum") * den >= col("n_total") * num, col("v")))
+          .as(name)
+      c.join(broadcast(tot), "event_type")
+        .groupBy(col("event_type"))
+        .agg(min(col("n_total")).as("n_total"),
+          qv(1, 2, "p50_cents"), qv(9, 10, "p90_cents"),
+          qv(99, 100, "p99_cents"))
+        .orderBy(col("event_type"))
+    }),
+
+
     // Last-touch attribution: each purchase credited to the user's latest
     // click/view within 7 days — the backward as-of join (one keyed
     // shuffle, linear per key) instead of the quadratic-per-hot-user
@@ -664,6 +691,25 @@ object AnalyticsQueries {
         |  CAST(sum(observed) AS BIGINT) AS sum_filled
         |FROM j GROUP BY slot ORDER BY slot""".stripMargin,
 
+
+    "q265_dist_quantiles" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |g AS (SELECT event_type, v, count(*) AS n FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type, v, n,
+        |        sum(n) OVER (PARTITION BY event_type ORDER BY v) AS n_cum
+        |      FROM g),
+        |t AS (SELECT event_type, sum(n) AS n_total FROM g GROUP BY 1)
+        |SELECT c.event_type, CAST(min(n_total) AS BIGINT) AS n_total,
+        |  CAST(min(CASE WHEN n_cum * 2 >= n_total * 1 THEN v END) AS BIGINT)
+        |    AS p50_cents,
+        |  CAST(min(CASE WHEN n_cum * 10 >= n_total * 9 THEN v END) AS BIGINT)
+        |    AS p90_cents,
+        |  CAST(min(CASE WHEN n_cum * 100 >= n_total * 99 THEN v END) AS BIGINT)
+        |    AS p99_cents
+        |FROM c JOIN t USING (event_type)
+        |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
 
     "q261_ks_test" ->
       """WITH e AS (

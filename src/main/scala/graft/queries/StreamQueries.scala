@@ -727,6 +727,55 @@ object StreamQueries {
     // twice across batch boundaries; MERGE-on-key absorbs both the re-lands
     // and any task/batch replay, so the final table is exactly the distinct
     // events. Result = the store read back via the JDBC source.
+    // Streaming CUSUM changepoint monitor (q214's batch scan as live
+    // per-key state via flatMapGroupsWithState): daily value sums arrive
+    // in three day-ordered slices (orderedLanding pins modtimes — day
+    // order IS the recurrence's semantics); state is five longs per key
+    // (closed form s_n = prefix_n − min(0, min prefix_j)), so it never
+    // grows with history; μ and the alarm threshold are bounded
+    // batch-side artifacts closed over like a centroid table. Readback
+    // takes each key's newest emission (last_day strictly increases).
+    "q264_stream_cusum" -> ((s, dir) => {
+      val ss = streamSession(s)
+      import ss.implicits._
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
+        .localCheckpoint()
+      val d0 = daily.agg(min(col("day"))).head().getLong(0)
+      val mu = daily.filter(col("day") < d0 + 15)
+        .groupBy(col("event_type")).agg(expr("sum(v) div count(1)").as("mu"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val dailySchema = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("day", LongType),
+        StructField("v", LongType)))
+      val src = orderedLanding("q264_ordered", dir, Seq(
+        () => daily.filter(col("day") < d0 + 10),
+        () => daily.filter(col("day") >= d0 + 10 && col("day") < d0 + 20),
+        () => daily.filter(col("day") >= d0 + 20)))
+      val stream = SocialStream
+        .readParquetStream(ss, src, dailySchema, maxFilesPerTrigger = 1)
+        .select(col("event_type").as("key"), col("day"), col("v"))
+        .as[SocialStream.DailyVal]
+      val sink = uniq("q264_sink_")
+      val h = mu.map { case (k, m) => k -> m / 4 }
+      val q = SocialStream.cusumState(stream, mu, h)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      q.processAllAvailable()
+      q.stop()
+      ss.table(sink)
+        .groupBy(col("key"))
+        .agg(max(struct(col("last_day"), col("days_seen"), col("n_alarms"),
+          col("max_cusum"))).as("f"))
+        .select(col("key").as("event_type"), col("f.last_day").as("last_day"),
+          col("f.days_seen").as("days_seen"), col("f.n_alarms").as("n_alarms"),
+          col("f.max_cusum").as("max_cusum"))
+        .orderBy(col("event_type"))
+    }),
+
     "q72_stream_upsert" -> ((s, dir) => {
       val flat = eventsFlat(s, dir).filter(col("event_id") % 7 === 0)
       val src = parquetLanding("q72_landing_pq", dir, flat.unionAll(flat), 2, "event_id")
@@ -933,6 +982,39 @@ object StreamQueries {
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type,
         |  CAST(round(value * 100) AS BIGINT) AS value_cents
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // The closed-form recurrence replayed as batch windows: prefix sums
+    // of deviations, running min clamped at 0, alarms where the excess
+    // tops μ/4 (a quarter-day of drift) — identical integer arithmetic to the state machine.
+    "q264_stream_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |d0 AS (SELECT min(day) AS d0 FROM daily),
+        |base AS (
+        |  SELECT event_type, sum(v) // count(*) AS mu
+        |  FROM daily, d0 WHERE day < d0 + 15 GROUP BY event_type),
+        |dev AS (
+        |  SELECT daily.event_type, day, v - mu AS dv
+        |  FROM daily JOIN base USING (event_type)),
+        |p AS (
+        |  SELECT event_type, day,
+        |    sum(dv) OVER (PARTITION BY event_type ORDER BY day) AS pre
+        |  FROM dev),
+        |c AS (
+        |  SELECT event_type, day,
+        |    pre - least(CAST(0 AS BIGINT),
+        |      min(pre) OVER (PARTITION BY event_type ORDER BY day)) AS s
+        |  FROM p)
+        |SELECT c.event_type, CAST(max(day) AS BIGINT) AS last_day,
+        |  CAST(count(*) AS BIGINT) AS days_seen,
+        |  CAST(sum(CASE WHEN s > mu // 4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarms,
+        |  CAST(max(s) AS BIGINT) AS max_cusum
+        |FROM c JOIN base USING (event_type)
+        |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
 
     "q72_stream_upsert" ->
       """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type,

@@ -182,6 +182,63 @@ object SocialStream {
       }
   }
 
+  /** One pre-aggregated day of one monitored series. */
+  case class DailyVal(key: String, day: Long, v: Long)
+
+  /** Running CUSUM summary emitted per key per micro-batch. */
+  case class CusumSummary(key: String, last_day: Long, days_seen: Long,
+                          n_alarms: Long, max_cusum: Long)
+
+  /** CUSUM per-key state — five longs, constant in history length.
+    * (Top-level public like [[Engagement]]: the state encoder's generated
+    * code constructs it reflectively, which a private nested class breaks
+    * at Janino compile time.)
+    */
+  case class CusumSt(prefix: Long, minPrefix: Long, daysSeen: Long,
+                     nAlarms: Long, maxCusum: Long, lastDay: Long)
+
+  /** Streaming one-sided CUSUM changepoint monitor (q214's batch scan as
+    * live state): per key, s_n = max(0, s_{n-1} + (v_n − μ)) with an
+    * alarm when s_n exceeds the key's threshold (alarmAt). Maintained in CLOSED FORM —
+    * s_n = prefix_n − min(0, min_{j≤n} prefix_j) — so state is five
+    * longs per key regardless of history length, and the identical
+    * arithmetic replays as a batch window for the oracle.
+    *
+    * μ is a bounded model artifact (one long per monitored key, computed
+    * batch-side from the baseline window and closed over), the same
+    * class as a centroid table. Day order is semantics: within a batch
+    * rows sort by day; across batches the landing must deliver days in
+    * order (orderedLanding pins modtimes) — a violation fails LOUDLY
+    * rather than corrupting the recurrence.
+    */
+  def cusumState(ds: Dataset[DailyVal], mu: Map[String, Long],
+                 alarmAt: Map[String, Long]): Dataset[CusumSummary] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[CusumSt, CusumSummary](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[DailyVal], state: GroupState[CusumSt]) =>
+          val m = mu.getOrElse(key, 0L)
+          val h = alarmAt.getOrElse(key, Long.MaxValue)
+          var st = state.getOption.getOrElse(
+            CusumSt(0L, 0L, 0L, 0L, 0L, Long.MinValue))
+          rows.toSeq.sortBy(_.day).foreach { r =>
+            require(r.day > st.lastDay,
+              s"CUSUM day ${r.day} arrived at/behind ${st.lastDay} for $key" +
+                " — the landing broke day order")
+            val prefix = st.prefix + (r.v - m)
+            val minP = math.min(st.minPrefix, prefix)
+            val s = prefix - minP
+            st = CusumSt(prefix, minP, st.daysSeen + 1,
+              st.nAlarms + (if (s > h) 1L else 0L),
+              math.max(st.maxCusum, s), r.day)
+          }
+          state.update(st)
+          Iterator.single(CusumSummary(key, st.lastDay, st.daysSeen,
+            st.nAlarms, st.maxCusum))
+      }
+  }
+
   /** Checkpointed exactly-once parquet sink (bookmark semantics). */
   def toParquetSink(df: DataFrame, path: String, checkpoint: String,
                     trigger: Trigger = Trigger.ProcessingTime("15 minutes")): StreamingQuery =
