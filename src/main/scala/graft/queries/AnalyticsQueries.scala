@@ -206,6 +206,91 @@ object AnalyticsQueries {
     }),
 
 
+    // Time-series similarity search, exact baseline (the distributed
+    // series-top-k of the retrieved EDBT'19/ICDE'21 line): each user's
+    // 30-day value series vs a broadcast query series, squared Euclidean
+    // in exact cents², top-5 by TakeOrdered. Shape: the day grid is a
+    // scan-local sequence explode (never a join against a day table),
+    // distances are one keyed rollup — the corpus series never
+    // co-shuffle against each other.
+    "q266_series_topk" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        cents(col("value")).as("vc"))
+      val d0 = e.agg(min(col("day"))).head().getLong(0)
+      val daily = e.withColumn("rel", col("day") - d0)
+        .filter(col("rel") < 30)
+        .groupBy(col("user_id"), col("rel")).agg(sum(col("vc")).as("v"))
+        .localCheckpoint()
+      val grid = daily.select(col("user_id")).distinct()
+        .withColumn("rel", explode(expr("sequence(0L, 29L)")))
+      val qser = daily.filter(col("user_id") === 7)
+        .select(col("rel"), col("v").as("vq"))
+      val diff = coalesce(col("v"), lit(0L)) - coalesce(col("vq"), lit(0L))
+      grid.join(daily, Seq("user_id", "rel"), "left")
+        .join(broadcast(qser), Seq("rel"), "left")
+        .withColumn("d2", diff * diff)
+        .groupBy(col("user_id")).agg(sum(col("d2")).as("dist2"))
+        .filter(col("user_id") =!= 7)
+        .orderBy(col("dist2"), col("user_id")).limit(5)
+    }),
+
+
+    // q266's scale path: PAA segment-sum lower bound (the LB_Keogh-family
+    // prune of the retrieved time-series-search line) — per user, 15
+    // two-day segment sums; by Cauchy-Schwarz Σ_s(Σ_i∈s d_i)² ≤ 2·Σ d_i²,
+    // so lb2 > 2·R provably cannot hide a true match at radius R and the
+    // exact 30-point distance runs ONLY for survivors. (Segment width is
+    // the tightness knob: 5-day segments carry 5× slack and pruned
+    // NOTHING on this fixture — measured — while 2-day prunes ~4-11%;
+    // low selectivity here is fixture physics, every synthetic user
+    // genuinely sits near the radius.) The brute/pruned duality the ANN
+    // family (q35/q43) establishes, on series. Output: matched users
+    // with exact distances plus the scanned/candidate funnel counts.
+    "q267_series_paa_prune" -> ((s, dir) => {
+      val R = 5000000000L
+      val e = Tables.load(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        cents(col("value")).as("vc"))
+      val d0 = e.agg(min(col("day"))).head().getLong(0)
+      val daily = e.withColumn("rel", col("day") - d0)
+        .filter(col("rel") < 30)
+        .groupBy(col("user_id"), col("rel")).agg(sum(col("vc")).as("v"))
+        .localCheckpoint()
+      val qser = daily.filter(col("user_id") === 7)
+        .select(col("rel"), col("v").as("vq"))
+      val aSeg = daily.groupBy(col("user_id"),
+          expr("rel div 2").as("seg")).agg(sum(col("v")).as("sa"))
+      val qSeg = qser.groupBy(expr("rel div 2").as("seg"))
+        .agg(sum(col("vq")).as("sq"))
+      val segGrid = daily.select(col("user_id")).distinct()
+        .withColumn("seg", explode(expr("sequence(0L, 14L)")))
+      val segDiff = coalesce(col("sa"), lit(0L)) - coalesce(col("sq"), lit(0L))
+      val lb = segGrid.join(aSeg, Seq("user_id", "seg"), "left")
+        .join(broadcast(qSeg), Seq("seg"), "left")
+        .withColumn("sd", segDiff)
+        .groupBy(col("user_id")).agg(sum(col("sd") * col("sd")).as("lb2"))
+        .filter(col("user_id") =!= 7)
+        .localCheckpoint()
+      val cand = lb.filter(col("lb2") <= lit(2L * R))
+      val grid = cand.select(col("user_id"))
+        .withColumn("rel", explode(expr("sequence(0L, 29L)")))
+      val diff = coalesce(col("v"), lit(0L)) - coalesce(col("vq"), lit(0L))
+      val matched = grid.join(daily, Seq("user_id", "rel"), "left")
+        .join(broadcast(qser), Seq("rel"), "left")
+        .withColumn("d2", diff * diff)
+        .groupBy(col("user_id")).agg(sum(col("d2")).as("dist2"))
+        .filter(col("dist2") <= R)
+      val stats = lb.agg(count(lit(1)).as("n_scanned"),
+        sum(when(col("lb2") <= lit(2L * R), 1L).otherwise(0L))
+          .as("n_candidates"))
+      matched.crossJoin(broadcast(stats))
+        .select(col("user_id"), col("dist2"), col("n_scanned"),
+          col("n_candidates"))
+        .orderBy(col("user_id"))
+    }),
+
+
     // Last-touch attribution: each purchase credited to the user's latest
     // click/view within 7 days — the backward as-of join (one keyed
     // shuffle, linear per key) instead of the quadratic-per-hot-user
@@ -691,6 +776,81 @@ object AnalyticsQueries {
         |  CAST(sum(observed) AS BIGINT) AS sum_filled
         |FROM j GROUP BY slot ORDER BY slot""".stripMargin,
 
+
+    "q266_series_topk" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |d0 AS (SELECT min(day) AS d0 FROM e),
+        |daily AS (
+        |  SELECT user_id, day - d0 AS rel, sum(vc) AS v
+        |  FROM e, d0 WHERE day - d0 < 30 GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT u.user_id, r.rel
+        |  FROM (SELECT DISTINCT user_id FROM daily) u,
+        |    LATERAL (SELECT unnest(range(0, 30)) AS rel) r),
+        |q AS (SELECT rel, v AS vq FROM daily WHERE user_id = 7),
+        |d AS (
+        |  SELECT g.user_id,
+        |    sum((coalesce(daily.v, 0) - coalesce(q.vq, 0))
+        |      * (coalesce(daily.v, 0) - coalesce(q.vq, 0))) AS dist2
+        |  FROM grid g
+        |  LEFT JOIN daily ON daily.user_id = g.user_id AND daily.rel = g.rel
+        |  LEFT JOIN q ON q.rel = g.rel
+        |  GROUP BY 1)
+        |SELECT user_id, CAST(dist2 AS BIGINT) AS dist2 FROM d
+        |WHERE user_id <> 7 ORDER BY dist2, user_id LIMIT 5""".stripMargin,
+
+    "q267_series_paa_prune" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |d0 AS (SELECT min(day) AS d0 FROM e),
+        |daily AS (
+        |  SELECT user_id, day - d0 AS rel, sum(vc) AS v
+        |  FROM e, d0 WHERE day - d0 < 30 GROUP BY 1, 2),
+        |q AS (SELECT rel, v AS vq FROM daily WHERE user_id = 7),
+        |aseg AS (SELECT user_id, rel // 2 AS seg, sum(v) AS sa
+        |         FROM daily GROUP BY 1, 2),
+        |qseg AS (SELECT rel // 2 AS seg, sum(vq) AS sq FROM q GROUP BY 1),
+        |sgrid AS (
+        |  SELECT u.user_id, r.seg
+        |  FROM (SELECT DISTINCT user_id FROM daily) u,
+        |    LATERAL (SELECT unnest(range(0, 15)) AS seg) r),
+        |lb AS (
+        |  SELECT g.user_id,
+        |    sum((coalesce(aseg.sa, 0) - coalesce(qseg.sq, 0))
+        |      * (coalesce(aseg.sa, 0) - coalesce(qseg.sq, 0))) AS lb2
+        |  FROM sgrid g
+        |  LEFT JOIN aseg ON aseg.user_id = g.user_id AND aseg.seg = g.seg
+        |  LEFT JOIN qseg ON qseg.seg = g.seg
+        |  WHERE g.user_id <> 7 GROUP BY 1),
+        |stats AS (
+        |  SELECT count(*) AS n_scanned,
+        |    sum(CASE WHEN lb2 <= 2 * 5000000000 THEN 1 ELSE 0 END)
+        |      AS n_candidates
+        |  FROM lb),
+        |cgrid AS (
+        |  SELECT c.user_id, r.rel
+        |  FROM (SELECT user_id FROM lb WHERE lb2 <= 2 * 5000000000) c,
+        |    LATERAL (SELECT unnest(range(0, 30)) AS rel) r),
+        |d AS (
+        |  SELECT g.user_id,
+        |    sum((coalesce(daily.v, 0) - coalesce(q.vq, 0))
+        |      * (coalesce(daily.v, 0) - coalesce(q.vq, 0))) AS dist2
+        |  FROM cgrid g
+        |  LEFT JOIN daily ON daily.user_id = g.user_id AND daily.rel = g.rel
+        |  LEFT JOIN q ON q.rel = g.rel
+        |  GROUP BY 1)
+        |SELECT d.user_id, CAST(d.dist2 AS BIGINT) AS dist2,
+        |  CAST(stats.n_scanned AS BIGINT) AS n_scanned,
+        |  CAST(stats.n_candidates AS BIGINT) AS n_candidates
+        |FROM d, stats WHERE d.dist2 <= 5000000000
+        |ORDER BY d.user_id""".stripMargin,
 
     "q265_dist_quantiles" ->
       """WITH e AS (
