@@ -291,6 +291,39 @@ object AnalyticsQueries {
     }),
 
 
+    // RFM segmentation — recency/frequency/monetary terciles per user,
+    // 27 segments with populations and exact value mass. Each axis is a
+    // distributedNtile (range-partitioned, never a one-task global
+    // window); the three binnings join back on the user key. The
+    // classic lifecycle-marketing rollup, here as the "which users feed
+    // which corpus slice" audit shape.
+    "q268_rfm_segments" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        cents(col("value")).as("vc"))
+      val maxDay = e.agg(max(col("day"))).head().getLong(0)
+      val per = e.groupBy(col("user_id")).agg(
+          (lit(maxDay) - max(col("day"))).as("recency"),
+          count(lit(1)).as("frequency"), sum(col("vc")).as("monetary"))
+        .withColumn("g", lit(0)).localCheckpoint()
+      val r = CoreOps.distributedNtile(per, Seq("g"),
+        Seq(col("recency"), col("user_id")), 3, "r_bin")
+      val f = CoreOps.distributedNtile(per, Seq("g"),
+          Seq(col("frequency"), col("user_id")), 3, "f_bin")
+        .select(col("user_id"), col("f_bin"))
+      val m = CoreOps.distributedNtile(per, Seq("g"),
+          Seq(col("monetary"), col("user_id")), 3, "m_bin")
+        .select(col("user_id"), col("m_bin"))
+      r.join(f, "user_id").join(m, "user_id")
+        .withColumn("segment",
+          (col("r_bin") * 100 + col("f_bin") * 10 + col("m_bin")).cast("long"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("monetary")).as("sum_monetary_cents"))
+        .orderBy(col("segment"))
+    }),
+
+
     // Last-touch attribution: each purchase credited to the user's latest
     // click/view within 7 days — the backward as-of join (one keyed
     // shuffle, linear per key) instead of the quadratic-per-hot-user
@@ -776,6 +809,27 @@ object AnalyticsQueries {
         |  CAST(sum(observed) AS BIGINT) AS sum_filled
         |FROM j GROUP BY slot ORDER BY slot""".stripMargin,
 
+
+    "q268_rfm_segments" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |per AS (
+        |  SELECT user_id, (SELECT max(day) FROM e) - max(day) AS recency,
+        |    count(*) AS frequency, sum(vc) AS monetary
+        |  FROM e GROUP BY 1),
+        |b AS (
+        |  SELECT user_id, monetary,
+        |    ntile(3) OVER (ORDER BY recency, user_id) AS r_bin,
+        |    ntile(3) OVER (ORDER BY frequency, user_id) AS f_bin,
+        |    ntile(3) OVER (ORDER BY monetary, user_id) AS m_bin
+        |  FROM per)
+        |SELECT CAST(r_bin * 100 + f_bin * 10 + m_bin AS BIGINT) AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(monetary) AS BIGINT) AS sum_monetary_cents
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q266_series_topk" ->
       """WITH e AS (

@@ -884,6 +884,37 @@ object TextQueries {
           min(col("flesch_micros")).as("min_flesch_micros"),
           max(col("flesch_micros")).as("max_flesch_micros"))
         .orderBy(col("lang"))
+    }),
+
+
+    // Held-out OOV rate + surprisal-rank proxy: train vocab from the
+    // 80% doc split ranked by frequency (rangeRank — no one-task global
+    // window even for a 10⁸-type vocabulary); each held-out token joins
+    // its train rank; per language, OOV share in micros and the mean
+    // train-frequency rank of covered tokens. The integer-exact stand-in
+    // for held-out cross-entropy (rank is monotone in -log p̂), i.e. the
+    // "does the tokenizer/LM training slice cover the eval slice" gate.
+    "q269_oov_surprisal" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+      val vocab = toks.filter(col("doc_id") % 10 < 8)
+        .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val ranked = CoreOps.rangeRank(vocab, Seq.empty,
+        Seq(col("c").desc, col("token")), rankCol = "rnk")
+      toks.filter(col("doc_id") % 10 >= 8)
+        .join(ranked.select(col("token"), col("rnk")), Seq("token"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("rnk").isNull, 1L).otherwise(0L)).as("n_oov"),
+          coalesce(sum(col("rnk")), lit(0L)).as("sum_rank"))
+        .select(col("lang"), col("n_tokens"), col("n_oov"),
+          expr("(1000000 * n_oov) div n_tokens").as("oov_micros"),
+          when(col("n_tokens") > col("n_oov"),
+            expr("sum_rank div (n_tokens - n_oov)")).otherwise(lit(0L))
+            .as("mean_rank"))
+        .orderBy(col("lang"))
     }))
 
   /** A blacklist large enough to trip contentGate's native Aho-Corasick
@@ -1541,6 +1572,33 @@ object TextQueries {
         |  CAST(min(flesch_micros) AS BIGINT) AS min_flesch_micros,
         |  CAST(max(flesch_micros) AS BIGINT) AS max_flesch_micros
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q269_oov_surprisal" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |toks AS (SELECT lang, doc_id, token FROM t WHERE len(token) > 0),
+        |vocab AS (
+        |  SELECT token, count(*) AS c FROM toks
+        |  WHERE doc_id % 10 < 8 GROUP BY token),
+        |ranked AS (
+        |  SELECT token, row_number() OVER (ORDER BY c DESC, token) AS rnk
+        |  FROM vocab),
+        |j AS (
+        |  SELECT lang, rnk FROM toks LEFT JOIN ranked USING (token)
+        |  WHERE doc_id % 10 >= 8),
+        |a AS (
+        |  SELECT lang, count(*) AS n_tokens,
+        |    sum(CASE WHEN rnk IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        |    coalesce(sum(rnk), 0) AS sum_rank
+        |  FROM j GROUP BY lang)
+        |SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_oov AS BIGINT) AS n_oov,
+        |  CAST((1000000 * n_oov) // n_tokens AS BIGINT) AS oov_micros,
+        |  CAST(CASE WHEN n_tokens > n_oov
+        |    THEN sum_rank // (n_tokens - n_oov) ELSE 0 END AS BIGINT)
+        |    AS mean_rank
+        |FROM a ORDER BY lang""".stripMargin,
 
     // Adjacent pairs via a lateral index range (DuckDB has no WITH
     // ORDINALITY); 1-based list indexing, range end-exclusive, so
