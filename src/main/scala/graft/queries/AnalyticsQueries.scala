@@ -324,6 +324,93 @@ object AnalyticsQueries {
     }),
 
 
+    // Mann–Kendall trend test per event_type over the 30-day daily
+    // series — the nonparametric "is this metric drifting" monitor
+    // (integer-exact: S = Σ sign pairs, tie-adjusted Var·18, and the 95%
+    // significance test cross-multiplied as 180000·S² > 38416·var18 so
+    // no sqrt or float ever runs). The pair stage is quadratic IN THE
+    // SERIES LENGTH (30 days → 435 pairs per key), not in the data — a
+    // keyed self-join whose output is bounded per key by the window,
+    // the same boundedness argument as q266's day grid.
+    "q270_mann_kendall" -> ((s, dir) => {
+      val e0 = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          cents(col("value")).as("vc"))
+      val d0 = e0.agg(min(col("day"))).head().getLong(0)
+      val daily = e0.filter(col("day") < d0 + 30)
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("vc")).as("v"))
+        .localCheckpoint()
+      val a = daily.select(col("event_type"), col("day").as("di"),
+        col("v").as("vi"))
+      val b = daily.select(col("event_type"), col("day").as("dj"),
+        col("v").as("vj"))
+      val pairs = a.join(b, Seq("event_type")).filter(col("di") < col("dj"))
+        .withColumn("sgn", signum(col("vj") - col("vi")).cast("long"))
+      val sStat = pairs.groupBy(col("event_type"))
+        .agg(sum(col("sgn")).as("s_stat"), count(lit(1)).as("n_pairs"))
+      // tie adjustment: daily cents sums are effectively distinct, but
+      // the formula stays exact either way — per tied-value group of
+      // size t, subtract t(t-1)(2t+5)
+      val ties = daily.groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_adj"),
+          count(lit(1)).as("n_values"), sum(col("t")).as("n_days"))
+      sStat.join(ties, "event_type")
+        .withColumn("var18",
+          expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_adj"))
+        .select(col("event_type"), col("n_days"), col("s_stat"),
+          col("var18"),
+          (lit(180000L) * col("s_stat") * col("s_stat") >
+            lit(38416L) * col("var18")).as("significant"))
+        .orderBy(col("event_type"))
+    }),
+
+
+    // Theil–Sen trend slope per event_type, EXACT: the median of the 435
+    // pairwise slopes (v_j − v_i)/(d_j − d_i), ordered without a single
+    // float by the integer key num · (LCM(1..29) / den) — den divides
+    // 2329089562800 for every day gap in a 30-day window, so the key is
+    // an exact monotone image of the rational slope. Median row =
+    // rank ⌈N/2⌉ by (key, di, dj); pair count bounded by the window as
+    // in q270.
+    "q271_theil_sen" -> ((s, dir) => {
+      val lcm = 2329089562800L // LCM(1..29): every gap in a 30-day window divides it
+      val e0 = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          cents(col("value")).as("vc"))
+      val d0 = e0.agg(min(col("day"))).head().getLong(0)
+      val daily = e0.filter(col("day") < d0 + 30)
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("vc")).as("v"))
+        .localCheckpoint()
+      val a = daily.select(col("event_type"), col("day").as("di"),
+        col("v").as("vi"))
+      val b = daily.select(col("event_type"), col("day").as("dj"),
+        col("v").as("vj"))
+      val sl = a.join(b, Seq("event_type")).filter(col("di") < col("dj"))
+        .withColumn("num", col("vj") - col("vi"))
+        .withColumn("den", col("dj") - col("di"))
+        // integer div (gap divides the LCM exactly); `/` would go double
+        .withColumn("key", col("num") * expr(s"${lcm}L div den"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("key"), col("di"), col("dj"))
+      sl.withColumn("rnk", row_number().over(w))
+        .withColumn("n_pairs",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type"))))
+        .filter(col("rnk") === expr("(n_pairs + 1) div 2"))
+        .select(col("event_type"), col("n_pairs"),
+          col("num").as("med_slope_num"), col("den").as("med_slope_den"),
+          col("key").as("med_slope_key"))
+        .orderBy(col("event_type"))
+    }),
+
+
     // Last-touch attribution: each purchase credited to the user's latest
     // click/view within 7 days — the backward as-of join (one keyed
     // shuffle, linear per key) instead of the quadratic-per-hot-user
@@ -809,6 +896,66 @@ object AnalyticsQueries {
         |  CAST(sum(observed) AS BIGINT) AS sum_filled
         |FROM j GROUP BY slot ORDER BY slot""".stripMargin,
 
+
+    "q270_mann_kendall" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |d0 AS (SELECT min(day) AS d0 FROM e),
+        |daily AS (
+        |  SELECT event_type, day, sum(vc) AS v
+        |  FROM e, d0 WHERE day < d0 + 30 GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CAST(sign(b.v - a.v) AS BIGINT) AS sgn
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |s AS (SELECT event_type, sum(sgn) AS s_stat FROM p GROUP BY 1),
+        |t AS (
+        |  SELECT event_type, sum(t * (t - 1) * (2 * t + 5)) AS tie_adj,
+        |    sum(t) AS n_days
+        |  FROM (SELECT event_type, v, count(*) AS t FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT s.event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(s_stat AS BIGINT) AS s_stat,
+        |  CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_adj AS BIGINT)
+        |    AS var18,
+        |  180000 * s_stat * s_stat >
+        |    38416 * (n_days * (n_days - 1) * (2 * n_days + 5) - tie_adj)
+        |    AS significant
+        |FROM s JOIN t USING (event_type)
+        |ORDER BY s.event_type""".stripMargin,
+
+    "q271_theil_sen" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |d0 AS (SELECT min(day) AS d0 FROM e),
+        |daily AS (
+        |  SELECT event_type, day, sum(vc) AS v
+        |  FROM e, d0 WHERE day < d0 + 30 GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT a.event_type, a.day AS di, b.day AS dj,
+        |    b.v - a.v AS num, b.day - a.day AS den,
+        |    (b.v - a.v) * (2329089562800 // (b.day - a.day)) AS key
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |r AS (
+        |  SELECT event_type, num, den, key,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY key, di, dj) AS rnk,
+        |    count(*) OVER (PARTITION BY event_type) AS n_pairs
+        |  FROM sl)
+        |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(num AS BIGINT) AS med_slope_num,
+        |  CAST(den AS BIGINT) AS med_slope_den,
+        |  CAST(key AS BIGINT) AS med_slope_key
+        |FROM r WHERE rnk = (n_pairs + 1) // 2
+        |ORDER BY event_type""".stripMargin,
 
     "q268_rfm_segments" ->
       """WITH e AS (

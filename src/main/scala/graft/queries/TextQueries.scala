@@ -915,6 +915,33 @@ object TextQueries {
             expr("sum_rank div (n_tokens - n_oov)")).otherwise(lit(0L))
             .as("mean_rank"))
         .orderBy(col("lang"))
+    }),
+
+
+    // Exact-proportion stratified split — the deterministic-COUNT
+    // complement of q141's hash-rate split (exact only in expectation):
+    // per language, docs rank by the seed-0 affine-mixed hash
+    // (decorrelated from id order — the q251/balancedSample lesson),
+    // then counts carve exactly: train = first (8N) div 10 ranks, val =
+    // through (9N) div 10, test = rest. rangeRank keeps per-stratum
+    // ordering at range-partition parallelism; the assignment is a pure
+    // function of (lang, doc_id) so it reproduces on any cluster.
+    "q272_exact_split" -> ((s, dir) => {
+      val hashed = Tables.load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          Dedup.seeded(Dedup.charHash(col("doc_id").cast("string")), 0)
+            .as("h"))
+      val ranked = CoreOps.rangeRank(hashed, Seq("lang"),
+        Seq(col("h"), col("doc_id")), rankCol = "r")
+      val tot = hashed.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(tot), "lang")
+        .withColumn("split",
+          when(col("r") <= expr("(8 * n) div 10"), "train")
+            .when(col("r") <= expr("(9 * n) div 10"), "val")
+            .otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("split"))
     }))
 
   /** A blacklist large enough to trip contentGate's native Aho-Corasick
@@ -1599,6 +1626,24 @@ object TextQueries {
         |    THEN sum_rank // (n_tokens - n_oov) ELSE 0 END AS BIGINT)
         |    AS mean_rank
         |FROM a ORDER BY lang""".stripMargin,
+
+    "q272_exact_split" ->
+      s"""WITH r AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY (654435747 * (${chSqlOf("CAST(doc_id AS VARCHAR)")})
+         |        + 13904216) % 1000000007, doc_id) AS r
+         |  FROM documents),
+         |t AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |a AS (
+         |  SELECT r.lang, n_chars,
+         |    CASE WHEN r.r <= (8 * t.n) // 10 THEN 'train'
+         |         WHEN r.r <= (9 * t.n) // 10 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM r JOIN t USING (lang))
+         |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM a GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
     // Adjacent pairs via a lateral index range (DuckDB has no WITH
     // ORDINALITY); 1-based list indexing, range end-exclusive, so
