@@ -533,6 +533,48 @@ object DedupQueries {
         .orderBy(col("id"))
     }),
 
+    // Bitext mining (the LASER/CCMatrix shape): cross-LANGUAGE document
+    // pairs whose embeddings sit cosine-≥0.4, candidates from the q36
+    // sign-LSH bucket join (ids + lang + length ride the bucket rows;
+    // text never moves), plus the standard bitext cleaning gate — the
+    // char-length ratio in bp with keep = ratio ≥ ½. The
+    // parallel-corpus miner a multilingual training pipeline runs over
+    // a web crawl; same-language pairs are near-dups (q36's job), not
+    // bitext, so the join demands lang_a < lang_b.
+    "q273_bitext_mining" -> ((s, dir) => {
+      import graft.similarity.Similarity.{appendCosine, bucketNorm}
+      val e = Tables.load(s, dir, "embeddings")
+        .join(Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+          col("doc_id") === col("vec_id"))
+      // 4×4 banded signature (the q257 OR-amplification) rather than one
+      // 8-plane bucket: at cosine 0.4 a single bucket keeps ~2.5% of true
+      // pairs (measured: 1 of 48) — as a RECALL device sign-LSH needs
+      // banding here just as MinHash does
+      val withB = bucketNorm(e, "vec_id", "embedding", planes = 16, dim = 64,
+          extra = Seq("lang", "n_chars"))
+        .withColumn("band", explode(array((0 until 4).map(lit): _*)))
+        .withColumn("sig", expr("shiftrightunsigned(bucket, band * 4) % 16"))
+      val a = withB.select(col("band"), col("sig"), col("id").as("id_a"),
+        col("v").as("v_a"), col("nrm").as("nrm_a"), col("lang").as("lang_a"),
+        col("n_chars").as("nc_a"))
+      val b = withB.select(col("band"), col("sig"), col("id").as("id_b"),
+        col("v").as("v_b"), col("nrm").as("nrm_b"), col("lang").as("lang_b"),
+        col("n_chars").as("nc_b"))
+      appendCosine(
+          a.join(b, Seq("band", "sig"))
+            .filter(col("id_a") < col("id_b") && col("lang_a") < col("lang_b")),
+          "v_a", "v_b", "nrm_a", "nrm_b", "cosine")
+        .filter(col("cosine") >= 0.4)
+        .select(col("id_a"), col("id_b"), col("lang_a"), col("lang_b"),
+          col("cosine"),
+          expr("(10000 * least(nc_a, nc_b)) div greatest(nc_a, nc_b)")
+            .as("len_ratio_bp"))
+        .withColumn("keep", col("len_ratio_bp") >= 5000)
+        .distinct()
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Semantic decontamination (cross-set, banded sign-LSH candidates,
     // broadcast benchmark): which corpus vectors sit cosine-≥0.35 to an
     // eval-set vector — the paraphrase-leakage check exact/Bloom
@@ -1752,6 +1794,28 @@ object DedupQueries {
          |SELECT DISTINCT a.id AS id_a, b.id AS id_b, ${cosineSql("a.v", "b.v")} AS cosine
          |FROM e a JOIN e b ON a.bucket = b.bucket AND a.id < b.id
          |WHERE ${cosineSql("a.v", "b.v")} >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q273_bitext_mining" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT v.vec_id AS id, v.embedding AS emb, d.lang, d.n_chars,
+         |    ${bucketSql("v.embedding", 16)} AS bucket
+         |  FROM embeddings v JOIN documents d ON d.doc_id = v.vec_id),
+         |bandd AS (
+         |  SELECT id, emb, lang, n_chars, band,
+         |    (bucket >> (band * 4)) & 15 AS sig
+         |  FROM e, LATERAL (SELECT unnest(range(0, 4)) AS band) r)
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |  a.lang AS lang_a, b.lang AS lang_b,
+         |  ${cosineSql("a.emb", "b.emb")} AS cosine,
+         |  (10000 * least(a.n_chars, b.n_chars))
+         |    // greatest(a.n_chars, b.n_chars) AS len_ratio_bp,
+         |  (10000 * least(a.n_chars, b.n_chars))
+         |    // greatest(a.n_chars, b.n_chars) >= 5000 AS keep
+         |FROM bandd a JOIN bandd b
+         |  ON a.band = b.band AND a.sig = b.sig
+         |    AND a.id < b.id AND a.lang < b.lang
+         |WHERE ${cosineSql("a.emb", "b.emb")} >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
 
     // The 16-plane signature replayed, bit-sliced into 4 bands of 4; a
