@@ -18,6 +18,26 @@ import graft.text.TextOps
   */
 object AnalyticsQueries {
 
+  /** Per-(key, day-offset) daily cents sums clipped to the first 30 days
+    * — the shared fixture of the series-analytics family (q266/q267
+    * search, q270/q271 trend). The clip is load-bearing twice over: it
+    * bounds pair stages by the WINDOW (435 pairs per key, never
+    * data-sized), and it caps day gaps at 29 so q271's LCM(1..29) slope
+    * key stays an exact integer. localCheckpointed: every consumer
+    * reads it at least twice (grid/pair sides).
+    */
+  private def clippedDaily(s: SparkSession, dir: String,
+                           keyCol: String): DataFrame = {
+    val e = Tables.load(s, dir, "events").select(col(keyCol),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      CoreOps.cents(col("value")).as("vc"))
+    val d0 = e.agg(min(col("day"))).head().getLong(0)
+    e.withColumn("rel", col("day") - d0)
+      .filter(col("rel") < 30)
+      .groupBy(col(keyCol), col("rel")).agg(sum(col("vc")).as("v"))
+      .localCheckpoint()
+  }
+
   import CoreOps.cents
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -214,14 +234,7 @@ object AnalyticsQueries {
     // distances are one keyed rollup — the corpus series never
     // co-shuffle against each other.
     "q266_series_topk" -> ((s, dir) => {
-      val e = Tables.load(s, dir, "events").select(col("user_id"),
-        expr("unix_micros(ts) div 86400000000").as("day"),
-        cents(col("value")).as("vc"))
-      val d0 = e.agg(min(col("day"))).head().getLong(0)
-      val daily = e.withColumn("rel", col("day") - d0)
-        .filter(col("rel") < 30)
-        .groupBy(col("user_id"), col("rel")).agg(sum(col("vc")).as("v"))
-        .localCheckpoint()
+      val daily = clippedDaily(s, dir, "user_id")
       val grid = daily.select(col("user_id")).distinct()
         .withColumn("rel", explode(expr("sequence(0L, 29L)")))
       val qser = daily.filter(col("user_id") === 7)
@@ -249,14 +262,7 @@ object AnalyticsQueries {
     // with exact distances plus the scanned/candidate funnel counts.
     "q267_series_paa_prune" -> ((s, dir) => {
       val R = 5000000000L
-      val e = Tables.load(s, dir, "events").select(col("user_id"),
-        expr("unix_micros(ts) div 86400000000").as("day"),
-        cents(col("value")).as("vc"))
-      val d0 = e.agg(min(col("day"))).head().getLong(0)
-      val daily = e.withColumn("rel", col("day") - d0)
-        .filter(col("rel") < 30)
-        .groupBy(col("user_id"), col("rel")).agg(sum(col("vc")).as("v"))
-        .localCheckpoint()
+      val daily = clippedDaily(s, dir, "user_id")
       val qser = daily.filter(col("user_id") === 7)
         .select(col("rel"), col("v").as("vq"))
       val aSeg = daily.groupBy(col("user_id"),
@@ -333,18 +339,10 @@ object AnalyticsQueries {
     // keyed self-join whose output is bounded per key by the window,
     // the same boundedness argument as q266's day grid.
     "q270_mann_kendall" -> ((s, dir) => {
-      val e0 = Tables.load(s, dir, "events")
-        .select(col("event_type"),
-          expr("unix_micros(ts) div 86400000000").as("day"),
-          cents(col("value")).as("vc"))
-      val d0 = e0.agg(min(col("day"))).head().getLong(0)
-      val daily = e0.filter(col("day") < d0 + 30)
-        .groupBy(col("event_type"), col("day"))
-        .agg(sum(col("vc")).as("v"))
-        .localCheckpoint()
-      val a = daily.select(col("event_type"), col("day").as("di"),
+      val daily = clippedDaily(s, dir, "event_type")
+      val a = daily.select(col("event_type"), col("rel").as("di"),
         col("v").as("vi"))
-      val b = daily.select(col("event_type"), col("day").as("dj"),
+      val b = daily.select(col("event_type"), col("rel").as("dj"),
         col("v").as("vj"))
       val pairs = a.join(b, Seq("event_type")).filter(col("di") < col("dj"))
         .withColumn("sgn", signum(col("vj") - col("vi")).cast("long"))
@@ -378,18 +376,10 @@ object AnalyticsQueries {
     // in q270.
     "q271_theil_sen" -> ((s, dir) => {
       val lcm = 2329089562800L // LCM(1..29): every gap in a 30-day window divides it
-      val e0 = Tables.load(s, dir, "events")
-        .select(col("event_type"),
-          expr("unix_micros(ts) div 86400000000").as("day"),
-          cents(col("value")).as("vc"))
-      val d0 = e0.agg(min(col("day"))).head().getLong(0)
-      val daily = e0.filter(col("day") < d0 + 30)
-        .groupBy(col("event_type"), col("day"))
-        .agg(sum(col("vc")).as("v"))
-        .localCheckpoint()
-      val a = daily.select(col("event_type"), col("day").as("di"),
+      val daily = clippedDaily(s, dir, "event_type")
+      val a = daily.select(col("event_type"), col("rel").as("di"),
         col("v").as("vi"))
-      val b = daily.select(col("event_type"), col("day").as("dj"),
+      val b = daily.select(col("event_type"), col("rel").as("dj"),
         col("v").as("vj"))
       val sl = a.join(b, Seq("event_type")).filter(col("di") < col("dj"))
         .withColumn("num", col("vj") - col("vi"))

@@ -17,6 +17,26 @@ object EvalQueries {
 
   import CoreOps.cents
 
+  /** Mann–Whitney midrank ROC-AUC over (strata..., sc, y, event_id) —
+    * exact under ties (2·midrank per tied group = min+max rank, an
+    * integer), ranked by [[CoreOps.rangeRank]] so no global window ever
+    * runs. Shared by the global (q252) and per-segment (q263) forms.
+    */
+  private def midrankAuc(e: DataFrame, strata: Seq[String]): DataFrame = {
+    val ranked = CoreOps.rangeRank(e, strata,
+      Seq(col("sc"), col("event_id")), rankCol = "rnk")
+    val g = ranked.groupBy((strata :+ "sc").map(col): _*)
+      .agg(sum(col("rnk")).as("sum_rank"), count(lit(1)).as("n_g"),
+        sum(col("y")).as("p_g"))
+    g.groupBy(strata.map(col): _*)
+      .agg(sum(expr("p_g * ((2 * sum_rank) div n_g)")).as("sum2mid"),
+        sum(col("p_g")).as("p"), sum(col("n_g")).as("n"))
+      .select(strata.map(col) ++ Seq(col("p").as("n_pos"),
+        (col("n") - col("p")).as("n_neg"),
+        expr("(1000000 * (sum2mid - p * (p + 1))) div (2 * p * (n - p))")
+          .as("auc_micros")): _*)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Johnson–Lindenstrauss 64→16 reduction feeding ANN: top-10 by
@@ -167,22 +187,11 @@ object EvalQueries {
     // the two sums switch to decimal(38,0) with an explicit
     // multiply-subtract floor div.
     "q252_auc_rank" -> ((s, dir) => {
-      val e = Tables.load(s, dir, "events").select(
+      midrankAuc(Tables.load(s, dir, "events").select(
         cents(col("value")).as("sc"),
         when(col("event_type").isin("purchase", "signup"), 1L)
           .otherwise(0L).as("y"),
-        col("event_id"))
-      val ranked = CoreOps.rangeRank(e, Seq.empty,
-        Seq(col("sc"), col("event_id")), rankCol = "rnk")
-      val g = ranked.groupBy(col("sc"))
-        .agg(sum(col("rnk")).as("sum_rank"), count(lit(1)).as("n_g"),
-          sum(col("y")).as("p_g"))
-      g.agg(
-          sum(expr("p_g * ((2 * sum_rank) div n_g)")).as("sum2mid"),
-          sum(col("p_g")).as("p"), sum(col("n_g")).as("n"))
-        .select(col("p").as("n_pos"), (col("n") - col("p")).as("n_neg"),
-          expr("(1000000 * (sum2mid - p * (p + 1))) div (2 * p * (n - p))")
-            .as("auc_micros"))
+        col("event_id")), Seq.empty)
     }),
 
 
@@ -227,23 +236,11 @@ object EvalQueries {
     // Weekend = epoch-day mod 7 ∈ {2, 3} (Sat/Sun; day 0 = Thursday) —
     // timezone-free, so both engines label identically.
     "q263_group_auc" -> ((s, dir) => {
-      val e = Tables.load(s, dir, "events").select(
-        col("event_type"), cents(col("value")).as("sc"),
-        when(expr("(unix_micros(ts) div 86400000000) % 7").isin(2, 3), 1L)
-          .otherwise(0L).as("y"),
-        col("event_id"))
-      val ranked = CoreOps.rangeRank(e, Seq("event_type"),
-        Seq(col("sc"), col("event_id")), rankCol = "rnk")
-      val g = ranked.groupBy(col("event_type"), col("sc"))
-        .agg(sum(col("rnk")).as("sum_rank"), count(lit(1)).as("n_g"),
-          sum(col("y")).as("p_g"))
-      g.groupBy(col("event_type"))
-        .agg(sum(expr("p_g * ((2 * sum_rank) div n_g)")).as("sum2mid"),
-          sum(col("p_g")).as("p"), sum(col("n_g")).as("n"))
-        .select(col("event_type"), col("p").as("n_pos"),
-          (col("n") - col("p")).as("n_neg"),
-          expr("(1000000 * (sum2mid - p * (p + 1))) div (2 * p * (n - p))")
-            .as("auc_micros"))
+      midrankAuc(Tables.load(s, dir, "events").select(
+          col("event_type"), cents(col("value")).as("sc"),
+          when(expr("(unix_micros(ts) div 86400000000) % 7").isin(2, 3), 1L)
+            .otherwise(0L).as("y"),
+          col("event_id")), Seq("event_type"))
         .orderBy(col("event_type"))
     }),
 

@@ -354,6 +354,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "partition predicate not recognized as a partition filter")
   }
 
+  test("rank/CDF statistics run without a window operator") {
+    // q252 (global midrank AUC), q261 (two-sample KS), q265 (exact
+    // quantiles) all compute global order statistics; their point is
+    // rangeRank/rangePrefixSums — a `Window` node appearing in any of
+    // these plans means an unpartitioned sort collapsed to one task,
+    // exactly the regression these primitives exist to prevent.
+    Seq("q252_auc_rank", "q261_ks_test", "q265_dist_quantiles").foreach { q =>
+      val plan = run(q)
+      assert(!plan.contains("Window"),
+        s"$q: a Window operator appeared — a global order statistic " +
+          "fell back to a single-task sort")
+    }
+  }
+
   test("semantic decontam: benchmark broadcasts, corpus side never shuffles") {
     // q257's candidate join must be a broadcast equi-join on (band, sig):
     // the benchmark is an eval set (bounded by construction), the corpus
