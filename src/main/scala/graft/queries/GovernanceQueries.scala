@@ -191,9 +191,56 @@ object GovernanceQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+
+    // Right-to-be-forgotten cascade: a deterministic deletion-request set
+    // (user_id ≡ 0 mod 37) tombstones through Compaction.merge (the same
+    // keyed MERGE the lifecycle family ships), the derived serving rollup
+    // rebuilds from the merged fact, and the audit DEMANDS zero orphans
+    // in both — the compliance report a deletion pipeline must emit, not
+    // just the delete. The request set is a bounded artifact (deletion
+    // requests are small by nature), so both orphan probes are broadcast
+    // semi-joins and the fact table never shuffles.
+    "q274_forget_user" -> ((s, dir) => {
+      import graft.pipeline.Compaction
+      val ev = Tables.load(s, dir, "events").select(col("event_id"),
+        col("user_id"), cents(col("value")).as("vc"))
+      val tomb = ev.filter(col("user_id") % 37 === 0)
+        .withColumn("del", lit(true))
+      val after = Compaction.merge(ev, tomb, Seq("event_id"),
+        deleteCol = Some("del")).localCheckpoint()
+      val reqUsers = ev.filter(col("user_id") % 37 === 0)
+        .select(col("user_id")).distinct()
+      val rollup = after.groupBy(col("user_id")).agg(sum(col("vc")).as("t"))
+      ev.agg(count(lit(1)).as("n_events_before"))
+        .crossJoin(after.agg(count(lit(1)).as("n_events_after")))
+        .crossJoin(reqUsers.agg(count(lit(1)).as("n_users_requested")))
+        .crossJoin(after.join(broadcast(reqUsers), Seq("user_id"), "left_semi")
+          .agg(count(lit(1)).as("n_orphan_events")))
+        .crossJoin(rollup.join(broadcast(reqUsers), Seq("user_id"), "left_semi")
+          .agg(count(lit(1)).as("n_orphan_rollup")))
+        .withColumn("n_events_deleted",
+          col("n_events_before") - col("n_events_after"))
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
+
+    "q274_forget_user" ->
+      """WITH ev AS (SELECT event_id, user_id FROM events),
+        |req AS (SELECT DISTINCT user_id FROM ev WHERE user_id % 37 = 0),
+        |aft AS (SELECT * FROM ev WHERE user_id % 37 <> 0)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_events_before,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM aft) AS n_events_after,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM req) AS n_users_requested,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM aft JOIN req USING (user_id))
+        |    AS n_orphan_events,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |   FROM (SELECT DISTINCT user_id FROM aft) r JOIN req USING (user_id))
+        |    AS n_orphan_rollup,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ev)
+        |    - (SELECT CAST(count(*) AS BIGINT) FROM aft) AS n_events_deleted""".stripMargin,
 
     "q195_dq_expectations" ->
       """SELECT * FROM (
