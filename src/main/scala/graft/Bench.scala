@@ -81,7 +81,11 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailed = s"""{"metric":"total","value":${ms(total)},"unit":"sec","wall":${ms(wallSec)},"passes":$nPasses,"stat":"median","load1_at_start":${ms(load1)},"errors":$errs,"queries":$qs,"sf":"$sfName"}"""
-    val short = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{"all":${ms(total)}},"sf":"$sfName"}"""
+    // The short line carries the errors array too: the driver's parsed
+    // artifact itself must be red when any query threw — a leg with
+    // failures can never read as a clean total (VERDICT r11 item 2: the
+    // r11 sf1 leg recorded q271's failure yet shipped as "zero errors").
+    val short = s"""{"metric":"total","value":${ms(total)},"unit":"sec","errors":$errs,"queries":{"all":${ms(total)}},"sf":"$sfName"}"""
     // The sf0.1 run is the driver contract and owns BENCH_LOCAL.json /
     // BENCH_DELTA.md; exploratory runs at other SFs write suffixed files
     // so they can never poison the regression baseline.
@@ -127,10 +131,23 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(s"BENCH_LOCAL$suffix.json"),
         (detailed + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] *** FAILED — ${failed.size} queries threw: " +
+        s"${failed.mkString(", ")} — this leg is RED; timings for these " +
+        "queries are crash-exit artifacts, the total is NOT comparable ***")
+    }
     println(detailed)
     Console.flush(); System.out.flush()
     spark.stop()
     println(short)
     Console.flush(); System.out.flush()
+    // Hard red (VERDICT r11 item 2): a bench with failures exits non-zero
+    // so no closeout script, commit message, or human skim can describe a
+    // leg with a non-empty errors array as clean. The JSON lines above are
+    // already flushed, so the driver's tail parse still sees them.
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] exiting 1: errors=$errs")
+      sys.exit(1)
+    }
   }
 }

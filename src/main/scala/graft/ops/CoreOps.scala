@@ -108,6 +108,14 @@ object CoreOps {
     * `round(x * 10^scale)` as longs instead. Integer addition is associative:
     * the result is bit-identical no matter how partitions combine, at any
     * cluster size. The same expression is used in the DuckDB oracle SQL.
+    *
+    * BOUNDS (r12 overflow audit): a SUM of cents is data-sized but wraps
+    * int64 only past 9.2e18 cents = $9.2e16 total (sf1 carries ~1e9
+    * cents/event-type — ×9e9 headroom); micros (scale 6) past $9.2e12.
+    * PRODUCTS of two data-sized cents sums (or sum × rank) are the family
+    * that wraps at real scale — those run in DECIMAL(38,0) (q217 Gini,
+    * midrankAuc's 1e6·2U, q253 Brier, q271 Theil–Sen key) per
+    * OverflowBoundsSpec.
     */
   def cents(c: Column, scale: Int = 2): Column =
     round(c * pow(lit(10.0), lit(scale)), 0).cast(LongType)

@@ -38,6 +38,65 @@ object AnalyticsQueries {
       .localCheckpoint()
   }
 
+  /** Theil–Sen exact-median-slope kernel over a (key, rel, v) daily
+    * frame — factored so OverflowBoundsSpec can drive it at 100× sf1
+    * magnitudes. Slope ordering is the decimal key num·(LCM(1..29)/den):
+    * den | 2329089562800 for every day gap < 30, so the key is an exact
+    * monotone image of the rational slope; decimal(19,0)·decimal(13,0) →
+    * decimal(33,0) holds any int64 num. Per-key partitions are window-
+    * bounded (≤ 435 pair rows), so the rank window is scale-safe.
+    */
+  private[graft] def theilSenFromDaily(daily: DataFrame,
+                                       keyCol: String): DataFrame = {
+    val lcm = 2329089562800L // LCM(1..29): every gap in a 30-day window divides it
+    val a = daily.select(col(keyCol), col("rel").as("di"), col("v").as("vi"))
+    val b = daily.select(col(keyCol), col("rel").as("dj"), col("v").as("vj"))
+    val sl = a.join(b, Seq(keyCol)).filter(col("di") < col("dj"))
+      .withColumn("num", col("vj") - col("vi"))
+      .withColumn("den", col("dj") - col("di"))
+      // integer div (gap divides the LCM exactly); `/` would go double.
+      // The product runs in decimal so data-sized daily deltas can't
+      // overflow (the r11 sf1 ARITHMETIC_OVERFLOW).
+      .withColumn("key", col("num").cast("decimal(19,0)") *
+        expr(s"${lcm}L div den").cast("decimal(13,0)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("key"), col("di"), col("dj"))
+    sl.withColumn("rnk", row_number().over(w))
+      .withColumn("n_pairs",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))))
+      .filter(col("rnk") === expr("(n_pairs + 1) div 2"))
+      .select(col(keyCol), col("n_pairs"),
+        col("num").as("med_slope_num"), col("den").as("med_slope_den"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Exact Gini (basis points) of `x` concentration per key via the rank
+    * identity G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) — factored so
+    * OverflowBoundsSpec can drive it at 100× sf1 magnitudes.
+    * BOUNDS (r12 overflow audit): the numerator ≤ n·Σx·1e4 is data-sized
+    * on TWO axes (1.5e17 at sf1 → ~80× sf1 wraps int64), so it runs in
+    * DECIMAL(38,0) from sum_rx outward (2·sum_rx alone wraps at ~390×
+    * sf1); `div` (IntegralDivide) returns BIGINT and both operands are
+    * nonnegative (rank identity ≥ 0), so truncation = floor on both
+    * engines. The divisor n·Σx ≈ 1.5e13 at sf1 is int64-safe to ~780×
+    * sf1 — documented, not cast (IntegralDivide widens it decimal-side).
+    */
+  private[graft] def giniByKey(u: DataFrame, keyCol: String,
+                               idCol: String): DataFrame = {
+    val ranked = CoreOps.rangeRank(u, Seq(keyCol),
+      Seq(col("x"), col(idCol)))
+    ranked.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sum_x"),
+        sum(col("rank") * col("x")).as("sum_rx"))
+      .select(col(keyCol), col("n_users"),
+        expr("((2 * CAST(sum_rx AS DECIMAL(38,0)) - (n_users + 1) * sum_x)" +
+          " * 10000) div (n_users * sum_x)").as("gini_bp"))
+      .orderBy(col(keyCol))
+  }
+
   import CoreOps.cents
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -214,6 +273,9 @@ object AnalyticsQueries {
       val c = CoreOps.rangePrefixSums(g, Seq("event_type"), Seq(col("v")),
         Seq("n"))
       val tot = g.groupBy(col("event_type")).agg(sum(col("n")).as("n_total"))
+      // BOUNDS (r12 overflow audit): cum·den and n_total·num are row
+      // COUNTS × a ≤100 literal — int64-safe to 9.2e16 rows (≈ 9e10×
+      // sf1); counts grow linearly with data, never quadratically.
       def qv(num: Int, den: Int, name: String) =
         min(when(col("n_cum") * den >= col("n_total") * num, col("v")))
           .as(name)
@@ -359,6 +421,11 @@ object AnalyticsQueries {
       sStat.join(ties, "event_type")
         .withColumn("var18",
           expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_adj"))
+        // BOUNDS (r12 overflow audit): WINDOW-bounded, not data-sized —
+        // |S| ≤ n_pairs ≤ 435 (30-day clip) so 180000·S² ≤ 3.5e10, and
+        // var18 ≤ 30·29·65 = 56550 so 38416·var18 ≤ 2.2e9. Int64-safe at
+        // any data scale; grows only if the clip window grows (×1e4
+        // headroom on the window itself).
         .select(col("event_type"), col("n_days"), col("s_stat"),
           col("var18"),
           (lit(180000L) * col("s_stat") * col("s_stat") >
@@ -374,31 +441,17 @@ object AnalyticsQueries {
     // an exact monotone image of the rational slope. Median row =
     // rank ⌈N/2⌉ by (key, di, dj); pair count bounded by the window as
     // in q270.
-    "q271_theil_sen" -> ((s, dir) => {
-      val lcm = 2329089562800L // LCM(1..29): every gap in a 30-day window divides it
-      val daily = clippedDaily(s, dir, "event_type")
-      val a = daily.select(col("event_type"), col("rel").as("di"),
-        col("v").as("vi"))
-      val b = daily.select(col("event_type"), col("rel").as("dj"),
-        col("v").as("vj"))
-      val sl = a.join(b, Seq("event_type")).filter(col("di") < col("dj"))
-        .withColumn("num", col("vj") - col("vi"))
-        .withColumn("den", col("dj") - col("di"))
-        // integer div (gap divides the LCM exactly); `/` would go double
-        .withColumn("key", col("num") * expr(s"${lcm}L div den"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type"))
-        .orderBy(col("key"), col("di"), col("dj"))
-      sl.withColumn("rnk", row_number().over(w))
-        .withColumn("n_pairs",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("event_type"))))
-        .filter(col("rnk") === expr("(n_pairs + 1) div 2"))
-        .select(col("event_type"), col("n_pairs"),
-          col("num").as("med_slope_num"), col("den").as("med_slope_den"),
-          col("key").as("med_slope_key"))
-        .orderBy(col("event_type"))
-    }),
+    // BOUNDS (r12, the q271 sf1 overflow fix): the key is computed in
+    // DECIMAL — num is a daily-cents delta that GROWS WITH DATA (sf1
+    // already exceeds the ~3.9e6-cent int64 budget at gap 1), so int64
+    // was a scale bug, not a headroom note. decimal(19,0) × decimal(13,0)
+    // → decimal(33,0): exact for ANY int64 num (|key| ≤ 9.2e18 · 2.33e12
+    // ≈ 2.1e31 < 1e33). The key stays INTERNAL to the ordering — the
+    // output ships the exact rational (num, den) — so no decimal ever
+    // reaches the cross-engine hash. Proven at 100× sf1 magnitudes by
+    // OverflowBoundsSpec.
+    "q271_theil_sen" -> ((s, dir) =>
+      theilSenFromDaily(clippedDaily(s, dir, "event_type"), "event_type")),
 
 
     // Last-touch attribution: each purchase credited to the user's latest
@@ -467,6 +520,10 @@ object AnalyticsQueries {
       pairs
         .join(broadcast(frequent.select(col("item").as("i"), col("sup").as("sup_i"))), "i")
         .join(broadcast(frequent.select(col("item").as("j"), col("sup").as("sup_j"))), "j")
+        // BOUNDS (r12 overflow audit): support ≤ distinct users (a row
+        // COUNT, linear in data) so ·1e4 is int64-safe to 9.2e14 users —
+        // never quadratic, because support counts co-occurrences per
+        // DISTINCT user, not pair instances.
         .select(col("i"), col("j"), col("support"),
           expr("support * 10000 div sup_i").as("conf_ij_bp"),
           expr("support * 10000 div sup_j").as("conf_ji_bp"))
@@ -716,21 +773,10 @@ object AnalyticsQueries {
     // (n·Σx): ranks are rangeRank order statistics, both Σ terms
     // partial-aggregable — the inequality metric behind "is our corpus /
     // revenue dominated by a few contributors" governance checks.
-    "q217_value_gini" -> ((s, dir) => {
-      val u = Tables.load(s, dir, "events")
+    "q217_value_gini" -> ((s, dir) =>
+      giniByKey(Tables.load(s, dir, "events")
         .groupBy(col("event_type"), col("user_id"))
-        .agg(sum(cents(col("value"))).as("x"))
-      val ranked = CoreOps.rangeRank(u, Seq("event_type"),
-        Seq(col("x"), col("user_id")))
-      ranked.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_users"),
-          sum(col("x")).as("sum_x"),
-          sum(col("rank") * col("x")).as("sum_rx"))
-        .select(col("event_type"), col("n_users"),
-          expr("((2 * sum_rx - (n_users + 1) * sum_x) * 10000)" +
-            " div (n_users * sum_x)").as("gini_bp"))
-        .orderBy(col("event_type"))
-    }),
+        .agg(sum(cents(col("value"))).as("x")), "event_type", "user_id")),
 
 
     // Winner-take-all share: the top-1%-of-users' fraction of total value
@@ -746,6 +792,9 @@ object AnalyticsQueries {
         .join(broadcast(n), "event_type")
         .filter(col("rank") > col("n") - expr("(n + 99) div 100"))
         .groupBy(col("event_type"))
+        // BOUNDS (r12 overflow audit): Σx ≤ tot ≈ 1e9 cents/type at sf1,
+        // so ·1e4 wraps int64 only past tot ≈ 9.2e14 cents ($9.2T/type,
+        // ~9e5× sf1) — documented headroom, no decimal needed.
         .agg(min(col("n")).as("n_users"),
           count(lit(1)).as("n_top"),
           expr("(sum(x) * 10000) div min(tot)").as("top_share_bp"))
@@ -931,19 +980,19 @@ object AnalyticsQueries {
         |sl AS (
         |  SELECT a.event_type, a.day AS di, b.day AS dj,
         |    b.v - a.v AS num, b.day - a.day AS den,
-        |    (b.v - a.v) * (2329089562800 // (b.day - a.day)) AS key
+        |    CAST(b.v - a.v AS HUGEINT)
+        |      * (2329089562800 // (b.day - a.day)) AS key
         |  FROM daily a JOIN daily b
         |    ON a.event_type = b.event_type AND a.day < b.day),
         |r AS (
-        |  SELECT event_type, num, den, key,
+        |  SELECT event_type, num, den,
         |    row_number() OVER (PARTITION BY event_type
         |      ORDER BY key, di, dj) AS rnk,
         |    count(*) OVER (PARTITION BY event_type) AS n_pairs
         |  FROM sl)
         |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
         |  CAST(num AS BIGINT) AS med_slope_num,
-        |  CAST(den AS BIGINT) AS med_slope_den,
-        |  CAST(key AS BIGINT) AS med_slope_key
+        |  CAST(den AS BIGINT) AS med_slope_den
         |FROM r WHERE rnk = (n_pairs + 1) // 2
         |ORDER BY event_type""".stripMargin,
 

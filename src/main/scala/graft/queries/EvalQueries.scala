@@ -22,19 +22,26 @@ object EvalQueries {
     * integer), ranked by [[CoreOps.rangeRank]] so no global window ever
     * runs. Shared by the global (q252) and per-segment (q263) forms.
     */
-  private def midrankAuc(e: DataFrame, strata: Seq[String]): DataFrame = {
+  private[graft] def midrankAuc(e: DataFrame, strata: Seq[String]): DataFrame = {
     val ranked = CoreOps.rangeRank(e, strata,
       Seq(col("sc"), col("event_id")), rankCol = "rnk")
     val g = ranked.groupBy((strata :+ "sc").map(col): _*)
       .agg(sum(col("rnk")).as("sum_rank"), count(lit(1)).as("n_g"),
         sum(col("y")).as("p_g"))
+    // BOUNDS (r12 overflow audit): 2U = sum2mid − P(P+1) ≤ 2·P·N is
+    // data-sized on two axes (≈ 4e11 at sf1, P = 0.4N), so the ×1e6
+    // numerator wraps int64 at ~30× sf1 — it runs in DECIMAL(38,0);
+    // `div` returns BIGINT, both operands nonnegative (U ≥ 0), so
+    // truncation = floor on both engines (DuckDB's sums are HUGEINT
+    // already). sum2mid itself ≤ 2PN stays int64 to ~3000× sf1;
+    // per-group Σrank ≤ n_g·N likewise — documented, not cast.
     g.groupBy(strata.map(col): _*)
       .agg(sum(expr("p_g * ((2 * sum_rank) div n_g)")).as("sum2mid"),
         sum(col("p_g")).as("p"), sum(col("n_g")).as("n"))
       .select(strata.map(col) ++ Seq(col("p").as("n_pos"),
         (col("n") - col("p")).as("n_neg"),
-        expr("(1000000 * (sum2mid - p * (p + 1))) div (2 * p * (n - p))")
-          .as("auc_micros")): _*)
+        expr("(1000000 * (CAST(sum2mid AS DECIMAL(38,0)) - p * (p + 1)))" +
+          " div (2 * p * (n - p))").as("auc_micros")): _*)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -212,12 +219,20 @@ object EvalQueries {
       val maxSc = e.groupBy(col("g")).agg(max(col("sc")).as("max_sc"))
       val p = e.join(broadcast(maxSc), Seq("g"))
         .withColumn("p_micros", expr("(1000000 * sc) div max_sc"))
+      // BOUNDS (r12 overflow audit): each Brier term is ≤ 1e12, so an
+      // int64 sum wraps past ~9.2e6 rows per decile — data-sized, not
+      // window-bounded, hence the sum runs in DECIMAL(38,0) like q251's
+      // var2 (DuckDB's BIGINT sum is HUGEINT already). `div` (Spark
+      // IntegralDivide) accepts decimal and returns BIGINT, and both
+      // operands are nonnegative, so truncation = floor on both engines.
+      // sum_p stays int64: terms ≤ 1e6 → headroom to 9.2e12 rows/decile.
       CoreOps.distributedNtile(p, Seq("g"),
           Seq(col("sc"), col("event_id")), n = 10, binCol = "decile")
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"), sum(col("p_micros")).as("sum_p"),
           sum(col("y")).as("n_pos"),
-          sum(expr("(p_micros - 1000000 * y) * (p_micros - 1000000 * y)"))
+          sum(expr("CAST(p_micros - 1000000 * y AS DECIMAL(38,0)) *" +
+              " (p_micros - 1000000 * y)"))
             .as("sum_sq"))
         .select(col("decile").cast("long").as("decile"), col("n"),
           expr("sum_p div n").as("mean_p_micros"),

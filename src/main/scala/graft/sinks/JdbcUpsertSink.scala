@@ -76,9 +76,20 @@ object JdbcUpsertSink {
     */
   private val derbyExecLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** Lock key = the DATABASE, not the URL string: lowercase and strip the
+    * `;attribute` tail, so `jdbc:derby:db` and `jdbc:derby:db;create=true`
+    * (or case variants) — the same embedded engine — share one monitor.
+    * Keying on the verbatim URL reintroduced the concurrent-MERGE race
+    * through aliased URLs (r11 ADVICE).
+    */
+  private[graft] def derbyLockKey(url: String): String = {
+    val lower = url.toLowerCase(java.util.Locale.ROOT)
+    val semi = lower.indexOf(';')
+    if (semi >= 0) lower.substring(0, semi) else lower
+  }
   private def execLockFor(url: String): Option[Object] =
     if (url.toLowerCase(java.util.Locale.ROOT).startsWith("jdbc:derby:"))
-      Some(derbyExecLocks.computeIfAbsent(url, _ => new Object))
+      Some(derbyExecLocks.computeIfAbsent(derbyLockKey(url), _ => new Object))
     else None
 
   /** Derby upsert: merge against the one-row dummy table with the key in

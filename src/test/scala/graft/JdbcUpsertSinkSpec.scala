@@ -198,4 +198,17 @@ class JdbcUpsertSinkSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("derby exec-lock key canonicalizes case and ;attribute tails (r11 ADVICE)") {
+    // Aliased URLs for the SAME embedded database must share one monitor,
+    // or the concurrent-MERGE race re-enters through the alias.
+    import graft.sinks.JdbcUpsertSink.derbyLockKey
+    assert(derbyLockKey("jdbc:derby:memory:db;create=true") ===
+      derbyLockKey("jdbc:derby:memory:db"))
+    assert(derbyLockKey("JDBC:DERBY:Memory:DB;create=true") ===
+      derbyLockKey("jdbc:derby:memory:db;collation=TERRITORY_BASED"))
+    // different databases must NOT collapse to one lock
+    assert(derbyLockKey("jdbc:derby:memory:db1") !==
+      derbyLockKey("jdbc:derby:memory:db2"))
+  }
 }

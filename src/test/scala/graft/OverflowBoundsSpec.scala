@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{AnalyticsQueries, EvalQueries}
+
+/** r12 overflow audit (VERDICT r11 items 1+3): every data-dependent
+  * product with a large literal either carries a documented int64 bound
+  * (window-bounded or count×small-literal: q270, q265, q218, q202) or
+  * runs in DECIMAL(38,0) — and the decimal family is DRIVEN HERE at
+  * magnitudes ≥ 100× sf1, where the old int64 forms deterministically
+  * threw ARITHMETIC_OVERFLOW (q271 at sf1 was the r11 live failure).
+  * Expected values are recomputed independently with BigInt, so these
+  * specs pin correctness at scale, not just absence of a throw.
+  */
+class OverflowBoundsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Lcm = 2329089562800L // LCM(1..29)
+
+  test("theil-sen slope key survives daily sums ~2.7e7x sf1 (r11 sf1 overflow repro)") {
+    // sf1's max daily-cents delta is ~9.05e6 — already past the ~3.9e6
+    // int64 budget at gap 1. These values sit at |v| ~ 1e15, num up to
+    // ~2e15, key up to ~4.7e27: far beyond 100x sf1, and hash-exact.
+    val vs = Seq.tabulate(10)(d => ((d * 7919) % 13 - 6).toLong * 100000000000000L + d.toLong * 1000000007L)
+    val daily = vs.zipWithIndex
+      .map { case (v, d) => ("k", d.toLong, v) }
+      .toDF("grp", "rel", "v")
+
+    // Independent BigInt replay of the exact median-slope definition.
+    val slopes = for {
+      i <- 0 until 10; j <- (i + 1) until 10
+    } yield (BigInt(vs(j) - vs(i)) * (Lcm / (j - i)), i, j, vs(j) - vs(i), (j - i).toLong)
+    val sorted = slopes.sortBy { case (k, di, dj, _, _) => (k, di, dj) }
+    val med = sorted((sorted.size + 1) / 2 - 1)
+
+    val row = AnalyticsQueries.theilSenFromDaily(daily, "grp").collect()
+    assert(row.length === 1)
+    assert(row(0).getAs[Long]("n_pairs") === 45L)
+    assert(row(0).getAs[Long]("med_slope_num") === med._4)
+    assert(row(0).getAs[Long]("med_slope_den") === med._5)
+  }
+
+  test("midrank AUC numerator survives 8e6 rows (1e6*2U = 3.2e19 > Long.MAX)") {
+    // Perfect separation at N = 8e6 (P = N/2): 2U = 2*P*N = 3.2e13, and
+    // the *1e6 numerator is 3.2e19 — past Long.MAX, so this row count is
+    // exactly where the pre-decimal form threw. AUC must be exactly 1.
+    val e = spark.range(8000000L).select(
+      col("id").as("sc"),
+      when(col("id") >= 4000000L, 1L).otherwise(0L).as("y"),
+      col("id").as("event_id"))
+    val r = EvalQueries.midrankAuc(e, Seq.empty).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_pos") === 4000000L)
+    assert(r(0).getAs[Long]("n_neg") === 4000000L)
+    assert(r(0).getAs[Long]("auc_micros") === 1000000L)
+  }
+
+  test("midrank AUC inverted separation at 8e6 rows is exactly 0") {
+    val e = spark.range(8000000L).select(
+      col("id").as("sc"),
+      when(col("id") < 4000000L, 1L).otherwise(0L).as("y"),
+      col("id").as("event_id"))
+    val r = EvalQueries.midrankAuc(e, Seq.empty).collect()
+    assert(r(0).getAs[Long]("auc_micros") === 0L)
+  }
+
+  test("gini numerator survives per-user sums ~1e9x sf1 (numerator*1e4 = 1.7e22)") {
+    // x_i = i*1e13 cents keeps sum_rx (a LONG sum) at 3.4e18 < Long.MAX
+    // while the decimal numerator*1e4 is 1.7e22 — the decimal seam is
+    // exercised exactly where int64 dies. Expected value via BigInt.
+    val n = 100
+    val xs = Seq.tabulate(n)(i => (i + 1).toLong * 10000000000000L)
+    val u = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+      .toDF("grp", "user_id", "x")
+    val sumX = xs.map(BigInt(_)).sum
+    val sumRx = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val expected = ((2 * sumRx - BigInt(n + 1) * sumX) * 10000) / (BigInt(n) * sumX)
+    val r = AnalyticsQueries.giniByKey(u, "grp", "user_id").collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_users") === n.toLong)
+    assert(r(0).getAs[Long]("gini_bp") === expected.toLong)
+  }
+
+  test("IntegralDivide on DECIMAL(38,0) returns BIGINT with floor semantics on nonnegatives") {
+    // The whole decimal family leans on `div`: decimal dividend, int64
+    // divisor, BIGINT result, truncation = floor because every operand
+    // is nonnegative by construction (q217/q253/midrankAuc invariants).
+    val df = spark.sql(
+      "SELECT CAST(12345678901234567890123 AS DECIMAL(38,0)) div 10000000000 AS r")
+    assert(df.schema("r").dataType === org.apache.spark.sql.types.LongType)
+    assert(df.first().getLong(0) === 1234567890123L)
+  }
+}
