@@ -42,6 +42,17 @@ object Bench {
     // lets any reader weight a delta by the conditions it ran under.
     val load1 = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // Hot-host gate (VERDICT r11 item 5): r11's committed sf1 leg started
+    // at load1 2.1 and its worst per-query medians overstated 2-3x vs
+    // idle re-measures (q189 13.2 vs 4.5 s; q69 6.9 vs 1.9 s); the r11
+    // driver leg at load1 11.4 manufactured two phantom sf0.1
+    // "regressions" (q139/q268, both ~1.0x when idle). Any leg intended
+    // for BENCH_LOCAL/BENCH_DELTA or a round artifact must start idle —
+    // the warning is loud so a noisy leg can't read as a clean baseline.
+    if (load1 > 2.0)
+      System.err.println(f"[bench] *** HOT HOST: load1=$load1%.1f > 2.0 at " +
+        "leg start — medians from this run are NOISE-SUSPECT; re-run on an " +
+        "idle host before committing or comparing ***")
     val wall0 = System.nanoTime()
     queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
