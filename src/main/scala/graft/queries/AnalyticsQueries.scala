@@ -847,6 +847,157 @@ object AnalyticsQueries {
         .orderBy(col("streak_len"))
     }),
 
+
+    // Poisson-bootstrap confidence intervals for the per-type mean event
+    // value (Chamandy et al., "Estimating Uncertainty for Massive Data
+    // Streams", Google 2012): replicate r resamples each row with weight
+    // w ~ Poisson(1) — the resample-free bootstrap that survives 100 TB,
+    // because every row's R=32 replicate weights are a pure function of
+    // (event_id, r) and the whole statistic is one partial-aggregable
+    // groupBy. The explode(×32) multiplies MAP-SIDE rows only: hash
+    // partial aggregation collapses each task to |event_type|×32 cells
+    // before the exchange, so shuffle volume is independent of data
+    // size. Determinism: w = InvCDF_Pois(1)(u31) with u31 a 31-bit
+    // multiplicative-hash residue — identical int64 arithmetic on both
+    // engines, thresholds precomputed as exact integers
+    // floor(cdf_k · (2^31−1)). Interval = order statistics 2/16/31 of
+    // the 32 sorted replicate means (a bounded per-key array, never a
+    // global sort).
+    // BOUNDS: event_id·2654435761 < Long.MAX for ids < 3.46e9 (sf1 max
+    // id ≈ 9.9e8 after replica offsets — 3.5× headroom; past that, take
+    // the id's 2^31 residue first, which preserves the hash's
+    // uniformity-by-construction).
+    "q275_poisson_bootstrap" -> ((s, dir) => {
+      val R = 32
+      val e = Tables.load(s, dir, "events").select(col("event_type"),
+        col("event_id"), cents(col("value")).as("vc"))
+      val rep = e.withColumn("r", explode(expr(s"sequence(0, ${R - 1})")))
+        .withColumn("u", (col("event_id") * lit(2654435761L)
+          + col("r") * lit(40503L)) % lit(2147483647L))
+        .withColumn("w",
+          when(col("u") < 790015083L, 0L)
+            .when(col("u") < 1580030167L, 1L)
+            .when(col("u") < 1975037709L, 2L)
+            .when(col("u") < 2106706890L, 3L)
+            .when(col("u") < 2139624185L, 4L)
+            .when(col("u") < 2146207644L, 5L)
+            .otherwise(6L))
+      // one scan: every replicate cell sees every row, so the plain
+      // sum/count (the point estimate) rides the same partial agg and
+      // is read off the r = 0 cell
+      val perRep = rep.groupBy(col("event_type"), col("r"))
+        .agg(sum(col("w") * col("vc")).as("sw"), sum(col("w")).as("nw"),
+          sum(col("vc")).as("sv"), count(lit(1)).as("cnt"))
+        .withColumn("m", col("sw").cast("double") / col("nw").cast("double"))
+        .localCheckpoint() // tiny (|type|×32), consumed twice
+      val ci = perRep.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("m"))).as("ms"))
+        .select(col("event_type"),
+          element_at(col("ms"), 2).as("boot_lo"),
+          element_at(col("ms"), R / 2).as("boot_med"),
+          element_at(col("ms"), R - 1).as("boot_hi"))
+      val pt = perRep.filter(col("r") === 0)
+        .select(col("event_type"),
+          (col("sv").cast("double") / col("cnt").cast("double"))
+            .as("mean_cents"))
+      pt.join(ci, "event_type").orderBy(col("event_type"))
+    }),
+
+
+    // CUPED variance reduction (Deng et al., WSDM 2013): the A/B-test
+    // adjustment that removes pre-period variance from the post-period
+    // metric. Pre = first 15 days, post = the rest; arms = user_id
+    // parity (the synthetic assignment). θ = cov(X,Y)/var(X) from ONE
+    // pass of exact integer moments — n, ΣX, ΣY in int64 and the three
+    // cross-products in DECIMAL(38,0) (data-sized products: a user's
+    // cents-sum squared is past int64 at ~100× sf1, the r12 overflow
+    // doctrine) — then a bounded two-row arm rollup joined to the
+    // broadcast global stats. Every float derives from exact integer
+    // ratios in a pinned op order, so the doubles are bit-identical on
+    // both engines. Variance shrink = 1 − ρ² reported in exact
+    // basis-point rationals → double at the end.
+    "q276_cuped" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        cents(col("value")).as("vc"))
+      val d0 = e.agg(min(col("day"))).head().getLong(0)
+      val per = e.groupBy(col("user_id")).agg(
+          sum(when(col("day") < d0 + 15, col("vc")).otherwise(0L)).as("x"),
+          sum(when(col("day") >= d0 + 15, col("vc")).otherwise(0L)).as("y"))
+        .withColumn("arm", (col("user_id") % 2).cast("long"))
+        .localCheckpoint()
+      val dec = (c: Column) => c.cast("decimal(19,0)")
+      val g = per.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      val arms = per.groupBy(col("arm")).agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sxa"), sum(col("y")).as("sya"))
+      val tn = dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy"))
+      val td = dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx"))
+      val ty = dec(col("n")) * col("syy") - dec(col("sy")) * dec(col("sy"))
+      val stats = g.select(col("n"), col("sx"),
+        (tn.cast("double") / td.cast("double")).as("theta"),
+        ((tn.cast("double") / td.cast("double"))
+          * (tn.cast("double") / ty.cast("double"))).as("rho2"))
+      arms.crossJoin(broadcast(stats))
+        .select(col("arm"), col("n_users"),
+          (col("sya").cast("double") / col("n_users").cast("double"))
+            .as("mean_y_cents"),
+          (col("sya").cast("double") / col("n_users").cast("double")
+            - col("theta")
+              * (col("sxa").cast("double") / col("n_users").cast("double")
+                - col("sx").cast("double") / col("n").cast("double")))
+            .as("adj_mean_cents"),
+          col("theta"), col("rho2"))
+        .orderBy(col("arm"))
+    }),
+
+
+    // Stratified treatment-effect estimate (the IPW/Horvitz-Thompson
+    // shape with exact stratum propensities): treatment = heavy
+    // purchaser (≥ 14 purchases — the population median is 13, so both
+    // arms stay populated in every stratum), outcome = click-value
+    // cents, strata = user_id decile-residues (the synthetic
+    // confounder). Per stratum: exact difference of integer-div means
+    // in micros; strata with an empty arm are excluded (the positivity
+    // assumption, enforced). The stratum = −1 row pools the surviving
+    // strata's raw sums through the SAME formula — every division keeps
+    // a NONNEGATIVE numerator, so Spark's truncating `div` and DuckDB's
+    // flooring `//` agree (the subtraction that may go negative happens
+    // AFTER both divisions).
+    "q282_stratified_ate" -> ((s, dir) => {
+      val per = Tables.load(s, dir, "events").groupBy(col("user_id")).agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("np"),
+          sum(when(col("event_type") === "click", cents(col("value")))
+            .otherwise(0L)).as("y"))
+        .select((col("user_id") % 10).as("stratum"),
+          when(col("np") >= 14, 1L).otherwise(0L).as("t"), col("y"))
+      val eff = "(1000000 * sum_y_treated) div n_treated" +
+        " - (1000000 * sum_y_control) div (n_users - n_treated)"
+      val st = per.groupBy(col("stratum")).agg(
+          count(lit(1)).as("n_users"), sum(col("t")).as("n_treated"),
+          sum(when(col("t") === 1, col("y")).otherwise(0L))
+            .as("sum_y_treated"),
+          sum(when(col("t") === 0, col("y")).otherwise(0L))
+            .as("sum_y_control"))
+        .filter(col("n_treated") > 0 && col("n_treated") < col("n_users"))
+        .withColumn("eff_micros", expr(eff))
+        .localCheckpoint() // tiny (≤ 10 rows), consumed twice
+      val pooled = st.agg(sum(col("n_users")).as("n_users"),
+          sum(col("n_treated")).as("n_treated"),
+          sum(col("sum_y_treated")).as("sum_y_treated"),
+          sum(col("sum_y_control")).as("sum_y_control"))
+        .withColumn("eff_micros", expr(eff))
+        .withColumn("stratum", lit(-1L))
+      val cols = Seq("stratum", "n_users", "n_treated", "sum_y_treated",
+        "sum_y_control", "eff_micros").map(col)
+      st.select(cols: _*).unionByName(pooled.select(cols: _*))
+        .orderBy(col("stratum"))
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -1398,6 +1549,118 @@ object AnalyticsQueries {
         |best AS (SELECT user_id, max(len) AS best FROM streaks GROUP BY 1)
         |SELECT best AS streak_len, CAST(count(*) AS BIGINT) AS n_users
         |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // Replays the Poisson weight hash verbatim (int64-exact on both
+    // engines) and the 2/16/31 order statistics of the 32 replicate means.
+    "q275_poisson_bootstrap" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |rep AS (
+        |  SELECT event_type, r,
+        |    (event_id * 2654435761 + r * 40503) % 2147483647 AS u, vc
+        |  FROM e, (SELECT unnest(range(0, 32)) AS r)),
+        |w AS (SELECT event_type, r,
+        |  CASE WHEN u < 790015083 THEN 0 WHEN u < 1580030167 THEN 1
+        |       WHEN u < 1975037709 THEN 2 WHEN u < 2106706890 THEN 3
+        |       WHEN u < 2139624185 THEN 4 WHEN u < 2146207644 THEN 5
+        |       ELSE 6 END AS wt, vc FROM rep),
+        |pr AS (SELECT event_type, r,
+        |         CAST(sum(wt * vc) AS DOUBLE) / CAST(sum(wt) AS DOUBLE) AS m
+        |       FROM w GROUP BY 1, 2),
+        |ci AS (SELECT event_type, list_sort(list(m)) AS ms FROM pr GROUP BY 1),
+        |pt AS (SELECT event_type,
+        |         CAST(sum(vc) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_cents
+        |       FROM e GROUP BY 1)
+        |SELECT pt.event_type, mean_cents, ms[2] AS boot_lo,
+        |  ms[16] AS boot_med, ms[31] AS boot_hi
+        |FROM pt JOIN ci USING (event_type) ORDER BY event_type""".stripMargin,
+
+
+    // Mirrors the Spark op order exactly: every double is a ratio of
+    // exact (HUGEINT) integers, θ and ρ² formed from the same
+    // numerators/denominators in the same order.
+    "q276_cuped" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |d0 AS (SELECT min(day) AS d0 FROM e),
+        |per AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN day < d0 + 15 THEN vc ELSE 0 END) AS x,
+        |    sum(CASE WHEN day >= d0 + 15 THEN vc ELSE 0 END) AS y,
+        |    user_id % 2 AS arm
+        |  FROM e, d0 GROUP BY user_id),
+        |g AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM per),
+        |stats AS (
+        |  SELECT n, sx,
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+        |    (CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE))
+        |    * (CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * syy - sy * sy AS DOUBLE)) AS rho2
+        |  FROM g),
+        |arms AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |    sum(x) AS sxa, sum(y) AS sya
+        |  FROM per GROUP BY arm)
+        |SELECT CAST(arm AS BIGINT) AS arm, n_users,
+        |  CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_y_cents,
+        |  CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |    - theta * (CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS adj_mean_cents,
+        |  theta, rho2
+        |FROM arms, stats ORDER BY arm""".stripMargin,
+
+
+    "q282_stratified_ate" ->
+      """WITH per AS (
+        |  SELECT user_id % 10 AS stratum,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= 14 THEN 1 ELSE 0 END AS t,
+        |    sum(CASE WHEN event_type = 'click'
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+        |  FROM events GROUP BY user_id),
+        |st AS (
+        |  SELECT stratum, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(t) AS BIGINT) AS n_treated,
+        |    CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT)
+        |      AS sum_y_treated,
+        |    CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT)
+        |      AS sum_y_control
+        |  FROM per GROUP BY 1
+        |  HAVING sum(t) > 0 AND sum(t) < count(*)),
+        |eff AS (
+        |  SELECT st.*,
+        |    (1000000 * sum_y_treated) // n_treated
+        |      - (1000000 * sum_y_control) // (n_users - n_treated)
+        |      AS eff_micros
+        |  FROM st),
+        |pooled AS (
+        |  SELECT CAST(-1 AS BIGINT) AS stratum,
+        |    CAST(sum(n_users) AS BIGINT) AS n_users,
+        |    CAST(sum(n_treated) AS BIGINT) AS n_treated,
+        |    CAST(sum(sum_y_treated) AS BIGINT) AS sum_y_treated,
+        |    CAST(sum(sum_y_control) AS BIGINT) AS sum_y_control
+        |  FROM eff)
+        |SELECT stratum, n_users, n_treated, sum_y_treated, sum_y_control,
+        |  CAST(eff_micros AS BIGINT) AS eff_micros
+        |FROM eff
+        |UNION ALL
+        |SELECT stratum, n_users, n_treated, sum_y_treated, sum_y_control,
+        |  CAST((1000000 * sum_y_treated) // n_treated
+        |    - (1000000 * sum_y_control) // (n_users - n_treated) AS BIGINT)
+        |FROM pooled
+        |ORDER BY stratum""".stripMargin,
 
   )
 }

@@ -284,7 +284,66 @@ object CurationQueries {
         .orderBy(col("source"), col("quartile"))
     }),
 
+
+    // Z-order layout audit (Morton curve — the Delta/Iceberg OPTIMIZE
+    // ZORDER primitive): interleave the low 16 bits of two join/filter
+    // dims, bin rows into 64 equal-width z ranges ("files"), and compare
+    // per-file min/max dim envelopes against the natural insertion-order
+    // layout. The payoff metric is data skipping: how many files a
+    // d1 ∈ [1000, 1999] point-range scan could prune from footer stats
+    // alone — the natural layout's files span the whole dim space (0
+    // skippable), the z-layout's files tile it. Everything is one scan +
+    // two bounded aggs (64-row envelopes); the z-value is pure integer
+    // bit arithmetic shared verbatim with the oracle. The 16-bit residue
+    // is the curve's cell resolution, not data loss — a 100 TB layout
+    // would interleave the full key bits into a 64-bit z the same way.
+    "q278_zorder_layout" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").select(
+          col("l_orderkey"),
+          (col("l_partkey") % 65536).as("d1"),
+          (col("l_suppkey") % 65536).as("d2"))
+        .withColumn("z",
+          expr(zorderExpr((c, i) => s"shiftright($c, $i)")))
+      val mm = li.agg(max(col("z")).as("zmax"),
+        max(col("l_orderkey")).as("omax"))
+      // BOUNDS: z < 2^32 so z·64 < 2^38; l_orderkey·64 int64-safe to
+      // 1.4e17 keys. Equal-width on the OBSERVED zmax keeps the 64 bins
+      // meaningful when the populated dims use few bits.
+      val binned = li.join(broadcast(mm))
+        .withColumn("zbin", expr("least(63, (z * 64) div (zmax + 1))"))
+        .withColumn("nbin",
+          expr("least(63, (l_orderkey * 64) div (omax + 1))"))
+        .localCheckpoint()
+      def lay(name: String, bcol: String) =
+        binned.groupBy(col(bcol).as("bin"))
+          .agg(min(col("d1")).as("lo1"), max(col("d1")).as("hi1"),
+            min(col("d2")).as("lo2"), max(col("d2")).as("hi2"))
+          .agg(count(lit(1)).as("n_bins"),
+            sum(col("hi1") - col("lo1")).as("sum_d1_span"),
+            sum(col("hi2") - col("lo2")).as("sum_d2_span"),
+            sum(when(col("hi1") < 1000 || col("lo1") > 1999, 1L)
+              .otherwise(0L)).as("n_skippable"))
+          .select(lit(name).as("layout"), col("n_bins"),
+            col("sum_d1_span"), col("sum_d2_span"), col("n_skippable"))
+      lay("natural", "nbin").unionByName(lay("zorder", "zbin"))
+        .orderBy(col("layout"))
+    }),
+
   )
+
+  /** The 32-bit Morton interleave of two 16-bit dims as a SQL string —
+    * one term per bit, built once and shared (syntax-parameterized) by
+    * the Spark plan and the DuckDB oracle so both engines evaluate the
+    * identical integer arithmetic.
+    */
+  def zorderExpr(shift: (String, Int) => String): String =
+    // no L suffix on the bit weights: DuckDB has no integer-suffix
+    // syntax, and on the Spark side (bit & 1) is already BIGINT (d1/d2
+    // are longs) so the products promote without it
+    (0 until 16).map { i =>
+      s"(${shift("d1", i)} & 1) * ${1L << (2 * i)} + " +
+        s"(${shift("d2", i)} & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
 
   /** q27's portable rolling-hash fingerprint as DuckDB SQL. */
   private def fpSql(s: String) =
@@ -573,6 +632,38 @@ object CurationQueries {
         |        FROM tok JOIN freq USING (t) GROUP BY 1)
         |SELECT doc_id, source, n_tok, CAST(score AS BIGINT) AS score
         |FROM doc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+
+    // Shares the bit-interleave expression with the Spark plan (built by
+    // [[zorderExpr]] with DuckDB's >> syntax) so the z-values are the
+    // same integers by construction.
+    "q278_zorder_layout" ->
+      s"""WITH li AS (
+         |  SELECT l_orderkey, l_partkey % 65536 AS d1, l_suppkey % 65536 AS d2
+         |  FROM lineitem),
+         |zt AS (SELECT li.*,
+         |  ${zorderExpr((c, i) => s"($c >> $i)")} AS z FROM li),
+         |mm AS (SELECT max(z) AS zmax, max(l_orderkey) AS omax FROM zt),
+         |b AS (
+         |  SELECT zt.*, least(63, (z * 64) // (zmax + 1)) AS zbin,
+         |    least(63, (l_orderkey * 64) // (omax + 1)) AS nbin
+         |  FROM zt, mm),
+         |env_n AS (SELECT nbin AS bin, min(d1) AS lo1, max(d1) AS hi1,
+         |            min(d2) AS lo2, max(d2) AS hi2 FROM b GROUP BY 1),
+         |env_z AS (SELECT zbin AS bin, min(d1) AS lo1, max(d1) AS hi1,
+         |            min(d2) AS lo2, max(d2) AS hi2 FROM b GROUP BY 1)
+         |SELECT 'natural' AS layout, CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(sum(hi1 - lo1) AS BIGINT) AS sum_d1_span,
+         |  CAST(sum(hi2 - lo2) AS BIGINT) AS sum_d2_span,
+         |  CAST(sum(CASE WHEN hi1 < 1000 OR lo1 > 1999 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_skippable
+         |FROM env_n
+         |UNION ALL
+         |SELECT 'zorder', CAST(count(*) AS BIGINT),
+         |  CAST(sum(hi1 - lo1) AS BIGINT), CAST(sum(hi2 - lo2) AS BIGINT),
+         |  CAST(sum(CASE WHEN hi1 < 1000 OR lo1 > 1999 THEN 1 ELSE 0 END)
+         |    AS BIGINT)
+         |FROM env_z ORDER BY layout""".stripMargin,
 
   )
 }

@@ -259,6 +259,47 @@ object EvalQueries {
         .orderBy(col("event_type"))
     }),
 
+
+    // Split-conformal prediction intervals (Vovk; Lei et al., JASA
+    // 2018) — the distribution-free uncertainty gate for model serving:
+    // fit on split A (per-type mean, integer cents), take q̂ = the
+    // ⌈0.9·(n+1)⌉-th smallest |y − ŷ| on calibration split B (an EXACT
+    // order statistic via rangeRank — never a per-stratum sort window),
+    // audit empirical coverage on test split C. ~90% coverage is then
+    // GUARANTEED by exchangeability, and the audit's cov_bp says how
+    // tight the finite sample runs. Splits hash on user_id so the
+    // assignment reproduces on any cluster at any scale.
+    "q281_conformal" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").select(col("event_type"),
+        col("event_id"), col("user_id"), cents(col("value")).as("vc"))
+      val mu = e.filter(col("user_id") % 4 <= 1)
+        .groupBy(col("event_type")).agg(expr("sum(vc) div count(1)").as("mu"))
+      val cal = e.filter(col("user_id") % 4 === 2)
+        .join(broadcast(mu), "event_type")
+        .select(col("event_type"), col("event_id"),
+          abs(col("vc") - col("mu")).as("sc"))
+        .localCheckpoint() // rangeRank double-evaluates its input
+      val n = cal.groupBy(col("event_type")).agg(count(lit(1)).as("n_cal"))
+      val qhat = CoreOps.rangeRank(cal, Seq("event_type"),
+          Seq(col("sc"), col("event_id")), "rk")
+        .join(broadcast(n), "event_type")
+        .filter(col("rk") ===
+          least(col("n_cal"), expr("(9 * (n_cal + 1) + 9) div 10")))
+        .select(col("event_type"), col("sc").as("qhat_cents"), col("n_cal"))
+      val cov = e.filter(col("user_id") % 4 === 3)
+        .join(broadcast(mu), "event_type")
+        .join(broadcast(qhat), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(abs(col("vc") - col("mu")) <= col("qhat_cents"), 1L)
+            .otherwise(0L)).as("n_covered"))
+      mu.join(qhat, "event_type").join(cov, "event_type")
+        .select(col("event_type"), col("mu").as("mu_cents"),
+          col("n_cal"), col("qhat_cents"), col("n_test"), col("n_covered"),
+          expr("(10000 * n_covered) div n_test").as("cov_bp"))
+        .orderBy(col("event_type"))
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -462,6 +503,37 @@ object EvalQueries {
         |  CAST((1000000 * (sum2mid - p * (p + 1))) // (2 * p * (n - p))
         |    AS BIGINT) AS auc_micros
         |FROM t ORDER BY event_type""".stripMargin,
+
+
+    // The oracle's per-stratum row_number window IS what rangeRank
+    // replaces; identical order because the key ends in event_id.
+    "q281_conformal" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |mu AS (SELECT event_type, sum(vc) // count(*) AS mu
+        |       FROM e WHERE user_id % 4 <= 1 GROUP BY 1),
+        |cal AS (SELECT e.event_type, event_id, abs(vc - mu) AS sc
+        |        FROM e JOIN mu USING (event_type) WHERE user_id % 4 = 2),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal
+        |      FROM cal GROUP BY 1),
+        |r AS (SELECT event_type, sc,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY sc, event_id) AS rk FROM cal),
+        |q AS (SELECT r.event_type, sc AS qhat_cents, n_cal
+        |      FROM r JOIN n USING (event_type)
+        |      WHERE rk = least(n_cal, (9 * (n_cal + 1) + 9) // 10)),
+        |cov AS (
+        |  SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN abs(vc - mu) <= qhat_cents THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_covered
+        |  FROM e JOIN mu USING (event_type) JOIN q USING (event_type)
+        |  WHERE user_id % 4 = 3 GROUP BY 1)
+        |SELECT event_type, CAST(mu AS BIGINT) AS mu_cents, n_cal,
+        |  CAST(qhat_cents AS BIGINT) AS qhat_cents, n_test, n_covered,
+        |  CAST((10000 * n_covered) // n_test AS BIGINT) AS cov_bp
+        |FROM mu JOIN q USING (event_type) JOIN cov USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
   )
 }

@@ -17,6 +17,34 @@ object GovernanceQueries {
 
   import CoreOps.cents
 
+  /** Two-sided-geometric (discrete Laplace) inverse-CDF for ε = 0.5,
+    * α = e^−ε: thresholds are floor(CDF·(2^31−1)) precomputed as exact
+    * integers, tails clamped to ±8. Shared verbatim by the Spark plan
+    * and the DuckDB oracle. The MECHANISM is the real ε-DP count release
+    * (sensitivity-1 count + discrete Laplace); the randomness source
+    * here is a deterministic keyed hash so the oracle can gate it —
+    * production swaps in a crypto draw per release, nothing else moves.
+    */
+  private val dpNoiseThresholds: Seq[(Long, Int)] = Seq(
+    24482903L -> -8, 40365483L -> -7, 66551431L -> -6, 109724760L -> -5,
+    180905546L -> -4, 298262823L -> -3, 491752260L -> -2, 810762412L -> -1,
+    1336721234L -> 0, 1655731386L -> 1, 1849220823L -> 2, 1966578100L -> 3,
+    2037758886L -> 4, 2080932215L -> 5, 2107118163L -> 6, 2123000743L -> 7)
+
+  private def dpNoiseSql(u: String): String =
+    "CASE " + dpNoiseThresholds
+      .map { case (t, v) => s"WHEN $u < $t THEN $v" }
+      .mkString(" ") + " ELSE 8 END"
+
+  /** Cross-engine-stable 31-bit hash of the released key (built-in
+    * string hashes differ between engines, so the key reduces to
+    * integers first — first-char code and length, then the Knuth
+    * multiplicative mix).
+    */
+  private val dpHashSql: String =
+    "(CAST(ascii(substr(event_type, 1, 1)) * 31 + length(event_type)" +
+      " AS BIGINT) * 2654435761) % 2147483647"
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Data-quality expectation suite (the dbt-test / Great-Expectations
@@ -222,9 +250,38 @@ object GovernanceQueries {
           col("n_events_before") - col("n_events_after"))
     }),
 
+
+    // ε-DP count release over the per-type event counts: sensitivity-1
+    // counts + discrete-Laplace noise via the integer-threshold inverse
+    // CDF in [[dpNoiseSql]]. The aggregate is one partial-aggregable
+    // groupBy; the noise is a per-GROUP scalar (|event_type| rows), so
+    // the release costs nothing at any scale — the DP accounting
+    // (ε, the noise mechanism, the release columns) is the operator,
+    // not the arithmetic.
+    "q280_dp_noisy_counts" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("true_count"))
+        .withColumn("u", expr(dpHashSql))
+        .withColumn("noise", expr(dpNoiseSql("u")).cast("long"))
+        .select(col("event_type"), col("true_count"), col("noise"),
+          (col("true_count") + col("noise")).as("released_count"),
+          lit(0.5).as("epsilon"))
+        .orderBy(col("event_type"))
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
+
+    "q280_dp_noisy_counts" ->
+      s"""WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS true_count
+         |           FROM events GROUP BY 1),
+         |u AS (SELECT c.*, $dpHashSql AS u FROM c)
+         |SELECT event_type, true_count,
+         |  CAST(${dpNoiseSql("u")} AS BIGINT) AS noise,
+         |  true_count + CAST(${dpNoiseSql("u")} AS BIGINT) AS released_count,
+         |  CAST(0.5 AS DOUBLE) AS epsilon
+         |FROM u ORDER BY event_type""".stripMargin,
 
     "q274_forget_user" ->
       """WITH ev AS (SELECT event_id, user_id FROM events),

@@ -128,6 +128,40 @@ object ResolutionQueries {
           col("l.event_type").as("last_event_type"),
           col("b.props").as("best_props"), col("total_cents"))
         .orderBy(col("user_id"))
+    }),
+
+
+    // Sorted-neighborhood ER blocking (Hernández & Stolfo, SIGMOD 1995)
+    // — the blocking strategy for near-dups that share a sort-key PREFIX
+    // rather than an exact block key: rank parts by (p_name, p_partkey)
+    // with [[CoreOps.rangeRank]] (range-partitioned, never a one-task
+    // global window), then compare each record to its w=3 successors via
+    // an EQUI-join on rank+offset — O(w·n) candidates by construction,
+    // skew-impossible (every rank key is unique), versus key blocking's
+    // hot-block quadratic risk. Verify = full-name levenshtein ≤ 3 on
+    // distinct parts. Per-offset rollup shows the classic SN decay:
+    // adjacent ranks match most, the window tail pays for recall.
+    "q277_sorted_neighborhood" -> ((s, dir) => {
+      val w = 3
+      val p = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"))
+      val ranked = CoreOps.rangeRank(p, Nil,
+          Seq(col("p_name"), col("p_partkey")), "rk")
+        .localCheckpoint()
+      val left = ranked.withColumn("off",
+          explode(expr(s"sequence(CAST(1 AS BIGINT), CAST($w AS BIGINT))")))
+        .withColumn("nrk", col("rk") + col("off"))
+        .select(col("off"), col("nrk"), col("p_name").as("nm1"))
+      val right = ranked.select(col("rk").as("nrk"),
+        col("p_name").as("nm2"))
+      left.join(right, "nrk")
+        .withColumn("dist", levenshtein(col("nm1"), col("nm2")))
+        .groupBy(col("off"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("dist") <= 3, 1L).otherwise(0L)).as("n_matches"),
+          sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_exact"),
+          sum(col("dist").cast("long")).as("sum_dist"))
+        .orderBy(col("off"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -241,5 +275,26 @@ object ResolutionQueries {
         |  FROM pts)
         |SELECT c_mktsegment, x AS acctbal_cents, y AS n_orders, n_points
         |FROM f WHERE pm IS NULL OR pm < y
-        |ORDER BY c_mktsegment, acctbal_cents, n_orders""".stripMargin)
+        |ORDER BY c_mktsegment, acctbal_cents, n_orders""".stripMargin,
+
+    // The oracle's global row_number window IS the thing rangeRank
+    // replaces at scale; both produce the identical total order because
+    // the sort key ends in the unique p_partkey.
+    "q277_sorted_neighborhood" ->
+      """WITH rk AS (
+        |  SELECT p_partkey, p_name,
+        |    row_number() OVER (ORDER BY p_name, p_partkey) AS rk
+        |  FROM part),
+        |cand AS (
+        |  SELECT o.off, levenshtein(a.p_name, b.p_name) AS dist
+        |  FROM rk a
+        |  CROSS JOIN (SELECT unnest(range(1, 4)) AS off) o
+        |  JOIN rk b ON b.rk = a.rk + o.off)
+        |SELECT off, CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(sum(CASE WHEN dist <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_matches,
+        |  CAST(sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact,
+        |  CAST(sum(dist) AS BIGINT) AS sum_dist
+        |FROM cand GROUP BY off ORDER BY off""".stripMargin)
 }

@@ -942,6 +942,32 @@ object TextQueries {
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"), col("split"))
+    }),
+
+
+    // Template extraction — the scaled-out boilerplate catch that
+    // shingle dedup misses: documents STARTING with the same k=2-token
+    // prefix share a generation template (crawler nav headers, mail
+    // footers, SEO spam families). Frequent prefixes (≥ 2 docs) come
+    // from one partial-aggregable groupBy — the template table is
+    // bounded by vocab^k, never data-sized, so it broadcasts — and the
+    // per-source audit reports how much of each source is templated.
+    // The semi-join shape means no text ever shuffles: only (doc,
+    // prefix) pairs move, and only to the bounded template table.
+    "q279_template_prefix" -> ((s, dir) => {
+      val pref = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          array_join(slice(split(col("text"), " "), 1, 2), " ").as("prefix"))
+      val tpl = pref.groupBy(col("prefix")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select(col("prefix"))
+      pref.join(broadcast(tpl).withColumn("is_tpl", lit(1L)),
+          Seq("prefix"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_tpl"), lit(0L))).as("n_templated"),
+          countDistinct(when(col("is_tpl") === 1L, col("prefix")))
+            .as("n_template_prefixes"))
+        .orderBy(col("source"))
     }))
 
   /** A blacklist large enough to trip contentGate's native Aho-Corasick
@@ -1874,5 +1900,19 @@ object TextQueries {
     "q29_bipartite_degree" ->
       """SELECT event_type, count(*) AS degree FROM (
         |  SELECT DISTINCT user_id, event_type FROM events)
-        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q279_template_prefix" ->
+      """WITH p AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ')
+        |      AS prefix
+        |  FROM documents),
+        |t AS (SELECT prefix FROM p GROUP BY prefix HAVING count(*) >= 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN t.prefix IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_templated,
+        |  CAST(count(DISTINCT t.prefix) AS BIGINT) AS n_template_prefixes
+        |FROM p LEFT JOIN t ON p.prefix = t.prefix
+        |GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -384,4 +384,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "q257: candidate join became a sort-merge — the corpus shuffles " +
         "with vector payloads")
   }
+
+  test("r12 wave: sorted-neighborhood joins stay equi; conformal stays windowless") {
+    // q277's candidate stage is an equi-join on rank+offset — the whole
+    // point of sorted-neighborhood blocking is O(w·n) candidates; a
+    // nested-loop/cartesian here means the rank key stopped driving the
+    // join and the stage went quadratic.
+    val p277 = run("q277_sorted_neighborhood")
+    assert(!p277.contains("CartesianProduct") &&
+      !p277.contains("BroadcastNestedLoopJoin"),
+      "q277: rank-offset neighbor join degenerated to nested-loop/cartesian")
+    // q281's q-hat is an exact order statistic via rangeRank; a Window
+    // node means the per-stratum sort collapsed to one task per stratum.
+    val p281 = run("q281_conformal")
+    assert(!p281.contains("Window"),
+      "q281: conformal order statistic fell back to a window sort")
+  }
 }
