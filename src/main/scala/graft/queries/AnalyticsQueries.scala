@@ -998,6 +998,73 @@ object AnalyticsQueries {
         .orderBy(col("stratum"))
     }),
 
+
+    // Sample-ratio-mismatch guardrail (the first thing every experiment
+    // platform checks before reading a metric): arms = the q276 user
+    // parity, expected 50/50; chi² with one df cross-multiplied as
+    // 1000·Δ² > 10828·n (α = 0.001 critical value 10.828), so no float
+    // or division ever runs — Δ² in DECIMAL since an adversarial
+    // all-one-arm slice makes Δ data-sized. Per-type rows audit each
+    // slice's assignment balance (unit = distinct user, counted once per
+    // slice); the all_users row is the global gate.
+    "q285_srm_check" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(19,0)")
+      val ue = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+        .withColumn("arm", col("user_id") % 2).localCheckpoint()
+      def arms(df: DataFrame) = df.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      val per = ue.groupBy(col("event_type")).agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+        .withColumn("scope", col("event_type"))
+      val glob = arms(ue.select(col("user_id"), col("arm")).distinct())
+        .withColumn("scope", lit("all_users"))
+      per.select(col("scope"), col("n_a"), col("n_b"))
+        .unionByName(glob.select(col("scope"), col("n_a"), col("n_b")))
+        .withColumn("delta", col("n_a") - col("n_b"))
+        .withColumn("srm",
+          lit(1000L).cast("decimal(19,0)") * dec(col("delta"))
+            * dec(col("delta")) >
+            lit(10828L).cast("decimal(19,0)")
+              * dec(col("n_a") + col("n_b")))
+        .orderBy(col("scope"))
+    }),
+
+
+    // Discrete-time churn hazard table (the life-table / Kaplan-Meier
+    // input): tenure = last − first active day per user; churned = no
+    // activity in the final 7-day horizon (the rest are censored — they
+    // leave the risk set without a churn event, which is exactly what
+    // the at-risk suffix sum encodes). One keyed pass builds the
+    // per-user span; the tenure histogram is bounded by the observation
+    // WINDOW (≤ |days| rows), so its suffix-cumsum window is
+    // driver-scale by construction (the q239 apportionment class), never
+    // a data-sized sort.
+    "q286_churn_hazard" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000")
+          .as("day"))
+      val mm = e.agg(min(col("day")).as("d0"), max(col("day")).as("dmax"))
+        .head()
+      val dmax = mm.getLong(1)
+      val per = e.groupBy(col("user_id"))
+        .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+        .select((col("l") - col("f")).as("t"),
+          when(col("l") <= dmax - 7, 1L).otherwise(0L).as("churned"))
+      val hist = per.groupBy(col("t"))
+        .agg(count(lit(1)).as("n_ending"), sum(col("churned")).as("n_churned"))
+      val wd = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      hist.withColumn("n_at_risk", sum(col("n_ending")).over(wd))
+        .select(col("t").as("tenure_day"), col("n_at_risk"),
+          col("n_churned"),
+          expr("(1000000 * n_churned) div n_at_risk").as("hazard_ppm"))
+        .orderBy(col("tenure_day"))
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -1661,6 +1728,54 @@ object AnalyticsQueries {
         |    - (1000000 * sum_y_control) // (n_users - n_treated) AS BIGINT)
         |FROM pooled
         |ORDER BY stratum""".stripMargin,
+
+
+    "q285_srm_check" ->
+      """WITH ue AS (SELECT DISTINCT event_type, user_id FROM events),
+        |a AS (
+        |  SELECT event_type AS scope,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM ue GROUP BY 1),
+        |g AS (
+        |  SELECT 'all_users' AS scope,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM g)
+        |SELECT scope, n_a, n_b, n_a - n_b AS delta,
+        |  1000 * CAST(n_a - n_b AS HUGEINT) * (n_a - n_b)
+        |    > 10828 * CAST(n_a + n_b AS HUGEINT) AS srm
+        |FROM u ORDER BY scope""".stripMargin,
+
+
+    "q286_churn_hazard" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |mm AS (SELECT max(day) AS dmax FROM e),
+        |per AS (
+        |  SELECT l - f AS t,
+        |    CASE WHEN l <= dmax - 7 THEN 1 ELSE 0 END AS churned
+        |  FROM (SELECT user_id, min(day) AS f, max(day) AS l
+        |        FROM e GROUP BY 1), mm),
+        |hist AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS n_ending,
+        |    CAST(sum(churned) AS BIGINT) AS n_churned
+        |  FROM per GROUP BY 1),
+        |risk AS (
+        |  SELECT t, n_churned,
+        |    CAST(sum(n_ending) OVER (ORDER BY t DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+        |  FROM hist)
+        |SELECT t AS tenure_day, n_at_risk, n_churned,
+        |  (1000000 * n_churned) // n_at_risk AS hazard_ppm
+        |FROM risk ORDER BY tenure_day""".stripMargin,
 
   )
 }

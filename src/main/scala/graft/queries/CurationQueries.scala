@@ -329,6 +329,44 @@ object CurationQueries {
         .orderBy(col("layout"))
     }),
 
+
+    // Neyman allocation (optimal stratified sampling): sample budget B
+    // split ∝ N_h·S_h — high-variance strata get more of the budget than
+    // proportional allocation would give, minimizing the estimator's
+    // variance at fixed cost. The weight N_h·S_h = √(n·Σv² − (Σv)²)
+    // EXACTLY (population sd), so one partial-aggregable pass yields the
+    // integer moment vnum (Σv² in DECIMAL per the r12 doctrine), the
+    // weight is a single floor(sqrt(double)) per STRATUM (never per
+    // row — IEEE sqrt is correctly rounded, so both engines floor the
+    // same integer), and the largest-remainder top-up reuses q239's
+    // provably-exact apportionment on the bounded per-stratum table.
+    // BOUNDS: B·w = 1e5·√(n·Σv²) ≈ 1e17 at 100× sf1 (92× headroom;
+    // vnum itself lives in DECIMAL).
+    "q283_neyman_allocation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 100000L
+      val dec = (c: Column) => c.cast("decimal(19,0)")
+      val stats = Tables.load(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("vc"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+          sum(col("vc")).as("sv"),
+          sum(dec(col("vc")) * dec(col("vc"))).as("svv"))
+        .withColumn("vnum",
+          dec(col("n")) * col("svv") - dec(col("sv")) * dec(col("sv")))
+        .withColumn("w", floor(sqrt(col("vnum").cast("double"))).cast("long"))
+      stats
+        .withColumn("total", sum(col("w")).over(Window.partitionBy()))
+        .withColumn("base", expr(s"${B}L * w div total"))
+        .withColumn("rem", expr(s"(${B}L * w) % total"))
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("rem").desc, col("event_type"))))
+        .withColumn("seats", lit(B) - sum(col("base")).over(Window.partitionBy()))
+        .select(col("event_type"), col("n"), col("w"),
+          (col("base") + when(col("rn") <= col("seats"), 1L).otherwise(0L))
+            .as("alloc"))
+        .orderBy(col("event_type"))
+    }),
+
   )
 
   /** The 32-bit Morton interleave of two 16-bit dims as a SQL string —
@@ -664,6 +702,32 @@ object CurationQueries {
          |  CAST(sum(CASE WHEN hi1 < 1000 OR lo1 > 1999 THEN 1 ELSE 0 END)
          |    AS BIGINT)
          |FROM env_z ORDER BY layout""".stripMargin,
+
+
+    "q283_neyman_allocation" ->
+      """WITH st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS sv,
+        |    sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+        |        * CAST(round(value * 100) AS BIGINT)) AS svv
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT event_type, n,
+        |    CAST(floor(sqrt(CAST(n * svv - sv * sv AS DOUBLE))) AS BIGINT)
+        |      AS w
+        |  FROM st),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM w),
+        |b AS (
+        |  SELECT event_type, n, w,
+        |    100000 * w // total AS base, (100000 * w) % total AS rem
+        |  FROM w, t),
+        |r AS (SELECT CAST(100000 - sum(base) AS BIGINT) AS seats FROM b),
+        |rk AS (SELECT event_type, n, w, base,
+        |  row_number() OVER (ORDER BY rem DESC, event_type) AS rn FROM b)
+        |SELECT rk.event_type, rk.n, rk.w,
+        |  CAST(rk.base + CASE WHEN rk.rn <= r.seats THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM rk, r ORDER BY rk.event_type""".stripMargin,
 
   )
 }

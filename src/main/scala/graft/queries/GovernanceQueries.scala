@@ -269,6 +269,36 @@ object GovernanceQueries {
         .orderBy(col("event_type"))
     }),
 
+
+    // Bounded-contribution capping — the prerequisite every user-level DP
+    // aggregate (and abuse-resistant metric) shares: cap each user at
+    // their FIRST k=10 events (time order, event_id tie-break, so the
+    // kept set is deterministic on any cluster), then report the metric
+    // distortion the cap introduces per event_type. The cap is one
+    // per-user window (partitioned — parallel in users, bounded by the
+    // per-user event count); the uncapped side is a scan-only partial
+    // agg. kept_bp is the audit number: how much signal the privacy
+    // bound costs.
+    "q284_contribution_cap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 10
+      val e = Tables.load(s, dir, "events").select(col("user_id"),
+        col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"),
+        cents(col("value")).as("vc"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val capped = e.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+      val full = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("sum_cents"))
+      val cap = capped.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_capped"),
+          sum(col("vc")).as("sum_capped_cents"))
+      full.join(cap, "event_type")
+        .withColumn("kept_bp", expr("(10000 * n_capped) div n_events"))
+        .orderBy(col("event_type"))
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -282,6 +312,26 @@ object GovernanceQueries {
          |  true_count + CAST(${dpNoiseSql("u")} AS BIGINT) AS released_count,
          |  CAST(0.5 AS DOUBLE) AS epsilon
          |FROM u ORDER BY event_type""".stripMargin,
+
+    "q284_contribution_cap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id) AS rn FROM e),
+        |fa AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(vc) AS BIGINT) AS sum_cents
+        |  FROM e GROUP BY 1),
+        |cap AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_capped,
+        |    CAST(sum(vc) AS BIGINT) AS sum_capped_cents
+        |  FROM r WHERE rn <= 10 GROUP BY 1)
+        |SELECT event_type, n_events, sum_cents, n_capped, sum_capped_cents,
+        |  (10000 * n_capped) // n_events AS kept_bp
+        |FROM fa JOIN cap USING (event_type) ORDER BY event_type""".stripMargin,
 
     "q274_forget_user" ->
       """WITH ev AS (SELECT event_id, user_id FROM events),
