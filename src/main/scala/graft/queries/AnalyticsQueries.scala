@@ -1065,6 +1065,40 @@ object AnalyticsQueries {
         .orderBy(col("tenure_day"))
     }),
 
+
+    // Quantile treatment effect — the distributional complement of the
+    // mean-shift estimators (q276/q282): exact p25/p50/p75 per arm via
+    // the q265 kernel (groupBy(arm, value) + rangePrefixSums + rational
+    // ⌈q·N⌉ threshold — no per-group value buffering, no float), then
+    // the arm difference at each quantile. Detects the effect a mean
+    // hides (a lift concentrated in one tail). One-row report.
+    "q287_quantile_effect" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select((col("user_id") % 2).as("arm"), cents(col("value")).as("v"))
+      val g = e.groupBy(col("arm"), col("v")).agg(count(lit(1)).as("n"))
+      val c = CoreOps.rangePrefixSums(g, Seq("arm"), Seq(col("v")), Seq("n"))
+      val tot = g.groupBy(col("arm")).agg(sum(col("n")).as("n_total"))
+      def qv(num: Int, den: Int, name: String) =
+        min(when(col("n_cum") * den >= col("n_total") * num, col("v")))
+          .as(name)
+      val qs = c.join(broadcast(tot), "arm").groupBy(col("arm"))
+        .agg(min(col("n_total")).as("n_total"),
+          qv(1, 4, "p25"), qv(1, 2, "p50"), qv(3, 4, "p75"))
+        .localCheckpoint() // two consumers (each arm side)
+      val t1 = qs.filter(col("arm") === 1).select(
+        col("n_total").as("n_treat"), col("p25").as("p25_t"),
+        col("p50").as("p50_t"), col("p75").as("p75_t"))
+      val t0 = qs.filter(col("arm") === 0).select(
+        col("n_total").as("n_ctrl"), col("p25").as("p25_c"),
+        col("p50").as("p50_c"), col("p75").as("p75_c"))
+      t1.crossJoin(t0).select(col("n_treat"), col("n_ctrl"),
+        col("p25_t"), col("p25_c"), col("p50_t"), col("p50_c"),
+        col("p75_t"), col("p75_c"),
+        (col("p25_t") - col("p25_c")).as("qte_p25_cents"),
+        (col("p50_t") - col("p50_c")).as("qte_p50_cents"),
+        (col("p75_t") - col("p75_c")).as("qte_p75_cents"))
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -1776,6 +1810,31 @@ object AnalyticsQueries {
         |SELECT t AS tenure_day, n_at_risk, n_churned,
         |  (1000000 * n_churned) // n_at_risk AS hazard_ppm
         |FROM risk ORDER BY tenure_day""".stripMargin,
+
+
+    "q287_quantile_effect" ->
+      """WITH e AS (SELECT user_id % 2 AS arm,
+        |             CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |g AS (SELECT arm, v, CAST(count(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2),
+        |c AS (SELECT arm, v, n, CAST(sum(n) OVER (PARTITION BY arm
+        |        ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum
+        |      FROM g),
+        |t AS (SELECT arm, CAST(sum(n) AS BIGINT) AS n_total
+        |      FROM g GROUP BY 1),
+        |q AS (SELECT c.arm, min(n_total) AS n_total,
+        |        min(CASE WHEN n_cum * 4 >= n_total * 1 THEN v END) AS p25,
+        |        min(CASE WHEN n_cum * 2 >= n_total * 1 THEN v END) AS p50,
+        |        min(CASE WHEN n_cum * 4 >= n_total * 3 THEN v END) AS p75
+        |      FROM c JOIN t USING (arm) GROUP BY 1)
+        |SELECT t1.n_total AS n_treat, t0.n_total AS n_ctrl,
+        |  t1.p25 AS p25_t, t0.p25 AS p25_c, t1.p50 AS p50_t,
+        |  t0.p50 AS p50_c, t1.p75 AS p75_t, t0.p75 AS p75_c,
+        |  t1.p25 - t0.p25 AS qte_p25_cents,
+        |  t1.p50 - t0.p50 AS qte_p50_cents,
+        |  t1.p75 - t0.p75 AS qte_p75_cents
+        |FROM (SELECT * FROM q WHERE arm = 1) t1,
+        |     (SELECT * FROM q WHERE arm = 0) t0""".stripMargin,
 
   )
 }

@@ -367,6 +367,44 @@ object CurationQueries {
         .orderBy(col("event_type"))
     }),
 
+
+    // Columnar-encoding audit — the storage-planner companion to q278's
+    // z-order audit: per column, cardinality (dictionary viability) and
+    // run count in the table's natural (l_orderkey, l_linenumber) sort
+    // (RLE viability). Runs are counted via the rangeRank total order +
+    // an EQUI-join on rank+1 (the q277 neighbor device) — never a
+    // global-window lag, which collapses to one task. Values ride as
+    // strings only INSIDE the count (injective cast: equality/distinct
+    // are format-independent, and no value reaches the output). The
+    // explode is map-side; the neighbor join keys on (column, rank), so
+    // skew is impossible by construction.
+    "q289_encoding_audit" -> ((s, dir) => {
+      val auditCols = Seq("l_returnflag", "l_linestatus", "l_shipdate")
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate").cast("string").as("l_shipdate"))
+      val ranked = CoreOps.rangeRank(li, Nil,
+          Seq(col("l_orderkey"), col("l_linenumber")), "rk")
+        .localCheckpoint()
+      val longF = ranked.select(col("rk"), explode(array(auditCols.map(c =>
+          struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
+          .as("x"))
+        .select(col("rk"), col("x.col_name").as("col_name"),
+          col("x.v").as("v"))
+      val nxt = longF.select(col("col_name"), (col("rk") - 1).as("rk"),
+        col("v").as("v_next"))
+      longF.join(nxt, Seq("col_name", "rk"), "left")
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("v")).as("n_distinct"),
+          (sum(when(col("v_next").isNotNull && col("v_next") =!= col("v"),
+            1L).otherwise(0L)) + 1L).as("n_runs"))
+        .withColumn("dict_bp", expr("(10000 * n_distinct) div n_rows"))
+        .withColumn("rle_bp", expr("(10000 * n_runs) div n_rows"))
+        .orderBy(col("col_name"))
+    }),
+
   )
 
   /** The 32-bit Morton interleave of two 16-bit dims as a SQL string —
@@ -728,6 +766,33 @@ object CurationQueries {
         |  CAST(rk.base + CASE WHEN rk.rn <= r.seats THEN 1 ELSE 0 END
         |    AS BIGINT) AS alloc
         |FROM rk, r ORDER BY rk.event_type""".stripMargin,
+
+
+    // Values compare as strings on both sides — injective casts, so
+    // distinct/run counts are representation-independent even though the
+    // two engines render timestamps differently.
+    "q289_encoding_audit" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+        |    CAST(l_shipdate AS VARCHAR) AS l_shipdate
+        |  FROM lineitem),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY l_orderkey,
+        |         l_linenumber) AS rk FROM base),
+        |lg AS (
+        |  SELECT 'l_returnflag' AS col_name, rk, l_returnflag AS v FROM rk
+        |  UNION ALL SELECT 'l_linestatus', rk, l_linestatus FROM rk
+        |  UNION ALL SELECT 'l_shipdate', rk, l_shipdate FROM rk),
+        |j AS (SELECT col_name, v,
+        |        lead(v) OVER (PARTITION BY col_name ORDER BY rk) AS v_next
+        |      FROM lg)
+        |SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CASE WHEN v_next IS NOT NULL AND v_next <> v
+        |    THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs,
+        |  (10000 * CAST(count(DISTINCT v) AS BIGINT)) // count(*) AS dict_bp,
+        |  (10000 * (CAST(sum(CASE WHEN v_next IS NOT NULL AND v_next <> v
+        |    THEN 1 ELSE 0 END) AS BIGINT) + 1)) // count(*) AS rle_bp
+        |FROM j GROUP BY col_name ORDER BY col_name""".stripMargin,
 
   )
 }

@@ -299,6 +299,42 @@ object GovernanceQueries {
         .orderBy(col("event_type"))
     }),
 
+
+    // Join-key skew report — the pre-flight the salted-join family
+    // (q47/q79) assumes someone ran: per candidate key column, exact
+    // cardinality, hottest-key mass, count of hot keys (> 4× the mean,
+    // cross-multiplied in DECIMAL — c·n_keys is data²-sized), and the
+    // salt factor that would level the hottest reducer at P = 32
+    // (⌈max_cnt / (n/P)⌉, exact ceil-div). One groupBy per column plus
+    // a broadcast of the 1-row totals; nothing data-sized crosses the
+    // wire twice.
+    "q290_skew_report" -> ((s, dir) => {
+      val P = 32L
+      val dec = (c: Column) => c.cast("decimal(19,0)")
+      def audit(df: DataFrame, keyCol: String, name: String): DataFrame = {
+        val counts = df.groupBy(col(keyCol).as("k"))
+          .agg(count(lit(1)).as("c")).localCheckpoint()
+        val tot = counts.agg(sum(col("c")).as("n_rows"),
+          count(lit(1)).as("n_keys"), max(col("c")).as("max_cnt"))
+        counts.crossJoin(broadcast(tot))
+          .agg(min(col("n_rows")).as("n_rows"),
+            min(col("n_keys")).as("n_keys"),
+            min(col("max_cnt")).as("max_cnt"),
+            sum(when(dec(col("c")) * dec(col("n_keys")) >
+              dec(col("n_rows")) * lit(4L).cast("decimal(19,0)"), 1L)
+              .otherwise(0L)).as("n_hot_keys"))
+          .select(lit(name).as("key_name"), col("n_rows"), col("n_keys"),
+            col("max_cnt"),
+            expr("(1000000 * max_cnt) div n_rows").as("top1_ppm"),
+            col("n_hot_keys"),
+            expr(s"(max_cnt * $P + n_rows - 1) div n_rows").as("salt_factor"))
+      }
+      audit(Tables.load(s, dir, "events"), "user_id", "events.user_id")
+        .unionByName(audit(Tables.load(s, dir, "lineitem"), "l_partkey",
+          "lineitem.l_partkey"))
+        .orderBy(col("key_name"))
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -332,6 +368,40 @@ object GovernanceQueries {
         |SELECT event_type, n_events, sum_cents, n_capped, sum_capped_cents,
         |  (10000 * n_capped) // n_events AS kept_bp
         |FROM fa JOIN cap USING (event_type) ORDER BY event_type""".stripMargin,
+
+    "q290_skew_report" ->
+      """WITH eu AS (SELECT user_id AS k, count(*) AS c
+        |            FROM events GROUP BY 1),
+        |et AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(max(c) AS BIGINT) AS max_cnt FROM eu),
+        |ea AS (
+        |  SELECT 'events.user_id' AS key_name, et.n_rows, et.n_keys,
+        |    et.max_cnt,
+        |    (1000000 * et.max_cnt) // et.n_rows AS top1_ppm,
+        |    (SELECT CAST(sum(CASE WHEN CAST(c AS HUGEINT) * et2.n_keys
+        |        > CAST(et2.n_rows AS HUGEINT) * 4 THEN 1 ELSE 0 END)
+        |        AS BIGINT)
+        |     FROM eu, et et2) AS n_hot_keys,
+        |    (et.max_cnt * 32 + et.n_rows - 1) // et.n_rows AS salt_factor
+        |  FROM et),
+        |lu AS (SELECT l_partkey AS k, count(*) AS c
+        |       FROM lineitem GROUP BY 1),
+        |lt AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(max(c) AS BIGINT) AS max_cnt FROM lu),
+        |la AS (
+        |  SELECT 'lineitem.l_partkey' AS key_name, lt.n_rows, lt.n_keys,
+        |    lt.max_cnt,
+        |    (1000000 * lt.max_cnt) // lt.n_rows AS top1_ppm,
+        |    (SELECT CAST(sum(CASE WHEN CAST(c AS HUGEINT) * lt2.n_keys
+        |        > CAST(lt2.n_rows AS HUGEINT) * 4 THEN 1 ELSE 0 END)
+        |        AS BIGINT)
+        |     FROM lu, lt lt2) AS n_hot_keys,
+        |    (lt.max_cnt * 32 + lt.n_rows - 1) // lt.n_rows AS salt_factor
+        |  FROM lt)
+        |SELECT * FROM ea UNION ALL SELECT * FROM la
+        |ORDER BY key_name""".stripMargin,
 
     "q274_forget_user" ->
       """WITH ev AS (SELECT event_id, user_id FROM events),

@@ -162,6 +162,36 @@ object ResolutionQueries {
           sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_exact"),
           sum(col("dist").cast("long")).as("sum_dist"))
         .orderBy(col("off"))
+    }),
+
+
+    // Peak concurrency (sweep line): q181's synthetic validity intervals
+    // become ±1 boundary points; the running sum of deltas in event-time
+    // order IS the live-interval count, and its max is the capacity
+    // metric every serving/session system sizes against. The prefix sum
+    // rides rangePrefixSums (per-type range partitioning, never a
+    // one-task global window); end-before-start ordering at equal
+    // timestamps (delta −1 < +1) means touching intervals don't
+    // double-count; (t, delta, event_id) is a total order so the peak
+    // and its struct-max timestamp are deterministic on any cluster.
+    "q288_peak_concurrency" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("s0", secs(col("ts")))
+        .withColumn("e0", col("s0") + lit(60L) + col("event_id") % 540)
+      val pts = ev.select(col("event_type"), col("s0").as("t"),
+          lit(1L).as("delta"), col("event_id"))
+        .unionByName(ev.select(col("event_type"), col("e0").as("t"),
+          lit(-1L).as("delta"), col("event_id")))
+      val c = CoreOps.rangePrefixSums(pts, Seq("event_type"),
+        Seq(col("t"), col("delta"), col("event_id")), Seq("delta"))
+      c.groupBy(col("event_type"))
+        .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L))
+          .as("n_intervals"),
+          max(struct(col("delta_cum"), col("t"))).as("pk"))
+        .select(col("event_type"), col("n_intervals"),
+          col("pk.delta_cum").as("peak_concurrency"),
+          col("pk.t").as("peak_at_s"))
+        .orderBy(col("event_type"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -296,5 +326,39 @@ object ResolutionQueries {
         |  CAST(sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_exact,
         |  CAST(sum(dist) AS BIGINT) AS sum_dist
-        |FROM cand GROUP BY off ORDER BY off""".stripMargin)
+        |FROM cand GROUP BY off ORDER BY off""".stripMargin,
+
+    // Oracle sweep: the partitioned window cumsum IS what
+    // rangePrefixSums replaces at scale; same (t, delta, event_id)
+    // total order, peak time = max t among max-cum rows (struct-max
+    // semantics).
+    "q288_peak_concurrency" ->
+      """WITH iv AS (
+        |  SELECT event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s0,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 + 60 + event_id % 540
+        |      AS e0
+        |  FROM events),
+        |pts AS (
+        |  SELECT event_type, s0 AS t, CAST(1 AS BIGINT) AS delta, event_id
+        |  FROM iv
+        |  UNION ALL
+        |  SELECT event_type, e0, CAST(-1 AS BIGINT), event_id FROM iv),
+        |c AS (
+        |  SELECT event_type, t, delta,
+        |    CAST(sum(delta) OVER (PARTITION BY event_type
+        |      ORDER BY t, delta, event_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum
+        |  FROM pts),
+        |p AS (SELECT event_type, max(cum) AS peak FROM c GROUP BY 1),
+        |pa AS (
+        |  SELECT c.event_type, max(t) AS peak_at_s
+        |  FROM c JOIN p ON c.event_type = p.event_type AND c.cum = p.peak
+        |  GROUP BY 1),
+        |ni AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals
+        |       FROM iv GROUP BY 1)
+        |SELECT event_type, n_intervals,
+        |  CAST(peak AS BIGINT) AS peak_concurrency, peak_at_s
+        |FROM ni JOIN p USING (event_type) JOIN pa USING (event_type)
+        |ORDER BY event_type""".stripMargin)
 }
