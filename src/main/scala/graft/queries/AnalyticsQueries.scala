@@ -18,6 +18,35 @@ import graft.text.TextOps
   */
 object AnalyticsQueries {
 
+  /** Poisson(1) bootstrap replicate weight as a pure (id, replicate)
+    * function: u31 = 31-bit multiplicative-hash residue, w = the inverse
+    * CDF at u31 with thresholds floor(cdf_k·(2^31−1)) precomputed as
+    * exact integers — identical int64 arithmetic on both engines (shared
+    * by q275 means and q291 medians).
+    * BOUNDS: id·2654435761 < Long.MAX for ids < 3.46e9 (sf1 max
+    * event_id ≈ 9.9e8 — 3.5× headroom; past that, take the id's 2^31
+    * residue first, which preserves the hash's uniformity).
+    */
+  private def poissonWeight(id: Column, r: Column): Column = {
+    val u = (id * lit(2654435761L) + r * lit(40503L)) % lit(2147483647L)
+    when(u < 790015083L, 0L)
+      .when(u < 1580030167L, 1L)
+      .when(u < 1975037709L, 2L)
+      .when(u < 2106706890L, 3L)
+      .when(u < 2139624185L, 4L)
+      .when(u < 2146207644L, 5L)
+      .otherwise(6L)
+  }
+
+  /** The same inverse-CDF as [[poissonWeight]] in DuckDB syntax, over a
+    * residue column named `u` (shared by the q275/q291 oracles).
+    */
+  private val poissonWeightSql: String =
+    """CASE WHEN u < 790015083 THEN 0 WHEN u < 1580030167 THEN 1
+      |     WHEN u < 1975037709 THEN 2 WHEN u < 2106706890 THEN 3
+      |     WHEN u < 2139624185 THEN 4 WHEN u < 2146207644 THEN 5
+      |     ELSE 6 END""".stripMargin
+
   /** Per-(key, day-offset) daily cents sums clipped to the first 30 days
     * — the shared fixture of the series-analytics family (q266/q267
     * search, q270/q271 trend). The clip is load-bearing twice over: it
@@ -872,16 +901,7 @@ object AnalyticsQueries {
       val e = Tables.load(s, dir, "events").select(col("event_type"),
         col("event_id"), cents(col("value")).as("vc"))
       val rep = e.withColumn("r", explode(expr(s"sequence(0, ${R - 1})")))
-        .withColumn("u", (col("event_id") * lit(2654435761L)
-          + col("r") * lit(40503L)) % lit(2147483647L))
-        .withColumn("w",
-          when(col("u") < 790015083L, 0L)
-            .when(col("u") < 1580030167L, 1L)
-            .when(col("u") < 1975037709L, 2L)
-            .when(col("u") < 2106706890L, 3L)
-            .when(col("u") < 2139624185L, 4L)
-            .when(col("u") < 2146207644L, 5L)
-            .otherwise(6L))
+        .withColumn("w", poissonWeight(col("event_id"), col("r")))
       // one scan: every replicate cell sees every row, so the plain
       // sum/count (the point estimate) rides the same partial agg and
       // is read off the r = 0 cell
@@ -1097,6 +1117,88 @@ object AnalyticsQueries {
         (col("p25_t") - col("p25_c")).as("qte_p25_cents"),
         (col("p50_t") - col("p50_c")).as("qte_p50_cents"),
         (col("p75_t") - col("p75_c")).as("qte_p75_cents"))
+    }),
+
+
+    // Bootstrap CI for the MEDIAN — q275's replicate-weight device
+    // composed with q265's weighted-quantile kernel, because the
+    // bootstrap most people need at scale is for an order statistic,
+    // not a mean: per (type, replicate), the weighted median is the
+    // smallest v with 2·cum ≥ total over rangePrefixSums with
+    // (event_type, r) strata; the pseudo-replicate r = −1 carries
+    // weight 1 everywhere, so its "weighted median" IS the exact sample
+    // median (point estimate and replicates ride one plan). Cell count
+    // is |type|·|value-domain|·33 — value-domain-bounded, independent
+    // of row count. Everything integer; the CI is order stats of 32
+    // integer medians.
+    "q291_bootstrap_median" -> ((s, dir) => {
+      val R = 32
+      val e = Tables.load(s, dir, "events").select(col("event_type"),
+        col("event_id"), cents(col("value")).as("v"))
+      val rep = e.withColumn("r", explode(expr(s"sequence(-1, ${R - 1})")))
+        .withColumn("w", when(col("r") === -1, 1L)
+          .otherwise(poissonWeight(col("event_id"), col("r"))))
+        .filter(col("w") > 0)
+      val g = rep.groupBy(col("event_type"), col("r"), col("v"))
+        .agg(sum(col("w")).as("n"))
+      val c = CoreOps.rangePrefixSums(g, Seq("event_type", "r"),
+        Seq(col("v")), Seq("n"))
+      val tot = g.groupBy(col("event_type"), col("r"))
+        .agg(sum(col("n")).as("n_total"))
+      val med = c.join(broadcast(tot), Seq("event_type", "r"))
+        .groupBy(col("event_type"), col("r"))
+        .agg(min(when(col("n_cum") * 2 >= col("n_total"), col("v")))
+          .as("med"))
+        .localCheckpoint() // tiny (|type|×33), consumed twice
+      val pt = med.filter(col("r") === -1)
+        .select(col("event_type"), col("med").as("median_cents"))
+      val ci = med.filter(col("r") >= 0).groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("med"))).as("ms"))
+        .select(col("event_type"),
+          element_at(col("ms"), 2).as("boot_lo"),
+          element_at(col("ms"), R / 2).as("boot_med"),
+          element_at(col("ms"), R - 1).as("boot_hi"))
+      pt.join(ci, "event_type").orderBy(col("event_type"))
+    }),
+
+
+    // 2×2 contingency chi² for conversion-rate A/B (the two-proportion
+    // test behind every "did the arm move conversion" readout): unit =
+    // user, arm = parity, converted = heavy buyer (q282's ≥14 purchases,
+    // known two-sided at this data's median 13). Significance at
+    // α = 0.05 cross-multiplied EXACTLY: 1000·n·(ad−bc)² >
+    // 3841·(a+b)(c+d)(a+c)(b+d), all factors in DECIMAL(38,0).
+    // BOUNDS: LHS ≈ 62·n⁵ worst case — fits DECIMAL(38) to n ≈ 1.5e7
+    // users (100× sf1); past that, divide both sides by n² first.
+    "q292_ab_contingency" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(19,0)")
+      val per = Tables.load(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"))
+        .select((col("user_id") % 2).as("arm"),
+          when(col("np") >= 14, 1L).otherwise(0L).as("conv"))
+      val cells = per.agg(
+        sum(when(col("arm") === 1 && col("conv") === 1, 1L).otherwise(0L))
+          .as("a"),
+        sum(when(col("arm") === 1 && col("conv") === 0, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("arm") === 0 && col("conv") === 1, 1L).otherwise(0L))
+          .as("c"),
+        sum(when(col("arm") === 0 && col("conv") === 0, 1L).otherwise(0L))
+          .as("d"))
+      val n = col("a") + col("b") + col("c") + col("d")
+      val det = dec(col("a")) * dec(col("d")) - dec(col("b")) * dec(col("c"))
+      cells.select(col("a"), col("b"), col("c"), col("d"),
+        n.as("n_users"),
+        expr("(10000 * a) div (a + b)").as("rate_t_bp"),
+        expr("(10000 * c) div (c + d)").as("rate_c_bp"),
+        (expr("(10000 * a) div (a + b)") - expr("(10000 * c) div (c + d)"))
+          .as("diff_bp"),
+        (lit(1000L).cast("decimal(19,0)") * dec(n) * det * det >
+          lit(3841L).cast("decimal(19,0)") * (dec(col("a")) + dec(col("b")))
+            * (dec(col("c")) + dec(col("d")))
+            * (dec(col("a")) + dec(col("c")))
+            * (dec(col("b")) + dec(col("d")))).as("significant"))
     }),
 
   )
@@ -1835,6 +1937,63 @@ object AnalyticsQueries {
         |  t1.p75 - t0.p75 AS qte_p75_cents
         |FROM (SELECT * FROM q WHERE arm = 1) t1,
         |     (SELECT * FROM q WHERE arm = 0) t0""".stripMargin,
+
+
+    "q291_bootstrap_median" ->
+      s"""WITH e AS (SELECT event_type, event_id,
+         |             CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         |rep AS (
+         |  SELECT event_type, r, v,
+         |    CASE WHEN r = -1 THEN 1 ELSE $poissonWeightSql END AS w
+         |  FROM (SELECT event_type, event_id, v, r,
+         |          (event_id * 2654435761 + r * 40503) % 2147483647 AS u
+         |        FROM e, (SELECT unnest(range(-1, 32)) AS r))),
+         |g AS (SELECT event_type, r, v, CAST(sum(w) AS BIGINT) AS n
+         |      FROM rep WHERE w > 0 GROUP BY 1, 2, 3),
+         |c AS (SELECT *, CAST(sum(n) OVER (PARTITION BY event_type, r
+         |        ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum
+         |      FROM g),
+         |t AS (SELECT event_type, r, CAST(sum(n) AS BIGINT) AS n_total
+         |      FROM g GROUP BY 1, 2),
+         |med AS (SELECT c.event_type, c.r,
+         |          min(CASE WHEN n_cum * 2 >= n_total THEN v END) AS med
+         |        FROM c JOIN t USING (event_type, r) GROUP BY 1, 2),
+         |pt AS (SELECT event_type, med AS median_cents FROM med
+         |       WHERE r = -1),
+         |ci AS (SELECT event_type, list_sort(list(med)) AS ms FROM med
+         |       WHERE r >= 0 GROUP BY 1)
+         |SELECT pt.event_type, median_cents, ms[2] AS boot_lo,
+         |  ms[16] AS boot_med, ms[31] AS boot_hi
+         |FROM pt JOIN ci USING (event_type) ORDER BY event_type""".stripMargin,
+
+
+    "q292_ab_contingency" ->
+      """WITH per AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) >= 14 THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY user_id),
+        |cells AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM per)
+        |SELECT a, b, c, d, a + b + c + d AS n_users,
+        |  (10000 * a) // (a + b) AS rate_t_bp,
+        |  (10000 * c) // (c + d) AS rate_c_bp,
+        |  (10000 * a) // (a + b) - (10000 * c) // (c + d) AS diff_bp,
+        |  1000 * CAST(a + b + c + d AS HUGEINT)
+        |      * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+        |      * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+        |    > 3841 * CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)
+        |    AS significant
+        |FROM cells""".stripMargin,
 
   )
 }
