@@ -370,7 +370,7 @@ object CurationQueries {
 
     // Columnar-encoding audit — the storage-planner companion to q278's
     // z-order audit: per column, cardinality (dictionary viability) and
-    // run count in the table's natural (l_orderkey, l_linenumber) sort
+    // run count in the table's (l_orderkey, l_linenumber)-led sort
     // (RLE viability). Runs are counted via the rangeRank total order +
     // an EQUI-join on rank+1 (the q277 neighbor device) — never a
     // global-window lag, which collapses to one task. Values ride as
@@ -378,14 +378,23 @@ object CurationQueries {
     // are format-independent, and no value reaches the output). The
     // explode is map-side; the neighbor join keys on (column, rank), so
     // skew is impossible by construction.
+    // ORDER TOTALITY (found by the sf1 oracle gate): (l_orderkey,
+    // l_linenumber) is NOT unique (1.4M ties at sf1), so run counts
+    // under it are engine-dependent. The sort is completed with the
+    // audited columns THEMSELVES (raw l_shipdate for ordering — both
+    // engines sort timestamps identically; the string cast only feeds
+    // equality): rows still tying are full-tuple duplicates, which are
+    // interchangeable for run counting, so the answer is well-defined.
     "q289_encoding_audit" -> ((s, dir) => {
       val auditCols = Seq("l_returnflag", "l_linestatus", "l_shipdate")
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate").as("sd_ts"),
           col("l_shipdate").cast("string").as("l_shipdate"))
       val ranked = CoreOps.rangeRank(li, Nil,
-          Seq(col("l_orderkey"), col("l_linenumber")), "rk")
+          Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_linestatus"), col("sd_ts")), "rk")
         .localCheckpoint()
       val longF = ranked.select(col("rk"), explode(array(auditCols.map(c =>
           struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
@@ -774,10 +783,12 @@ object CurationQueries {
     "q289_encoding_audit" ->
       """WITH base AS (
         |  SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+        |    l_shipdate AS sd_ts,
         |    CAST(l_shipdate AS VARCHAR) AS l_shipdate
         |  FROM lineitem),
         |rk AS (SELECT *, row_number() OVER (ORDER BY l_orderkey,
-        |         l_linenumber) AS rk FROM base),
+        |         l_linenumber, l_returnflag, l_linestatus, sd_ts)
+        |         AS rk FROM base),
         |lg AS (
         |  SELECT 'l_returnflag' AS col_name, rk, l_returnflag AS v FROM rk
         |  UNION ALL SELECT 'l_linestatus', rk, l_linestatus FROM rk
