@@ -776,6 +776,55 @@ object StreamQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Streaming bounded-contribution cap (q284's batch window as
+    // flatMapGroupsWithState): first k = 10 events per user in
+    // event-time order, state five longs per user, fed in three
+    // day-ordered slices (orderedLanding pins modtimes — slices
+    // partition the day axis, so cross-batch time order is structural
+    // and the kernel's order require() can never fire spuriously).
+    // Readback keeps each user's newest emission (nSeen strictly
+    // increases) and rolls up to user-decile buckets; the oracle
+    // replays first-k with one per-user batch window.
+    "q293_stream_contribution_cap" -> ((s, dir) => {
+      val ss = streamSession(s)
+      import ss.implicits._
+      val e = Tables.load(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("vc"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .localCheckpoint()
+      val d0 = e.agg(min(col("day"))).head().getLong(0)
+      def slice(lo: Long, hi: Long) = () =>
+        e.filter(col("day") >= d0 + lo && col("day") < d0 + hi)
+          .select(col("user_id").as("user"), col("us"),
+            col("event_id").as("eventId"), col("vc"))
+      val src = orderedLanding("q293_ordered", dir,
+        Seq(slice(0, 10), slice(10, 20), slice(20, 100000)))
+      val capSchema = StructType(Seq(
+        StructField("user", LongType), StructField("us", LongType),
+        StructField("eventId", LongType), StructField("vc", LongType)))
+      val stream = SocialStream
+        .readParquetStream(ss, src, capSchema, maxFilesPerTrigger = 1)
+        .as[SocialStream.CapEvent]
+      val sink = uniq("q293_sink_")
+      val q = SocialStream.contributionCapState(stream, 10)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      q.processAllAvailable()
+      q.stop()
+      ss.table(sink).groupBy(col("user"))
+        .agg(max(struct(col("nSeen"), col("nKept"), col("sumKeptCents")))
+          .as("f"))
+        .select(col("user"), col("f.nSeen").as("n_seen"),
+          col("f.nKept").as("n_kept"),
+          col("f.sumKeptCents").as("sum_kept"))
+        .groupBy((col("user") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n_seen")).as("n_events_seen"),
+          sum(col("n_kept")).as("n_events_kept"),
+          sum(col("sum_kept")).as("sum_kept_cents"))
+        .orderBy(col("bucket"))
+    }),
+
     "q72_stream_upsert" -> ((s, dir) => {
       val flat = eventsFlat(s, dir).filter(col("event_id") % 7 === 0)
       val src = parquetLanding("q72_landing_pq", dir, flat.unionAll(flat), 2, "event_id")
@@ -1039,5 +1088,28 @@ object StreamQueries {
         |FROM v LEFT JOIN c
         |  ON v.user_id = c.user_id
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
-        |ORDER BY v_id, c_id NULLS FIRST""".stripMargin)
+        |ORDER BY v_id, c_id NULLS FIRST""".stripMargin,
+
+    // First-k per user replayed as one batch window; the stream's
+    // batch-split is invisible to the kept set because the cap state is
+    // a pure fold over the (us, event_id) total order.
+    "q293_stream_contribution_cap" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id) AS rn FROM e),
+        |per AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_seen,
+        |    CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_kept,
+        |    CAST(sum(CASE WHEN rn <= 10 THEN vc ELSE 0 END) AS BIGINT)
+        |      AS sum_kept
+        |  FROM r GROUP BY 1)
+        |SELECT user_id % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n_seen) AS BIGINT) AS n_events_seen,
+        |  CAST(sum(n_kept) AS BIGINT) AS n_events_kept,
+        |  CAST(sum(sum_kept) AS BIGINT) AS sum_kept_cents
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)
 }

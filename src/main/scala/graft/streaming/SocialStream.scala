@@ -197,6 +197,50 @@ object SocialStream {
   case class CusumSt(prefix: Long, minPrefix: Long, daysSeen: Long,
                      nAlarms: Long, maxCusum: Long, lastDay: Long)
 
+  /** One event for the streaming contribution cap. */
+  case class CapEvent(user: Long, us: Long, eventId: Long, vc: Long)
+
+  /** Cap summary emitted per user per micro-batch (all monotone). */
+  case class CapSummary(user: Long, nSeen: Long, nKept: Long,
+                        sumKeptCents: Long)
+
+  /** Cap per-user state — five longs, constant in history length. */
+  case class CapSt(nSeen: Long, nKept: Long, sumKept: Long,
+                   lastUs: Long, lastId: Long)
+
+  /** Streaming bounded-contribution cap (q284's batch window as live
+    * state): per user, keep the FIRST k events in event-time order and
+    * accumulate their cents — the user-level DP prerequisite running
+    * against the live stream instead of a nightly batch. State is five
+    * longs per user regardless of history. Event order is semantics:
+    * within a batch rows sort by (us, eventId); across batches the
+    * landing must deliver time slices in order (orderedLanding pins
+    * modtimes) — a violation fails LOUDLY rather than silently keeping
+    * the wrong k events.
+    */
+  def contributionCapState(ds: Dataset[CapEvent], k: Int): Dataset[CapSummary] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user)
+      .flatMapGroupsWithState[CapSt, CapSummary](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[CapEvent], state: GroupState[CapSt]) =>
+          var st = state.getOption.getOrElse(
+            CapSt(0L, 0L, 0L, Long.MinValue, Long.MinValue))
+          rows.toSeq.sortBy(r => (r.us, r.eventId)).foreach { r =>
+            require(r.us > st.lastUs ||
+              (r.us == st.lastUs && r.eventId > st.lastId),
+              s"cap event (${r.us}, ${r.eventId}) arrived at/behind " +
+                s"(${st.lastUs}, ${st.lastId}) for user $user — the " +
+                "landing broke time order")
+            val keep = st.nKept < k
+            st = CapSt(st.nSeen + 1, st.nKept + (if (keep) 1L else 0L),
+              st.sumKept + (if (keep) r.vc else 0L), r.us, r.eventId)
+          }
+          state.update(st)
+          Iterator.single(CapSummary(user, st.nSeen, st.nKept, st.sumKept))
+      }
+  }
+
   /** Streaming one-sided CUSUM changepoint monitor (q214's batch scan as
     * live state): per key, s_n = max(0, s_{n-1} + (v_n − μ)) with an
     * alarm when s_n exceeds the key's threshold (alarmAt). Maintained in CLOSED FORM —
