@@ -891,11 +891,7 @@ object AnalyticsQueries {
     // engines, thresholds precomputed as exact integers
     // floor(cdf_k · (2^31−1)). Interval = order statistics 2/16/31 of
     // the 32 sorted replicate means (a bounded per-key array, never a
-    // global sort).
-    // BOUNDS: event_id·2654435761 < Long.MAX for ids < 3.46e9 (sf1 max
-    // id ≈ 9.9e8 after replica offsets — 3.5× headroom; past that, take
-    // the id's 2^31 residue first, which preserves the hash's
-    // uniformity-by-construction).
+    // global sort). BOUNDS live on [[poissonWeight]].
     "q275_poisson_bootstrap" -> ((s, dir) => {
       val R = 32
       val e = Tables.load(s, dir, "events").select(col("event_type"),
