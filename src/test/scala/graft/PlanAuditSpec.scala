@@ -399,5 +399,16 @@ class PlanAuditSpec extends AnyFunSuite {
     val p281 = run("q281_conformal")
     assert(!p281.contains("Window"),
       "q281: conformal order statistic fell back to a window sort")
+    // Same doctrine for the rest of the r12 order-statistic family:
+    // q287 (per-arm quantiles), q288 (sweep-line prefix sums), q291
+    // (per-replicate weighted medians) all ride rangePrefixSums — a
+    // Window node in any of them is a one-task-sort regression.
+    Seq("q287_quantile_effect", "q288_peak_concurrency",
+      "q291_bootstrap_median").foreach { qn =>
+      val p = run(qn)
+      assert(!p.contains("Window"),
+        s"$qn: a Window operator appeared — the prefix-sum primitive " +
+          "fell back to a single-task sort")
+    }
   }
 }

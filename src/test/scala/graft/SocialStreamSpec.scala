@@ -78,6 +78,38 @@ class SocialStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("contributionCapState keeps first-k across batches and rejects order violations") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SocialStream.CapEvent]
+    val out = SocialStream.contributionCapState(mem.toDS(), k = 3)
+    val q = out.writeStream.format("memory").queryName("capspec")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(SocialStream.CapEvent(1L, 100L, 1L, 10L),
+        SocialStream.CapEvent(1L, 200L, 2L, 20L))
+      q.processAllAvailable()
+      // the cap must span batches: the 4th event (this batch) is dropped
+      // because batch 1 already consumed 2 of the 3 slots
+      mem.addData(SocialStream.CapEvent(1L, 300L, 3L, 40L),
+        SocialStream.CapEvent(1L, 400L, 4L, 80L))
+      q.processAllAvailable()
+      val last = spark.table("capspec").as[SocialStream.CapSummary]
+        .collect().filter(_.user == 1L).maxBy(_.nSeen)
+      assert(last.nSeen == 4L && last.nKept == 3L &&
+        last.sumKeptCents == 70L)
+      // an event behind the per-user high-water mark must fail LOUDLY
+      // (silently keeping the wrong k events is the corruption mode the
+      // require exists to prevent)
+      mem.addData(SocialStream.CapEvent(1L, 150L, 9L, 1L))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("broke time order")),
+        s"expected the order require to fire; got: ${msgs(ex).mkString(" | ")}")
+    } finally q.stop()
+  }
+
   test("streaming pipeline output equals the batch pipeline on the same landing data") {
     import graft.pipeline.SocialPipeline
     import graft.schemas.Schemas
