@@ -753,4 +753,66 @@ object CoreOps {
       .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
         col("col.id").as("id"), col("col.v").as("rrf_micros"))
   }
+
+  /** Per-column RUN counts (adjacent-value-change count + 1) under the
+    * total `order` — the RLE-viability statistic, computed the way a
+    * 100 TB scan must: ONE range exchange, then runs are counted
+    * scan-locally per partition, and only a P × |cols| boundary artifact
+    * (each partition's first/last value per column) reaches the driver
+    * to stitch the cross-partition seams. Replaces the rank + rank+1
+    * self-join formulation, which shuffled ~6× the table (rank pass +
+    * exploded long format through a sort-merge join) for the same
+    * number.
+    *
+    * `order` must be total for the count to be well-defined (same
+    * contract as [[rangeRank]] — end it in columns that break all
+    * ties); rows equal under `order` are interchangeable, so any
+    * remaining ties must be exact duplicates of the audited columns.
+    * Returns runs per column name; 0 for an empty input.
+    */
+  def orderedRuns(df: DataFrame, order: Seq[Column],
+                  valueCols: Seq[String],
+                  numPartitions: Int = 0): Map[String, Long] = {
+    import org.apache.spark.sql.Row
+    val spark = df.sparkSession
+    val nPart =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(nPart, order: _*)
+      .sortWithinPartitions(order: _*)
+    val idx = valueCols.map(df.schema.fieldIndex).toArray
+    // (pid, rows, within-partition boundaries per col, first/last per col)
+    val stats = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val first = new Array[Any](idx.length)
+        val last = new Array[Any](idx.length)
+        val bnd = new Array[Long](idx.length)
+        var n = 0L
+        var prev: Row = null
+        it.foreach { r =>
+          var i = 0
+          if (n == 0L) while (i < idx.length) { first(i) = r.get(idx(i)); i += 1 }
+          else while (i < idx.length) {
+            if (r.get(idx(i)) != prev.get(idx(i))) bnd(i) += 1
+            i += 1
+          }
+          prev = r
+          n += 1
+        }
+        var i = 0
+        while (i < idx.length) { last(i) = prev.get(idx(i)); i += 1 }
+        Iterator.single((pid, n, bnd, first.toSeq, last.toSeq))
+      }
+    }.collect().sortBy(_._1)
+    valueCols.indices.map { i =>
+      val within = stats.map(_._3(i)).sum
+      val cross = stats.sliding(2).count {
+        case Array(a, b) => b._4(i) != a._5(i)
+        case _ => false
+      }
+      valueCols(i) ->
+        (if (stats.isEmpty) 0L else within + cross + 1L)
+    }.toMap
+  }
 }

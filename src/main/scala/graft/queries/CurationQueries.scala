@@ -371,13 +371,16 @@ object CurationQueries {
     // Columnar-encoding audit — the storage-planner companion to q278's
     // z-order audit: per column, cardinality (dictionary viability) and
     // run count in the table's (l_orderkey, l_linenumber)-led sort
-    // (RLE viability). Runs are counted via the rangeRank total order +
-    // an EQUI-join on rank+1 (the q277 neighbor device) — never a
-    // global-window lag, which collapses to one task. Values ride as
-    // strings only INSIDE the count (injective cast: equality/distinct
-    // are format-independent, and no value reaches the output). The
-    // explode is map-side; the neighbor join keys on (column, rank), so
-    // skew is impossible by construction.
+    // (RLE viability). Runs ride [[CoreOps.orderedRuns]]: one range
+    // exchange, scan-local counting, and a P × |cols| boundary artifact
+    // to the driver — no global-window lag (one task) and no rank +
+    // rank+1 self-join (the first formulation, which shuffled ~6× the
+    // table: 7.1 s → 4.5 s at sf1, the remainder being the exact
+    // distinct count over micro-grain timestamps). Distinct counts are one Expand
+    // aggregation whose partial phase collapses to per-task
+    // cardinalities before the exchange. Values compare as strings
+    // (injective cast: equality/distinct are format-independent, and no
+    // value reaches the output).
     // ORDER TOTALITY (found by the sf1 oracle gate): (l_orderkey,
     // l_linenumber) is NOT unique (1.4M ties at sf1), so run counts
     // under it are engine-dependent. The sort is completed with the
@@ -392,25 +395,26 @@ object CurationQueries {
           col("l_returnflag"), col("l_linestatus"),
           col("l_shipdate").as("sd_ts"),
           col("l_shipdate").cast("string").as("l_shipdate"))
-      val ranked = CoreOps.rangeRank(li, Nil,
-          Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-            col("l_linestatus"), col("sd_ts")), "rk")
-        .localCheckpoint()
-      val longF = ranked.select(col("rk"), explode(array(auditCols.map(c =>
-          struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
-          .as("x"))
-        .select(col("rk"), col("x.col_name").as("col_name"),
-          col("x.v").as("v"))
-      val nxt = longF.select(col("col_name"), (col("rk") - 1).as("rk"),
-        col("v").as("v_next"))
-      longF.join(nxt, Seq("col_name", "rk"), "left")
-        .groupBy(col("col_name"))
-        .agg(count(lit(1)).as("n_rows"),
-          countDistinct(col("v")).as("n_distinct"),
-          (sum(when(col("v_next").isNotNull && col("v_next") =!= col("v"),
-            1L).otherwise(0L)) + 1L).as("n_runs"))
-        .withColumn("dict_bp", expr("(10000 * n_distinct) div n_rows"))
-        .withColumn("rle_bp", expr("(10000 * n_runs) div n_rows"))
+      // no localCheckpoint: the three consumers (range sampler, runs
+      // pass, distinct agg) each re-run a narrow pushed-down parquet
+      // scan, which is cheaper than materializing 6M six-column rows
+      val order = Seq(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"), col("sd_ts"))
+      val runs = CoreOps.orderedRuns(li, order, auditCols)
+      val g = li.agg(count(lit(1)).as("n"),
+        countDistinct(col("l_returnflag")).as("d0"),
+        countDistinct(col("l_linestatus")).as("d1"),
+        countDistinct(col("l_shipdate")).as("d2")).head()
+      val n = g.getLong(0)
+      val rows = auditCols.zipWithIndex.map { case (c, i) =>
+        val nd = g.getLong(i + 1)
+        val nr = runs(c)
+        // nonneg integer division: truncation == the oracle's floor //
+        (c, n, nd, nr, 10000L * nd / n, 10000L * nr / n)
+      }
+      import s.implicits._
+      rows.toDF("col_name", "n_rows", "n_distinct", "n_runs",
+          "dict_bp", "rle_bp")
         .orderBy(col("col_name"))
     }),
 
