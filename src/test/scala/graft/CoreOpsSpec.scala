@@ -409,4 +409,29 @@ class CoreOpsSpec extends AnyFunSuite {
       .orderBy($"query_id").as[(Long, Long, Long, Long)].collect().toSeq
     assert(out == Seq((1L, 1L, 10L, 16393L), (2L, 1L, 50L, 16393L)))
   }
+
+  test("orderedRuns matches the single-sequence brute force across partition counts") {
+    // deterministic mixed-run data: key total-orders the rows, two value
+    // columns with different run structures (one blocky, one near-random)
+    val rows = (0 until 4000).map { i =>
+      (i.toLong, ("v" + (i / 37)), ((i * 2654435761L) % 5).toString)
+    }
+    val expected = Seq(1, 2).map { c =>
+      val vs = rows.map(r => if (c == 1) r._2 else r._3)
+      vs.zip(vs.drop(1)).count { case (a, b) => a != b } + 1L
+    }
+    // partition-count invariance: the boundary stitching must hold at 1
+    // partition (no seams), a seam-heavy width, and the default
+    Seq(1, 7, 32).foreach { p =>
+      val df = rows.toDF("k", "a", "b")
+      val runs = CoreOps.orderedRuns(df, Seq($"k"), Seq("a", "b"),
+        numPartitions = p)
+      assert(runs("a") == expected(0) && runs("b") == expected(1),
+        s"at $p partitions: $runs vs $expected")
+    }
+    // empty input → 0 runs, no crash on the empty boundary artifact
+    val empty = rows.take(0).toDF("k", "a", "b")
+    assert(CoreOps.orderedRuns(empty, Seq($"k"), Seq("a", "b"))
+      .values.forall(_ == 0L))
+  }
 }
