@@ -1197,6 +1197,45 @@ object AnalyticsQueries {
             * (dec(col("b")) + dec(col("d")))).as("significant"))
     }),
 
+
+    // Exact autocorrelation function at lags 1..7 per series — the
+    // seasonality detector feeding q213's seasonal-naive choice of
+    // period. Denominators are cleared once: with S = Σv and n days,
+    // centering by the MEAN becomes the integer c_t = n·v_t − S, and
+    // ρ_l = Σ c_t·c_{t+l} / Σ c_t² exactly (both sides scale by n²).
+    // Products are data-sized → DECIMAL; the ppm readout splits by sign
+    // so every IntegralDivide sees a NONNEGATIVE numerator (div
+    // truncation == // floor). Lag pairs join on the (type, rel+lag)
+    // equi-key — bounded by the 30-day clip window, never data-sized.
+    "q295_acf" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val daily = clippedDaily(s, dir, "event_type")
+      val stats = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val centered = daily.join(broadcast(stats), "event_type")
+        .withColumn("c", dec(col("n")) * dec(col("v")) - dec(col("sv")))
+        .localCheckpoint() // three consumers: den + both lag-join sides
+      val den = centered.groupBy(col("event_type"))
+        .agg(sum(col("c") * col("c")).as("den"))
+      val lagged = centered.select(col("event_type"), col("rel"), col("c"))
+        .withColumn("lag", explode(expr(
+          "sequence(CAST(1 AS BIGINT), CAST(7 AS BIGINT))")))
+        .withColumn("rel2", col("rel") + col("lag"))
+      val b2 = centered.select(col("event_type"), col("rel").as("rel2"),
+        col("c").as("c2"))
+      val sc = lit(1000000L).cast("decimal(19,0)")
+      lagged.join(b2, Seq("event_type", "rel2"))
+        .groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("c") * col("c2")).as("num"))
+        .join(broadcast(den), "event_type")
+        .select(col("event_type"), col("lag"), col("n_pairs"),
+          when(col("num") >= 0,
+            call_function("div", col("num") * sc, col("den")))
+            .otherwise(-call_function("div", -col("num") * sc, col("den")))
+            .as("acf_micros"))
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -1990,6 +2029,40 @@ object AnalyticsQueries {
         |    > 3841 * CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)
         |    AS significant
         |FROM cells""".stripMargin,
+
+
+    "q295_acf" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |d0 AS (SELECT min(day) AS d0 FROM e),
+        |daily AS (
+        |  SELECT event_type, day - d0 AS rel, CAST(sum(vc) AS BIGINT) AS v
+        |  FROM e, d0 WHERE day - d0 < 30 GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(v) AS BIGINT) AS sv
+        |       FROM daily GROUP BY 1),
+        |ctr AS (
+        |  SELECT d.event_type, rel,
+        |    CAST(n AS HUGEINT) * v - sv AS c
+        |  FROM daily d JOIN st USING (event_type)),
+        |den AS (SELECT event_type, sum(c * c) AS den FROM ctr GROUP BY 1),
+        |nums AS (
+        |  SELECT a.event_type, l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    sum(a.c * b.c) AS num
+        |  FROM ctr a
+        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+        |  JOIN ctr b ON a.event_type = b.event_type
+        |            AND b.rel = a.rel + l.lag
+        |  GROUP BY 1, 2)
+        |SELECT event_type, lag, n_pairs,
+        |  CASE WHEN num >= 0 THEN CAST((num * 1000000) // den AS BIGINT)
+        |       ELSE -CAST(((-num) * 1000000) // den AS BIGINT) END
+        |    AS acf_micros
+        |FROM nums JOIN den USING (event_type)
+        |ORDER BY event_type, lag""".stripMargin,
 
   )
 }

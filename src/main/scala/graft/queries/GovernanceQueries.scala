@@ -335,6 +335,60 @@ object GovernanceQueries {
         .orderBy(col("key_name"))
     }),
 
+
+    // t-closeness (Li et al., ICDE 2007) — the third leg of the privacy
+    // triad after k-anonymity (q198) and l-diversity (q212): a
+    // quasi-identifier group leaks when its SENSITIVE-attribute
+    // distribution sits far from the global one, measured for an
+    // ORDERED attribute by the Earth-Mover's Distance = mean |CDF gap|
+    // over the bins. Exact: per (segment, decile) counts + the
+    // broadcast global histogram; the CDF gap |cum_g·N − cum_glob·n_g|
+    // clears denominators entirely (DECIMAL — the product is
+    // data²-sized), one ppm division at the end, per-segment cumsums
+    // over a 10-row window (bin-bounded, the q239 class). Flag at
+    // t = 0.2 (200000 ppm).
+    "q294_t_closeness" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = (c: Column) => c.cast("decimal(19,0)")
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          cents(col("c_acctbal")).as("bal"))
+      val mm = c.agg(min(col("bal")).as("lo"), max(col("bal")).as("hi"))
+      val binned = c.join(broadcast(mm))
+        .withColumn("decile",
+          least(lit(9L), expr("((bal - lo) * 10) div (hi - lo + 1)")))
+      val grp = binned.groupBy(col("seg"), col("decile"))
+        .agg(count(lit(1)).as("cnt"))
+      val glob = binned.groupBy(col("decile"))
+        .agg(count(lit(1)).as("gcnt")).localCheckpoint()
+      val nGlob = glob.agg(sum(col("gcnt"))).head().getLong(0)
+      // dense bin grid so zero-count bins still carry their CDF gap
+      val grid = grp.select(col("seg")).distinct()
+        .withColumn("decile", explode(expr(
+          "sequence(CAST(0 AS BIGINT), CAST(9 AS BIGINT))")))
+      val w = Window.partitionBy(col("seg")).orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cums = grid.join(grp, Seq("seg", "decile"), "left")
+        .join(broadcast(glob), Seq("decile"), "left")
+        .withColumn("cum_g", sum(coalesce(col("cnt"), lit(0L))).over(w))
+        .withColumn("cum_glob", sum(coalesce(col("gcnt"), lit(0L))).over(w))
+      val tot = grp.groupBy(col("seg")).agg(sum(col("cnt")).as("n_g"))
+      cums.join(broadcast(tot), "seg")
+        .filter(col("decile") < 9) // CDF gap at the last bin is 0 by def
+        .groupBy(col("seg"))
+        .agg(min(col("n_g")).as("n"),
+          sum(abs(dec(col("cum_g")) * lit(nGlob)
+            - dec(col("cum_glob")) * dec(col("n_g")))).as("gap_sum"))
+        .select(col("seg"), col("n"),
+          // IntegralDivide on DECIMAL = BIGINT with floor-on-nonneg
+          // (pinned by OverflowBoundsSpec) — decimal `/` would round at
+          // its result scale before any cast could truncate
+          call_function("div", col("gap_sum") * lit(1000000L),
+            dec(lit(9L)) * dec(col("n")) * lit(nGlob)).as("emd_ppm"))
+        .withColumn("t_violation", col("emd_ppm") > 200000L)
+        .orderBy(col("seg"))
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -402,6 +456,46 @@ object GovernanceQueries {
         |  FROM lt)
         |SELECT * FROM ea UNION ALL SELECT * FROM la
         |ORDER BY key_name""".stripMargin,
+
+    "q294_t_closeness" ->
+      """WITH c AS (SELECT c_mktsegment AS seg,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        |           FROM customer),
+        |mm AS (SELECT min(bal) AS lo, max(bal) AS hi FROM c),
+        |b AS (SELECT seg, least(9, ((bal - lo) * 10) // (hi - lo + 1))
+        |        AS decile FROM c, mm),
+        |grp AS (SELECT seg, decile, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM b GROUP BY 1, 2),
+        |gl AS (SELECT decile, CAST(count(*) AS BIGINT) AS gcnt
+        |       FROM b GROUP BY 1),
+        |ng AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n_glob FROM gl),
+        |grid AS (
+        |  SELECT s.seg, d.decile
+        |  FROM (SELECT DISTINCT seg FROM grp) s
+        |  CROSS JOIN (SELECT unnest(range(0, 10)) AS decile) d),
+        |cums AS (
+        |  SELECT grid.seg, grid.decile,
+        |    sum(COALESCE(cnt, 0)) OVER (PARTITION BY grid.seg
+        |      ORDER BY grid.decile ROWS UNBOUNDED PRECEDING) AS cum_g,
+        |    sum(COALESCE(gcnt, 0)) OVER (PARTITION BY grid.seg
+        |      ORDER BY grid.decile ROWS UNBOUNDED PRECEDING) AS cum_glob
+        |  FROM grid
+        |  LEFT JOIN grp ON grid.seg = grp.seg AND grid.decile = grp.decile
+        |  LEFT JOIN gl ON grid.decile = gl.decile),
+        |tot AS (SELECT seg, CAST(sum(cnt) AS BIGINT) AS n_g
+        |        FROM grp GROUP BY 1),
+        |agg AS (
+        |  SELECT cums.seg, min(n_g) AS n, min(n_glob) AS n_glob,
+        |    sum(abs(CAST(cum_g AS HUGEINT) * n_glob
+        |            - CAST(cum_glob AS HUGEINT) * n_g)) AS gap_sum
+        |  FROM cums JOIN tot USING (seg) CROSS JOIN ng
+        |  WHERE decile < 9 GROUP BY 1)
+        |SELECT seg, CAST(n AS BIGINT) AS n,
+        |  CAST((gap_sum * 1000000)
+        |    // (9 * CAST(n AS HUGEINT) * n_glob) AS BIGINT) AS emd_ppm,
+        |  (gap_sum * 1000000) // (9 * CAST(n AS HUGEINT) * n_glob)
+        |    > 200000 AS t_violation
+        |FROM agg ORDER BY seg""".stripMargin,
 
     "q274_forget_user" ->
       """WITH ev AS (SELECT event_id, user_id FROM events),
