@@ -123,18 +123,53 @@ object Dedup {
     }.distinct
   }
 
+  /** Narrow-input widen for the hash kernels. Two regimes:
+    *
+    *  - **Scale path (files ≥ cores — every real corpus; at 100 TB a table
+    *    is thousands of files): NO exchange.** The hash expression computes
+    *    inside the scan stage and corpus TEXT never leaves it; only the
+    *    compact hash outputs reach the keyed exchanges downstream. Before
+    *    r13 an unconditional `repartition(defaultParallelism)` sat
+    *    *upstream* of every hash kernel, round-robin shuffling the full
+    *    corpus text once per kernel — the two dominant exchanges of the
+    *    sf1 corpus-build rehearsal (`CORPUSBUILD_r12.md`), ~2× corpus
+    *    bytes of avoidable shuffle at 100 TB.
+    *  - **Local path (files < cores: single-file fixtures, spec
+    *    relations): widen the (id, text) projection** so the per-doc hash
+    *    loops run core-parallel instead of inside the one-split scan. At
+    *    this size class the text exchange is a few MB; the r13 A/B showed
+    *    hashing single-threaded cost the multi-call dedup queries
+    *    1.3–1.7× at sf0.1, which the widen restores.
+    *
+    * The width probe is `inputFiles.length` — a logical-plan file-index
+    * listing, NOT `rdd.getNumPartitions`, which forces `toRdd`/`doExecute`
+    * and a Janino whole-stage compile per call (~0.1 s of driver overhead,
+    * measured). File count slightly understates split count for
+    * multi-row-group files; the conditional only needs "tiny local input
+    * vs real corpus", where the two agree. Non-file inputs (local
+    * relations in specs, checkpoints) report 0 files and take the local
+    * path, correct for their size class.
+    */
+  private def widenNarrowInput(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val nFiles = try df.inputFiles.length catch { case _: Throwable => 0 }
+    if (nFiles < p) df.repartition(p) else df
+  }
+
   /** Banding via the native codegen'd expression
     * ([[graft.expressions.MinhashBandKeys]]): the per-doc work happens in
     * one static JVM call inside whole-stage codegen — no encoder
     * round-trip, no optimizer barrier — and `posexplode` fans the band
     * array out to (band, bh, id) rows. Arithmetic identical to
     * [[minhashBandsKernel]] (pinned by MinhashExprSpec) and the oracle.
+    * On the scale path the band-key array is computed IN the scan stage
+    * and no exchange exists below the band join (see [[widenNarrowInput]]).
     */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
     org.apache.spark.sql.GraftFunctions.register(df.sparkSession)
-    df.select(col(idCol).as("id"), coalesce(col(textCol), lit("")).as("text"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    widenNarrowInput(
+      df.select(col(idCol).as("id"), coalesce(col(textCol), lit("")).as("text")))
       .select(col("id"), posexplode(call_function("minhash_band_keys",
         col("text"), lit(shingleK), lit(numHashes), lit(bands))))
       .select(col("pos").as("band"), col("col").as("bh"), col("id"))
@@ -193,8 +228,8 @@ object Dedup {
   def shingleHashSets(df: DataFrame, idCol: String, textCol: String,
                       shingleK: Int): DataFrame = {
     org.apache.spark.sql.GraftFunctions.register(df.sparkSession)
-    df.select(col(idCol).as("id"), coalesce(col(textCol), lit("")).as("text"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    widenNarrowInput(
+      df.select(col(idCol).as("id"), coalesce(col(textCol), lit("")).as("text")))
       .select(col("id"),
         call_function("shingle_hashes", col("text"), lit(shingleK)).as("sh"))
   }
@@ -787,8 +822,8 @@ object Dedup {
     org.apache.spark.sql.GraftFunctions.register(df.sparkSession)
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
-    df.select(col(idCol).as("id"), coalesce(col(textCol), lit("")).as("text"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    widenNarrowInput(
+      df.select(col(idCol).as("id"), coalesce(col(textCol), lit("")).as("text")))
       .select(col("id"), call_function("simhash_sig", col("text"), lit(bits)).as("sig"))
       .select(col("id"), col("sig"),
         posexplode(array((0 until bands).map(b =>

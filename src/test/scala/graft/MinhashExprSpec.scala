@@ -39,8 +39,16 @@ class MinhashExprSpec extends AnyFunSuite {
     assert(expr(1L) == expr(6L)) // identical docs, identical sets
   }
 
-  test("banding runs inside whole-stage codegen up to the explode") {
-    val q = Dedup.minhashBands(docs, "doc_id", "text", 3, 16, 4)
+  test("scale path: banding hashes scan-local, text never exchanged") {
+    // Parquet-backed MANY-FILE input (files ≥ cores), the layout every real
+    // corpus has: the narrow-input widen must NOT fire, the hash expression
+    // must run inside the scan stage, and the plan must contain NO exchange
+    // at all below the banding output. (A local relation would be
+    // constant-folded into a LocalTableScan, hiding the plan shape.)
+    val dir = java.nio.file.Files.createTempDirectory("mh_plan").toString
+    docs.repartition(64).write.mode("overwrite").parquet(dir)
+    val pq = spark.read.parquet(dir)
+    val q = Dedup.minhashBands(pq, "doc_id", "text", 3, 16, 4)
     q.collect()
     val s = q.queryExecution.executedPlan.toString
     val cut = s.indexOf("== Initial Plan ==")
@@ -48,6 +56,23 @@ class MinhashExprSpec extends AnyFunSuite {
     assert(plan.contains("minhash_band_keys"), s"expression not in plan:\n$plan")
     assert(!plan.contains("mapPartitions") && !plan.contains("DeserializeToObject"),
       "expression path must not pay the object/encoder round-trip")
+    assert(!plan.contains("Exchange"),
+      s"scale path must hash scan-local with zero exchanges (r13 contract):\n$plan")
+  }
+
+  test("local path: narrow input widens for core-parallel hashing") {
+    // Single-file input (files < cores): the widen fires so the hash loops
+    // run core-parallel — the sf0.1 A/B showed 1.3–1.7× without it.
+    val dir = java.nio.file.Files.createTempDirectory("mh_plan1").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val pq = spark.read.parquet(dir)
+    val q = Dedup.minhashBands(pq, "doc_id", "text", 3, 16, 4)
+    q.collect()
+    val s = q.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    val plan = if (cut >= 0) s.substring(0, cut) else s
+    assert(plan.contains("Exchange"),
+      s"narrow local input must widen before hashing:\n$plan")
   }
 
   test("simhash_sig expression == mapPartitions kernel, incl. sig payload") {
