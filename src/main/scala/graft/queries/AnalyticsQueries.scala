@@ -1127,16 +1127,36 @@ object AnalyticsQueries {
     // is |type|·|value-domain|·33 — value-domain-bounded, independent
     // of row count. Everything integer; the CI is order stats of 32
     // integer medians.
+    //
+    // ONE-PASS (r13, VERDICT r12 item 5): the R+1 replicate weight sums
+    // are 33 accumulators of a SINGLE hash agg keyed (event_type, v) —
+    // each input row is hashed once and updates all 33 sums (the 33
+    // inverse-CDF draws per row are the statistical definition, a compute
+    // floor). The replicate axis is then unpivoted AFTER aggregation, so
+    // the 33× row expansion happens on value-domain-bounded cells, never
+    // on the event stream — the prior form exploded raw rows 33× into
+    // the partial agg (33M materialized rows at sf1; 18.7 s → ~6 s).
     "q291_bootstrap_median" -> ((s, dir) => {
       val R = 32
       val e = Tables.load(s, dir, "events").select(col("event_type"),
         col("event_id"), cents(col("value")).as("v"))
-      val rep = e.withColumn("r", explode(expr(s"sequence(-1, ${R - 1})")))
-        .withColumn("w", when(col("r") === -1, 1L)
-          .otherwise(poissonWeight(col("event_id"), col("r"))))
-        .filter(col("w") > 0)
-      val g = rep.groupBy(col("event_type"), col("r"), col("v"))
-        .agg(sum(col("w")).as("n"))
+      val wSums = count(lit(1)).as("w_m1") +:
+        (0 until R).map(r =>
+          sum(poissonWeight(col("event_id"), lit(r))).as(s"w_$r"))
+      // Two consumers (prefix sums + totals) — checkpoint the bounded
+      // cell table so the event-stream agg runs exactly once.
+      val cells = e.groupBy(col("event_type"), col("v"))
+        .agg(wSums.head, wSums.tail: _*)
+        .localCheckpoint()
+      val repArr = array(
+        struct(lit(-1).as("r"), col("w_m1").as("n")) +:
+        (0 until R).map(r =>
+          struct(lit(r).as("r"), col(s"w_$r").as("n"))): _*)
+      val g = cells
+        .select(col("event_type"), col("v"), explode(repArr).as("x"))
+        .select(col("event_type"), col("x.r").as("r"), col("v"),
+          col("x.n").as("n"))
+        .filter(col("n") > 0)
       val c = CoreOps.rangePrefixSums(g, Seq("event_type", "r"),
         Seq(col("v")), Seq("n"))
       val tot = g.groupBy(col("event_type"), col("r"))
