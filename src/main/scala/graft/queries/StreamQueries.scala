@@ -147,15 +147,23 @@ object StreamQueries {
       new java.util.function.Function[SparkSession, SparkSession] {
         override def apply(base: SparkSession): SparkSession = {
           val s2 = base.newSession()
-          // 4 state partitions: these fixtures' keyspaces are hundreds of
-          // keys, and every extra shuffle partition is one more state
-          // file fsync'd PER micro-batch per stateful operator.
+          // State width from the sizing rule (graft.streaming.StateSizing:
+          // partitions ~ keyspace·bytes / per-task budget, independent of
+          // batch shuffle width): these fixtures' keyspaces are hundreds
+          // of keys → the 4-partition floor, the measured optimum of the
+          // r11 width A/B — every extra shuffle partition is one more
+          // state file fsync'd PER micro-batch per stateful operator.
           // SPARK_GRAFT_STREAM_PARTS overrides for the width-robustness
           // leg (VERDICT r10 item 8) — catches stream plans whose
           // constants only look good at toy width. The driver never sets
           // it.
-          s2.conf.set("spark.sql.shuffle.partitions",
-            sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
+          val stateParts = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+            .map(_.toInt)
+            .getOrElse(graft.streaming.StateSizing.statePartitionsLogged(
+              estimatedKeys = 1024,
+              batchShuffleWidth =
+                base.sessionState.conf.numShufflePartitions))
+          s2.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
           // AQE never applies inside micro-batch plans, and the session's
           // OTHER queries (memory-sink readbacks, 1-row sentinels) are
           // tiny — AQE's per-action query-stage materialization is pure
