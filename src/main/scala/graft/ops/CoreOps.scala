@@ -815,4 +815,23 @@ object CoreOps {
         (if (stats.isEmpty) 0L else within + cross + 1L)
     }.toMap
   }
+
+  /** Exact integer square root ⌊√x⌋ of a non-negative DECIMAL column,
+    * engine-independent: a float sqrt seeds w0, then an integer correction
+    * picks the max k ∈ [w0−2, w0+2] with k·k ≤ x, the square evaluated in
+    * DECIMAL. This removes the int→double cast from the correctness path —
+    * engines round that cast differently above 2^53 (DuckDB's
+    * HUGEINT→DOUBLE is double-rounded above 2^64), where a bare
+    * floor(sqrt(double)) can differ by 1 across engines. Exact while the
+    * seed lands within ±2 of the root: |err| ≤ √x·(εcast + εsqrt/2) ≈
+    * √x·1.7e−16 < 2 ⇔ x < ~1e32 (root < 1e16). Returns LongType.
+    */
+  def exactIsqrt(x: Column): Column = {
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val w0 = floor(sqrt(x.cast("double"))).cast(LongType)
+    coalesce((2 to -2 by -1).map { d =>
+      val k = w0 + d
+      when(k >= 0 && dec(k) * dec(k) <= x, k)
+    }: _*)
+  }
 }

@@ -335,11 +335,16 @@ object CurationQueries {
     // proportional allocation would give, minimizing the estimator's
     // variance at fixed cost. The weight N_h·S_h = √(n·Σv² − (Σv)²)
     // EXACTLY (population sd), so one partial-aggregable pass yields the
-    // integer moment vnum (Σv² in DECIMAL per the r12 doctrine), the
-    // weight is a single floor(sqrt(double)) per STRATUM (never per
-    // row — IEEE sqrt is correctly rounded, so both engines floor the
-    // same integer), and the largest-remainder top-up reuses q239's
-    // provably-exact apportionment on the bounded per-stratum table.
+    // integer moment vnum (Σv² in DECIMAL per the r12 doctrine). The
+    // weight w = ⌊√vnum⌋ is computed EXACTLY: a float sqrt seeds w0, then
+    // an integer correction picks the max k ∈ [w0−2, w0+2] with k² ≤ vnum
+    // in DECIMAL — so no engine's int→double cast rounding can leak into
+    // w (DuckDB's HUGEINT→DOUBLE is double-rounded above 2^64, where a
+    // bare floor(sqrt(double)) CAN differ by 1 between engines; the
+    // seeded correction is engine-independent for vnum < ~1e32, i.e.
+    // w < 1e16 — 1e8× the 100×-sf1 envelope, where seed error < 2).
+    // The largest-remainder top-up reuses q239's provably-exact
+    // apportionment on the bounded per-stratum table.
     // BOUNDS: B·w = 1e5·√(n·Σv²) ≈ 1e17 at 100× sf1 (92× headroom;
     // vnum itself lives in DECIMAL).
     "q283_neyman_allocation" -> ((s, dir) => {
@@ -353,7 +358,7 @@ object CurationQueries {
           sum(dec(col("vc")) * dec(col("vc"))).as("svv"))
         .withColumn("vnum",
           dec(col("n")) * col("svv") - dec(col("sv")) * dec(col("sv")))
-        .withColumn("w", floor(sqrt(col("vnum").cast("double"))).cast("long"))
+        .withColumn("w", CoreOps.exactIsqrt(col("vnum")))
       stats
         .withColumn("total", sum(col("w")).over(Window.partitionBy()))
         .withColumn("base", expr(s"${B}L * w div total"))
@@ -762,11 +767,25 @@ object CurationQueries {
         |    sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
         |        * CAST(round(value * 100) AS BIGINT)) AS svv
         |  FROM events GROUP BY 1),
+        |w0 AS (
+        |  SELECT event_type, n, n * svv - sv * sv AS vnum,
+        |    CAST(floor(sqrt(CAST(n * svv - sv * sv AS DOUBLE))) AS BIGINT)
+        |      AS w0
+        |  FROM st),
         |w AS (
         |  SELECT event_type, n,
-        |    CAST(floor(sqrt(CAST(n * svv - sv * sv AS DOUBLE))) AS BIGINT)
-        |      AS w
-        |  FROM st),
+        |    COALESCE(
+        |      CASE WHEN w0 + 2 >= 0 AND CAST(w0 + 2 AS HUGEINT) * (w0 + 2)
+        |             <= vnum THEN w0 + 2 END,
+        |      CASE WHEN w0 + 1 >= 0 AND CAST(w0 + 1 AS HUGEINT) * (w0 + 1)
+        |             <= vnum THEN w0 + 1 END,
+        |      CASE WHEN w0 >= 0 AND CAST(w0 AS HUGEINT) * w0
+        |             <= vnum THEN w0 END,
+        |      CASE WHEN w0 - 1 >= 0 AND CAST(w0 - 1 AS HUGEINT) * (w0 - 1)
+        |             <= vnum THEN w0 - 1 END,
+        |      CASE WHEN w0 - 2 >= 0 AND CAST(w0 - 2 AS HUGEINT) * (w0 - 2)
+        |             <= vnum THEN w0 - 2 END) AS w
+        |  FROM w0),
         |t AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM w),
         |b AS (
         |  SELECT event_type, n, w,

@@ -213,10 +213,21 @@ object SocialStream {
     * accumulate their cents — the user-level DP prerequisite running
     * against the live stream instead of a nightly batch. State is five
     * longs per user regardless of history. Event order is semantics:
-    * within a batch rows sort by (us, eventId); across batches the
-    * landing must deliver time slices in order (orderedLanding pins
-    * modtimes) — a violation fails LOUDLY rather than silently keeping
-    * the wrong k events.
+    * across batches the landing must deliver time slices in order
+    * (orderedLanding pins modtimes) — a violation fails LOUDLY rather
+    * than silently keeping the wrong k events.
+    *
+    * Per-batch memory is O(k), not O(events per user per batch) (r13;
+    * the r12 form sorted the whole group via toSeq): only the
+    * (k − nKept) order-smallest events of the batch can ever be kept, so
+    * a bounded max-heap selects them in one pass while running counters
+    * track the batch min/max for the order contract. A hot user landing
+    * millions of events in one micro-batch costs k heap slots, not a
+    * materialized sorted copy. The order require covers the batch
+    * boundary (batch-min vs state) and the kept prefix (strictly
+    * increasing, so replayed slices still throw); order among the
+    * discarded tail is not semantics — the cap ignores those events
+    * entirely.
     */
   def contributionCapState(ds: Dataset[CapEvent], k: Int): Dataset[CapSummary] = {
     import ds.sparkSession.implicits._
@@ -226,15 +237,49 @@ object SocialStream {
         (user: Long, rows: Iterator[CapEvent], state: GroupState[CapSt]) =>
           var st = state.getOption.getOrElse(
             CapSt(0L, 0L, 0L, Long.MinValue, Long.MinValue))
-          rows.toSeq.sortBy(r => (r.us, r.eventId)).foreach { r =>
-            require(r.us > st.lastUs ||
-              (r.us == st.lastUs && r.eventId > st.lastId),
-              s"cap event (${r.us}, ${r.eventId}) arrived at/behind " +
+          val need = math.max(k - st.nKept, 0L).toInt
+          val heap = scala.collection.mutable.PriorityQueue
+            .empty[CapEvent](Ordering.by(r => (r.us, r.eventId)))
+          var n = 0L
+          var minUs = Long.MaxValue; var minId = Long.MaxValue
+          var maxUs = Long.MinValue; var maxId = Long.MinValue
+          rows.foreach { r =>
+            n += 1
+            if (r.us < minUs || (r.us == minUs && r.eventId < minId)) {
+              minUs = r.us; minId = r.eventId
+            }
+            if (r.us > maxUs || (r.us == maxUs && r.eventId > maxId)) {
+              maxUs = r.us; maxId = r.eventId
+            }
+            if (need > 0) {
+              if (heap.size < need) heap.enqueue(r)
+              else {
+                val top = heap.head
+                if (r.us < top.us ||
+                    (r.us == top.us && r.eventId < top.eventId)) {
+                  heap.dequeue(); heap.enqueue(r)
+                }
+              }
+            }
+          }
+          if (n > 0) {
+            require(minUs > st.lastUs ||
+              (minUs == st.lastUs && minId > st.lastId),
+              s"cap event ($minUs, $minId) arrived at/behind " +
                 s"(${st.lastUs}, ${st.lastId}) for user $user — the " +
                 "landing broke time order")
-            val keep = st.nKept < k
-            st = CapSt(st.nSeen + 1, st.nKept + (if (keep) 1L else 0L),
-              st.sumKept + (if (keep) r.vc else 0L), r.us, r.eventId)
+            var pu = st.lastUs; var pi = st.lastId
+            var addSum = 0L
+            var addKept = 0L
+            heap.dequeueAll.reverseIterator.foreach { (r: CapEvent) =>
+              require(r.us > pu || (r.us == pu && r.eventId > pi),
+                s"cap event (${r.us}, ${r.eventId}) duplicates/reorders " +
+                  s"($pu, $pi) for user $user — the landing broke time order")
+              pu = r.us; pi = r.eventId
+              addSum += r.vc; addKept += 1L
+            }
+            st = CapSt(st.nSeen + n, st.nKept + addKept,
+              st.sumKept + addSum, maxUs, maxId)
           }
           state.update(st)
           Iterator.single(CapSummary(user, st.nSeen, st.nKept, st.sumKept))

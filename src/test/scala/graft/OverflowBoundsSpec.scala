@@ -93,4 +93,41 @@ class OverflowBoundsSpec extends AnyFunSuite {
     assert(df.schema("r").dataType === org.apache.spark.sql.types.LongType)
     assert(df.first().getLong(0) === 1234567890123L)
   }
+
+  test("exactIsqrt is exact above 2^64 where float casts diverge (q283 r13)") {
+    // Perfect squares k² and their neighbors k²±1 at magnitudes from the
+    // q283 envelope (vnum ~ 1e24) up past 2^64, where DuckDB's
+    // HUGEINT→DOUBLE double-rounded cast can flip a bare
+    // floor(sqrt(double)) by 1. Expected roots recomputed with BigInt.
+    val ks = Seq(3L, 4294967296L /* 2^32: k² = 2^64 */, 4294967311L,
+      999999999999L, 1000000000000L /* k² = 1e24 */, 987654321987L)
+    val cases = ks.flatMap { k =>
+      val sq = BigInt(k) * BigInt(k)
+      Seq(sq - 1, sq, sq + 1)
+    } :+ BigInt(0) :+ BigInt(1) :+ BigInt(2)
+    val expected = cases.map { x =>
+      // BigInt isqrt by Newton (stop when the iterate stops DECREASING —
+      // Newton on integers oscillates between the two values bracketing
+      // the root, so `g != prev` alone never terminates there)
+      def isqrt(n: BigInt): BigInt = {
+        if (n < 2) n
+        else {
+          var g = BigInt(1) << ((n.bitLength + 1) / 2)
+          var next = (g + n / g) >> 1
+          while (next < g) { g = next; next = (g + n / g) >> 1 }
+          while (g * g > n) g -= 1
+          while ((g + 1) * (g + 1) <= n) g += 1
+          g
+        }
+      }
+      isqrt(x)
+    }
+    val df = cases.map(_.toString).toDF("xs")
+      .select(graft.ops.CoreOps.exactIsqrt(
+        col("xs").cast("decimal(38,0)")).as("r"))
+    val got = df.collect().map(_.getLong(0))
+    got.zip(expected).zip(cases).foreach { case ((g, e), x) =>
+      assert(BigInt(g) === e, s"isqrt($x)")
+    }
+  }
 }

@@ -110,6 +110,37 @@ class SocialStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("contributionCapState keeps the order-smallest k of an unsorted skewed batch in O(k)") {
+    // One hot user lands many events in a single micro-batch, delivered
+    // in arbitrary order: the bounded-heap selection (r13) must keep
+    // exactly the k smallest by (us, eventId) — the same answer the
+    // sort-the-whole-group form gave — while never materializing the
+    // batch. vc = us so the kept sum identifies WHICH events were kept.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SocialStream.CapEvent]
+    val out = SocialStream.contributionCapState(mem.toDS(), k = 3)
+    val q = out.writeStream.format("memory").queryName("capskew")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val evs = new scala.util.Random(7).shuffle(
+        (1 to 200).map(i => SocialStream.CapEvent(5L, i * 10L, i.toLong, i * 10L)))
+      mem.addData(evs)
+      q.processAllAvailable()
+      val last = spark.table("capskew").as[SocialStream.CapSummary]
+        .collect().filter(_.user == 5L).maxBy(_.nSeen)
+      assert(last.nSeen == 200L && last.nKept == 3L &&
+        last.sumKeptCents == 10L + 20L + 30L)
+      // a later batch must still be checked against the batch MAX high
+      // water mark (2000), not the kept prefix's max (30)
+      mem.addData(SocialStream.CapEvent(5L, 1999L, 999L, 1L))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("broke time order")))
+    } finally q.stop()
+  }
+
   test("streaming pipeline output equals the batch pipeline on the same landing data") {
     import graft.pipeline.SocialPipeline
     import graft.schemas.Schemas
