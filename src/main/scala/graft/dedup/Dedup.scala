@@ -555,17 +555,34 @@ object Dedup {
       threshold, bucketCap)
   }
 
-  /** Shared candidate+verify tail of the incremental paths. */
+  /** Shared candidate+verify tail of the incremental paths.
+    *
+    * The history SET state is Bloom-pruned before its exchange (r13): the
+    * verify join needs sets for candidate `id_old`s only — a sliver of
+    * the standing corpus on any healthy night — but a plain join ships
+    * the WHOLE set table (∝ state ≈ 1% of corpus bytes, the dominant
+    * measured exchange of the r13 incremental rehearsal). The candidate
+    * table is ids-only and bounded by batch×dup-rate, so it
+    * localCheckpoints cheaply; its exact count sizes the sketch, and
+    * false positives are removed by the exact join that follows —
+    * results identical, the sketch only moves work off the state
+    * exchange (same device as [[dedupAgainstHistory]]'s Bloom gate).
+    */
   private def incrementalVerify(batch: DataFrame, nb: DataFrame,
                                 hb: DataFrame, hs: DataFrame,
                                 idCol: String, textCol: String,
                                 shingleK: Int, threshold: Double,
                                 bucketCap: Int): DataFrame = {
-    val cand = incrementalCandidates(nb, hb, bucketCap)
+    val cand = incrementalCandidates(nb, hb, bucketCap).localCheckpoint()
+    val nCand = math.max(cand.count(), 1L)
+    val sketch = graft.ops.BloomJoin.buildSketch(cand, "id_old", nCand)
+    val hsPruned = hs.filter(
+      graft.ops.BloomJoin.mightContain(hs, col("id"), sketch))
     val ns = shingleHashSets(batch, idCol, textCol, shingleK)
     val withSets = cand
       .join(ns.select(col("id").as("id_new"), col("sh").as("sh_a")), "id_new")
-      .join(hs.select(col("id").as("id_old"), col("sh").as("sh_b")), "id_old")
+      .join(hsPruned.select(col("id").as("id_old"), col("sh").as("sh_b")),
+        "id_old")
     appendJaccard(withSets, "sh_a", "sh_b", "jaccard")
       .filter(col("jaccard") >= threshold)
       .select("id_new", "id_old", "jaccard")
