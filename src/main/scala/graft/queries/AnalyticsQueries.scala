@@ -130,6 +130,132 @@ object AnalyticsQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Bradley-Terry preference-strength fit — the model behind every
+    // RLHF pairwise-preference pipeline ("A beat B" comparisons → a
+    // per-item strength scale). Duels are adjacent events (event_id,
+    // event_id+1) of DIFFERENT types; the higher cents value wins, ties
+    // to the lexicographically smaller type — one shifted equi-join, one
+    // 20-cell agg at any scale. The MLE is 15 minorization-maximization
+    // rounds (Hunter 2004, Ann. Statist. 32) run DRIVER-SIDE on the
+    // collected K×(K−1) wins matrix — a bounded model artifact, the same
+    // class as a centroid table — in EXACT fixed point: p'_i =
+    // (W_i·10^12) ÷ Σ_j (n_ij·10^12 ÷ (p_i+p_j)), truncating division,
+    // BigInt here / HUGEINT in the oracle (identical truncations, so the
+    // hash compare pins all 15 rounds). Strengths normalize to ppm of
+    // K·10^6. BOUNDS: n_ij·10^12 exceeds int64 past ~9e6 duels per pair —
+    // hence BigInt/HUGEINT, exact at any count.
+    "q297_bradley_terry" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type").as("t1"),
+          cents(col("value")).as("v1"))
+      val nxt = e.select((col("event_id") - 1).as("event_id"),
+        col("t1").as("t2"), col("v1").as("v2"))
+      val aWins = col("v1") > col("v2") ||
+        (col("v1") === col("v2") && col("t1") < col("t2"))
+      val wins = e.join(nxt, "event_id").filter(col("t1") =!= col("t2"))
+        .select(when(aWins, col("t1")).otherwise(col("t2")).as("win"),
+          when(aWins, col("t2")).otherwise(col("t1")).as("lose"))
+        .groupBy(col("win"), col("lose")).agg(count(lit(1)).as("w"))
+        .collect()
+      val w = wins.map(r =>
+        (r.getString(0), r.getString(1)) -> BigInt(r.getLong(2))).toMap
+      val items = w.keysIterator
+        .flatMap { case (a, b) => Iterator(a, b) }.toSeq.distinct.sorted
+      val SC = BigInt("1000000000000")
+      def wi(i: String) =
+        items.filter(_ != i).map(j => w.getOrElse((i, j), BigInt(0))).sum
+      def gi(i: String) = items.filter(_ != i).map(j =>
+        w.getOrElse((i, j), BigInt(0)) + w.getOrElse((j, i), BigInt(0))).sum
+      var p = items.map(_ -> BigInt(1000000)).toMap
+      for (_ <- 0 until 15) {
+        val d = items.map { i =>
+          i -> items.filter(_ != i).map { j =>
+            val nij = w.getOrElse((i, j), BigInt(0)) +
+              w.getOrElse((j, i), BigInt(0))
+            val den = p(i) + p(j)
+            if (nij == 0 || den == 0) BigInt(0) else (nij * SC) / den
+          }.sum
+        }.toMap
+        p = items.map { i =>
+          i -> (if (d(i) > 0) (wi(i) * SC) / d(i) else p(i))
+        }.toMap
+      }
+      val tot = p.values.sum
+      val target = BigInt(1000000) * items.size
+      items.map { i =>
+        (i, wi(i).toLong, gi(i).toLong,
+          (if (tot > 0) (p(i) * target) / tot else BigInt(0)).toLong)
+      }.toDF("item", "n_wins", "n_games", "strength_ppm")
+        .orderBy(col("item"))
+    }),
+
+    // Difference-in-differences — the quasi-experimental estimator for
+    // rollouts WITHOUT randomization (staged launches, geo gates): arm =
+    // user parity, period split at 2024-01-16, outcome = purchase cents.
+    // DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+    // cancels both the fixed arm gap and the common time trend. One
+    // partial-agg scan to 8 cells; means in micro-cents via the shared
+    // truncation div (sums DECIMAL-escaped per the r12 doctrine).
+    "q298_diff_in_diff" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(19,0)")
+      val e = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("arm"),
+          when(col("ts") >= lit("2024-01-16").cast("timestamp"), 1L)
+            .otherwise(0L).as("post"),
+          cents(col("value")).as("vc"))
+      def cell(a: Int, pp: Int, agg: Column) =
+        sum(when(col("arm") === a && col("post") === pp, agg).otherwise(0L))
+      val cells = e.agg(
+        cell(1, 0, lit(1L)).as("n_t_pre"), cell(1, 0, col("vc")).as("s_t_pre"),
+        cell(1, 1, lit(1L)).as("n_t_post"), cell(1, 1, col("vc")).as("s_t_post"),
+        cell(0, 0, lit(1L)).as("n_c_pre"), cell(0, 0, col("vc")).as("s_c_pre"),
+        cell(0, 1, lit(1L)).as("n_c_post"), cell(0, 1, col("vc")).as("s_c_post"))
+      def m(s: String, n: String) =
+        call_function("div", dec(col(s)) * 1000000L, col(n))
+      cells.select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+          col("n_c_post"),
+          m("s_t_pre", "n_t_pre").as("m_t_pre_u"),
+          m("s_t_post", "n_t_post").as("m_t_post_u"),
+          m("s_c_pre", "n_c_pre").as("m_c_pre_u"),
+          m("s_c_post", "n_c_post").as("m_c_post_u"))
+        .withColumn("did_u",
+          (col("m_t_post_u") - col("m_t_pre_u")) -
+            (col("m_c_post_u") - col("m_c_pre_u")))
+    }),
+
+    // Preference-data QA for q297's duel table: per unordered type pair,
+    // total comparisons, wins each way, consistency (majority direction
+    // in bp) and flips (minority-direction count). High flip rates mark
+    // pairs whose preference signal is noise — the label-quality gate a
+    // preference dataset passes before reward-model training. Same duel
+    // construction as q297; one extra 10-cell agg.
+    "q299_preference_flips" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type").as("t1"),
+          cents(col("value")).as("v1"))
+      val nxt = e.select((col("event_id") - 1).as("event_id"),
+        col("t1").as("t2"), col("v1").as("v2"))
+      val aWins = col("v1") > col("v2") ||
+        (col("v1") === col("v2") && col("t1") < col("t2"))
+      e.join(nxt, "event_id").filter(col("t1") =!= col("t2"))
+        .select(least(col("t1"), col("t2")).as("item_a"),
+          greatest(col("t1"), col("t2")).as("item_b"),
+          when(aWins === (col("t1") < col("t2")), 1L).otherwise(0L)
+            .as("a_won"))
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("n_duels"),
+          sum(col("a_won")).as("wins_a"),
+          (count(lit(1)) - sum(col("a_won"))).as("wins_b"))
+        .select(col("item_a"), col("item_b"), col("n_duels"),
+          col("wins_a"), col("wins_b"),
+          expr("10000 * greatest(wins_a, wins_b) div n_duels")
+            .as("consistency_bp"),
+          least(col("wins_a"), col("wins_b")).as("n_flips"))
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
     // Time-grid gap-fill + forward-fill: daily per-user value snapshots
     // over the events span — slots with no event carry the user's last
     // observed value (the point-in-time reporting primitive). Grid bounds
@@ -1258,7 +1384,117 @@ object AnalyticsQueries {
 
   )
 
+  /** q297's oracle: the same 15 exact fixed-point MM rounds as the Spark
+    * side's BigInt solve, unrolled as chained CTEs (DuckDB's recursive
+    * CTEs disallow aggregation over the recursive reference, so the
+    * rounds are program-generated — the count can never drift from the
+    * driver loop because both read the same constant).
+    */
+  private def btOracleSql: String = {
+    val SC = "1000000000000"
+    val steps = (1 to 15).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT g.a AS item,
+         |    sum(CASE WHEN pi.p + pj.p > 0
+         |        THEN (CAST(g.n AS HUGEINT) * $SC) // (pi.p + pj.p)
+         |        ELSE 0 END) AS d
+         |  FROM games g
+         |  JOIN it${k - 1} pi ON pi.item = g.a
+         |  JOIN it${k - 1} pj ON pj.item = g.b
+         |  GROUP BY 1),
+         |it$k AS MATERIALIZED (
+         |  SELECT wt.item,
+         |    CASE WHEN coalesce(d.d, 0) > 0
+         |      THEN (CAST(wt.wins AS HUGEINT) * $SC) // d.d
+         |      ELSE p0.p END AS p
+         |  FROM wt
+         |  LEFT JOIN d$k d ON d.item = wt.item
+         |  JOIN it${k - 1} p0 ON p0.item = wt.item)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT event_id, event_type AS t,
+       |    CAST(round(value * 100) AS BIGINT) AS vc
+       |  FROM events),
+       |duels AS (
+       |  SELECT CASE WHEN a.vc > b.vc OR (a.vc = b.vc AND a.t < b.t)
+       |           THEN a.t ELSE b.t END AS win,
+       |         CASE WHEN a.vc > b.vc OR (a.vc = b.vc AND a.t < b.t)
+       |           THEN b.t ELSE a.t END AS lose
+       |  FROM ev a JOIN ev b ON b.event_id = a.event_id + 1 AND a.t <> b.t),
+       |wmat AS MATERIALIZED (SELECT win, lose, CAST(count(*) AS BIGINT) AS w
+       |         FROM duels GROUP BY 1, 2),
+       |items AS MATERIALIZED (SELECT win AS item FROM wmat
+       |          UNION SELECT lose FROM wmat),
+       |games AS MATERIALIZED (
+       |  SELECT a, b, CAST(sum(n) AS BIGINT) AS n FROM (
+       |    SELECT win AS a, lose AS b, w AS n FROM wmat
+       |    UNION ALL SELECT lose, win, w FROM wmat) GROUP BY 1, 2),
+       |wt AS MATERIALIZED (
+       |  SELECT i.item, CAST(coalesce(sum(w.w), 0) AS BIGINT) AS wins
+       |  FROM items i LEFT JOIN wmat w ON w.win = i.item GROUP BY 1),
+       |gt AS (
+       |  SELECT i.item, CAST(coalesce(sum(g.n), 0) AS BIGINT) AS games
+       |  FROM items i LEFT JOIN games g ON g.a = i.item GROUP BY 1),
+       |it0 AS MATERIALIZED (SELECT item, CAST(1000000 AS HUGEINT) AS p FROM items),
+       |$steps,
+       |tot AS (SELECT sum(p) AS tp,
+       |        (SELECT count(*) FROM items) AS k FROM it15)
+       |SELECT wt.item, wt.wins AS n_wins, gt.games AS n_games,
+       |  CAST((it15.p * (1000000 * tot.k)) // tot.tp AS BIGINT)
+       |    AS strength_ppm
+       |FROM wt JOIN gt USING (item) JOIN it15 USING (item), tot
+       |ORDER BY wt.item""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q297_bradley_terry" -> btOracleSql,
+
+    "q298_diff_in_diff" ->
+      """WITH e AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+        |      THEN 1 ELSE 0 END AS post,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT
+        |  CAST(sum(CASE WHEN arm = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+        |  CAST(sum(CASE WHEN arm = 1 AND post = 0 THEN vc ELSE 0 END) AS HUGEINT) AS s_t_pre,
+        |  CAST(sum(CASE WHEN arm = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+        |  CAST(sum(CASE WHEN arm = 1 AND post = 1 THEN vc ELSE 0 END) AS HUGEINT) AS s_t_post,
+        |  CAST(sum(CASE WHEN arm = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+        |  CAST(sum(CASE WHEN arm = 0 AND post = 0 THEN vc ELSE 0 END) AS HUGEINT) AS s_c_pre,
+        |  CAST(sum(CASE WHEN arm = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+        |  CAST(sum(CASE WHEN arm = 0 AND post = 1 THEN vc ELSE 0 END) AS HUGEINT) AS s_c_post
+        |  FROM e),
+        |m AS (SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+        |  CAST((s_t_pre * 1000000) // n_t_pre AS BIGINT) AS m_t_pre_u,
+        |  CAST((s_t_post * 1000000) // n_t_post AS BIGINT) AS m_t_post_u,
+        |  CAST((s_c_pre * 1000000) // n_c_pre AS BIGINT) AS m_c_pre_u,
+        |  CAST((s_c_post * 1000000) // n_c_post AS BIGINT) AS m_c_post_u
+        |  FROM c)
+        |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+        |  m_t_pre_u, m_t_post_u, m_c_pre_u, m_c_post_u,
+        |  (m_t_post_u - m_t_pre_u) - (m_c_post_u - m_c_pre_u) AS did_u
+        |FROM m""".stripMargin,
+
+    "q299_preference_flips" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |duels AS (
+        |  SELECT least(a.t, b.t) AS item_a, greatest(a.t, b.t) AS item_b,
+        |    CASE WHEN (a.vc > b.vc OR (a.vc = b.vc AND a.t < b.t))
+        |              = (a.t < b.t) THEN 1 ELSE 0 END AS a_won
+        |  FROM ev a JOIN ev b ON b.event_id = a.event_id + 1 AND a.t <> b.t)
+        |SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS n_duels,
+        |  CAST(sum(a_won) AS BIGINT) AS wins_a,
+        |  CAST(count(*) - sum(a_won) AS BIGINT) AS wins_b,
+        |  CAST(10000 * greatest(sum(a_won), count(*) - sum(a_won))
+        |    // count(*) AS BIGINT) AS consistency_bp,
+        |  CAST(least(sum(a_won), count(*) - sum(a_won)) AS BIGINT) AS n_flips
+        |FROM duels GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
 
     // Ordered-step funnel replayed with correlated mins.
     "q246_funnel_conversion" ->

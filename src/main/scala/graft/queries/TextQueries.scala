@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{CoreOps, SocialOps}
@@ -38,6 +38,83 @@ object TextQueries {
     3L -> "customer", 3L -> "slow")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Cohen's κ for the q248 language-ID audit — CHANCE-CORRECTED binary
+    // agreement between truth (lang = 'en') and the marker detector
+    // (any en marker token present): raw agreement (q248's confusion
+    // matrix) rewards a detector that always says "not en" on a 20%-en
+    // corpus with 80% agreement; κ subtracts the marginal-product chance
+    // floor. Exact cross-multiplied integers: with agreement count g,
+    // marginals na/nb, chance cells C = na·nb + (n−na)(n−nb),
+    // κ = (n·g − C) / (n² − C); reported in basis points with the
+    // sign-split truncation div both engines share. One partial-agg scan.
+    // BOUNDS: n² in DECIMAL (int64 would wrap past n ≈ 3e9 docs).
+    "q296_cohens_kappa" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(19,0)")
+      val enMarks = langMarkers.head._2
+      val lab = Tables.load(s, dir, "documents").select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("a"),
+        when(size(filter(split(col("text"), " "),
+          t => t.isInCollection(enMarks))) >= 1, 1L).otherwise(0L).as("b"))
+      lab.agg(count(lit(1)).as("n"), sum(col("a")).as("na"),
+          sum(col("b")).as("nb"),
+          sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("g"))
+        .select(col("n"), col("na").as("n_truth_en"),
+          col("nb").as("n_detect_en"), col("g").as("n_agree"),
+          (dec(col("na")) * dec(col("nb")) +
+            dec(col("n") - col("na")) * dec(col("n") - col("nb"))).as("chance"),
+          (dec(col("n")) * dec(col("g"))).as("po_n2"))
+        .select(col("n"), col("n_truth_en"), col("n_detect_en"),
+          col("n_agree"),
+          (col("po_n2") - col("chance")).as("knum"),
+          (dec(col("n")) * dec(col("n")) - col("chance")).as("kden"))
+        .select(col("n"), col("n_truth_en"), col("n_detect_en"),
+          col("n_agree"),
+          when(col("knum") >= 0,
+            call_function("div", col("knum") * 10000, col("kden")))
+            .otherwise(-call_function("div", -col("knum") * 10000, col("kden")))
+            .as("kappa_bp"))
+    }),
+
+    // Weak-supervision label model (the Snorkel-style vote every
+    // labeling-at-scale pipeline runs before training a filter): three
+    // deterministic labeling functions over each doc (length ≥ 30 tokens,
+    // distinct-token ratio ≥ ½, any stopword present), phase 1 =
+    // unweighted majority, phase 2 = per-LF reliability weights (bp
+    // agreement with the majority — a 1-row broadcast artifact), phase 3
+    // = reliability-weighted revote with margin. Per-lang report counts
+    // the flips phase 3 introduces. All integer; both phases are
+    // partial-agg scans + one broadcast — no per-doc state, no window.
+    "q300_weighted_vote" -> ((s, dir) => {
+      val lfs = Tables.load(s, dir, "documents").select(col("lang"),
+        when(size(split(col("text"), " ")) >= 30, 1L).otherwise(0L).as("l1"),
+        when(size(array_distinct(split(col("text"), " "))) * 2
+          >= size(split(col("text"), " ")), 1L).otherwise(0L).as("l2"),
+        when(size(filter(split(col("text"), " "),
+          t => t.isInCollection(stopwords))) >= 1, 1L).otherwise(0L).as("l3"))
+        .withColumn("maj",
+          when(col("l1") + col("l2") + col("l3") >= 2, 1L).otherwise(0L))
+      val w = broadcast(lfs.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l1") === col("maj"), 1L).otherwise(0L)).as("a1"),
+        sum(when(col("l2") === col("maj"), 1L).otherwise(0L)).as("a2"),
+        sum(when(col("l3") === col("maj"), 1L).otherwise(0L)).as("a3"))
+        .select(expr("10000 * a1 div n").as("w1"),
+          expr("10000 * a2 div n").as("w2"),
+          expr("10000 * a3 div n").as("w3")))
+      val voted = lfs.crossJoin(w)
+        .withColumn("score",
+          col("w1") * (col("l1") * 2 - 1) + col("w2") * (col("l2") * 2 - 1) +
+            col("w3") * (col("l3") * 2 - 1))
+        .withColumn("wl", when(col("score") > 0, 1L).otherwise(0L))
+      voted.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("maj")).as("n_pos_majority"),
+          sum(col("wl")).as("n_pos_weighted"),
+          sum(when(col("wl") =!= col("maj"), 1L).otherwise(0L)).as("n_flipped"),
+          sum(abs(col("score"))).as("sum_margin"))
+        .orderBy(col("lang"))
+    }),
+
     // BM25-family ranked retrieval (see TextOps.bm25TopK for the exact
     // integer surrogate): relevance-ranked keyword search over the corpus,
     // the query-side sibling of q95's TF-IDF document profile. Per-query
@@ -1122,6 +1199,62 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q296_cohens_kappa" ->
+      s"""WITH lab AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN len(list_filter(string_split(text, ' '),
+         |      x -> x IN ${sqlList(langMarkers.head._2)})) >= 1
+         |      THEN 1 ELSE 0 END AS b
+         |  FROM documents),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
+         |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS g
+         |  FROM lab),
+         |k AS (
+         |  SELECT n, na, nb, g,
+         |    CAST(n AS HUGEINT) * g
+         |      - (CAST(na AS HUGEINT) * nb + CAST(n - na AS HUGEINT) * (n - nb))
+         |      AS knum,
+         |    CAST(n AS HUGEINT) * n
+         |      - (CAST(na AS HUGEINT) * nb + CAST(n - na AS HUGEINT) * (n - nb))
+         |      AS kden
+         |  FROM agg)
+         |SELECT n, na AS n_truth_en, nb AS n_detect_en, g AS n_agree,
+         |  CASE WHEN knum >= 0 THEN CAST((knum * 10000) // kden AS BIGINT)
+         |       ELSE -CAST(((-knum) * 10000) // kden AS BIGINT) END AS kappa_bp
+         |FROM k""".stripMargin,
+
+    "q300_weighted_vote" ->
+      s"""WITH lfs AS (
+         |  SELECT lang,
+         |    CASE WHEN len(string_split(text, ' ')) >= 30 THEN 1 ELSE 0 END AS l1,
+         |    CASE WHEN len(list_distinct(string_split(text, ' '))) * 2
+         |      >= len(string_split(text, ' ')) THEN 1 ELSE 0 END AS l2,
+         |    CASE WHEN len(list_filter(string_split(text, ' '),
+         |      x -> x IN ${sqlList(stopwords)})) >= 1 THEN 1 ELSE 0 END AS l3
+         |  FROM documents),
+         |m AS (SELECT *, CASE WHEN l1 + l2 + l3 >= 2 THEN 1 ELSE 0 END AS maj
+         |      FROM lfs),
+         |w AS (
+         |  SELECT
+         |    10000 * sum(CASE WHEN l1 = maj THEN 1 ELSE 0 END) // count(*) AS w1,
+         |    10000 * sum(CASE WHEN l2 = maj THEN 1 ELSE 0 END) // count(*) AS w2,
+         |    10000 * sum(CASE WHEN l3 = maj THEN 1 ELSE 0 END) // count(*) AS w3
+         |  FROM m),
+         |v AS (
+         |  SELECT lang, maj,
+         |    w1 * (l1 * 2 - 1) + w2 * (l2 * 2 - 1) + w3 * (l3 * 2 - 1) AS score
+         |  FROM m, w)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(maj) AS BIGINT) AS n_pos_majority,
+         |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pos_weighted,
+         |  CAST(sum(CASE WHEN (CASE WHEN score > 0 THEN 1 ELSE 0 END) <> maj
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flipped,
+         |  CAST(sum(abs(score)) AS BIGINT) AS sum_margin
+         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q225_bpe_train" -> bpeTrainSql(5),
 
     "q235_tokenizer_fertility" ->
