@@ -21,6 +21,99 @@ object CurationQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Compaction planner — the small-files answer every lakehouse job
+    // schedules: a date-ordered file manifest (one simulated file per
+    // l_shipdate; bytes = fixed row overhead + payload) packed NEXT-FIT
+    // into ~256 KiB compaction bins by running total: bin = the file's
+    // START offset div target, i.e. a file opens a new bin exactly when
+    // the running total crosses the target. The cumulative sum rides
+    // CoreOps.rangePrefixSums (one range exchange + P×1 boundary
+    // artifact — no global window), so the plan is the same at 2,500
+    // files or 2.5M. Per-bin report: files, bytes, day span.
+    "q301_compaction_bins" -> ((s, dir) => {
+      val target = 262144L
+      val manifest = Tables.load(s, dir, "lineitem")
+        .groupBy(expr(
+          "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")
+          .as("day"))
+        .agg((count(lit(1)) * 64L +
+          sum(expr("CAST(round(l_quantity) AS BIGINT)"))).as("bytes"))
+      CoreOps.rangePrefixSums(manifest, Seq.empty, Seq(col("day")),
+          Seq("bytes"))
+        .withColumn("bin",
+          expr(s"(bytes_cum - bytes) div ${target}L"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+          min(col("day")).as("day_min"), max(col("day")).as("day_max"))
+        .orderBy(col("bin"))
+    }),
+
+    // Exact-size stratified sample — the deterministic "give me exactly
+    // k docs per language" primitive (q137's weighted sampler keeps a
+    // RANDOM-SIZED subset; release pipelines need fixed-size pools for
+    // eval sets and annotation batches). Order is a portable salted
+    // hash, so the sample is reproducible across engines and runs; the
+    // kernel is the k-bounded partial top-k AGGREGATE (functions/
+    // TopKAgg) — each map task ships ≤ k rows per stratum, never a
+    // window sort over the corpus.
+    "q302_stratified_sample" -> ((s, dir) => {
+      val k = 50
+      val h = (col("doc_id") * 2654435761L) % 2147483647L
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), h.as("h"))
+        .groupBy(col("lang"))
+        .agg(graft.functions.TopKAgg.topK(k, col("h"), col("doc_id"))
+          .as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.id").as("doc_id"))
+        .orderBy(col("lang"), col("rnk"))
+    }),
+
+    // Dataset card — the per-language statistics table a corpus release
+    // ships (docs, tokens, EXACT median length, mean quality, exact-dup
+    // rate, benchmark-contamination rate): five kernels this library
+    // already gates individually (token counts, rangePrefixSums median,
+    // quality micros, distinct-text dup share, shingle decontam), joined
+    // into one bounded report. Every number integer-exact; rates in bp
+    // via the shared truncation div.
+    "q304_dataset_card" -> ((s, dir) => {
+      import graft.queries.{TextQueries => TQ}
+      val corpus = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 97 =!= 0)
+        .localCheckpoint() // five consumers
+      val base = corpus.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        sum(CoreOps.cents(TextOps.qualityScore(col("text"), TQ.stopwords), 6))
+          .as("q_sum"),
+        countDistinct(col("text")).as("n_distinct"))
+      val lens = corpus
+        .groupBy(col("lang"), size(split(col("text"), " ")).cast("long")
+          .as("ntok"))
+        .agg(count(lit(1)).as("cnt"))
+      val med = CoreOps.rangePrefixSums(lens, Seq("lang"), Seq(col("ntok")),
+          Seq("cnt"))
+        .join(broadcast(base.select(col("lang"), col("n_docs"))), "lang")
+        .groupBy(col("lang"))
+        .agg(min(when(col("cnt_cum") * 2 >= col("n_docs"), col("ntok")))
+          .as("p50_tokens"))
+      val bench = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 97 === 0)
+      val cont = graft.dedup.Dedup.decontaminate(corpus, bench,
+          "doc_id", "text", shingleK = 3, minOverlap = 2)
+        .join(corpus.select(col("doc_id").as("id"), col("lang")), "id")
+        .groupBy(col("lang"))
+        .agg(sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_cont"))
+      base.join(med, "lang").join(cont, "lang")
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          col("p50_tokens"),
+          expr("q_sum div n_docs").as("mean_quality_u"),
+          expr("10000 * (n_docs - n_distinct) div n_docs").as("dup_rate_bp"),
+          expr("10000 * n_cont div n_docs").as("contaminated_bp"))
+        .orderBy(col("lang"))
+    }),
+
     // AllPairs/PPJoin prefix-filtering similarity self-join over 3-shingle
     // sets at Jaccard ≥ 0.7: candidates must share one of each doc's
     // RAREST shingles (global-frequency order), so the candidate join
@@ -446,6 +539,78 @@ object CurationQueries {
        |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q301_compaction_bins" ->
+      """WITH manifest AS (
+        |  SELECT CAST(epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+        |    CAST(count(*) * 64 + sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS bytes
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT day, bytes,
+        |    sum(bytes) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM manifest)
+        |SELECT CAST((cum - bytes) // 262144 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+        |  min(day) AS day_min, max(day) AS day_max
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q302_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    (doc_id * 2654435761) % 2147483647 AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h DESC, doc_id)
+        |      AS rnk
+        |  FROM h)
+        |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id
+        |FROM r WHERE rnk <= 50 ORDER BY lang, rnk""".stripMargin,
+
+    "q304_dataset_card" -> {
+      import graft.queries.{DedupQueries => DQ}
+      s"""WITH ${DQ.shingleCtes(3, " lang,")},
+         |corpus AS (
+         |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 <> 0),
+         |base AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CAST(round((${TextQueries.qualitySql}) * 1000000.0)
+         |      AS BIGINT)) AS BIGINT) AS q_sum,
+         |    CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
+         |  FROM corpus GROUP BY 1),
+         |lens AS (
+         |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+         |    count(*) AS cnt
+         |  FROM corpus GROUP BY 1, 2),
+         |medc AS (
+         |  SELECT lang, ntok,
+         |    sum(cnt) OVER (PARTITION BY lang ORDER BY ntok
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM lens),
+         |med AS (
+         |  SELECT m.lang, CAST(min(CASE WHEN m.cum * 2 >= b.n_docs
+         |    THEN m.ntok END) AS BIGINT) AS p50_tokens
+         |  FROM medc m JOIN base b USING (lang) GROUP BY 1),
+         |bench AS (SELECT DISTINCT unnest(hs) AS bh FROM h WHERE doc_id % 97 = 0),
+         |corp AS (SELECT doc_id, unnest(hs) AS ch FROM h WHERE doc_id % 97 <> 0),
+         |ov AS (
+         |  SELECT doc_id, count(*) AS n_overlap
+         |  FROM corp JOIN bench ON corp.ch = bench.bh GROUP BY doc_id),
+         |cont AS (
+         |  SELECT lang, CAST(sum(CASE WHEN COALESCE(ov.n_overlap, 0) >= 2
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cont
+         |  FROM h LEFT JOIN ov USING (doc_id)
+         |  WHERE doc_id % 97 <> 0 GROUP BY 1)
+         |SELECT b.lang, b.n_docs, b.n_tokens, med.p50_tokens,
+         |  q_sum // n_docs AS mean_quality_u,
+         |  10000 * (n_docs - n_distinct) // n_docs AS dup_rate_bp,
+         |  10000 * n_cont // n_docs AS contaminated_bp
+         |FROM base b JOIN med USING (lang) JOIN cont USING (lang)
+         |ORDER BY b.lang""".stripMargin
+    },
+
 
     // Replays the prefix filter from first principles: shared shingle-hash
     // CTEs (the q31/q186 portable hash chain), global (df, hash) order,

@@ -219,6 +219,36 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Dedup-threshold tuning curve — the sweep a corpus team runs before
+    // fixing a Jaccard cutoff: ONE LSH + verify pass (q32's pipeline at
+    // its recall floor 0.5), then every candidate threshold evaluated on
+    // the verified pair table (pairs kept + distinct docs touched per
+    // cutoff). The sweep explodes the PAIR table (tiny — pairs, not
+    // docs), so five thresholds cost one near-dup pass + a few KB, not
+    // five passes. Thresholds compare in bp against jaccard·10⁴ — the
+    // same IEEE product on both engines.
+    "q303_threshold_sweep" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDups(Tables.load(s, dir, "documents"),
+          "doc_id", "text", shingleK = 3, numHashes = 16, bands = 4,
+          threshold = 0.5)
+        .localCheckpoint() // two consumers per threshold (pairs + docs)
+      val sw = pairs
+        .withColumn("threshold_bp",
+          explode(array(Seq(5000, 6000, 7000, 8000, 9000).map(lit): _*)))
+        .filter(col("jaccard") * 10000 >= col("threshold_bp"))
+      val nPairs = sw.groupBy(col("threshold_bp"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val nDocs = sw
+        .select(col("threshold_bp"),
+          explode(array(col("id_a"), col("id_b"))).as("id"))
+        .distinct()
+        .groupBy(col("threshold_bp")).agg(count(lit(1)).as("n_docs"))
+      nPairs.join(nDocs, "threshold_bp")
+        .select(col("threshold_bp").cast("long").as("threshold_bp"),
+          col("n_pairs"), col("n_docs"))
+        .orderBy(col("threshold_bp"))
+    }),
+
     // Incremental exact dedup: a simulated nightly batch (a re-crawl
     // slice = byte-identical dups of history, plus updated docs = new
     // content under new ids) deduped against the corpus's persisted
@@ -1414,6 +1444,28 @@ object DedupQueries {
     "q31_ngram_jaccard" -> minhashOracleSql(2, 16, 8, 0.7),
 
     "q32_minhash_neardups" -> minhashOracleSql(3, 16, 4, 0.5),
+
+    "q303_threshold_sweep" ->
+      s"""WITH ${minhashCtes(3, 16, 4)},
+         |kept AS MATERIALIZED (
+         |  SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.5),
+         |sw AS MATERIALIZED (
+         |  SELECT t.threshold_bp, k.id_a, k.id_b
+         |  FROM kept k
+         |  JOIN (SELECT unnest([5000, 6000, 7000, 8000, 9000])
+         |          AS threshold_bp) t
+         |    ON k.jaccard * 10000 >= t.threshold_bp),
+         |np AS (SELECT threshold_bp, CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM sw GROUP BY 1),
+         |nd AS (
+         |  SELECT threshold_bp, CAST(count(*) AS BIGINT) AS n_docs FROM (
+         |    SELECT DISTINCT threshold_bp, id FROM (
+         |      SELECT threshold_bp, id_a AS id FROM sw
+         |      UNION ALL SELECT threshold_bp, id_b FROM sw))
+         |  GROUP BY 1)
+         |SELECT CAST(threshold_bp AS BIGINT) AS threshold_bp, n_pairs, n_docs
+         |FROM np JOIN nd USING (threshold_bp)
+         |ORDER BY threshold_bp""".stripMargin,
 
     "q77_neardup_clusters" -> minhashClusterOracleSql(3, 16, 4, 0.5),
 
