@@ -256,6 +256,47 @@ object AnalyticsQueries {
         .orderBy(col("item_a"), col("item_b"))
     }),
 
+    // Isotonic calibration (pool-adjacent-violators) — the monotone
+    // recalibration every reward-model / CTR readout runs when raw
+    // per-bucket rates wiggle: fitted_i = max_{j≤i} min_{k≥i} avg(j..k)
+    // (the exact minimax characterization of PAV — Barlow et al. 1972 —
+    // which replaces the sequential pooling loop with an O(B³) closed
+    // form over B ≤ 31 BOUNDED buckets). Buckets: per-user click count
+    // (capped) → conversion = q282's heavy-buyer rule. The distributed
+    // work is two partial-agg scans (user rollup → bucket rollup); the
+    // minimax runs driver-side on the collected bucket table — a model
+    // artifact, like a centroid fit — in exact integer micros
+    // ((10⁶·S) div W), the same truncation the oracle's SQL replays.
+    "q305_isotonic_calibration" -> ((s, dir) => {
+      import s.implicits._
+      val per = Tables.load(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("clicks"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchases"))
+        .select(least(col("clicks"), lit(30L)).as("b"),
+          when(col("purchases") >= 14, 1L).otherwise(0L).as("y"))
+      val buckets = per.groupBy(col("b"))
+        .agg(count(lit(1)).as("w"), sum(col("y")).as("s"))
+        .orderBy(col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val n = buckets.length
+      val cw = buckets.scanLeft(0L)(_ + _._2).tail
+      val cs = buckets.scanLeft(0L)(_ + _._3).tail
+      def avgU(j: Int, k: Int): Long = { // inclusive 0-based bucket idxs
+        val ww = cw(k) - (if (j == 0) 0L else cw(j - 1))
+        val ss = cs(k) - (if (j == 0) 0L else cs(j - 1))
+        1000000L * ss / ww
+      }
+      val iso = (0 until n).map { i =>
+        (0 to i).map(j => (i until n).map(k => avgU(j, k)).min).max
+      }
+      buckets.zipWithIndex.map { case ((b, w, s0), i) =>
+        (b, w, s0, 1000000L * s0 / w, iso(i))
+      }.toSeq.toDF("b", "n_users", "n_conv", "rate_u", "iso_rate_u")
+        .orderBy(col("b"))
+    }),
+
     // Time-grid gap-fill + forward-fill: daily per-user value snapshots
     // over the events span — slots with no event carry the user's last
     // observed value (the point-in-time reporting primitive). Grid bounds
@@ -1448,6 +1489,36 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "q297_bradley_terry" -> btOracleSql,
+
+    "q305_isotonic_calibration" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(least(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+        |      END), 30) AS BIGINT) AS b,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) >= 14 THEN 1 ELSE 0 END AS y
+        |  FROM events GROUP BY 1),
+        |bk AS (SELECT b, CAST(count(*) AS BIGINT) AS w,
+        |         CAST(sum(y) AS BIGINT) AS s FROM per GROUP BY 1),
+        |idx AS (SELECT b, w, s, row_number() OVER (ORDER BY b) AS i FROM bk),
+        |cum AS (SELECT *, sum(w) OVER (ORDER BY i) AS cw,
+        |          sum(s) OVER (ORDER BY i) AS cs FROM idx),
+        |pairs AS (
+        |  SELECT j.i AS j, k.i AS k,
+        |    CAST((1000000 * (k.cs - coalesce(jp.cs, 0)))
+        |      // (k.cw - coalesce(jp.cw, 0)) AS BIGINT) AS avg_u
+        |  FROM cum j JOIN cum k ON k.i >= j.i
+        |  LEFT JOIN cum jp ON jp.i = j.i - 1),
+        |im AS (
+        |  SELECT p.j, x.i, min(avg_u) AS mn
+        |  FROM pairs p JOIN idx x ON p.j <= x.i AND p.k >= x.i
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT i, CAST(max(mn) AS BIGINT) AS iso_rate_u
+        |        FROM im GROUP BY i)
+        |SELECT idx.b, idx.w AS n_users, idx.s AS n_conv,
+        |  CAST((1000000 * idx.s) // idx.w AS BIGINT) AS rate_u,
+        |  iso.iso_rate_u
+        |FROM idx JOIN iso USING (i) ORDER BY b""".stripMargin,
 
     "q298_diff_in_diff" ->
       """WITH e AS (

@@ -115,6 +115,44 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // Kneser-Ney smoothed bigram LM (Kneser & Ney 1995; the Chen-Goodman
+    // interpolated form with fixed discount d = 0.75) — the data-side
+    // n-gram LM used for importance weighting and quality scoring when a
+    // neural scorer is too expensive. Continuation probability uses
+    // DISTINCT preceding contexts, the KN insight raw MLE misses.
+    // Exact fixed point, micros end to end: term1 = (10⁶·c₁₂ − d_u) div
+    // c₁, λ = (d_u·T₁) div c₁, P_cont = (10⁶·C₂) div T_types, p = term1 +
+    // (λ·P_cont) div 10⁶ — identical truncations on both engines. Scale
+    // shape: one bigram agg (corpus-sized exchange of token-hash pairs),
+    // then everything lives on the DISTINCT-bigram domain; top-25 is
+    // TakeOrdered, never a global sort.
+    // BOUNDS: λ·P_cont ≤ 10¹² — int64-safe outright.
+    "q306_kneser_ney" -> ((s, dir) => {
+      val toksCol = split(col("text"), " ")
+      val pair = zip_with(
+        slice(toksCol, lit(1), size(toksCol) - 1),
+        slice(toksCol, lit(2), size(toksCol) - 1),
+        (l, r) => struct(l.as("w1"), r.as("w2")))
+      val big = Tables.load(s, dir, "documents")
+        .filter(col("lang") === "en" && length(col("text")) > 0)
+        .select(explode(pair).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .localCheckpoint() // four consumers on the distinct-bigram domain
+      val c1 = big.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("t1"))
+      val c2 = big.groupBy(col("w2")).agg(count(lit(1)).as("cc2"))
+      val tt = big.agg(count(lit(1)).as("t_types"))
+      big.join(c1, "w1").join(c2, "w2").crossJoin(broadcast(tt))
+        .select(col("w1"), col("w2"), col("c12"),
+          (expr("(1000000 * c12 - 750000) div c1") +
+            expr("((750000 * t1 div c1) * ((1000000 * cc2) div t_types)) " +
+              "div 1000000")).as("p_u"))
+        .filter(col("c12") >= 5)
+        .orderBy(col("p_u").desc, col("w1"), col("w2"))
+        .limit(25)
+    }),
+
     // BM25-family ranked retrieval (see TextOps.bm25TopK for the exact
     // integer surrogate): relevance-ranked keyword search over the corpus,
     // the query-side sibling of q95's TF-IDF document profile. Per-query
@@ -1224,6 +1262,27 @@ object TextQueries {
          |  CASE WHEN knum >= 0 THEN CAST((knum * 10000) // kden AS BIGINT)
          |       ELSE -CAST(((-knum) * 10000) // kden AS BIGINT) END AS kappa_bp
          |FROM k""".stripMargin,
+
+    "q306_kneser_ney" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks
+        |  FROM documents WHERE lang = 'en' AND length(text) > 0),
+        |big AS MATERIALIZED (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2,
+        |    CAST(count(*) AS BIGINT) AS c12
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |         CAST(count(*) AS BIGINT) AS t1 FROM big GROUP BY 1),
+        |c2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS cc2 FROM big GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM big)
+        |SELECT w1, w2, c12,
+        |  CAST((1000000 * c12 - 750000) // c1
+        |    + ((750000 * t1 // c1) * ((1000000 * cc2) // t_types)) // 1000000
+        |    AS BIGINT) AS p_u
+        |FROM big JOIN c1 USING (w1) JOIN c2 USING (w2), tt
+        |WHERE c12 >= 5
+        |ORDER BY p_u DESC, w1, w2 LIMIT 25""".stripMargin,
 
     "q300_weighted_vote" ->
       s"""WITH lfs AS (
