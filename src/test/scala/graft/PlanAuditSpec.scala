@@ -411,4 +411,32 @@ class PlanAuditSpec extends AnyFunSuite {
           "fell back to a single-task sort")
     }
   }
+
+  test("r13 wave: duel joins stay equi; planner/sample/card stay windowless") {
+    // q297/q299's duel construction is a shifted EQUI-join on event_id —
+    // a nested-loop here means the +1 key stopped driving the join and
+    // the adjacent-pair stage went quadratic. The Bradley-Terry solve is
+    // a bounded driver artifact; the distributed part must stay keyed.
+    Seq("q297_bradley_terry", "q299_preference_flips").foreach { qn =>
+      val p = run(qn)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$qn: adjacent-event duel join degenerated to nested-loop/cartesian")
+    }
+    // q301's next-fit packing and q302's exact-k sample ride
+    // rangePrefixSums / the partial top-k AGGREGATE — a Window node means
+    // the global cumsum (q301) or the per-stratum rank (q302) collapsed
+    // to a one-task sort, exactly what both kernels exist to avoid.
+    Seq("q301_compaction_bins", "q302_stratified_sample").foreach { qn =>
+      val p = run(qn)
+      assert(!p.contains("Window"),
+        s"$qn: a Window operator appeared — kernel fell back to a " +
+          "single-task sort")
+    }
+    // q306's top-25 must be TakeOrdered (k-bounded), never a global Sort
+    // feeding a limit — the distinct-bigram domain is corpus-sized.
+    val p306 = run("q306_kneser_ney")
+    assert(p306.contains("TakeOrderedAndProject"),
+      "q306: top-k is not TakeOrderedAndProject — a global sort snuck in")
+  }
 }
