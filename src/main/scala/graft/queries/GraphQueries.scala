@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.graph.{Components, GraphAlgos, GraphBuilder, Motifs}
@@ -221,6 +221,56 @@ object GraphQueries {
     // graph is identical at every SF): 3 synchronous passes, argmax by
     // (count, min label) — clique labels collapse, the bridge does not
     // leak them across.
+    // Newman modularity of the q112 label-propagation partition — the
+    // score that says whether a community detection actually found
+    // structure (Q ≈ 0 = random cuts). EXACT cross-multiplied integers
+    // over the symmetric edge set: with M2 = Σ degrees = 2m,
+    // Q·M2² = Σ_c (e2_c·M2 − d_c²) where e2_c counts intra-community
+    // directed edge slots and d_c the community degree mass — no floats
+    // until the final sign-split micros div. One agg computes both
+    // per-community terms (d_c = group row count, e2_c = same-label
+    // matches) after a two-sided label join.
+    "q307_modularity" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(19,0)")
+      val i = Tables.load(s, dir, "events")
+        .select((col("event_id") % 997).as("i")).distinct()
+      val cliqueA = i.filter(col("i") < 144)
+        .select((col("i") % 12).cast("long").as("x"),
+          expr("(i div 12) % 12").cast("long").as("y"))
+      val cliqueB = i.filter(col("i") < 144)
+        .select((col("i") % 12 + 12).cast("long").as("x"),
+          expr("(i div 12) % 12 + 12").cast("long").as("y"))
+      val bridge = s.range(1).select(lit(0L).as("x"), lit(12L).as("y"))
+      val rawf = cliqueA.unionAll(cliqueB).unionAll(bridge)
+        .filter(col("x") =!= col("y"))
+      val sym = rawf.select(col("x").as("a"), col("y").as("b"))
+        .union(rawf.select(col("y").as("a"), col("x").as("b")))
+        .distinct()
+      val labels = GraphAlgos.labelPropagation(
+          cliqueA.unionAll(cliqueB).unionAll(bridge), "x", "y", iters = 3)
+        .localCheckpoint() // joined twice + counted
+      val joined = sym
+        .join(labels.select(col("node").as("a"), col("label").as("ca")), "a")
+        .join(labels.select(col("node").as("b"), col("label").as("cb")), "b")
+      val per = joined.groupBy(col("ca"))
+        .agg(count(lit(1)).as("dc"),
+          sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("e2c"))
+      val nNodes = labels.agg(count(lit(1)).as("n_nodes"))
+      per.agg(sum(col("dc")).as("m2"), count(lit(1)).as("n_communities"),
+          sum(dec(col("e2c"))).as("se2"),
+          sum(dec(col("dc")) * dec(col("dc"))).as("sd2"))
+        .crossJoin(broadcast(nNodes))
+        .select(col("n_nodes"), col("m2"), col("n_communities"),
+          (dec(col("m2")) * col("se2") - col("sd2")).as("qnum"),
+          (dec(col("m2")) * dec(col("m2"))).as("qden"))
+        .select(col("n_nodes"), col("m2"), col("n_communities"),
+          when(col("qnum") >= 0,
+            call_function("div", col("qnum") * 1000000L, col("qden")))
+            .otherwise(
+              -call_function("div", -col("qnum") * 1000000L, col("qden")))
+            .as("q_micros"))
+    }),
+
     "q112_label_prop" -> ((s, dir) => {
       val i = Tables.load(s, dir, "events")
         .select((col("event_id") % 997).as("i")).distinct()
@@ -432,18 +482,22 @@ object GraphQueries {
   /** q112's oracle: synchronous LPA unrolled — per pass, neighbor-label
     * counts then the (count DESC, label ASC) argmax via row_number.
     */
-  private def lpaOracle(iters: Int): String = {
+  /** The LPA fixture + propagation rounds as a reusable CTE chain (ends
+    * with `sym` = the symmetric distinct edge set and `lp$iters` = the
+    * final labels) — shared by the q112 oracle and q307's modularity.
+    */
+  private def lpaCtes(iters: Int): String = {
     val passes = (1 to iters).map { r =>
       s"""cnt$r AS (
          |  SELECT s.a AS node, p.lab AS lab, count(*) AS c
          |  FROM sym s JOIN lp${r - 1} p ON p.node = s.b GROUP BY 1, 2),
-         |lp$r AS (
+         |lp$r AS MATERIALIZED (
          |  SELECT node, lab FROM (
          |    SELECT node, lab,
          |      row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
          |    FROM cnt$r) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH i AS (SELECT DISTINCT event_id % 997 AS i FROM events),
+    s"""i AS (SELECT DISTINCT event_id % 997 AS i FROM events),
        |raw AS (
        |  SELECT CAST(i % 12 AS BIGINT) AS x, CAST((i // 12) % 12 AS BIGINT) AS y
        |  FROM i WHERE i < 144
@@ -452,11 +506,15 @@ object GraphQueries {
        |  FROM i WHERE i < 144
        |  UNION ALL SELECT CAST(0 AS BIGINT), CAST(12 AS BIGINT)),
        |rawf AS (SELECT x, y FROM raw WHERE x <> y),
-       |sym AS (SELECT x AS a, y AS b FROM rawf UNION SELECT y, x FROM rawf),
+       |sym AS MATERIALIZED (
+       |  SELECT x AS a, y AS b FROM rawf UNION SELECT y, x FROM rawf),
        |lp0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
-       |$passes
-       |SELECT node, lab AS label FROM lp$iters ORDER BY node""".stripMargin
+       |$passes""".stripMargin
   }
+
+  private def lpaOracle(iters: Int): String =
+    s"""WITH ${lpaCtes(iters)}
+       |SELECT node, lab AS label FROM lp$iters ORDER BY node""".stripMargin
 
   /** q113's oracle: simultaneous k-core peeling unrolled one CTE pair per
     * round (the fixture stabilizes in 4; 5 rounds proves the fixpoint).
@@ -538,6 +596,29 @@ object GraphQueries {
     "q82_cc_logn" -> ccOracle,
 
     "q112_label_prop" -> lpaOracle(3),
+
+    "q307_modularity" ->
+      s"""WITH ${lpaCtes(3)},
+         |lab AS (SELECT node, lab FROM lp3),
+         |j AS (SELECT la.lab AS ca, lb.lab AS cb FROM sym s
+         |      JOIN lab la ON la.node = s.a JOIN lab lb ON lb.node = s.b),
+         |per AS (SELECT ca, CAST(count(*) AS BIGINT) AS dc,
+         |        CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS e2c
+         |        FROM j GROUP BY 1),
+         |agg AS (SELECT CAST(sum(dc) AS BIGINT) AS m2,
+         |        CAST(count(*) AS BIGINT) AS n_communities,
+         |        CAST(sum(e2c) AS HUGEINT) AS se2,
+         |        sum(CAST(dc AS HUGEINT) * dc) AS sd2 FROM per),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM lab)
+         |SELECT n.n_nodes, agg.m2, agg.n_communities,
+         |  CASE WHEN (m2 * se2 - sd2) >= 0
+         |    THEN CAST(((m2 * se2 - sd2) * 1000000)
+         |      // (CAST(m2 AS HUGEINT) * m2) AS BIGINT)
+         |    ELSE -CAST((-(m2 * se2 - sd2) * 1000000)
+         |      // (CAST(m2 AS HUGEINT) * m2) AS BIGINT)
+         |  END AS q_micros
+         |FROM agg, n""".stripMargin,
 
     "q113_kcore" -> kcoreOracle(3L, 5),
 
