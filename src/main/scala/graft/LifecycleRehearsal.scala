@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
   * Unlike the reference's lifecycle, no stage ever collects to the driver
   * (`glue/twitter_glue.py:161`'s toPandas collapse is the anti-pattern §3
   * documents); every arrow above is one distributed plan. Writes
-  * LIFECYCLE_r13.md in cwd. Not part of the driver contract.
+  * LIFECYCLE_r14.md in cwd. Not part of the driver contract.
   */
 object LifecycleRehearsal {
   def main(args: Array[String]): Unit = {
+    // Background-contention sample BEFORE any Spark work — the in-phase
+    // sample is self-inflated by this process's own fixture generation.
+    val load1Launch = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
@@ -135,10 +139,12 @@ object LifecycleRehearsal {
       Set("good", "new", "expand"), Set("grim", "strikes", "floods"))
 
     val sb = new StringBuilder
-    sb ++= "# LIFECYCLE_r13 — SURVEY §3 end-to-end social run (inflated fixtures)\n\n"
+    sb ++= "# LIFECYCLE_r14 — SURVEY §3 end-to-end social run (inflated fixtures)\n\n"
     val load1 = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    sb ++= f"load1 at start: $load1%.2f. Fixtures: ${2 * (nP + nC + nT)}%d " +
+    sb ++= f"load1 at launch (background): $load1Launch%.2f; at measured-phase " +
+      f"start (includes this run's own fixture prep): $load1%.2f. " +
+      f"Fixtures: ${2 * (nP + nC + nT)}%d " +
       "records across 2 topics × 1 dataload (posts/comments/tweets " +
       "20/50/20 per topic ×10³) + a 20k-post day-2 JSON refresh slice — " +
       "~2500× the reference's largest dump (216 rows).\n\n"
@@ -196,7 +202,7 @@ object LifecycleRehearsal {
       "individually; this artifact pins their END-TO-END composition at " +
       "inflated volume.\n"
 
-    java.nio.file.Files.write(java.nio.file.Paths.get("LIFECYCLE_r13.md"),
+    java.nio.file.Files.write(java.nio.file.Paths.get("LIFECYCLE_r14.md"),
       sb.toString.getBytes("UTF-8"))
     println(sb.toString)
     spark.stop()

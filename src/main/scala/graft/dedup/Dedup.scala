@@ -151,8 +151,24 @@ object Dedup {
     * path, correct for their size class.
     */
   private def widenNarrowInput(df: DataFrame): DataFrame = {
+    // Streaming frames never probe and never widen: a repartition here
+    // would add a round-robin exchange to EVERY micro-batch, and the
+    // right stream width is the source's maxFilesPerTrigger / state
+    // sizing (StateSizing), not this batch heuristic. The hash kernels
+    // are stateless projections, so they run scan-local per batch.
+    if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
-    val nFiles = try df.inputFiles.length catch { case _: Throwable => 0 }
+    // Expected non-file-backed plans (LocalRelation fixtures, checkpointed
+    // LogicalRDDs) return an EMPTY array, not an exception — so the catch
+    // below should essentially never fire. It is scoped to the two
+    // failure shapes a plan-introspection call can legitimately produce
+    // (analysis-time rejection, an unsupported leaf); anything else —
+    // OOM, a broken FileIndex, a bug — propagates loudly instead of
+    // silently flipping the repartition policy (VERDICT r13 item 3).
+    val nFiles = try df.inputFiles.length catch {
+      case _: org.apache.spark.sql.AnalysisException => 0
+      case _: UnsupportedOperationException => 0
+    }
     if (nFiles < p) df.repartition(p) else df
   }
 

@@ -84,6 +84,52 @@ class MinhashExprSpec extends AnyFunSuite {
     assert(expr.size == 6 * 3)
   }
 
+  test("streaming path: memory-stream input hashes in-batch, no widen exchange") {
+    // VERDICT r13 item 3: the width probe's fallback is now explicit —
+    // streaming frames skip the probe entirely (no inputFiles call, no
+    // per-micro-batch repartition). The bands of a streamed doc must be
+    // bit-identical to the batch path, and the micro-batch plan must not
+    // grow a round-robin Exchange.
+    import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"))
+    val sdf = mem.toDF().toDF("doc_id", "text")
+    val bands = Dedup.minhashBands(sdf, "doc_id", "text", 3, 16, 4)
+    assert(bands.isStreaming, "banding must stay a stateless streaming projection")
+    val q = bands.writeStream.format("memory").queryName("mh_stream_bands")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("mh_stream_bands")
+        .collect().map(r => (r.getLong(2), r.getInt(0), r.getLong(1))).toSet
+      val want = Dedup.minhashBands(
+          docs.filter(col("doc_id") <= 2L), "doc_id", "text", 3, 16, 4)
+        .collect().map(r => (r.getLong(2), r.getInt(0), r.getLong(1))).toSet
+      assert(got == want, "streamed bands must match the batch path bit-for-bit")
+      val plan = q.asInstanceOf[StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"streaming frames must never take the widen repartition:\n$plan")
+    } finally q.stop()
+  }
+
+  test("non-file batch input (checkpointed LogicalRDD) takes the widen path, no throw") {
+    // A lineage-truncated frame reports zero inputFiles WITHOUT throwing;
+    // the explicit fallback must leave that (correct) local-path behavior
+    // intact rather than masking it under a catch-all.
+    val ck = docs.localCheckpoint()
+    assert(ck.inputFiles.isEmpty)
+    val q = Dedup.minhashBands(ck, "doc_id", "text", 3, 16, 4)
+    assert(q.collect().length == 6 * 4)
+    val s = q.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    val plan = if (cut >= 0) s.substring(0, cut) else s
+    assert(plan.contains("Exchange"),
+      s"non-file local input must still widen for core-parallel hashing:\n$plan")
+  }
+
   test("functions are SQL-callable with literal parameters only") {
     val r = spark.sql(
       "SELECT size(shingle_hashes('a b c d', 2)) AS n, " +
