@@ -591,9 +591,27 @@ object Dedup {
                                 bucketCap: Int): DataFrame = {
     val cand = incrementalCandidates(nb, hb, bucketCap).localCheckpoint()
     val nCand = math.max(cand.count(), 1L)
-    val sketch = graft.ops.BloomJoin.buildSketch(cand, "id_old", nCand)
-    val hsPruned = hs.filter(
-      graft.ops.BloomJoin.mightContain(hs, col("id"), sketch))
+    // Two prune devices, selected by candidate count (r14 — the always-on
+    // Bloom added two fixed driver jobs (sketch agg + serialization) that
+    // q140's sf0.1 leg paid without benefit):
+    //  - healthy night (bounded candidates): broadcast the distinct
+    //    id_old set and LEFT SEMI the state against it — exact (no false
+    //    positives), and the "sketch" build is just the broadcast of an
+    //    already-checkpointed ids-only table. 4M ids ≈ 32 MB, well inside
+    //    broadcast budget.
+    //  - pathological night (candidates above the cap): fixed-size Bloom
+    //    sketch as before — 1 MB regardless of candidate count, false
+    //    positives removed by the exact join below.
+    // Either way the state table is pruned SCAN-SIDE: it never shuffles,
+    // so the verify exchange stays ∝ candidates, not ∝ corpus state.
+    val hsPruned =
+      if (nCand <= 4000000L) {
+        val candIds = cand.select(col("id_old")).distinct()
+        hs.join(broadcast(candIds), hs("id") === candIds("id_old"), "left_semi")
+      } else {
+        val sketch = graft.ops.BloomJoin.buildSketch(cand, "id_old", nCand)
+        hs.filter(graft.ops.BloomJoin.mightContain(hs, col("id"), sketch))
+      }
     val ns = shingleHashSets(batch, idCol, textCol, shingleK)
     val withSets = cand
       .join(ns.select(col("id").as("id_new"), col("sh").as("sh_a")), "id_new")
