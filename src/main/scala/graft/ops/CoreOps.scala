@@ -829,9 +829,16 @@ object CoreOps {
   def exactIsqrt(x: Column): Column = {
     val dec = (c: Column) => c.cast("decimal(19,0)")
     val w0 = floor(sqrt(x.cast("double"))).cast(LongType)
+    // Out-of-envelope inputs (x ≳ 1e32, or a negative x breaking the
+    // contract) fail LOUDLY like the repo's other BOUNDS violations —
+    // previously the coalesce fell through to NULL and the wrong-by-
+    // silence value propagated (ADVICE r13). NULL input stays NULL.
     coalesce((2 to -2 by -1).map { d =>
       val k = w0 + d
       when(k >= 0 && dec(k) * dec(k) <= x, k)
-    }: _*)
+    } :+ when(x.isNull, lit(null).cast(LongType)).otherwise(raise_error(
+      concat(lit("exactIsqrt BOUNDS: float seed landed >2 from the true "
+        + "root — input outside the non-negative ~1e32 envelope: "),
+        x.cast("string")))): _*)
   }
 }

@@ -212,8 +212,12 @@ object AnalyticsQueries {
         cell(1, 1, lit(1L)).as("n_t_post"), cell(1, 1, col("vc")).as("s_t_post"),
         cell(0, 0, lit(1L)).as("n_c_pre"), cell(0, 0, col("vc")).as("s_c_pre"),
         cell(0, 1, lit(1L)).as("n_c_post"), cell(0, 1, col("vc")).as("s_c_post"))
-      def m(s: String, n: String) =
-        call_function("div", dec(col(s)) * 1000000L, col(n))
+      // An EMPTY cell (no purchases in an arm×period quadrant) has no
+      // mean: explicit NULL on both engines, propagating to did_u —
+      // DuckDB would otherwise raise div-by-zero while Spark nulls
+      // silently (ADVICE r13, same exposure as q296's kden).
+      def m(s: String, n: String) = when(col(n) =!= 0,
+        call_function("div", dec(col(s)) * 1000000L, col(n)))
       cells.select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
           col("n_c_post"),
           m("s_t_pre", "n_t_pre").as("m_t_pre_u"),
@@ -1538,10 +1542,14 @@ object AnalyticsQueries {
         |  CAST(sum(CASE WHEN arm = 0 AND post = 1 THEN vc ELSE 0 END) AS HUGEINT) AS s_c_post
         |  FROM e),
         |m AS (SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
-        |  CAST((s_t_pre * 1000000) // n_t_pre AS BIGINT) AS m_t_pre_u,
-        |  CAST((s_t_post * 1000000) // n_t_post AS BIGINT) AS m_t_post_u,
-        |  CAST((s_c_pre * 1000000) // n_c_pre AS BIGINT) AS m_c_pre_u,
-        |  CAST((s_c_post * 1000000) // n_c_post AS BIGINT) AS m_c_post_u
+        |  CASE WHEN n_t_pre = 0 THEN NULL
+        |    ELSE CAST((s_t_pre * 1000000) // n_t_pre AS BIGINT) END AS m_t_pre_u,
+        |  CASE WHEN n_t_post = 0 THEN NULL
+        |    ELSE CAST((s_t_post * 1000000) // n_t_post AS BIGINT) END AS m_t_post_u,
+        |  CASE WHEN n_c_pre = 0 THEN NULL
+        |    ELSE CAST((s_c_pre * 1000000) // n_c_pre AS BIGINT) END AS m_c_pre_u,
+        |  CASE WHEN n_c_post = 0 THEN NULL
+        |    ELSE CAST((s_c_post * 1000000) // n_c_post AS BIGINT) END AS m_c_post_u
         |  FROM c)
         |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
         |  m_t_pre_u, m_t_post_u, m_c_pre_u, m_c_post_u,

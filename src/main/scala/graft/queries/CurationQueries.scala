@@ -58,7 +58,12 @@ object CurationQueries {
     // window sort over the corpus.
     "q302_stratified_sample" -> ((s, dir) => {
       val k = 50
-      val h = (col("doc_id") * 2654435761L) % 2147483647L
+      // doc_id reduces mod p BEFORE the Knuth multiply: the raw product
+      // wraps int64 past doc_id ≈ 3.47e9 (Spark wraps silently, DuckDB
+      // raises — an engine divergence, ADVICE r13). (p−1)·2654435761 ≈
+      // 5.7e18 < 2^63, so the reduced form is overflow-free for ANY
+      // BIGINT doc_id and value-identical below 2^31 (where id mod p = id).
+      val h = ((col("doc_id") % 2147483647L) * 2654435761L) % 2147483647L
       Tables.load(s, dir, "documents")
         .select(col("lang"), col("doc_id"), h.as("h"))
         .groupBy(col("lang"))
@@ -558,7 +563,7 @@ object CurationQueries {
     "q302_stratified_sample" ->
       """WITH h AS (
         |  SELECT lang, doc_id,
-        |    (doc_id * 2654435761) % 2147483647 AS h
+        |    ((doc_id % 2147483647) * 2654435761) % 2147483647 AS h
         |  FROM documents),
         |r AS (
         |  SELECT lang, doc_id,

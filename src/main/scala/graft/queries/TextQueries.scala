@@ -69,9 +69,14 @@ object TextQueries {
           (dec(col("n")) * dec(col("n")) - col("chance")).as("kden"))
         .select(col("n"), col("n_truth_en"), col("n_detect_en"),
           col("n_agree"),
-          when(col("knum") >= 0,
-            call_function("div", col("knum") * 10000, col("kden")))
-            .otherwise(-call_function("div", -col("knum") * 10000, col("kden")))
+          // kden = 0 ⟺ both marginals degenerate (every doc one truth
+          // label AND one detector label): κ is undefined — explicit
+          // NULL on both engines (DuckDB would otherwise raise div-by-
+          // zero while Spark nulls silently; ADVICE r13).
+          when(col("kden") =!= 0,
+            when(col("knum") >= 0,
+              call_function("div", col("knum") * 10000, col("kden")))
+              .otherwise(-call_function("div", -col("knum") * 10000, col("kden"))))
             .as("kappa_bp"))
     }),
 
@@ -1259,7 +1264,8 @@ object TextQueries {
          |      AS kden
          |  FROM agg)
          |SELECT n, na AS n_truth_en, nb AS n_detect_en, g AS n_agree,
-         |  CASE WHEN knum >= 0 THEN CAST((knum * 10000) // kden AS BIGINT)
+         |  CASE WHEN kden = 0 THEN NULL
+         |       WHEN knum >= 0 THEN CAST((knum * 10000) // kden AS BIGINT)
          |       ELSE -CAST(((-knum) * 10000) // kden AS BIGINT) END AS kappa_bp
          |FROM k""".stripMargin,
 

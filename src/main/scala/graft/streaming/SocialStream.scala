@@ -224,10 +224,15 @@ object SocialStream {
     * track the batch min/max for the order contract. A hot user landing
     * millions of events in one micro-batch costs k heap slots, not a
     * materialized sorted copy. The order require covers the batch
-    * boundary (batch-min vs state) and the kept prefix (strictly
-    * increasing, so replayed slices still throw); order among the
-    * discarded tail is not semantics — the cap ignores those events
-    * entirely.
+    * boundary (batch-min vs state), the kept prefix (strictly
+    * increasing), and slice replay (multiplicity of the running batch
+    * min/max — a replayed slice duplicates its own extremes, so this
+    * catches it in O(1) memory in any iterator order). Residual
+    * relaxation vs the r12 O(n) sort form: a single interior duplicate
+    * that is neither a batch extreme nor kept goes undetected — it can
+    * only inflate nSeen, never the kept set or sumKept, and the oracle
+    * gate (batch replay over the same landing) still catches it at
+    * verify time.
     */
   def contributionCapState(ds: Dataset[CapEvent], k: Int): Dataset[CapSummary] = {
     import ds.sparkSession.implicits._
@@ -243,14 +248,24 @@ object SocialStream {
           var n = 0L
           var minUs = Long.MaxValue; var minId = Long.MaxValue
           var maxUs = Long.MinValue; var maxId = Long.MinValue
+          // Multiplicity of the running extremes (O(1) memory): a
+          // replayed landing slice duplicates every event in it —
+          // including whichever is the batch min/max — so nMin/nMax > 1
+          // catches slice replay exactly, in any iterator order, without
+          // materializing the discarded tail (ADVICE r13; the r12 sort
+          // form caught this at O(n) memory). A single interior
+          // duplicate that is neither extreme nor kept remains
+          // undetected — that residual relaxation is deliberate and
+          // documented in the scaladoc.
+          var nMin = 0L; var nMax = 0L
           rows.foreach { r =>
             n += 1
             if (r.us < minUs || (r.us == minUs && r.eventId < minId)) {
-              minUs = r.us; minId = r.eventId
-            }
+              minUs = r.us; minId = r.eventId; nMin = 1L
+            } else if (r.us == minUs && r.eventId == minId) nMin += 1L
             if (r.us > maxUs || (r.us == maxUs && r.eventId > maxId)) {
-              maxUs = r.us; maxId = r.eventId
-            }
+              maxUs = r.us; maxId = r.eventId; nMax = 1L
+            } else if (r.us == maxUs && r.eventId == maxId) nMax += 1L
             if (need > 0) {
               if (heap.size < need) heap.enqueue(r)
               else {
@@ -268,6 +283,10 @@ object SocialStream {
               s"cap event ($minUs, $minId) arrived at/behind " +
                 s"(${st.lastUs}, ${st.lastId}) for user $user — the " +
                 "landing broke time order")
+            require(nMin == 1L && nMax == 1L,
+              s"cap events ($minUs, $minId)×$nMin / ($maxUs, $maxId)×$nMax " +
+                s"for user $user — a duplicated batch extreme means the " +
+                "landing replayed a slice")
             var pu = st.lastUs; var pi = st.lastId
             var addSum = 0L
             var addKept = 0L

@@ -130,4 +130,25 @@ class OverflowBoundsSpec extends AnyFunSuite {
       assert(BigInt(g) === e, s"isqrt($x)")
     }
   }
+
+  test("exactIsqrt fails LOUDLY outside its envelope, stays NULL on NULL") {
+    // ADVICE r13: out-of-envelope inputs previously fell through the
+    // candidate coalesce to a silent NULL that propagated as a wrong-by-
+    // omission weight. A contract-breaking negative input deterministically
+    // exhausts every candidate (k ≥ 0 can't square to ≤ a negative), so it
+    // exercises the raise branch without needing a float seed that happens
+    // to land > 2 off.
+    val neg = Seq("-1").toDF("xs")
+      .select(graft.ops.CoreOps.exactIsqrt(col("xs").cast("decimal(38,0)")))
+    val ex = intercept[Exception] { neg.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("exactIsqrt BOUNDS")),
+      s"expected the BOUNDS raise; got: ${msgs(ex).mkString(" | ")}")
+    // NULL input is not a bounds violation — it must stay NULL.
+    val r = Seq(Option.empty[String]).toDF("xs")
+      .select(graft.ops.CoreOps.exactIsqrt(col("xs").cast("decimal(38,0)")))
+      .collect()
+    assert(r.length == 1 && r(0).isNullAt(0))
+  }
 }

@@ -110,6 +110,36 @@ class SocialStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("contributionCapState catches a replayed slice in the DISCARDED tail") {
+    // ADVICE r13: the heap rewrite validated only the kept prefix, so a
+    // slice replayed by the landing could silently double-count nSeen if
+    // its rows all landed in the discarded tail. The extreme-multiplicity
+    // counters restore the check in O(1) memory: a replayed slice
+    // duplicates its own batch min/max, whatever the iterator order.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SocialStream.CapEvent]
+    val out = SocialStream.contributionCapState(mem.toDS(), k = 2)
+    val q = out.writeStream.format("memory").queryName("capreplay")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1 fills the cap: every later event is tail-only
+      mem.addData(SocialStream.CapEvent(7L, 100L, 1L, 10L),
+        SocialStream.CapEvent(7L, 200L, 2L, 20L))
+      q.processAllAvailable()
+      // batch 2 = one slice delivered TWICE (source replay): all rows are
+      // discarded tail, but the duplicated extremes must fail loudly
+      val slice = Seq(SocialStream.CapEvent(7L, 300L, 3L, 30L),
+        SocialStream.CapEvent(7L, 400L, 4L, 40L))
+      mem.addData(slice ++ slice)
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("replayed a slice")),
+        s"expected the replay require to fire; got: ${msgs(ex).mkString(" | ")}")
+    } finally q.stop()
+  }
+
   test("contributionCapState keeps the order-smallest k of an unsorted skewed batch in O(k)") {
     // One hot user lands many events in a single micro-batch, delivered
     // in arbitrary order: the bounded-heap selection (r13) must keep
