@@ -18,7 +18,9 @@ object Scratch2 {
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val dur = for { s <- si.submissionTime; c <- si.completionTime } yield c - s
-        if (dur.exists(_ > 200))
+        if (dur.exists(_ > 200) ||
+            (sys.env.contains("SC2_ALL_SHUFFLE") &&
+              si.taskMetrics.shuffleWriteMetrics.recordsWritten > 0))
           println(s"SC2STAGE id=${si.stageId} tasks=${si.numTasks} " +
             s"dur=${dur.getOrElse(-1L)}ms in=${si.taskMetrics.inputMetrics.bytesRead/1024/1024}MB " +
             s"sw=${si.taskMetrics.shuffleWriteMetrics.bytesWritten/1024/1024}MB " +
