@@ -320,6 +320,44 @@ class DedupSpec extends AnyFunSuite {
       s"plan scans files outside the state dir: $scans")
   }
 
+  test("persisted-state census: hot buckets tile from state, no in-plan census agg") {
+    // r14: the hot-bucket census is maintained WITH the state (a property
+    // of the standing corpus, not of tonight's batch), so the read path
+    // never re-aggregates the corpus-sized band table — the one exchange
+    // the streaming rehearsal measured as per-trigger state-proportional.
+    val boiler = "subscribe like comment share follow " * 4
+    val history = ((1L to 120L).map(i => (i, boiler)) :+
+      (500L, "entirely different vocabulary here appears once")).toDF("doc_id", "text")
+    val batch = (1001L to 1003L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val stateDir = java.nio.file.Files.createTempDirectory("dedup_census_").toString
+    Dedup.writeNearDupState(history, "doc_id", "text", stateDir,
+      shingleK = 3, numHashes = 16, bands = 4, bucketCap = 16)
+    // the census landed in the state: the boilerplate family's 4 band
+    // buckets, each of size 120 > 16
+    val hot = spark.read.parquet(s"$stateDir/hot").collect()
+    assert(hot.length == 4 && hot.forall(_.getLong(2) == 120L),
+      s"expected 4 hot buckets of 120, got ${hot.mkString(",")}")
+    // pair parity with the in-plan path at the same cap
+    val got = Dedup.incrementalNearDupsFromState(batch, stateDir,
+        "doc_id", "text", shingleK = 3, numHashes = 16, bands = 4,
+        threshold = 0.5, bucketCap = 16)
+      .select($"id_new", $"id_old").as[(Long, Long)].collect().toSet
+    assert(got == (for { n <- 1001L to 1003L; h <- 1L to 120L } yield (n, h)).toSet)
+    // plan property: no (band, bh) aggregate anywhere — the census comes
+    // from the persisted table, so the only aggregates left in the
+    // FromState plan are candidate-bounded (the pair distinct, the verify
+    // joins), never a census re-aggregation of the band-state scan
+    val out = Dedup.incrementalNearDupsFromState(batch, stateDir,
+      "doc_id", "text", shingleK = 3, numHashes = 16, bands = 4,
+      threshold = 0.5, bucketCap = 16)
+    val censusAggs = out.queryExecution.sparkPlan.collectWithSubqueries {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if a.groupingExpressions.map(_.name).toSet == Set("band", "bh") => a
+    }
+    assert(censusAggs.isEmpty,
+      "read path still aggregates the band-state table (census not from state)")
+  }
+
   test("splitFractions gates realized fractions against the target") {
     val split = ((1L to 80L).map(i => (i, "train")) ++
       (81L to 89L).map(i => (i, "val")) ++
