@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -78,6 +78,49 @@ object StreamQueries {
 
   private def uniq(prefix: String): String =
     prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+
+  /** Drain an APPEND-mode stream through a parquet FILE sink and hand the
+    * committed result back as a distributed scan. The memory sink
+    * materializes every output row into driver heap — the right harness
+    * for the bounded-AGGREGATE gates (windows × types rows), but for the
+    * row-EMITTING streams (dedup, joins, sessions, corpus ingest) the
+    * output is data-sized, and a data-sized driver collection is exactly
+    * the reference's `toPandas` collapse this repo exists to avoid: the
+    * r14 sf10 probe OOM'd an 8 GiB driver serializing q68's 20M-row
+    * memory-sink readback. The file sink keeps the result distributed
+    * end to end; the readback scan honors the sink's _spark_metadata
+    * commit log, so it reads exactly the committed set. Output lands
+    * under [[ckptRoot]] (tmpfs — sink scaffolding, like the checkpoints;
+    * the memory sink kept the same bytes in RAM, minus the scan-back).
+    */
+  private def fileSink(df: DataFrame, tag: String): DataFrame = {
+    val out = Files.createTempDirectory(
+      java.nio.file.Paths.get(ckptRoot), tag).toString
+    val q = df.writeStream.format("parquet").option("path", out)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.read.parquet(out)
+  }
+
+  /** Update-mode twin of [[fileSink]]: the file sink is append-only, so
+    * update-mode emissions drain through foreachBatch, appending each
+    * micro-batch's rows. Like the memory sink's update mode, the
+    * readback holds EVERY emission (task replays can only re-append —
+    * callers already reduce per key with max/latest-wins, which is what
+    * makes the update-mode gates replay-tolerant in the first place).
+    */
+  private def fileSinkUpdate[T](ds: Dataset[T], tag: String): DataFrame = {
+    val out = Files.createTempDirectory(
+      java.nio.file.Paths.get(ckptRoot), tag).toString
+    val q = ds.toDF().writeStream.outputMode("update")
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        b.write.mode("append").parquet(out)
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    ds.sparkSession.read.parquet(out)
+  }
 
   /** N-file landing with PINNED batch order: `slices(i)` becomes batch
     * i. The file source processes oldest-modtime first
@@ -429,13 +472,7 @@ object StreamQueries {
       val clean = graft.dedup.Dedup.overlapCount(stream, "text", 3, benchHashes)
         .filter(col("n_overlap") < 2)
         .dropDuplicates("lang", "text")
-      val sink = uniq("q244_sink_")
-      val q = clean.select(col("lang"), col("text")).writeStream
-        .format("memory").queryName(sink)
-        .outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-      ss.table(sink)
+      fileSink(clean.select(col("lang"), col("text")), "q244_sink_")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " ")).cast("long")).as("n_toks"))
@@ -484,12 +521,7 @@ object StreamQueries {
         .withColumn("ts", timestamp_micros(col("ts_us")))
       val deduped = SocialStream.dedupWithinWatermark(stream, "ts",
         Seq("event_id"), watermark = Horizon)
-      val sink = uniq("q68_sink_")
-      val q = deduped.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-      ss.table(sink)
+      fileSink(deduped, "q68_sink_")
         .select(col("event_id"), col("ts_us"), col("event_type"),
           col("value_cents"))
         .orderBy(col("event_id"))
@@ -524,12 +556,7 @@ object StreamQueries {
         .withColumn("ts", timestamp_micros(col("ts_us")))
       val sessions = SocialStream.sessionCounts(stream, "ts",
         Seq("user_id"), gap = "30 minutes", watermark = "0 seconds")
-      val sink = uniq("q104_sink_")
-      val q = sessions.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-      ss.table(sink)
+      fileSink(sessions, "q104_sink_")
         .filter(col("user_id") =!= -1L)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
@@ -668,12 +695,7 @@ object StreamQueries {
       val joined = SocialStream.intervalJoin(views, clicks,
         "v_user", "c_user", "v_ts", "c_ts",
         maxGap = "2 hours", watermark = Horizon)
-      val sink = uniq("q98_sink_")
-      val q = joined.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-      ss.table(sink)
+      fileSink(joined, "q98_sink_")
         .select(col("v_id"), col("c_id"), col("v_user").as("user_id"))
         .orderBy(col("v_id"), col("c_id"))
     }),
@@ -717,12 +739,7 @@ object StreamQueries {
         "v_user", "c_user", "v_ts", "c_ts",
         maxGap = "2 hours", watermark = "0 seconds",
         joinType = "left_outer")
-      val sink = uniq("q126_sink_")
-      val q = joined.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-      ss.table(sink)
+      fileSink(joined, "q126_sink_")
         .filter(col("v_user") =!= -1L)
         .select(col("v_id"), col("c_id"), col("v_user").as("user_id"))
         .orderBy(col("v_id"), col("c_id"))
@@ -814,13 +831,9 @@ object StreamQueries {
       val stream = SocialStream
         .readParquetStream(ss, src, capSchema, maxFilesPerTrigger = 1)
         .as[SocialStream.CapEvent]
-      val sink = uniq("q293_sink_")
-      val q = SocialStream.contributionCapState(stream, 10)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("update").start()
-      q.processAllAvailable()
-      q.stop()
-      ss.table(sink).groupBy(col("user"))
+      fileSinkUpdate(SocialStream.contributionCapState(stream, 10),
+        "q293_sink_")
+        .groupBy(col("user"))
         .agg(max(struct(col("nSeen"), col("nKept"), col("sumKeptCents")))
           .as("f"))
         .select(col("user"), col("f.nSeen").as("n_seen"),
