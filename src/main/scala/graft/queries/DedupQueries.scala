@@ -577,14 +577,31 @@ object DedupQueries {
         .join(Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars")),
           col("doc_id") === col("vec_id"))
-      // 4×4 banded signature (the q257 OR-amplification) rather than one
+      // 4-band signature (the q257 OR-amplification) rather than one
       // 8-plane bucket: at cosine 0.4 a single bucket keeps ~2.5% of true
       // pairs (measured: 1 of 48) — as a RECALL device sign-LSH needs
-      // banding here just as MinHash does
-      val withB = bucketNorm(e, "vec_id", "embedding", planes = 16, dim = 64,
+      // banding here just as MinHash does.
+      //
+      // OCCUPANCY-SCALED band width (r14): a fixed 4-bit band has 16
+      // buckets forever, so candidate pairs grow n²/16 — the sf10 probe
+      // measured the quadratic live (328 s median, 29× the sf1 wall on
+      // 10× data). The width w now grows with the corpus so per-bucket
+      // occupancy stays ~constant: w = bitLength((n−1) div 1250),
+      // floored at 4 — which makes every gate SF (n ≤ 20k) BIT-IDENTICAL
+      // to the fixed shape, since plane p's hyperplane depends only on p
+      // — and capped at 15 so 4 bands stay inside a 63-bit long (beyond
+      // ~41M vectors the signature needs multi-long words; SCALE.md).
+      // The count is a bounded pre-pass (like CoreOps.hotKeys' sample);
+      // the oracle mirrors the same integer bit-length arithmetic, so
+      // both engines derive the same w from the same table.
+      val nVecs = e.count()
+      val w = math.max(4, math.min(15,
+        64 - java.lang.Long.numberOfLeadingZeros((nVecs - 1) / 1250)))
+      val withB = bucketNorm(e, "vec_id", "embedding", planes = 4 * w, dim = 64,
           extra = Seq("lang", "n_chars"))
         .withColumn("band", explode(array((0 until 4).map(lit): _*)))
-        .withColumn("sig", expr("shiftrightunsigned(bucket, band * 4) % 16"))
+        .withColumn("sig",
+          expr(s"shiftrightunsigned(bucket, band * $w) % ${1L << w}"))
       val a = withB.select(col("band"), col("sig"), col("id").as("id_a"),
         col("v").as("v_a"), col("nrm").as("nrm_a"), col("lang").as("lang_a"),
         col("n_chars").as("nc_a"))
@@ -1848,15 +1865,29 @@ object DedupQueries {
          |WHERE ${cosineSql("a.v", "b.v")} >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // Band width w mirrors the Spark side's occupancy-scaled rule:
+    // w = bitLength((n−1) div 1250) clamped to [4, 15] — integer
+    // arithmetic on both engines (floor(log2(k))+1 over an integer k is
+    // exact in doubles: only powers of two hit integral log2 values, and
+    // those are exactly representable). The 60-plane bucket is a
+    // superset: plane p depends only on p, so bits [0, 4w) equal the
+    // old 16-plane bucket's whenever w = 4.
     "q273_bitext_mining" ->
       s"""WITH e AS MATERIALIZED (
          |  SELECT v.vec_id AS id, v.embedding AS emb, d.lang, d.n_chars,
-         |    ${bucketSql("v.embedding", 16)} AS bucket
+         |    ${bucketSql("v.embedding", 60)} AS bucket
          |  FROM embeddings v JOIN documents d ON d.doc_id = v.vec_id),
+         |wv AS (
+         |  SELECT GREATEST(4, LEAST(15,
+         |    CASE WHEN (count(*) - 1) // 1250 <= 0 THEN 0
+         |         ELSE CAST(FLOOR(LOG2(CAST((count(*) - 1) // 1250 AS DOUBLE)))
+         |              AS BIGINT) + 1 END)) AS w
+         |  FROM e),
          |bandd AS (
          |  SELECT id, emb, lang, n_chars, band,
-         |    (bucket >> (band * 4)) & 15 AS sig
-         |  FROM e, LATERAL (SELECT unnest(range(0, 4)) AS band) r)
+         |    (bucket >> CAST(band * w AS INTEGER))
+         |      & ((CAST(1 AS BIGINT) << CAST(w AS INTEGER)) - 1) AS sig
+         |  FROM e, wv, LATERAL (SELECT unnest(range(0, 4)) AS band) r)
          |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          |  a.lang AS lang_a, b.lang AS lang_b,
          |  ${cosineSql("a.emb", "b.emb")} AS cosine,
