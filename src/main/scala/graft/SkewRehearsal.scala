@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   * max task time vs median task time (the skew ratio) and the largest
   * per-task shuffle-read record count — the number that decides whether a
   * 1000-executor cluster finishes with 999 idle executors waiting on one.
-  * Writes SKEW_r14.md in cwd. Not part of the driver contract.
+  * Writes SKEW_r15.md in cwd. Not part of the driver contract.
   */
 object SkewRehearsal {
   private case class Task(stage: Int, durMs: Long, srRec: Long)
@@ -68,7 +68,7 @@ object SkewRehearsal {
     })
 
     val sb = new StringBuilder
-    sb ++= s"# SKEW_r14 — planted-Zipf rehearsal (join leg: $dir, " +
+    sb ++= s"# SKEW_r15 — planted-Zipf rehearsal (join leg: $dir, " +
       s"LSH leg: $docsDir)\n\n"
     val load1 = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
@@ -129,7 +129,7 @@ object SkewRehearsal {
       fact.join(dim, fact("user_id") === dim("u_id"))
         .groupBy("segment").count().collect().map(_.getLong(1)).sum
     }
-    val a2 = phase("A2 CoreOps.saltedJoin salt=8 (AQE off)") {
+    val a2 = phase("A2 CoreOps.saltedJoin per-key derived salt (AQE off)") {
       graft.ops.CoreOps.saltedJoin(fact, dim, "user_id", "u_id",
         salt = 8, hotThreshold = nFact / 50)
         .groupBy("segment").count().collect().map(_.getLong(1)).sum
@@ -174,7 +174,7 @@ object SkewRehearsal {
     val b1 = phase("B1 uncapped (cap = MaxValue) — plain bucket self-join") {
       pairCount(Int.MaxValue)
     }
-    val b2 = phase("B2 default cap 4096 — T = ceil(n/4096) tiles") {
+    val b2 = phase("B2 default cap 4096 — occupancy-adaptive tiles") {
       pairCount(4096)
     }
     val b3 = phase("B3 cap 512 — more tiles, flatter") {
@@ -183,7 +183,7 @@ object SkewRehearsal {
     require(b1 == b2 && b2 == b3, s"pair sets diverged: $b1 / $b2 / $b3")
     sb ++= s"Correctness: distinct pair count identical at every cap: $b1.\n"
 
-    java.nio.file.Files.write(java.nio.file.Paths.get("SKEW_r14.md"),
+    java.nio.file.Files.write(java.nio.file.Paths.get("SKEW_r15.md"),
       sb.toString.getBytes("UTF-8"))
     println(sb.toString)
     spark.stop()

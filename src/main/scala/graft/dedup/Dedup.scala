@@ -350,6 +350,30 @@ object Dedup {
     * per-bucket size table, paying two extra sorts per side even on corpora
     * with no hot bucket at all (the q131/q138 regression of VERDICT r6).
     */
+  /** Occupancy-adaptive tile count for a hot bucket of `n` rows (null ⇒
+    * cold ⇒ handled by the caller's coalesce). T = ceil(n/cap) quantizes
+    * brutally just past the cap: a bucket at n = 1.2·cap gets T = 2 —
+    * three half-cap² pair groups on three tasks while every other task
+    * holds cold buckets (SKEW_r14 leg B measured 27× max/median task
+    * skew at cap 4096 vs 1.2× at cap 512, identical pair output, 1.5×
+    * faster wall). Hot buckets therefore tile at an EFFECTIVE width:
+    * enough tiles to spread over ~half the shuffle width, floored at
+    * [[minTileRows]] rows per tile (so a small overflow doesn't
+    * over-replicate), never wider than the caller's `cap` (explicit
+    * small caps — specs, adversarial callers — keep their bound). Pure
+    * per-row arithmetic on the broadcast census; the pair OUTPUT is
+    * tile-width-independent by construction, so results are identical
+    * at every cap.
+    */
+  private def adaptiveTiles(n: Column, cap: Int,
+                            spark: org.apache.spark.sql.SparkSession): Column = {
+    val minTiles = math.max(2, spark.sessionState.conf.numShufflePartitions / 2)
+    val capEff = least(lit(cap.toLong),
+      greatest(lit(minTileRows), ceil(n.cast("double") / minTiles)))
+    ceil(n.cast("double") / capEff).cast("int")
+  }
+  private val minTileRows = 256L
+
   def bucketedPairSides(keyed: DataFrame, keyCols: Seq[String], idCol: String,
                         cap: Int,
                         checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
@@ -392,7 +416,7 @@ object Dedup {
     // T = 1, tile 0 with zero replication and zero shuffle for the stamp.
     val tiled = keyedP.join(hot, keyCols, "left")
       .withColumn("_nt",
-        coalesce(ceil(col("_n").cast("double") / cap).cast("int"), lit(1)))
+        coalesce(adaptiveTiles(col("_n"), cap, keyed.sparkSession), lit(1)))
       .withColumn("_tile",
         when(col("_n").isNull, lit(0))
           .otherwise(pmod(xxhash64(col(idCol)), col("_nt")).cast("int")))
@@ -515,7 +539,7 @@ object Dedup {
           .agg(count(lit(1)).as("_n"), first(col("id")).as("_pin"))
           .filter(col("_n") > bucketCap)
           .select(col("band"), col("bh"), col("_n"))))
-    val nt = ceil(col("_n").cast("double") / bucketCap).cast("int")
+    val nt = adaptiveTiles(col("_n"), bucketCap, nb.sparkSession)
     val hTiled = hb.join(hot, Seq("band", "bh"), "left")
       .select(col("band"), col("bh"),
         when(col("_n").isNull, lit(0))

@@ -1,9 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Core relational operators, each a pure `DataFrame => DataFrame` (or
   * `Column`-returning) function. Every operator here re-expresses a dataflow
@@ -577,7 +577,16 @@ object CoreOps {
     * only move keys between the salted and plain paths.
     */
   def hotKeys(fact: DataFrame, key: String, hotThreshold: Long,
-              sampleFraction: Double = 0.01, cap: Int = 1024): Array[Any] = {
+              sampleFraction: Double = 0.01, cap: Int = 1024): Array[Any] =
+    hotKeyCounts(fact, key, hotThreshold, sampleFraction, cap).map(_._1)
+
+  /** [[hotKeys]] plus each key's ESTIMATED fact-row count (sampled count
+    * scaled back by the sample fraction) — the input [[saltedJoin]] sizes
+    * each hot key's salt fan-out from.
+    */
+  def hotKeyCounts(fact: DataFrame, key: String, hotThreshold: Long,
+                   sampleFraction: Double = 0.01,
+                   cap: Int = 1024): Array[(Any, Long)] = {
     require(sampleFraction > 0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0, 1], got $sampleFraction")
     val minSampled = math.max(1L, math.ceil(hotThreshold * sampleFraction).toLong)
@@ -587,29 +596,37 @@ object CoreOps {
       .filter(col("__n") >= minSampled && col("__k").isNotNull)
       .orderBy(col("__n").desc, col("__k").asc)
       .limit(cap)
-      .collect().map(_.get(0))
+      .collect()
+      .map(r => r.get(0) -> math.ceil(r.getLong(1) / sampleFraction).toLong)
   }
 
   /** Skew-safe fact⋈dim equi-join via TARGETED key salting: hot fact
-    * keys (auto-detected by [[hotKeys]] from a seeded sample) carry a
-    * salt derived from their INPUT partition — rows of one hot key
-    * spread across `salt` reducers — and the dim side replicates ONLY
-    * its hot-key rows `salt`-ways (≤ cap·salt extra rows, a constant).
-    * Cold keys join exactly as a plain join: salt 0 on both sides, no
-    * replication, and with no hot keys at all the shape degenerates to
-    * the plain (broadcast-able) join — which is the feature: you pay
-    * for skew handling only where skew exists. The earlier form of this
-    * operator replicated the WHOLE dim side `salt`-ways, which at 100 TB
-    * multiplies the dominant dim shuffle by `salt` to protect against
-    * hot keys that may not exist; targeted salting bounds the
-    * replication by the hot-key cap instead. Result is exactly the
-    * plain inner join for ANY detected hot set (the split is a
-    * partition of fact rows, each side joined on an equivalent key).
+    * keys (auto-detected by [[hotKeyCounts]] from a seeded sample) carry
+    * a row-hash salt — rows of one hot key spread across that key's salt
+    * fan-out — and the dim side replicates ONLY its hot-key rows, each
+    * to exactly its key's fan-out (≤ cap·maxSalt extra rows, a bounded
+    * artifact). The fan-out is PER KEY and PROPORTIONAL: a key estimated
+    * at `est` fact rows gets ceil(est / (hotThreshold/2)) shards —
+    * shards of about half the caller's declared too-hot size — floored
+    * at the `salt` parameter, so a 10×-over-threshold key spreads 10×
+    * wider than a barely-hot one instead of both getting one fixed
+    * width (the r14 SKEW rehearsal showed fixed salt=8 leaves the hot
+    * reducer 2× over median). Shards are assigned by a hashed row id,
+    * not `spark_partition_id % salt` — the partition-id form is lumpy
+    * whenever the input partition count is not a multiple of the salt.
+    * Cold keys join exactly as a plain join (salt 0, no replication);
+    * with no hot keys detected the operator RETURNS the plain join —
+    * broadcastable, no added columns. Result is exactly the plain inner
+    * join for ANY detected hot set (the split is a partition of fact
+    * rows, each side joined on an equivalent key).
     *
-    * AQE's skew-join split covers sort-merge shapes automatically; this
-    * is the explicit form for when the skew is known ahead of time
-    * (power-law author/mention keys in the reference's graph), survives
-    * broadcast-hash shapes, and works with AQE off.
+    * POSITIONING (measured, SKEW_r14/r15.md): AQE's runtime skew-join
+    * split beats this operator on sort-merge shapes — it sees exact
+    * post-shuffle sizes and pays no detection pass (1.9 s vs 4.6 s on
+    * the planted-Zipf leg). Reach for saltedJoin only where AQE's split
+    * cannot go: AQE disabled, stream-batch joins, or skew known ahead
+    * of time so the sample pass can be skipped by passing explicit
+    * keys. SCALE.md §skew records the decision rule.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                  dimKey: String, salt: Int = 8,
@@ -617,17 +634,26 @@ object CoreOps {
                  sampleFraction: Double = 0.01,
                  hotKeyCap: Int = 1024): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
-    val hot = hotKeys(fact, factKey, hotThreshold, sampleFraction, hotKeyCap)
-    def isHot(c: Column): Column =
-      if (hot.isEmpty) lit(false) else c.isin(hot: _*)
-    val sf = fact.withColumn("__salt",
-      when(isHot(col(factKey)),
-        pmod(spark_partition_id().cast("long"), lit(salt.toLong)))
-        .otherwise(lit(0L)))
-    val sd = dim.withColumn("__salt",
-      explode(when(isHot(col(dimKey)),
-        sequence(lit(0L), lit(salt.toLong - 1)))
-        .otherwise(array(lit(0L)))))
+    val hot = hotKeyCounts(fact, factKey, hotThreshold, sampleFraction, hotKeyCap)
+    if (hot.isEmpty) return fact.join(dim, fact(factKey) === dim(dimKey))
+    val spark = fact.sparkSession
+    val target = math.max(1L, hotThreshold / 2)
+    val hotSchema = StructType(Seq(
+      StructField("__hk", fact.schema(factKey).dataType),
+      StructField("__ns", LongType, nullable = false)))
+    val hotRows: java.util.List[Row] = java.util.Arrays.asList(hot.map {
+      case (k, est) => Row(k, math.max(salt.toLong, (est + target - 1) / target))
+    }: _*)
+    val hotDf = broadcast(spark.createDataFrame(hotRows, hotSchema))
+
+    val sf = fact.join(hotDf, fact(factKey) === hotDf("__hk"), "left")
+      .withColumn("__salt", when(col("__ns").isNull, lit(0L))
+        .otherwise(pmod(xxhash64(monotonically_increasing_id()), col("__ns"))))
+      .drop("__hk", "__ns")
+    val sd = dim.join(hotDf, dim(dimKey) === hotDf("__hk"), "left")
+      .withColumn("__salt", explode(when(col("__ns").isNull, array(lit(0L)))
+        .otherwise(sequence(lit(0L), col("__ns") - 1))))
+      .drop("__hk", "__ns")
     sf.join(sd, sf(factKey) === sd(dimKey) && sf("__salt") === sd("__salt"))
       .drop("__salt")
   }

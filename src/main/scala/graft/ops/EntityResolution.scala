@@ -199,6 +199,33 @@ object EntityResolution {
     * Emits each pair once, directionally: (id_a contained-in id_b), with
     * |A| < |B|, or |A| = |B| and id_a < id_b (equal sets qualify both
     * ways; one canonical row).
+    *
+    * Scale shape (the r14 sf10 probe's one named scale-killer, fixed):
+    * the verify join ships full shingle arrays, and a naive layout drags
+    * one array per CANDIDATE through the second join's exchange — 4.8 GB
+    * at sf10's ~30M candidates. Candidates are therefore pruned with two
+    * EXACT filters before any array moves (PPJoin-style, Xiao et al.
+    * ICDE 2008, adapted to the asymmetric threshold):
+    *
+    *   - LENGTH/DIRECTION: the output keeps only |A| < |B| (or equal
+    *     sizes, id_a < id_b) — a candidate-level fact, applied per match
+    *     row before the pair aggregate instead of after the array join.
+    *   - POSITIONAL: both sides' element lists share one total order
+    *     (global df, then element value — the order the prefixes are cut
+    *     from), so a match at 1-based positions (i, j) bounds the overlap
+    *     exactly: common elements below the match sit before i in A AND
+    *     before j in B; those above sit after BOTH. Per match row,
+    *     overlap ≤ 1 + min(i−1, j−1) + min(|A|−i, |B|−j); at the pair's
+    *     EARLIEST match (min i) the left slack is zero — any common
+    *     element before it is itself a prefix match and would have been
+    *     observed. The pair aggregate keeps min(bound) over its match
+    *     rows and drops pairs that cannot reach ceil(t·|A|).
+    *
+    * Both prunes only remove pairs the verify filter rejects anyway —
+    * results are bit-identical; the DuckDB oracle replays the unpruned
+    * candidate set. Survivors (≈ true pairs) then pay the array join,
+    * with the SMALLER side's array (|A| ≤ |B|) crossing the id_b
+    * exchange.
     */
   def containmentPairs(df: DataFrame, idCol: String, elemsCol: Column,
                        tNum: Int, tDen: Int,
@@ -216,19 +243,45 @@ object EntityResolution {
       elemsCol.as("__ts") +: carryCols.map(col)): _*), checkpointDir)
     val tok = r.select(col("__id"), explode(col("__ts")).as("__t"))
     val freq = tok.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
-    val ordered = tok.join(freq, "__t")
-      .groupBy(col("__id"))
-      .agg(sort_array(collect_list(struct(col("__df"), col("__t")))).as("__ord"))
-      .withColumn("__sz", size(col("__ord")))
-      .withColumn("__p",
-        col("__sz") - expr(s"(__sz * $tNum + ${tDen - 1}) div $tDen") + 1)
-      .select(col("__id"),
-        explode(expr("transform(slice(__ord, 1, int(__p)), x -> x.__t)")).as("__t"))
+    // Per-record frequency-ranked positions — ONE ranked token table
+    // feeds both join sides (A-prefix probe and B-full postings), so the
+    // rank groupBy runs once, not once per side. Token-stream-sized rows
+    // of (id, pos, size, element): bounded payload.
+    val posTok = materializedOnce(
+      tok.join(freq, "__t")
+        .groupBy(col("__id"))
+        .agg(sort_array(collect_list(struct(col("__df"), col("__t")))).as("__ord"))
+        .select(col("__id"), size(col("__ord")).as("__sz"),
+          posexplode(expr("transform(__ord, x -> x.__t)")).as(Seq("__p0", "__t"))),
+      checkpointDir)
 
-    val cand = ordered.select(col("__id").as("id_a"), col("__t"))
-      .join(tok.select(col("__id").as("id_b"), col("__t")), Seq("__t"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    val pA = posTok
+      .filter(col("__p0") + 1 <=
+        col("__sz") - expr(s"(__sz * $tNum + ${tDen - 1}) div $tDen") + 1)
+      .select(col("__id").as("id_a"), col("__t"),
+        (col("__p0") + 1).as("__ia"), col("__sz").as("__sa"))
+    val pB = posTok.select(col("__id").as("id_b"), col("__t"),
+      (col("__p0") + 1).as("__jb"), col("__sz").as("__sb"))
+
+    // (i, j) packed into one long (i < 2³¹ always: it's a position in a
+    // document's element list) so the earliest-match aggregate is a plain
+    // long min — HashAggregate-able, where min(struct(i, j)) forces a
+    // SortAggregate pair (two extra sorts on the candidate stream).
+    val cand = pA.join(pB, Seq("__t"))
+      .filter(col("__sa") < col("__sb") ||
+        (col("__sa") === col("__sb") && col("id_a") < col("id_b")))
+      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"),
+        (lit(1) + least(col("__ia") - 1, col("__jb") - 1) +
+          least(col("__sa") - col("__ia"), col("__sb") - col("__jb"))).as("__ub"),
+        (shiftleft(col("__ia").cast("long"), 32) + col("__jb")).as("__ij"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("__ij")).as("__e"), min(col("__ub")).as("__mn"),
+        min(col("__sa")).as("__sa"), min(col("__sb")).as("__sb"))
+      .withColumn("__bound", least(col("__mn"), lit(1) +
+        least(col("__sa") - shiftright(col("__e"), 32).cast("int"),
+          col("__sb") - col("__e").bitwiseAND(lit(4294967295L)).cast("int"))))
+      .filter(col("__bound") * tDen >= lit(tNum) * col("__sa"))
+      .select(col("id_a"), col("id_b"))
 
     val left = r.select((col("__id").as("id_a") +: col("__ts").as("__ts_a") +:
       carryCols.map(col)): _*)
@@ -236,8 +289,6 @@ object EntityResolution {
     cand.join(left, "id_a").join(right, "id_b")
       .withColumn("sz_a", size(col("__ts_a")).cast("long"))
       .withColumn("sz_b", size(col("__ts_b")).cast("long"))
-      .filter(col("sz_a") < col("sz_b") ||
-        (col("sz_a") === col("sz_b") && col("id_a") < col("id_b")))
       .withColumn("inter", size(array_intersect(col("__ts_a"), col("__ts_b"))).cast("long"))
       .filter(col("inter") * tDen >= lit(tNum) * col("sz_a"))
       .drop("__ts_a", "__ts_b")

@@ -89,18 +89,23 @@ object StreamQueries {
     * r14 sf10 probe OOM'd an 8 GiB driver serializing q68's 20M-row
     * memory-sink readback. The file sink keeps the result distributed
     * end to end; the readback scan honors the sink's _spark_metadata
-    * commit log, so it reads exactly the committed set. Output lands
-    * under [[ckptRoot]] (tmpfs — sink scaffolding, like the checkpoints;
-    * the memory sink kept the same bytes in RAM, minus the scan-back).
+    * commit log, so it reads exactly the committed set. Output is
+    * DATA-sized, so it lands under [[sinkRoot]] (disk-backed, reaped by
+    * a shutdown hook) — NOT the tmpfs checkpoint root: tmpfs is capped
+    * at ~half RAM, and a multi-pass bench leg at sf10 stacks 4+ copies
+    * of 20M-row outputs, trading the old driver-heap OOM for ENOSPC.
+    * Readback passes the plan's schema explicitly: a zero-row stream
+    * commits only the _spark_metadata log, and schema inference on that
+    * throws where the memory sink used to hand back an empty table.
     */
   private def fileSink(df: DataFrame, tag: String): DataFrame = {
     val out = Files.createTempDirectory(
-      java.nio.file.Paths.get(ckptRoot), tag).toString
+      java.nio.file.Paths.get(sinkRoot), tag).toString
     val q = df.writeStream.format("parquet").option("path", out)
       .outputMode("append").start()
     q.processAllAvailable()
     q.stop()
-    df.sparkSession.read.parquet(out)
+    df.sparkSession.read.schema(df.schema).parquet(out)
   }
 
   /** Update-mode twin of [[fileSink]]: the file sink is append-only, so
@@ -112,14 +117,17 @@ object StreamQueries {
     */
   private def fileSinkUpdate[T](ds: Dataset[T], tag: String): DataFrame = {
     val out = Files.createTempDirectory(
-      java.nio.file.Paths.get(ckptRoot), tag).toString
-    val q = ds.toDF().writeStream.outputMode("update")
+      java.nio.file.Paths.get(sinkRoot), tag).toString
+    val df = ds.toDF()
+    val q = df.writeStream.outputMode("update")
       .foreachBatch { (b: Dataset[Row], _: Long) =>
         b.write.mode("append").parquet(out)
       }.start()
     q.processAllAvailable()
     q.stop()
-    ds.sparkSession.read.parquet(out)
+    // Explicit schema: an all-late-data run leaves the dir empty, and
+    // inference on an empty dir throws where this should read 0 rows.
+    ds.sparkSession.read.schema(df.schema).parquet(out)
   }
 
   /** N-file landing with PINNED batch order: `slices(i)` becomes batch
@@ -164,8 +172,34 @@ object StreamQueries {
     val base = new java.io.File("/dev/shm")
     val parent = if (base.isDirectory && base.canWrite) base.toPath
                  else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val d = Files.createTempDirectory(parent, "graft_stream_ckpt_")
-    d.toFile.deleteOnExit()
+    tempRootReapedOnExit(parent, "graft_stream_ckpt_")
+  }
+
+  /** Disk-backed root for data-sized SINK output (see [[fileSink]]) —
+    * deliberately NOT tmpfs. One root per process, one subdir per sink
+    * invocation; nothing inside is needed once the caller's readback
+    * scan is consumed, and the whole tree is reaped at JVM exit.
+    */
+  private lazy val sinkRoot: String = tempRootReapedOnExit(
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+    "graft_stream_sink_")
+
+  /** Temp root with a RECURSIVE-delete shutdown hook. `deleteOnExit()`
+    * is a trap here: it only removes EMPTY directories, so every prior
+    * session's checkpoint tree survived JVM exit and accumulated in
+    * tmpfs (18 GB of stale roots found in /dev/shm at round-15 start).
+    */
+  private def tempRootReapedOnExit(parent: java.nio.file.Path,
+                                   prefix: String): String = {
+    val d = Files.createTempDirectory(parent, prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(d.toFile)
+    }))
     d.toString
   }
 
@@ -184,28 +218,36 @@ object StreamQueries {
     * batch side's shuffle width.
     */
   private val sessionPool =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
-  private def streamSession(s: SparkSession): SparkSession =
-    sessionPool.computeIfAbsent(s,
-      new java.util.function.Function[SparkSession, SparkSession] {
-        override def apply(base: SparkSession): SparkSession = {
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), SparkSession]()
+  private def streamSession(s: SparkSession,
+                            estimatedKeys: Long = 1024): SparkSession = {
+    // State width from the sizing rule (graft.streaming.StateSizing:
+    // partitions ~ keyspace·bytes / per-task budget, independent of
+    // batch shuffle width). Most gate fixtures' keyspaces are hundreds
+    // of keys → the 4-partition floor, the measured optimum of the
+    // r11 width A/B — every extra shuffle partition is one more
+    // state file fsync'd PER micro-batch per stateful operator. Queries
+    // whose state is DATA-sized (q68's per-event dedup keys) pass their
+    // actual keyspace estimate, so the width grows with the data: at
+    // the gate SFs the estimate still lands on the floor (zero change),
+    // at the sf10 probe q68's ~20M keys derive 11 partitions instead of
+    // riding the floor with 2.5 GB of state (the r14 probe survived
+    // that only because the driver got 24 g). Pooled per (parent,
+    // width): same-width queries share one clone.
+    // SPARK_GRAFT_STREAM_PARTS overrides for the width-robustness
+    // leg (VERDICT r10 item 8) — catches stream plans whose
+    // constants only look good at toy width. The driver never sets
+    // it.
+    val stateParts = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+      .map(_.toInt)
+      .getOrElse(graft.streaming.StateSizing.statePartitionsLogged(
+        estimatedKeys = estimatedKeys,
+        batchShuffleWidth = s.sessionState.conf.numShufflePartitions))
+    sessionPool.computeIfAbsent((s, stateParts),
+      new java.util.function.Function[(SparkSession, Int), SparkSession] {
+        override def apply(k: (SparkSession, Int)): SparkSession = {
+          val base = k._1
           val s2 = base.newSession()
-          // State width from the sizing rule (graft.streaming.StateSizing:
-          // partitions ~ keyspace·bytes / per-task budget, independent of
-          // batch shuffle width): these fixtures' keyspaces are hundreds
-          // of keys → the 4-partition floor, the measured optimum of the
-          // r11 width A/B — every extra shuffle partition is one more
-          // state file fsync'd PER micro-batch per stateful operator.
-          // SPARK_GRAFT_STREAM_PARTS overrides for the width-robustness
-          // leg (VERDICT r10 item 8) — catches stream plans whose
-          // constants only look good at toy width. The driver never sets
-          // it.
-          val stateParts = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
-            .map(_.toInt)
-            .getOrElse(graft.streaming.StateSizing.statePartitionsLogged(
-              estimatedKeys = 1024,
-              batchShuffleWidth =
-                base.sessionState.conf.numShufflePartitions))
           s2.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
           // AQE never applies inside micro-batch plans, and the session's
           // OTHER queries (memory-sink readbacks, 1-row sentinels) are
@@ -237,6 +279,20 @@ object StreamQueries {
           s2
         }
       })
+  }
+
+  /** Cached events-table row count per sf dir — the keyspace estimate for
+    * the DATA-sized stream states (one dedup key per event). Counted once
+    * per JVM per dir off the parquet footers' row counts.
+    */
+  private val eventsCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def eventsRowCount(s: SparkSession, dir: String): Long =
+    eventsCountCache.computeIfAbsent(dir,
+      new java.util.function.Function[String, java.lang.Long] {
+        override def apply(d: String): java.lang.Long =
+          java.lang.Long.valueOf(s.read.parquet(s"$d/events.parquet").count())
+      }).longValue()
 
   /** Events projected to (event_id, ts_us, event_type, value_cents):
     * timestamps ride through JSON as epoch micros (lossless, no format
@@ -515,7 +571,11 @@ object StreamQueries {
     "q68_stream_dedup" -> ((s, dir) => {
       val flat = eventsFlat(s, dir)
       val dir1 = parquetLanding("q68_landing_pq", dir, flat.unionAll(flat), 2, "event_id")
-      val ss = streamSession(s)
+      // DATA-sized state: one dedup key per distinct event_id ⇒ keyspace
+      // = the events row count. Gate SFs derive the 4-partition floor
+      // (unchanged); the sf10 probe's ~20M keys derive a width that
+      // keeps per-partition state inside the task budget.
+      val ss = streamSession(s, estimatedKeys = eventsRowCount(s, dir))
       val stream = SocialStream
         .readParquetStream(ss, dir1, eventsFlatSchema, maxFilesPerTrigger = 1)
         .withColumn("ts", timestamp_micros(col("ts_us")))

@@ -124,6 +124,32 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == 200L * 199 / 2 + 3)
   }
 
+  test("bucketedPairs: occupancy-adaptive tiling fans a barely-hot bucket wide") {
+    // SKEW_r14 leg B: T = ceil(n/cap) gives a bucket just over the cap
+    // T = 2 — three half-cap² pair groups while the rest of the stage is
+    // cold (27× task skew measured at sf1). The adaptive width must fan
+    // a hot bucket to ~minTiles = shuffleWidth/2 tiles (floored at 256
+    // rows/tile) with the pair set unchanged.
+    val spark = TestSpark.spark
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32") // minTiles = 16
+    try {
+      val n = 1200L
+      val keyed = (1L to n).map(i => (0, 0L, i)).toDF("band", "bh", "id")
+      val cap = 1024 // n barely over cap: the old width would be T = 2
+      val (aSide, _) = Dedup.bucketedPairSides(keyed, Seq("band", "bh"), "id", cap)
+      // capEff = min(1024, max(256, ceil(1200/16))) = 256 → T = 5
+      val tiles = aSide.select("_tr").distinct().count()
+      assert(tiles == 5L, s"expected 5 adaptive tiles, got $tiles")
+      val maxGroup = aSide.groupBy("_tl", "_tr").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      assert(maxGroup <= 3L * 256L, s"tile group of $maxGroup exceeds bound")
+      val pairs = Dedup.bucketedPairs(keyed, Seq("band", "bh"), "id", cap)
+        .select(col("a.id"), col("b.id")).distinct().count()
+      assert(pairs == n * (n - 1) / 2) // pair set is tile-width-independent
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("assoc-rules pair stage: power-user basket tiled, support exact") {
     // q202's shape: baskets keyed by user, one power user holding 80
     // items (>> cap) plus normal 3-item users. The tiled pair stage must

@@ -286,6 +286,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "no hash aggregation in the frequency/census stages")
   }
 
+  test("containment dedup: positional prune runs before any array join") {
+    // r14 sf10 probe: the verify join dragged full shingle arrays per
+    // CANDIDATE through the id_b exchange (4.8 GB at ~30M candidates).
+    // The fix gates candidates through an exact PPJoin-style positional
+    // bound (min(__ub)/__bound aggregate+filter) so only near-qualifying
+    // pairs reach the array join. Pin: the bound columns exist in the
+    // executed plan, and every join stays equi (no all-pairs fallback).
+    val plan = run("q210_containment_dedup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "containment join degenerated to all-pairs")
+    // The `__bound` alias is inlined by the optimizer; the pin is the
+    // pair-level min(__ub) AGGREGATE (positional bounds reduced per pair)
+    // and the least(__mn, …) prune FILTER it feeds.
+    assert(plan.contains("min(__ub"),
+      "pair-level min of the positional upper bound missing from the plan")
+    assert(plan.contains("least(__mn"),
+      "positional prune filter missing — candidates reach the array " +
+        "verify join unpruned")
+  }
+
   test("gap-fill grid join is an equi-join; fill is one window pass") {
     val plan = run("q192_gap_fill")
     assert(!plan.contains("CartesianProduct") &&

@@ -12,7 +12,8 @@ b = json.load(open(sys.argv[2]))   # sf10
 qa, qb = a["queries"], b["queries"]
 assert set(qa) == set(qb), set(qa) ^ set(qb)
 
-rows = [(k, qa[k], qb[k], qb[k] / qa[k]) for k in qa]
+# Guard: a sub-10ms sf1 query rounded to 0.0 must not kill the table build.
+rows = [(k, qa[k], qb[k], qb[k] / max(qa[k], 1e-9)) for k in qa]
 rows.sort(key=lambda r: -r[3])
 
 print("| query | sf1 s | sf10 s | ratio (10x data) |")
