@@ -220,8 +220,19 @@ object EntityResolution {
     *     element before it is itself a prefix match and would have been
     *     observed. The pair aggregate keeps min(bound) over its match
     *     rows and drops pairs that cannot reach ceil(t·|A|).
+    *   - EXTENDED-PREFIX MATCH COUNT (the one that bites — adaptive
+    *     prefix filtering, Wang et al. SIGMOD 2012): probing with A's
+    *     first P = min(p + k − 1, |A|) elements, a qualifying pair must
+    *     share ≥ P − p + 1 of them — A has at most p − 1 elements
+    *     outside the overlap, so fewer shared probe elements puts the
+    *     overlap below ceil(t·|A|) by pigeonhole. Measured at sf10, the
+    *     positional bound alone pruned only 15.7M → 14.9M match pairs:
+    *     A's rarest elements sit EARLY in B's frequency-sorted list too
+    *     (same global order), so the B-side slack stays wide. Requiring
+    *     k = 3 shared probe elements collapses the accidental
+    *     single-rare-token pairs instead.
     *
-    * Both prunes only remove pairs the verify filter rejects anyway —
+    * All prunes only remove pairs the verify filter rejects anyway —
     * results are bit-identical; the DuckDB oracle replays the unpruned
     * candidate set. Survivors (≈ true pairs) then pay the array join,
     * with the SMALLER side's array (|A| ≤ |B|) crossing the id_b
@@ -255,9 +266,14 @@ object EntityResolution {
           posexplode(expr("transform(__ord, x -> x.__t)")).as(Seq("__p0", "__t"))),
       checkpointDir)
 
+    // k extra probe elements beyond the minimal prefix p: candidates must
+    // share ≥ (probe − p + 1) of A's first probe elements (exact, see
+    // scaladoc). k = 3 measured best at sf10 — k = 1 is the classic
+    // prefix filter, which left 14.9M accidental candidates.
+    val k = 3
+    val pl = col("__sz") - expr(s"(__sz * $tNum + ${tDen - 1}) div $tDen") + 1
     val pA = posTok
-      .filter(col("__p0") + 1 <=
-        col("__sz") - expr(s"(__sz * $tNum + ${tDen - 1}) div $tDen") + 1)
+      .filter(col("__p0") + 1 <= least(pl + (k - 1), col("__sz")))
       .select(col("__id").as("id_a"), col("__t"),
         (col("__p0") + 1).as("__ia"), col("__sz").as("__sa"))
     val pB = posTok.select(col("__id").as("id_b"), col("__t"),
@@ -276,11 +292,19 @@ object EntityResolution {
         (shiftleft(col("__ia").cast("long"), 32) + col("__jb")).as("__ij"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("__ij")).as("__e"), min(col("__ub")).as("__mn"),
-        min(col("__sa")).as("__sa"), min(col("__sb")).as("__sb"))
+        min(col("__sa")).as("__sa"), min(col("__sb")).as("__sb"),
+        count(lit(1)).as("__nm"))
       .withColumn("__bound", least(col("__mn"), lit(1) +
         least(col("__sa") - shiftright(col("__e"), 32).cast("int"),
           col("__sb") - col("__e").bitwiseAND(lit(4294967295L)).cast("int"))))
       .filter(col("__bound") * tDen >= lit(tNum) * col("__sa"))
+      // Extended-prefix pigeonhole: shared probe elements must reach
+      // probe − p + 1 (both recomputed from |A|; __nm counts match rows,
+      // one per shared probe element — elements are distinct per doc).
+      .withColumn("__pl",
+        col("__sa") - expr(s"(__sa * $tNum + ${tDen - 1}) div $tDen") + 1)
+      .filter(col("__nm") >=
+        least(col("__pl") + (k - 1), col("__sa")) - col("__pl") + 1)
       .select(col("id_a"), col("id_b"))
 
     val left = r.select((col("__id").as("id_a") +: col("__ts").as("__ts_a") +:
