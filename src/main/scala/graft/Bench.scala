@@ -53,6 +53,33 @@ object Bench {
       System.err.println(f"[bench] *** HOT HOST: load1=$load1%.1f > 2.0 at " +
         "leg start — medians from this run are NOISE-SUSPECT; re-run on an " +
         "idle host before committing or comparing ***")
+    // Host-speed RULER (r15): a fixed CPU loop timed single-threaded and
+    // at full width, recorded in the artifact. Round-over-round bench
+    // totals drifted 220→280 s on code-identical query paths (load1
+    // looked fine both times); with the ruler in the JSON, a future delta
+    // can separate "the host is slower today" (ruler moved) from "a plan
+    // regressed" (ruler flat) without a day of re-legging. The loop is
+    // integer ALU work in L1 — immune to JIT elision via the xor fold.
+    def rulerPass(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0L; var i = 0L
+      while (i < 400000000L) { x ^= i * 0x9E3779B97F4A7C15L; i += 1 }
+      if (x == 42L) System.err.println("") // keep x live
+      (System.nanoTime() - t0) / 1e9
+    }
+    rulerPass() // JIT warmup, untimed
+    val ruler1t = rulerPass()
+    val nThreads = Runtime.getRuntime.availableProcessors()
+    val rulerWide = {
+      val t0 = System.nanoTime()
+      val ts = (1 to nThreads).map { _ =>
+        val t = new Thread(() => { rulerPass(): Unit }); t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    System.err.println(f"[bench] host ruler: 1t=$ruler1t%.3f s, " +
+      f"${nThreads}t=$rulerWide%.3f s")
     val wall0 = System.nanoTime()
     queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -91,7 +118,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detailed = s"""{"metric":"total","value":${ms(total)},"unit":"sec","wall":${ms(wallSec)},"passes":$nPasses,"stat":"median","load1_at_start":${ms(load1)},"errors":$errs,"queries":$qs,"sf":"$sfName"}"""
+    val detailed = s"""{"metric":"total","value":${ms(total)},"unit":"sec","wall":${ms(wallSec)},"passes":$nPasses,"stat":"median","load1_at_start":${ms(load1)},"ruler_1t_sec":${ms(ruler1t)},"ruler_${nThreads}t_sec":${ms(rulerWide)},"errors":$errs,"queries":$qs,"sf":"$sfName"}"""
     // The short line carries the errors array too: the driver's parsed
     // artifact itself must be red when any query threw — a leg with
     // failures can never read as a clean total (VERDICT r11 item 2: the

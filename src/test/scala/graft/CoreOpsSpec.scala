@@ -223,6 +223,16 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(hot.toSeq == Seq(1L, 2L))
   }
 
+  test("hotKeyCounts scales sampled counts back to fact-row estimates") {
+    import graft.ops.CoreOps
+    val fact = ((1L to 300L).map(_ => 1L) ++ (1L to 3000L).map(i => 10L + i % 100))
+      .toDF("k").repartition(6)
+    val hot = CoreOps.hotKeyCounts(fact, "k", hotThreshold = 100L,
+      sampleFraction = 1.0)
+    // full sample ⇒ the estimate is the exact count
+    assert(hot.toSeq == Seq(1L -> 300L))
+  }
+
   test("saltedJoin with no hot keys replicates nothing and still matches") {
     import graft.ops.CoreOps
     val fact = (1L to 1000L).map(i => (i, i % 100)).toDF("row_id", "k")
