@@ -77,6 +77,34 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("containmentPairs matches brute force on seeded random corpora") {
+    // The r15 candidate prunes (positional bound, extended-prefix k-match)
+    // are exact only if their pigeonhole arguments hold on every shape:
+    // tiny sets, equal sets, t = 1, docs shorter than the probe prefix.
+    // One fixed fixture can't cover that — replay 3 seeded random corpora
+    // at two thresholds against the O(n²) oracle.
+    val rng = new scala.util.Random(20260816L)
+    for (trial <- 1 to 3; (tn, td) <- Seq((8, 10), (1, 1))) {
+      val rows = (1L to 40L).map { id =>
+        val n = 1 + rng.nextInt(12)
+        id -> Seq.fill(n)("e" + rng.nextInt(30)).distinct
+      }
+      val got = EntityResolution
+        .containmentPairs(rows.toDF("id", "ts"), "id", col("ts"), tn, td)
+        .select("id_a", "id_b", "inter").as[(Long, Long, Long)]
+        .collect().toSet
+      val byId = rows.toMap
+      val want = (for {
+        a <- rows.map(_._1); b <- rows.map(_._1) if a != b
+        sa = byId(a).toSet; sb = byId(b).toSet
+        if sa.size < sb.size || (sa.size == sb.size && a < b)
+        inter = (sa & sb).size if inter * td >= tn * sa.size
+      } yield (a, b, inter.toLong)).toSet
+      assert(got == want,
+        s"trial $trial t=$tn/$td: got ${got.size} pairs, want ${want.size}")
+    }
+  }
+
   test("removeBoilerplateChunks drops cross-doc chunks and rebuilds in order") {
     val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // one exact chunk
     val docs = Seq(
