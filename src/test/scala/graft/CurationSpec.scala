@@ -77,6 +77,32 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("prefixFilterPairs matches brute force on seeded random corpora") {
+    // Same randomized replay as containmentPairs below: the prefix-length
+    // arithmetic and the integer cross-multiplied Jaccard must agree with
+    // the O(n²) oracle on tiny/equal/threshold-edge sets.
+    val rng = new scala.util.Random(20260815L)
+    for (trial <- 1 to 3; (tn, td) <- Seq((6, 10), (1, 1))) {
+      val rows = (1L to 40L).map { id =>
+        val n = 1 + rng.nextInt(12)
+        id -> Seq.fill(n)("e" + rng.nextInt(30)).distinct
+      }
+      val got = EntityResolution
+        .prefixFilterPairs(rows.toDF("id", "ts"), "id", col("ts"), tn, td)
+        .select("id_a", "id_b", "inter").as[(Long, Long, Long)]
+        .collect().toSet
+      val byId = rows.toMap
+      val want = (for {
+        a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+        sa = byId(a).toSet; sb = byId(b).toSet
+        inter = (sa & sb).size
+        if inter * td >= tn * (sa.size + sb.size - inter)
+      } yield (a, b, inter.toLong)).toSet
+      assert(got == want,
+        s"trial $trial t=$tn/$td: got ${got.size} pairs, want ${want.size}")
+    }
+  }
+
   test("containmentPairs matches brute force on seeded random corpora") {
     // The r15 candidate prunes (positional bound, extended-prefix k-match)
     // are exact only if their pigeonhole arguments hold on every shape:
