@@ -118,7 +118,10 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detailed = s"""{"metric":"total","value":${ms(total)},"unit":"sec","wall":${ms(wallSec)},"passes":$nPasses,"stat":"median","load1_at_start":${ms(load1)},"ruler_1t_sec":${ms(ruler1t)},"ruler_${nThreads}t_sec":${ms(rulerWide)},"errors":$errs,"queries":$qs,"sf":"$sfName"}"""
+    // Fixed ruler keys (ADVICE r15): "ruler_wide_sec" + "ruler_threads"
+    // instead of the host-dependent "ruler_<N>t_sec", so artifact parsers
+    // comparing legs across hosts/VM shapes read one field name.
+    val detailed = s"""{"metric":"total","value":${ms(total)},"unit":"sec","wall":${ms(wallSec)},"passes":$nPasses,"stat":"median","load1_at_start":${ms(load1)},"ruler_1t_sec":${ms(ruler1t)},"ruler_wide_sec":${ms(rulerWide)},"ruler_threads":$nThreads,"errors":$errs,"queries":$qs,"sf":"$sfName"}"""
     // The short line carries the errors array too: the driver's parsed
     // artifact itself must be red when any query threw — a leg with
     // failures can never read as a clean total (VERDICT r11 item 2: the
@@ -138,6 +141,14 @@ object Bench {
         val pair = """"(q[0-9]+_[a-zA-Z0-9_]+)":([0-9.]+)""".r
         val prev = pair.findAllMatchIn(prevLine)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // Previous leg's host ruler (either the r16+ fixed key or the r15
+        // host-dependent one): the r15 adjudication measured 1.47x ruler
+        // drift between same-day idle legs and 1-11% CPU steal on this VM,
+        // so every delta is quoted BOTH raw and ruler-normalized — a delta
+        // that disappears under normalization is the host, not the plans.
+        val rulerRe = """"ruler_(?:wide|[0-9]+t)_sec":([0-9.]+)""".r
+        val prevRuler = rulerRe.findFirstMatchIn(prevLine).map(_.group(1).toDouble)
+        val hostFactor = prevRuler.filter(_ > 0).map(rulerWide / _)
         val common = results.keys.filter(prev.contains).toSeq.sorted
         val lines = new StringBuilder
         lines ++= s"# BENCH_DELTA — this run vs previous BENCH_LOCAL.json ($sfName)\n\n"
@@ -145,17 +156,27 @@ object Bench {
           lines ++= s"**FAILED queries (timings meaningless): ${failed.mkString(", ")}**\n\n"
         val prevCommon = common.map(prev).sum
         val curCommon = common.map(results).sum
+        val rawX = if (prevCommon > 0) curCommon / prevCommon else 1.0
         lines ++= f"Common-query total: ${curCommon}%.1f s vs ${prevCommon}%.1f s " +
-          f"(${if (prevCommon > 0) curCommon / prevCommon else 1.0}%.2fx, ${common.size} queries)\n\n"
+          f"($rawX%.2fx raw, ${common.size} queries)"
+        hostFactor match {
+          case Some(hf) =>
+            lines ++= f"; host ruler moved $hf%.2fx (wide, prev ${prevRuler.get}%.2f s " +
+              f"-> now $rulerWide%.2f s) -> **ruler-normalized ${rawX / hf}%.2fx**\n\n"
+          case None =>
+            lines ++= "; previous leg has no ruler — raw only\n\n"
+        }
         // prev(k) == 0.000 (sub-ms time rounded away) has no meaningful
         // baseline: excluded rather than rendering an Infinity ratio
         val regressed = common.filter(k => prev(k) > 0.0 &&
           results(k) > prev(k) * 1.2 && results(k) - prev(k) > 0.1)
         if (regressed.isEmpty) lines ++= "No query regressed >20% and >0.1 s.\n"
         else {
-          lines ++= "| query | prev s | now s | ratio |\n|---|---|---|---|\n"
+          lines ++= "| query | prev s | now s | raw | ruler-normalized |\n|---|---|---|---|---|\n"
           regressed.sortBy(k => -(results(k) - prev(k))).foreach { k =>
-            lines ++= f"| $k | ${prev(k)}%.3f | ${results(k)}%.3f | ${results(k) / prev(k)}%.2fx |\n"
+            val raw = results(k) / prev(k)
+            val norm = hostFactor.map(hf => f"${raw / hf}%.2fx").getOrElse("n/a")
+            lines ++= f"| $k | ${prev(k)}%.3f | ${results(k)}%.3f | $raw%.2fx | $norm |\n"
           }
         }
         val newQs = results.keys.filterNot(prev.contains).toSeq.sorted

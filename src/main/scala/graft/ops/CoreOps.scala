@@ -646,9 +646,19 @@ object CoreOps {
     }: _*)
     val hotDf = broadcast(spark.createDataFrame(hotRows, hotSchema))
 
+    // The salt MUST be a deterministic function of the row: the salted key
+    // feeds a shuffle, and under fetch-failure retry Spark recomputes map
+    // tasks — a nondeterministic salt (rand/monotonic id) can assign the
+    // same logical row to different reducers across attempts, duplicating
+    // or dropping it (indeterminate-stage rollback does not reliably cover
+    // nondeterministic projections). Hash ALL fact columns instead:
+    // identical duplicate rows land on one shard, which only matters if a
+    // hot key's rows are near-all byte-identical — then no row-level salt
+    // can separate them anyway.
+    val factCols = fact.columns.map(fact(_))
     val sf = fact.join(hotDf, fact(factKey) === hotDf("__hk"), "left")
       .withColumn("__salt", when(col("__ns").isNull, lit(0L))
-        .otherwise(pmod(xxhash64(monotonically_increasing_id()), col("__ns"))))
+        .otherwise(pmod(xxhash64(factCols: _*), col("__ns"))))
       .drop("__hk", "__ns")
     val sd = dim.join(hotDf, dim(dimKey) === hotDf("__hk"), "left")
       .withColumn("__salt", explode(when(col("__ns").isNull, array(lit(0L)))

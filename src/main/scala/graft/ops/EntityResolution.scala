@@ -147,8 +147,12 @@ object EntityResolution {
     // executor); cluster callers pass `checkpointDir` for a reliable
     // HDFS/S3 checkpoint instead — same contract as
     // Dedup.bucketedPairSides.
+    // array_compact: null elements would silently disagree between the
+    // token-table paths (explode+equi-join drops nulls) and the verify
+    // filter's size(__ts) (counts them) — dropping nulls up front makes
+    // every size/prefix/intersect computation see the same set.
     val r = materializedOnce(df.select((col(idCol).as("__id") +:
-      elemsCol.as("__ts") +: carryCols.map(col)): _*), checkpointDir)
+      array_compact(elemsCol).as("__ts") +: carryCols.map(col)): _*), checkpointDir)
     val tok = r.select(col("__id"), explode(col("__ts")).as("__t"))
     val freq = tok.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
 
@@ -250,8 +254,12 @@ object EntityResolution {
     // local single-row-group scan otherwise pins everything to ~2
     // tasks). Rows are (id, hashes, carry) — ids+longs, bounded payload.
     // Reliable-checkpoint contract as in [[prefixFilterPairs]].
+    // array_compact: the candidate-side __sz comes from the token table
+    // (explode+equi-join, which drops null elements) while verify uses
+    // size(__ts) — compacting up front makes both counts agree for
+    // arrays that contain nulls.
     val r = materializedOnce(df.select((col(idCol).as("__id") +:
-      elemsCol.as("__ts") +: carryCols.map(col)): _*), checkpointDir)
+      array_compact(elemsCol).as("__ts") +: carryCols.map(col)): _*), checkpointDir)
     val tok = r.select(col("__id"), explode(col("__ts")).as("__t"))
     val freq = tok.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
     // Per-record frequency-ranked positions — ONE ranked token table

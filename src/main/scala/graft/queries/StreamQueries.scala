@@ -291,7 +291,11 @@ object StreamQueries {
     eventsCountCache.computeIfAbsent(dir,
       new java.util.function.Function[String, java.lang.Long] {
         override def apply(d: String): java.lang.Long =
-          java.lang.Long.valueOf(s.read.parquet(s"$d/events.parquet").count())
+          // Through Tables.load, not a raw parquet read: the events table's
+          // physical ts type varies (nanos-as-long needs a legacy conf) and
+          // only the loader owns that contract; footer-count pushdown still
+          // applies to the count.
+          java.lang.Long.valueOf(Tables.load(s, d, "events").count())
       }).longValue()
 
   /** Events projected to (event_id, ts_us, event_type, value_cents):

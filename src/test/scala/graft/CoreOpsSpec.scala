@@ -213,6 +213,30 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(finalPlan.contains("__salt"), "join key is not salted in the plan")
   }
 
+  test("saltedJoin's plan is fully deterministic (retry-safe salt)") {
+    import graft.ops.CoreOps
+    // ADVICE r15 (medium): a nondeterministic salt (rand / monotonic id)
+    // feeding the shuffle key can duplicate or drop rows under partial
+    // stage retry on a real cluster. The salt must be a deterministic
+    // row function — assert NO nondeterministic expression anywhere in
+    // the analyzed plan, and that re-running yields identical output.
+    val fact = (1L to 3000L).map(i => (i, if (i % 10 == 0) 1L else i % 100))
+      .toDF("row_id", "k").repartition(6)
+    val dim = (0L until 100L).map(i => (i, s"d$i")).toDF("dk", "name")
+    val salted = CoreOps.saltedJoin(fact, dim, "k", "dk", salt = 4,
+      hotThreshold = 200L, sampleFraction = 1.0)
+    val nondet = salted.queryExecution.analyzed.collect {
+      case p => p.expressions.filterNot(_.deterministic)
+    }.flatten
+    assert(nondet.isEmpty,
+      s"nondeterministic expressions in salted plan: ${nondet.mkString(", ")}")
+    val out1 = salted.select("row_id", "k", "name").collect().toSeq
+      .map(_.toString).sorted
+    val out2 = salted.select("row_id", "k", "name").collect().toSeq
+      .map(_.toString).sorted
+    assert(out1 == out2)
+  }
+
   test("hotKeys detects exactly the planted hot keys, hottest first") {
     import graft.ops.CoreOps
     // k=1 gets 300 rows, k=2 gets 250, everything else ≤ 30

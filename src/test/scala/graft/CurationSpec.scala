@@ -131,6 +131,45 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("ER pair joins treat null elements as absent (compact semantics)") {
+    // ADVICE r15: the candidate-side size (token table: explode+equi-join,
+    // drops nulls) and the verify-side size(__ts) (counted nulls) could
+    // disagree on arrays containing null. Both kernels now array_compact
+    // up front; null-bearing inputs must match the oracle on the
+    // null-stripped sets exactly.
+    val rows: Seq[(Long, Seq[String])] = Seq(
+      1L -> Seq("a", null, "b", "c"),        // compacts to {a,b,c}
+      2L -> Seq("a", "b", "c", null, "d", "e"),
+      3L -> Seq(null, "c", "b", "a"),        // equal to 1 after compaction
+      4L -> Seq("x", null, null, "y"),
+      5L -> Seq("a", "b"))
+    val byId = rows.map { case (id, ts) =>
+      id -> ts.filter(_ != null).toSet
+    }.toMap
+    val gotC = EntityResolution
+      .containmentPairs(rows.toDF("id", "ts"), "id", col("ts"), 8, 10)
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val wantC = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a != b
+      sa = byId(a); sb = byId(b)
+      if sa.size < sb.size || (sa.size == sb.size && a < b)
+      inter = (sa & sb).size if inter * 10 >= 8 * sa.size
+    } yield (a, b, inter.toLong, sa.size.toLong, sb.size.toLong)).toSet
+    assert(wantC.nonEmpty && gotC == wantC)
+    val gotP = EntityResolution
+      .prefixFilterPairs(rows.toDF("id", "ts"), "id", col("ts"), 6, 10)
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val wantP = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+      sa = byId(a); sb = byId(b)
+      inter = (sa & sb).size
+      if inter * 10 >= 6 * (sa.size + sb.size - inter)
+    } yield (a, b, inter.toLong, sa.size.toLong, sb.size.toLong)).toSet
+    assert(wantP.nonEmpty && gotP == wantP)
+  }
+
   test("removeBoilerplateChunks drops cross-doc chunks and rebuilds in order") {
     val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // one exact chunk
     val docs = Seq(
