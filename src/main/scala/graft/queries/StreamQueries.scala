@@ -913,21 +913,43 @@ object StreamQueries {
     "q72_stream_upsert" -> ((s, dir) => {
       val flat = eventsFlat(s, dir).filter(col("event_id") % 7 === 0)
       val src = parquetLanding("q72_landing_pq", dir, flat.unionAll(flat), 2, "event_id")
-      // FILE-backed embedded Derby (temp dir per invocation): the
-      // in-memory storage factory has a known race class under concurrent
-      // batched MERGE (baseCC/_rowMakingMethod NPEs, seen at sf0.1) that
-      // the directory-backed store does not — same mitigation
+      // SHARDED serving store (r16, the r15 weak item): one embedded Derby
+      // database per key shard instead of one store for everything. A
+      // single embedded engine serializes every MERGE through the
+      // per-database monitor and drains the readback through one
+      // connection — the measured sf10 wall was store-bound (10.3x on 10x
+      // data). Shards are independent engines: writers run in parallel
+      // (one task per shard, keyed deterministically so retries/restarts
+      // re-MERGE into the same store) and the readback is a UNION of one
+      // scan per shard — the 100 TB shape, where the serving layer is
+      // partitioned by key range and each partition sees one writer.
+      // FILE-backed (temp dir per invocation): the in-memory storage
+      // factory has a known race class under concurrent batched MERGE
+      // (baseCC/_rowMakingMethod NPEs, seen at sf0.1) that the
+      // directory-backed store does not — same mitigation
       // JdbcUpsertSinkSpec documents. Left alive for the JVM's lifetime
       // because the returned frame reads it lazily.
-      val url = "jdbc:derby:" + Files.createTempDirectory(
-          java.nio.file.Paths.get(ckptRoot), "q72db_")
-        .resolve("db").toAbsolutePath + ";create=true"
+      // Shard count FROM DATA (the q68 StateSizing pattern): ~75k merged
+      // rows per store, floor 1 (a Derby DB costs ~0.5 s to create — small
+      // SFs must not pay 16 DDLs for 30k rows), cap 16 (the measured knee
+      // at sf10: 16 parallel engines with 2000-row commit batches cut the
+      // drain 41-52 s -> 18-24 s; 32 only reached 17 s for twice the DDL).
+      // The map key->shard is fixed per invocation; a PERSISTENT sharded
+      // store would pin nShards for its lifetime instead.
+      val mergeRows = eventsRowCount(s, dir) / 7 * 2
+      val nShards = math.max(1L, math.min(16L, (mergeRows + 74999) / 75000)).toInt
+      val dbRoot = Files.createTempDirectory(
+        java.nio.file.Paths.get(ckptRoot), "q72db_")
+      val urls: IndexedSeq[String] = (0 until nShards).map(i =>
+        "jdbc:derby:" + dbRoot.resolve(s"shard$i").toAbsolutePath + ";create=true")
       val table = "events_serving"
-      val conn = java.sql.DriverManager.getConnection(url)
-      try conn.createStatement().executeUpdate(
-        s"CREATE TABLE $table (event_id BIGINT PRIMARY KEY, ts_us BIGINT, " +
-          "event_type VARCHAR(64), value_cents BIGINT)")
-      finally conn.close()
+      urls.foreach { url =>
+        val conn = java.sql.DriverManager.getConnection(url)
+        try conn.createStatement().executeUpdate(
+          s"CREATE TABLE $table (event_id BIGINT PRIMARY KEY, ts_us BIGINT, " +
+            "event_type VARCHAR(64), value_cents BIGINT)")
+        finally conn.close()
+      }
       val stream = SocialStream
         .readParquetStream(streamSession(s), src, eventsFlatSchema, maxFilesPerTrigger = 1)
       val ckpt = Files.createTempDirectory(
@@ -935,17 +957,20 @@ object StreamQueries {
       val q = stream.writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          // Keys hash to one task each: no cross-task write races on a key.
-          JdbcUpsertSink.upsert(batch.repartition(4, col("event_id")),
-            url, table, Seq("event_id"))
+          // 2000-row commit batches: commits are the store's log syncs;
+          // 500 (the default) measured 1.7-2.3x slower at sf10.
+          JdbcUpsertSink.upsertSharded(batch, nShards, urls(_),
+            table, Seq("event_id"), batchSize = 2000)
         }
         .start()
       q.processAllAvailable()
       q.stop()
-      s.read.format("jdbc")
-        .option("url", url)
-        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-        .option("dbtable", table).load()
+      urls.map { url =>
+          s.read.format("jdbc")
+            .option("url", url)
+            .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+            .option("dbtable", table).load()
+        }.reduce(_ unionAll _)
         .select(col("EVENT_ID").as("event_id"), col("TS_US").as("ts_us"),
           col("EVENT_TYPE").as("event_type"),
           col("VALUE_CENTS").as("value_cents"))

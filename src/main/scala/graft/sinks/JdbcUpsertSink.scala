@@ -3,6 +3,7 @@ package graft.sinks
 import java.sql.DriverManager
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 
 /** K3 external-sink pattern: idempotent batched upsert from executors into
   * a JDBC store via `foreachPartition`.
@@ -45,6 +46,59 @@ object JdbcUpsertSink {
       writePartition(rows, url, sql, cols, keyCols, batchSize,
         strictCounts = Some(strict))
     }
+  }
+
+  /** SHARDED upsert: the serving store split across `nShards` independent
+    * stores with a DETERMINISTIC key→shard map — the scale shape for a
+    * store whose single node would otherwise bound the whole sink (the
+    * q72/sf10 finding: one embedded engine serializes every writer through
+    * the per-database monitor, and the readback is one connection).
+    *
+    * shard = pmod(xxhash64(keyCols…), nShards): a pure function of the KEY,
+    * so the same key lands in the same store across batches, task retries,
+    * and stream restarts — re-MERGEs stay idempotent per key and no key
+    * ever exists in two stores. Rows are hash-repartitioned BY SHARD
+    * (each shard's rows land in exactly one task — no two tasks ever write
+    * one store concurrently) and sorted within the partition so a task
+    * holding several shards (hash collision) streams each contiguous run
+    * through [[writePartition]] without buffering the partition.
+    *
+    * `urlForShard` maps shard id → JDBC URL; it ships to executors, so it
+    * must close over plain data (e.g. an IndexedSeq of URLs). Writer
+    * parallelism and store parallelism are both `nShards`: at 100 TB this
+    * is "one store per key range" — shards scale horizontally with the
+    * keyspace while each store sees a single ordered writer.
+    */
+  def upsertSharded(df: DataFrame, nShards: Int, urlForShard: Int => String,
+                    table: String, keyCols: Seq[String],
+                    batchSize: Int = 500,
+                    strictCounts: Option[Boolean] = None): Unit = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val cols = df.columns.toSeq
+    require(keyCols.nonEmpty && keyCols.forall(cols.contains),
+      s"keyCols $keyCols must be a subset of ${cols.mkString(",")}")
+    require(!cols.contains("__shard"), "__shard is reserved by upsertSharded")
+    val sql = mergeSql(table, cols, keyCols)
+    // __shard is appended LAST so writePartition's positional binding over
+    // `cols` (indices 0 until cols.size) is untouched by the extra field.
+    df.select(cols.map(col) :+
+        pmod(xxhash64(keyCols.map(col): _*), lit(nShards.toLong))
+          .cast("int").as("__shard"): _*)
+      .repartition(nShards, col("__shard"))
+      .sortWithinPartitions("__shard")
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val it = rows.buffered
+        while (it.hasNext) {
+          val sh = it.head.getInt(cols.size)
+          val run: Iterator[Row] = new Iterator[Row] {
+            def hasNext: Boolean =
+              it.hasNext && it.head.getInt(cols.size) == sh
+            def next(): Row = it.next()
+          }
+          writePartition(run, urlForShard(sh), sql, cols, keyCols, batchSize,
+            strictCounts = strictCounts)
+        }
+      }
   }
 
   /** Whether the zero-update-count check applies. "A key-MERGE affects

@@ -211,4 +211,52 @@ class JdbcUpsertSinkSpec extends AnyFunSuite {
     assert(derbyLockKey("jdbc:derby:memory:db1") !==
       derbyLockKey("jdbc:derby:memory:db2"))
   }
+
+  test("upsertSharded: deterministic shards, no key in two stores, idempotent") {
+    // The sharded serving store (q72's r16 fix): every key must land in
+    // exactly one of the N stores, the SAME one on every wave (the
+    // key→shard map is pure), the union must equal the logical upsert
+    // result, and re-running a wave must change nothing.
+    val nShards = 4
+    val root = java.nio.file.Files.createTempDirectory("graft-derby-sh-")
+    val urls = (0 until nShards).map(i =>
+      s"jdbc:derby:${root.resolve(s"s$i").toAbsolutePath};create=true")
+    val table = "tsh"
+    urls.foreach { u =>
+      val c = DriverManager.getConnection(u)
+      try c.createStatement().executeUpdate(s"CREATE TABLE $table ($ddl)")
+      finally c.close()
+    }
+    def readShard(u: String): Seq[(Long, String, Long)] = {
+      val c = DriverManager.getConnection(u)
+      try {
+        val rs = c.createStatement()
+          .executeQuery(s"SELECT k, name, score FROM $table ORDER BY k")
+        val buf = Seq.newBuilder[(Long, String, Long)]
+        while (rs.next()) buf += ((rs.getLong(1), rs.getString(2), rs.getLong(3)))
+        buf.result()
+      } finally c.close()
+    }
+    val v1 = (1L to 60L).map(i => (i, s"user$i", i * 10)).toDF("k", "name", "score")
+    JdbcUpsertSink.upsertSharded(v1, nShards, urls(_), table, Seq("k"), batchSize = 7)
+    val byShard1 = urls.map(readShard)
+    // partition of the keyspace: disjoint, covering
+    assert(byShard1.flatMap(_.map(_._1)).sorted == (1L to 60L))
+    assert(byShard1.count(_.nonEmpty) > 1, "sharding never spread the keys")
+    // wave 2: overlapping keys with new scores + new keys — updated rows
+    // must land in the SAME shard as wave 1 (deterministic key→shard)
+    val v2 = ((1L to 30L).map(i => (i, s"user$i", i * 10 + 1)) ++
+      (61L to 70L).map(i => (i, s"user$i", i * 10))).toDF("k", "name", "score")
+    JdbcUpsertSink.upsertSharded(v2, nShards, urls(_), table, Seq("k"), batchSize = 7)
+    val byShard2 = urls.map(readShard)
+    assert(byShard1.map(_.map(_._1).toSet).zip(byShard2.map(_.map(_._1).toSet))
+      .forall { case (s1, s2) => s1.subsetOf(s2) },
+      "a key moved shards between waves")
+    val expect = (1L to 70L).map(i =>
+      (i, s"user$i", if (i <= 30) i * 10 + 1 else i * 10))
+    assert(byShard2.flatten.sortBy(_._1) == expect)
+    // replay wave 2 verbatim (stream restart): state unchanged
+    JdbcUpsertSink.upsertSharded(v2, nShards, urls(_), table, Seq("k"), batchSize = 7)
+    assert(urls.map(readShard) == byShard2)
+  }
 }
