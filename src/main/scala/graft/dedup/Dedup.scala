@@ -905,15 +905,21 @@ object Dedup {
 
   /** Distinct-token seeded hashes — the SimHash input (materialize this as
     * its own column so the char-level fold runs once, not once per bit).
+    * `seed` selects the affine rehash: seed 0 feeds signature bits 0..29,
+    * seed 1 feeds the WIDE mode's bits 30..59 (hashes live mod P ≈ 2³⁰,
+    * so one seed only has 30 random bits).
     */
-  def tokenHashes(text: Column): Column =
-    transform(array_distinct(split(text, " ")), t => seeded(charHash(t), 0))
+  def tokenHashes(text: Column, seed: Int = 0): Column =
+    transform(array_distinct(split(text, " ")), t => seeded(charHash(t), seed))
 
   /** SimHash: `bits`-bit signature where bit j is set when more than half of
     * the (distinct) token hashes have bit j set. Near-dups = small Hamming
     * distance between signatures. Expression-only, engine-portable.
     */
   def simhashFromHashes(hs: Column, bits: Int = 30): Column = {
+    require(bits >= 1 && bits <= 30,
+      s"one seeded hash only has 30 random bits (mod P); got $bits — " +
+        "use simhash(text, bits) for the wide two-seed form")
     val ntok = size(hs)
     (0 until bits).map { j =>
       val ones = size(filter(hs, h => shiftright(h, j).bitwiseAND(lit(1L)) === lit(1L)))
@@ -921,9 +927,15 @@ object Dedup {
     }.reduce[Column]((x, y) => x.bitwiseOR(y))
   }
 
-  /** SimHash of a text column (convenience; see [[simhashFromHashes]]). */
+  /** SimHash of a text column (convenience; see [[simhashFromHashes]]).
+    * bits ≤ 30 votes over one seeded hash; 31..60 (the WIDE mode) adds a
+    * second seed for bits 30..59 — same arithmetic as the codegen'd
+    * `simhash_sig` expression.
+    */
   def simhash(text: Column, bits: Int = 30): Column =
-    simhashFromHashes(tokenHashes(text), bits)
+    if (bits <= 30) simhashFromHashes(tokenHashes(text), bits)
+    else simhashFromHashes(tokenHashes(text), 30).bitwiseOR(
+      shiftleft(simhashFromHashes(tokenHashes(text, 1), bits - 30), 30))
 
   /** Hamming distance between two bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -963,19 +975,25 @@ object Dedup {
     val mask = (1L << bandBits) - 1
     val a0 = hashA(0)
     val b0 = hashB(0)
+    val a1 = hashA(1)
+    val b1 = hashB(1)
     implicit val enc = Encoders.row(outSchema)
     in.mapPartitions { it =>
       it.flatMap { r =>
         val id = r.get(0)
         val toks = Option(r.getString(1)).getOrElse("").split(" ", -1).distinct
-        val th = toks.map(t => (a0 * charHashStr(t) + b0) % P)
+        val ch = toks.map(charHashStr)
+        val th = ch.map(h => (a0 * h + b0) % P)
+        val th2 = if (bits > 30) ch.map(h => (a1 * h + b1) % P) else null
         val ntok = th.length
         var sig = 0L
         var j = 0
         while (j < bits) {
+          val h = if (j < 30) th else th2
+          val jb = if (j < 30) j else j - 30
           var ones = 0
           var i = 0
-          while (i < ntok) { if (((th(i) >> j) & 1L) == 1L) ones += 1; i += 1 }
+          while (i < ntok) { if (((h(i) >> jb) & 1L) == 1L) ones += 1; i += 1 }
           if (2 * ones > ntok) sig |= (1L << j)
           j += 1
         }
@@ -989,6 +1007,17 @@ object Dedup {
   /** SimHash near-dup pairs: candidates agree on one of `bands` contiguous
     * bit-bands of the signature (hash-join blocking, no n²), verified by
     * Hamming distance ≤ maxHamming.
+    *
+    * WIDE mode (bits up to 60, two-seed signature): wider bands collide
+    * ~2^(extra band bits) less often by accident, collapsing candidate
+    * volume on low-entropy corpora — at the cost of the narrow mode's
+    * pigeonhole recall floor (a Hamming-h pair is GUARANTEED a clean band
+    * only when bands > h measured on the SAME signature width; the wide
+    * signature roughly doubles a given edit's Hamming distance, so its
+    * recall is probabilistic). Measured A/B in BENCH_SF10.md §r16: use
+    * wide when candidate volume dominates the wall and families are
+    * tight; keep the 30-bit contract when the Hamming floor is load-
+    * bearing. The q34/q135 oracle contract stays pinned at 30/3.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       bits: Int = 30, bands: Int = 3, maxHamming: Int = 6,

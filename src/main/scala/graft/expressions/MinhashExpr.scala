@@ -67,14 +67,27 @@ object MinhashKernels {
   /** SimHash signature: majority vote per bit over distinct-token seeded
     * hashes — seed 0 affine rehash of the per-token charHash fold,
     * identical to `Dedup.tokenHashes` + `simhashFromHashes`.
+    *
+    * The seeded hashes live mod P ≈ 2³⁰, so only bits 0..29 of one hash
+    * are uniformly random — a signature wider than 30 bits CANNOT come
+    * from one hash (its upper bits would be all-zero and every doc would
+    * collide in the upper bands). Bits 30..59 therefore vote over a
+    * SECOND independent seed (seed 1, same affine family), giving a
+    * 60-bit ceiling: the WIDE mode whose 2×-wider bands cut accidental
+    * band collisions ~2^(extra band bits) on low-entropy corpora.
     */
   def simhashSig(s: UTF8String, bits: Int): Long = {
+    require(bits >= 1 && bits <= 60, s"simhash_sig bits must be 1..60, got $bits")
     val toks = s.toString.split(" ", -1)
     val seen = new java.util.HashSet[String]()
+    val wide = bits > 30
     val hs = new Array[Long](toks.length)
+    val hs2 = if (wide) new Array[Long](toks.length) else null
     var n = 0
     val a0 = 2654435761L % P
     val b0 = 1013904223L % P
+    val a1 = (2L * 2654435761L) % P
+    val b1 = (2L * 1013904223L) % P
     var t = 0
     while (t < toks.length) {
       val str = toks(t)
@@ -83,6 +96,7 @@ object MinhashKernels {
         var i = 0
         while (i < str.length) { acc = (acc * 31L + str.charAt(i).toLong) % P; i += 1 }
         hs(n) = (a0 * acc + b0) % P
+        if (wide) hs2(n) = (a1 * acc + b1) % P
         n += 1
       }
       t += 1
@@ -90,9 +104,11 @@ object MinhashKernels {
     var sig = 0L
     var j = 0
     while (j < bits) {
+      val h = if (j < 30) hs else hs2
+      val jb = if (j < 30) j else j - 30
       var ones = 0
       var i = 0
-      while (i < n) { if (((hs(i) >> j) & 1L) == 1L) ones += 1; i += 1 }
+      while (i < n) { if (((h(i) >> jb) & 1L) == 1L) ones += 1; i += 1 }
       if (2 * ones > n) sig |= (1L << j)
       j += 1
     }

@@ -69,6 +69,34 @@ class DedupSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(exprSigs(1L) ^ exprSigs(3L)) > 0)
   }
 
+  test("wide (60-bit) simhash: three forms agree, upper bits carry signal") {
+    // The wide mode votes bits 30..59 over a SECOND seed (one seeded hash
+    // only has 30 random bits mod P). All three implementations — HOF
+    // column, codegen'd simhash_sig expression (via simhashBands), and the
+    // mapPartitions kernel — must produce the identical 60-bit signature,
+    // and the upper half must actually discriminate (not be all-zero).
+    val docs = Seq((1L, "spark scala data pipeline"), (2L, "spark scala data pipeline"),
+      (3L, "completely different words here"),
+      (4L, "spark scala data pipelines")).toDF("doc_id", "text")
+    val hof = docs.select($"doc_id", Dedup.simhash($"text", 60).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expr = Dedup.simhashBands(docs, "doc_id", "text", 60, 4)
+      .select("id", "sig").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kern = Dedup.simhashBandsKernel(docs, "doc_id", "text", 60, 4)
+      .select("id", "sig").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hof == expr && expr == kern)
+    assert(hof(1L) == hof(2L))
+    // upper 30 bits must differ somewhere across distinct docs
+    assert(hof.values.map(_ >>> 30).toSet.size > 1,
+      "upper 30 bits are degenerate — second seed not applied")
+    // band keys at 60/4 are 15-bit values
+    val bhs = Dedup.simhashBands(docs, "doc_id", "text", 60, 4)
+      .select("bh").collect().map(_.getLong(0))
+    assert(bhs.forall(b => b >= 0 && b < (1L << 15)))
+  }
+
   test("jaccard of arrays: identical=1, disjoint=0, empty-union=0") {
     val df = Seq(
       (Seq("a", "b"), Seq("a", "b")),
