@@ -549,8 +549,23 @@ object DedupQueries {
 
     // Sign-LSH bucketed embedding near-dups (the 100 TB ANN path).
     "q36_embedding_neardups" -> ((s, dir) => {
-      Dedup.embeddingNearDups(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.4, planes = 8)
+      // OCCUPANCY-SCALED plane count (r16; the q273 rule applied to the
+      // single-bucket form): fixed 8 planes = 256 buckets forever, so the
+      // bucket self-join's candidates grow n²/256 — the r16 full sf10 leg
+      // measured the quadratic as the suite's only >10× ratio (11.5× raw).
+      // planes = bitLength((n−1) div 79) clamped to [8, 20] keeps
+      // per-bucket occupancy ~constant (~79, the old sf1 occupancy):
+      // every gate SF (n ≤ 20k) derives 8 — BIT-IDENTICAL to the fixed
+      // shape, since plane p's hyperplane depends only on p — while sf10's
+      // 200k vectors derive 12 (4096 buckets). The count is a parquet-
+      // footer-cheap pre-pass; the oracle mirrors the same bit-length
+      // arithmetic from the same table.
+      val e = Tables.load(s, dir, "embeddings")
+      val n = e.count()
+      val planes = math.max(8, math.min(20,
+        64 - java.lang.Long.numberOfLeadingZeros((n - 1) / 79)))
+      Dedup.embeddingNearDups(e, "vec_id", "embedding",
+          threshold = 0.4, planes = planes)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1856,10 +1871,25 @@ object DedupQueries {
          |  ON d.cell = s.cell AND d.id = s.corpus_id
          |ORDER BY id""".stripMargin,
 
+    // Plane count mirrors the Spark side's occupancy-scaled rule:
+    // p = bitLength((n−1) div 79) clamped to [8, 20] (same integer
+    // arithmetic as q273's band width). The 20-plane bucket is a
+    // superset — plane q depends only on q — so masking its low p bits
+    // reproduces the p-plane bucket exactly.
     "q36_embedding_neardups" ->
-      s"""WITH e AS MATERIALIZED (
-         |  SELECT vec_id AS id, embedding AS v, ${bucketSql("embedding", 8)} AS bucket
-         |  FROM embeddings)
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT vec_id AS id, embedding AS v, ${bucketSql("embedding", 20)} AS bucket0
+         |  FROM embeddings),
+         |pv AS (
+         |  SELECT GREATEST(8, LEAST(20,
+         |    CASE WHEN (count(*) - 1) // 79 <= 0 THEN 0
+         |         ELSE CAST(FLOOR(LOG2(CAST((count(*) - 1) // 79 AS DOUBLE)))
+         |              AS BIGINT) + 1 END)) AS p
+         |  FROM e0),
+         |e AS MATERIALIZED (
+         |  SELECT id, v,
+         |    bucket0 & ((CAST(1 AS BIGINT) << CAST(p AS INTEGER)) - 1) AS bucket
+         |  FROM e0, pv)
          |SELECT DISTINCT a.id AS id_a, b.id AS id_b, ${cosineSql("a.v", "b.v")} AS cosine
          |FROM e a JOIN e b ON a.bucket = b.bucket AND a.id < b.id
          |WHERE ${cosineSql("a.v", "b.v")} >= 0.4
