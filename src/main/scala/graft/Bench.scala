@@ -146,7 +146,10 @@ object Bench {
         // drift between same-day idle legs and 1-11% CPU steal on this VM,
         // so every delta is quoted BOTH raw and ruler-normalized — a delta
         // that disappears under normalization is the host, not the plans.
-        val rulerRe = """"ruler_(?:wide|[0-9]+t)_sec":([0-9.]+)""".r
+        // wide ruler only — "ruler_1t_sec" must NOT match (it precedes the
+        // wide key in the JSON line, and comparing wide-now vs 1t-prev
+        // manufactured a 1.74x phantom host move in the first r16 delta)
+        val rulerRe = """"ruler_(?:wide|(?!1t)[0-9]+t)_sec":([0-9.]+)""".r
         val prevRuler = rulerRe.findFirstMatchIn(prevLine).map(_.group(1).toDouble)
         val hostFactor = prevRuler.filter(_ > 0).map(rulerWide / _)
         val common = results.keys.filter(prev.contains).toSeq.sorted

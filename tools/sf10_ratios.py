@@ -21,7 +21,8 @@ def ruler(leg):
     if "ruler_wide_sec" in leg:
         return float(leg["ruler_wide_sec"])
     for k, v in leg.items():
-        if re.fullmatch(r"ruler_[0-9]+t_sec", k):
+        # wide only: ruler_1t_sec is the single-thread ruler, not a match
+        if re.fullmatch(r"ruler_[0-9]+t_sec", k) and k != "ruler_1t_sec":
             return float(v)
     return None
 
