@@ -22,6 +22,19 @@ object Dedup {
   def hashA(i: Int): Long = ((i + 1) * 2654435761L) % P
   def hashB(i: Int): Long = ((i + 1) * 1013904223L) % P
 
+  /** WIDE-simhash second-seed constants: the murmur3 finalizer multipliers,
+    * mod P. Deliberately NOT `hashA(1)`/`hashB(1)` — the (i+1)·const family
+    * gives a1 = 2·a0 mod P, making seed 1's hash hs2 = (2·hs) mod P, a
+    * near-shift of seed 0's whose BITS mirror the lower signature's (upper
+    * wide bands would partially repeat lower ones; ADVICE r16). Any affine
+    * rehash of the same char fold is a bijection of hs — what the wide
+    * bands need is bit-level DEcorrelation, which an unrelated multiplier
+    * delivers (multiply-mod hashing scrambles all bits) and a ×2 multiplier
+    * maximally does not (pure 1-bit shift for hs < P/2).
+    */
+  val wideA1 = 0x85EBCA6BL % P // 2246822507 mod P = 246822493
+  val wideB1 = 0xC2B2AE35L % P // 3266489909 mod P = 266489888
+
   /** Exact dedup: keep the minimum-id row per identical key column (hash
     * groupBy — partial aggregation map-side, one shuffle).
     */
@@ -905,12 +918,16 @@ object Dedup {
 
   /** Distinct-token seeded hashes — the SimHash input (materialize this as
     * its own column so the char-level fold runs once, not once per bit).
-    * `seed` selects the affine rehash: seed 0 feeds signature bits 0..29,
-    * seed 1 feeds the WIDE mode's bits 30..59 (hashes live mod P ≈ 2³⁰,
-    * so one seed only has 30 random bits).
+    * `seed` selects the rehash: seed 0 feeds signature bits 0..29, seed 1
+    * feeds the WIDE mode's bits 30..59 (hashes live mod P ≈ 2³⁰, so one
+    * seed only has 30 random bits). Seed 1 uses the dedicated
+    * [[wideA1]]/[[wideB1]] constants, not the minhash affine family.
     */
-  def tokenHashes(text: Column, seed: Int = 0): Column =
-    transform(array_distinct(split(text, " ")), t => seeded(charHash(t), seed))
+  def tokenHashes(text: Column, seed: Int = 0): Column = {
+    val (a, b) = if (seed == 0) (hashA(0), hashB(0)) else (wideA1, wideB1)
+    transform(array_distinct(split(text, " ")),
+      t => (lit(a) * charHash(t) + lit(b)) % lit(P))
+  }
 
   /** SimHash: `bits`-bit signature where bit j is set when more than half of
     * the (distinct) token hashes have bit j set. Near-dups = small Hamming
@@ -975,8 +992,8 @@ object Dedup {
     val mask = (1L << bandBits) - 1
     val a0 = hashA(0)
     val b0 = hashB(0)
-    val a1 = hashA(1)
-    val b1 = hashB(1)
+    val a1 = wideA1
+    val b1 = wideB1
     implicit val enc = Encoders.row(outSchema)
     in.mapPartitions { it =>
       it.flatMap { r =>

@@ -72,9 +72,12 @@ object MinhashKernels {
     * are uniformly random — a signature wider than 30 bits CANNOT come
     * from one hash (its upper bits would be all-zero and every doc would
     * collide in the upper bands). Bits 30..59 therefore vote over a
-    * SECOND independent seed (seed 1, same affine family), giving a
-    * 60-bit ceiling: the WIDE mode whose 2×-wider bands cut accidental
-    * band collisions ~2^(extra band bits) on low-entropy corpora.
+    * SECOND seed built from UNRELATED constants (the murmur3 finalizer
+    * multipliers mod P — `Dedup.wideA1`/`wideB1`, not the (i+1)·const
+    * affine family, whose seed 1 is a near-shift of seed 0; ADVICE r16),
+    * giving a 60-bit ceiling: the WIDE mode whose wider bands cut
+    * accidental band collisions ~2^(extra band bits) on low-entropy
+    * corpora.
     */
   def simhashSig(s: UTF8String, bits: Int): Long = {
     require(bits >= 1 && bits <= 60, s"simhash_sig bits must be 1..60, got $bits")
@@ -86,8 +89,8 @@ object MinhashKernels {
     var n = 0
     val a0 = 2654435761L % P
     val b0 = 1013904223L % P
-    val a1 = (2L * 2654435761L) % P
-    val b1 = (2L * 1013904223L) % P
+    val a1 = 0x85EBCA6BL % P // Dedup.wideA1 — kept literal for kernel parity
+    val b1 = 0xC2B2AE35L % P // Dedup.wideB1
     var t = 0
     while (t < toks.length) {
       val str = toks(t)

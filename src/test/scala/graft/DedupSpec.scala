@@ -91,6 +91,19 @@ class DedupSpec extends AnyFunSuite {
     // upper 30 bits must differ somewhere across distinct docs
     assert(hof.values.map(_ >>> 30).toSet.size > 1,
       "upper 30 bits are degenerate — second seed not applied")
+    // seed 1 must be genuinely decorrelated from seed 0 (ADVICE r16: the
+    // old hashA(1)=2·hashA(0) family made hs2=(2·hs) mod P — a near-shift
+    // whose bits mirror seed 0's, which the signal check above can't see).
+    // Per-token check: for every token, the seed-1 hash must not be the
+    // ×2-shift of the seed-0 hash, and the two hash streams must disagree.
+    val tok = docs.select(explode(Dedup.tokenHashes($"text", 0)).as("h0"))
+      .collect().map(_.getLong(0))
+    val tok1 = docs.select(explode(Dedup.tokenHashes($"text", 1)).as("h1"))
+      .collect().map(_.getLong(0))
+    assert(tok.length == tok1.length)
+    val shifted = tok.zip(tok1).count { case (h0, h1) => h1 == (2L * h0) % Dedup.P }
+    assert(shifted == 0,
+      s"seed-1 hashes are the 2x-affine image of seed 0 for $shifted tokens")
     // band keys at 60/4 are 15-bit values
     val bhs = Dedup.simhashBands(docs, "doc_id", "text", 60, 4)
       .select("bh").collect().map(_.getLong(0))
