@@ -957,6 +957,36 @@ object Dedup {
   /** Hamming distance between two bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Occupancy-scaled simhash shape (the q36/q273 band-key sizing rule
+    * applied to the simhash gate, r17): band width
+    * w = clamp(10, 20, bitLen((n−1) div occupancy)), signature = bands·w
+    * bits, verify threshold = (baseHamming·w) div 10 — proportional to
+    * the width so "distance as a fraction of the signature" is preserved;
+    * identity at w = 10.
+    *
+    * A fixed 30-bit/3-band shape keeps 2¹⁰ buckets per band forever, so
+    * band-join candidates grow ~n²/2¹⁰ — the r16 full sf10 leg measured
+    * the 30/3 q34 as the suite's heaviest query (1.9 G candidates).
+    * Scaling w with log₂(n) pins per-band-bucket occupancy ≈ `occupancy`
+    * (49 ≈ the sf1 occupancy of the old contract, so every gate SF
+    * derives w = 10 — bit-identical to 30/3 — while 10× data derives
+    * w = 14: 16× fewer accidental collisions per band). The widened
+    * signature is a SUPERSET of the narrow one (bit j < 30 is seed-0 bit
+    * j, bit j ≥ 30 is seed-1 bit j−30, independent of total width), which
+    * is what lets the oracle compute one 60-bit signature and mask.
+    *
+    * The fixed 30/3/h shape stays available by passing explicit
+    * (bits, bands, maxHamming) to [[simhashNearDups]] — the pigeonhole
+    * mode (bands > h GUARANTEES a clean band at Hamming ≤ h) is the
+    * opt-in for when that hard recall floor is load-bearing.
+    */
+  def simhashShape(n: Long, baseHamming: Int, bands: Int = 3,
+                   occupancy: Long = 49L): (Int, Int) = {
+    val k = if (n <= 1) 0L else (n - 1) / occupancy
+    val w = math.max(10, math.min(20, 64 - java.lang.Long.numberOfLeadingZeros(k)))
+    (bands * w, (baseHamming * w) / 10)
+  }
+
   /** SimHash banding via the native `simhash_sig` expression: one codegen'd
     * call computes the signature; band keys are plain bit arithmetic on the
     * long — no arrays, no encoder round-trip (see [[minhashBands]]).
@@ -1033,8 +1063,11 @@ object Dedup {
     * signature roughly doubles a given edit's Hamming distance, so its
     * recall is probabilistic). Measured A/B in BENCH_SF10.md §r16: use
     * wide when candidate volume dominates the wall and families are
-    * tight; keep the 30-bit contract when the Hamming floor is load-
-    * bearing. The q34/q135 oracle contract stays pinned at 30/3.
+    * tight; keep the fixed 30-bit shape when the Hamming floor is load-
+    * bearing. The q34/q135 gate derives (bits, maxHamming) from corpus
+    * occupancy via [[simhashShape]] (r17) — bit-identical to 30/3 at all
+    * gate SFs, wide above them — with the oracle mirroring the same
+    * integer rule; explicit 30/3/h remains the pigeonhole opt-in.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       bits: Int = 30, bands: Int = 3, maxHamming: Int = 6,

@@ -431,20 +431,34 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // SimHash banded near-dup pairs, Hamming-verified.
+    // SimHash banded near-dup pairs, Hamming-verified. OCCUPANCY-SCALED
+    // shape (r17): the old fixed 30/3 contract pinned 2^10 buckets per
+    // band forever, so candidates grew ~n^2/2^10 — q34 was the r16 sf10
+    // leg's heaviest query (69 s, 1.9 G candidates). The shape now
+    // derives from the corpus count via Dedup.simhashShape: every gate
+    // SF derives the bit-identical 30-bit/h2 contract, sf10 derives
+    // 42-bit bands (16x fewer accidental collisions per band). The count
+    // is one parquet-metadata pass; the oracle mirrors the same integer
+    // rule from the same table. Fixed 30/3 stays the pigeonhole opt-in.
     "q34_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashNearDups(Tables.load(s, dir, "documents"),
-          "doc_id", "text", bits = 30, bands = 3, maxHamming = 2)
+      val d = Tables.load(s, dir, "documents")
+      val (bits, maxH) = Dedup.simhashShape(d.count(), baseHamming = 2)
+      Dedup.simhashNearDups(d, "doc_id", "text",
+          bits = bits, bands = 3, maxHamming = maxH)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     // SimHash over the zipfian planted-family corpus (q34's operator, the
     // realistic fixture): exact dups pair at hamming 0; one-token near
-    // dups surface only when a band's 10 bits all survive the edit — the
-    // short-document recall physics the oracle mirrors exactly.
+    // dups surface only when a band's w bits all survive the edit — the
+    // short-document recall physics the oracle mirrors exactly. Same
+    // occupancy-scaled shape as q34 (zdocs is row-for-row documents, so
+    // the width derives from the documents count on both engines).
     "q135_zipf_simhash" -> ((s, dir) => {
+      val n = Tables.load(s, dir, "documents").count()
+      val (bits, maxH) = Dedup.simhashShape(n, baseHamming = 3)
       Dedup.simhashNearDups(zipfCorpus(s, dir),
-          "doc_id", "text", bits = 30, bands = 3, maxHamming = 3)
+          "doc_id", "text", bits = bits, bands = 3, maxHamming = maxH)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -970,20 +984,62 @@ object DedupQueries {
        |  FROM $from)""".stripMargin
   }
 
-  /** Shared band/pair tail of the simhash oracles (3 bands × 10 bits).
+  /** Exact integer bit length of a non-negative BIGINT SQL expression:
+    * #{j ∈ [0,63) : k ≥ 2^j} — pure integer comparisons, no
+    * floating-point LOG2 whose fractional error could shift the result
+    * by one at exact powers of two (ADVICE r17).
+    */
+  private[queries] def bitLenSql(k: String): String =
+    s"len(list_filter(range(0, 63), j -> ($k) >= (CAST(1 AS BIGINT) << CAST(j AS INTEGER))))"
+
+  /** 60-bit two-seed SimHash signature SQL over (doc_id, text) — the WIDE
+    * superset (bit j < 30 from seed 0, bit j ≥ 30 from seed 1 =
+    * Dedup.wideA1/wideB1): masking to 3w bits reproduces any narrower
+    * occupancy-derived shape exactly (see Dedup.simhashShape). The char
+    * fold runs once per distinct token; both seed streams rehash it.
+    */
+  private def simhashSigWideSql(from: String = "documents"): String = {
+    def terms(arr: String, off: Int) = (0 until 30).map { j =>
+      s"(CASE WHEN 2 * len(list_filter($arr, h -> (h >> $j) & 1 = 1)) > len($arr) THEN CAST(${1L << (j + off)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("\n    + ")
+    s"""SELECT doc_id, ${terms("hs", 0)}
+       |    + ${terms("hs2", 30)} AS sig
+       |FROM (
+       |  SELECT doc_id,
+       |    list_transform(chl, h -> (${Dedup.hashA(0)} * h + ${Dedup.hashB(0)}) % $P) AS hs,
+       |    list_transform(chl, h -> (${Dedup.wideA1} * h + ${Dedup.wideB1}) % $P) AS hs2
+       |  FROM (
+       |    SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+       |      t -> ${chSql("t")}) AS chl
+       |    FROM $from))""".stripMargin
+  }
+
+  /** Shared band/pair tail of the simhash oracles — occupancy-scaled
+    * shape (3 bands × w bits; w = clamp(10, 20, bitLen((n−1)//49)) from
+    * the same `documents` count the Spark side reads, Hamming threshold
+    * (baseHamming·w)//10 — Dedup.simhashShape, integer-for-integer).
+    * `s` must be the 60-bit wide signature ([[simhashSigWideSql]]);
+    * masking its low 3w bits reproduces the w-band shape exactly.
     * `bands` is self-joined (two references) → MATERIALIZED, or DuckDB
     * re-runs the whole per-bit signature fold for each side.
     */
-  private def simhashPairSql(maxHamming: Int): String =
-    s"""bands AS MATERIALIZED (
-       |  SELECT doc_id, sig, unnest([0, 1, 2]) AS band,
-       |    unnest([(sig >> 0) & 1023, (sig >> 10) & 1023, (sig >> 20) & 1023]) AS bh
-       |  FROM s),
+  private def simhashPairSql(baseHamming: Int): String =
+    s"""wv AS (
+       |  SELECT GREATEST(10, LEAST(20, ${bitLenSql("(count(*) - 1) // 49")})) AS w
+       |  FROM documents),
+       |bands AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    sig & ((CAST(1 AS BIGINT) << CAST(3 * w AS INTEGER)) - 1) AS msig,
+       |    band,
+       |    (sig >> CAST(band * w AS INTEGER))
+       |      & ((CAST(1 AS BIGINT) << CAST(w AS INTEGER)) - 1) AS bh
+       |  FROM s, wv, LATERAL (SELECT unnest(range(0, 3)) AS band) r),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |    CAST(bit_count(xor(a.msig, b.msig)) AS INT) AS hamming
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= $maxHamming
+       |SELECT id_a, id_b, hamming FROM pairs, wv
+       |WHERE hamming <= ($baseHamming * w) // 10
        |ORDER BY id_a, id_b""".stripMargin
 
   private val dotSql =
@@ -1631,7 +1687,7 @@ object DedupQueries {
       s"""SELECT doc_id, sig FROM (${simhashSigSql()}) WHERE doc_id < 50 ORDER BY doc_id""",
 
     "q34_simhash_pairs" ->
-      s"""WITH s AS (${simhashSigSql()}),
+      s"""WITH s AS (${simhashSigWideSql()}),
          |${simhashPairSql(2)}""".stripMargin,
 
     // SimHash under REALISTIC selectivity: exact-dup family members
@@ -1642,7 +1698,7 @@ object DedupQueries {
     // banding, so the gate pins the recall physics, not a wishful 100%.
     "q135_zipf_simhash" ->
       s"""WITH $zipfCorpusCte,
-         |s AS (${simhashSigSql("zdocs")}),
+         |s AS (${simhashSigWideSql("zdocs")}),
          |${simhashPairSql(3)}""".stripMargin,
 
     "q149_hard_negatives" ->
@@ -1872,19 +1928,16 @@ object DedupQueries {
          |ORDER BY id""".stripMargin,
 
     // Plane count mirrors the Spark side's occupancy-scaled rule:
-    // p = bitLength((n−1) div 79) clamped to [8, 20] (same integer
-    // arithmetic as q273's band width). The 20-plane bucket is a
-    // superset — plane q depends only on q — so masking its low p bits
-    // reproduces the p-plane bucket exactly.
+    // p = bitLength((n−1) div 79) clamped to [8, 20], computed with pure
+    // integer comparisons (bitLenSql; no floating-point LOG2 — ADVICE
+    // r17). The 20-plane bucket is a superset — plane q depends only on
+    // q — so masking its low p bits reproduces the p-plane bucket exactly.
     "q36_embedding_neardups" ->
       s"""WITH e0 AS MATERIALIZED (
          |  SELECT vec_id AS id, embedding AS v, ${bucketSql("embedding", 20)} AS bucket0
          |  FROM embeddings),
          |pv AS (
-         |  SELECT GREATEST(8, LEAST(20,
-         |    CASE WHEN (count(*) - 1) // 79 <= 0 THEN 0
-         |         ELSE CAST(FLOOR(LOG2(CAST((count(*) - 1) // 79 AS DOUBLE)))
-         |              AS BIGINT) + 1 END)) AS p
+         |  SELECT GREATEST(8, LEAST(20, ${bitLenSql("(count(*) - 1) // 79")})) AS p
          |  FROM e0),
          |e AS MATERIALIZED (
          |  SELECT id, v,
@@ -1896,22 +1949,19 @@ object DedupQueries {
          |ORDER BY id_a, id_b""".stripMargin,
 
     // Band width w mirrors the Spark side's occupancy-scaled rule:
-    // w = bitLength((n−1) div 1250) clamped to [4, 15] — integer
-    // arithmetic on both engines (floor(log2(k))+1 over an integer k is
-    // exact in doubles: only powers of two hit integral log2 values, and
-    // those are exactly representable). The 60-plane bucket is a
-    // superset: plane p depends only on p, so bits [0, 4w) equal the
-    // old 16-plane bucket's whenever w = 4.
+    // w = bitLength((n−1) div 1250) clamped to [4, 15] — pure integer
+    // comparisons on both engines (bitLenSql; the earlier
+    // FLOOR(LOG2(double)) form risked an off-by-one if LOG2 landed
+    // fractionally below an exact power of two — ADVICE r17). The
+    // 60-plane bucket is a superset: plane p depends only on p, so bits
+    // [0, 4w) equal the old 16-plane bucket's whenever w = 4.
     "q273_bitext_mining" ->
       s"""WITH e AS MATERIALIZED (
          |  SELECT v.vec_id AS id, v.embedding AS emb, d.lang, d.n_chars,
          |    ${bucketSql("v.embedding", 60)} AS bucket
          |  FROM embeddings v JOIN documents d ON d.doc_id = v.vec_id),
          |wv AS (
-         |  SELECT GREATEST(4, LEAST(15,
-         |    CASE WHEN (count(*) - 1) // 1250 <= 0 THEN 0
-         |         ELSE CAST(FLOOR(LOG2(CAST((count(*) - 1) // 1250 AS DOUBLE)))
-         |              AS BIGINT) + 1 END)) AS w
+         |  SELECT GREATEST(4, LEAST(15, ${bitLenSql("(count(*) - 1) // 1250")})) AS w
          |  FROM e),
          |bandd AS (
          |  SELECT id, emb, lang, n_chars, band,

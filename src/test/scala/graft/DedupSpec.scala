@@ -110,6 +110,25 @@ class DedupSpec extends AnyFunSuite {
     assert(bhs.forall(b => b >= 0 && b < (1L << 15)))
   }
 
+  test("simhashShape: gate SFs pin the legacy 30-bit shape, 10x data widens") {
+    // Gate SFs (sf0.01=500, sf0.1=5000, sf1=50000 docs) must all derive
+    // the bit-identical legacy 30/3 contract with the unscaled threshold —
+    // the property that made the r17 gate migration output-invariant at
+    // every SF the driver checks.
+    assert(Dedup.simhashShape(500L, 2) == ((30, 2)))
+    assert(Dedup.simhashShape(5000L, 2) == ((30, 2)))
+    assert(Dedup.simhashShape(50000L, 2) == ((30, 2)))
+    assert(Dedup.simhashShape(50000L, 3) == ((30, 3)))
+    // sf10 (500k docs): w=14 -> 42-bit signature, thresholds scale by w/10
+    assert(Dedup.simhashShape(500000L, 2) == ((42, 2)))
+    assert(Dedup.simhashShape(500000L, 3) == ((42, 4)))
+    // width ceiling = the 60-bit two-seed signature
+    assert(Dedup.simhashShape(1L << 40, 2) == ((60, 4)))
+    // degenerate corpora clamp to the floor
+    assert(Dedup.simhashShape(0L, 2) == ((30, 2)))
+    assert(Dedup.simhashShape(1L, 2) == ((30, 2)))
+  }
+
   test("jaccard of arrays: identical=1, disjoint=0, empty-union=0") {
     val df = Seq(
       (Seq("a", "b"), Seq("a", "b")),
