@@ -151,7 +151,21 @@ object Bench {
         // manufactured a 1.74x phantom host move in the first r16 delta)
         val rulerRe = """"ruler_(?:wide|(?!1t)[0-9]+t)_sec":([0-9.]+)""".r
         val prevRuler = rulerRe.findFirstMatchIn(prevLine).map(_.group(1).toDouble)
-        val hostFactor = prevRuler.filter(_ > 0).map(rulerWide / _)
+        // The wide ruler's value depends on how many threads ran it: a
+        // prev leg recorded at a different SPARK_GRAFT_CPUS would be
+        // "normalized" by a bogus factor (ADVICE r16). ruler_threads is
+        // emitted since r16; when present and different, fall back to
+        // raw-only. Legacy ruler_<N>t keys carry the width in the name.
+        val threadsRe = """"ruler_threads":([0-9]+)""".r
+        val legacyRe = """"ruler_([0-9]+)t_sec":[0-9.]""".r
+        val prevThreads = threadsRe.findFirstMatchIn(prevLine).map(_.group(1).toInt)
+          .orElse(legacyRe.findAllMatchIn(prevLine).map(_.group(1).toInt)
+            .filter(_ != 1).maxOption)
+        val threadsMatch = prevThreads.forall(_ == nThreads)
+        if (!threadsMatch) System.err.println(
+          s"[bench] prev leg ruler_threads=${prevThreads.get} != current " +
+            s"$nThreads — ruler not comparable, reporting raw deltas only")
+        val hostFactor = prevRuler.filter(_ > 0 && threadsMatch).map(rulerWide / _)
         val common = results.keys.filter(prev.contains).toSeq.sorted
         val lines = new StringBuilder
         lines ++= s"# BENCH_DELTA — this run vs previous BENCH_LOCAL.json ($sfName)\n\n"
@@ -167,7 +181,10 @@ object Bench {
             lines ++= f"; host ruler moved $hf%.2fx (wide, prev ${prevRuler.get}%.2f s " +
               f"-> now $rulerWide%.2f s) -> **ruler-normalized ${rawX / hf}%.2fx**\n\n"
           case None =>
-            lines ++= "; previous leg has no ruler — raw only\n\n"
+            lines ++= (if (!threadsMatch)
+              s"; previous leg's ruler ran at ${prevThreads.get} threads vs " +
+                s"$nThreads now — not comparable, raw only\n\n"
+            else "; previous leg has no ruler — raw only\n\n")
         }
         // prev(k) == 0.000 (sub-ms time rounded away) has no meaningful
         // baseline: excluded rather than rendering an Infinity ratio

@@ -56,8 +56,12 @@ object FixpointLossRehearsal {
   }
 
   private def deleteRec(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(c => deleteRec(c))
+    if (Files.isDirectory(p)) {
+      // Files.list holds a directory handle until closed — the recursive
+      // walk would otherwise leak one fd per directory (ADVICE r16)
+      val s = Files.list(p)
+      try s.forEach(c => deleteRec(c)) finally s.close()
+    }
     Files.deleteIfExists(p): Unit
   }
 

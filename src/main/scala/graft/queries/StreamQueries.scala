@@ -935,7 +935,9 @@ object StreamQueries {
       // at sf10: 16 parallel engines with 2000-row commit batches cut the
       // drain 41-52 s -> 18-24 s; 32 only reached 17 s for twice the DDL).
       // The map key->shard is fixed per invocation; a PERSISTENT sharded
-      // store would pin nShards for its lifetime instead.
+      // store pins nShards via the per-store manifest (verifyManifest
+      // refuses a mismatched N) and migrates with JdbcUpsertSink.reshard
+      // — spec-pinned in JdbcUpsertSinkSpec (r17).
       val mergeRows = eventsRowCount(s, dir) / 7 * 2
       val nShards = math.max(1L, math.min(16L, (mergeRows + 74999) / 75000)).toInt
       val dbRoot = Files.createTempDirectory(

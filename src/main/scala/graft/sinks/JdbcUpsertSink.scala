@@ -2,7 +2,7 @@ package graft.sinks
 
 import java.sql.DriverManager
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 
 /** K3 external-sink pattern: idempotent batched upsert from executors into
@@ -57,22 +57,31 @@ object JdbcUpsertSink {
     * shard = pmod(xxhash64(keyCols…), nShards): a pure function of the KEY,
     * so the same key lands in the same store across batches, task retries,
     * and stream restarts — re-MERGEs stay idempotent per key and no key
-    * ever exists in two stores. Rows are hash-repartitioned BY SHARD
-    * (each shard's rows land in exactly one task — no two tasks ever write
-    * one store concurrently) and sorted within the partition so a task
-    * holding several shards (hash collision) streams each contiguous run
-    * through [[writePartition]] without buffering the partition.
+    * ever exists in two stores. Rows are placed by an EXACT shard→partition
+    * map (partition id = shard id) rather than `repartition(n, $"__shard")`:
+    * hash(shard) mod n can collide two shards into one task (halving writer
+    * parallelism there) and leave another task idle — correctness held
+    * either way (runs are grouped), but "one writer task per store" was
+    * not guaranteed (ADVICE r16).
     *
     * `urlForShard` maps shard id → JDBC URL; it ships to executors, so it
     * must close over plain data (e.g. an IndexedSeq of URLs). Writer
     * parallelism and store parallelism are both `nShards`: at 100 TB this
     * is "one store per key range" — shards scale horizontally with the
     * keyspace while each store sees a single ordered writer.
+    *
+    * `verifyManifest = true` makes each writer task check the target
+    * store's [[manifestTable]] row ((shard_id, n_shards), stamped by
+    * [[writeShardManifest]]) before writing and REFUSE a mismatch: the
+    * key→shard map is a pure function of (key, nShards), so silently
+    * writing a store set that was laid out for a different N would strand
+    * keys across stores. Migrate with [[reshard]] instead.
     */
   def upsertSharded(df: DataFrame, nShards: Int, urlForShard: Int => String,
                     table: String, keyCols: Seq[String],
                     batchSize: Int = 500,
-                    strictCounts: Option[Boolean] = None): Unit = {
+                    strictCounts: Option[Boolean] = None,
+                    verifyManifest: Boolean = false): Unit = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val cols = df.columns.toSeq
     require(keyCols.nonEmpty && keyCols.forall(cols.contains),
@@ -81,24 +90,131 @@ object JdbcUpsertSink {
     val sql = mergeSql(table, cols, keyCols)
     // __shard is appended LAST so writePartition's positional binding over
     // `cols` (indices 0 until cols.size) is untouched by the extra field.
-    df.select(cols.map(col) :+
+    val shardIdx = cols.size
+    partitionByShard(df.select(cols.map(col) :+
         pmod(xxhash64(keyCols.map(col): _*), lit(nShards.toLong))
-          .cast("int").as("__shard"): _*)
-      .repartition(nShards, col("__shard"))
-      .sortWithinPartitions("__shard")
+          .cast("int").as("__shard"): _*), nShards, shardIdx)
       .foreachPartition { (rows: Iterator[Row]) =>
+        // run-split loop kept as belt-and-braces: with the exact
+        // partitioner each partition holds a single shard, so the outer
+        // while executes at most once per non-empty partition
         val it = rows.buffered
         while (it.hasNext) {
-          val sh = it.head.getInt(cols.size)
+          val sh = it.head.getInt(shardIdx)
+          val url = urlForShard(sh)
+          if (verifyManifest) checkShardManifest(url, sh, nShards)
           val run: Iterator[Row] = new Iterator[Row] {
             def hasNext: Boolean =
-              it.hasNext && it.head.getInt(cols.size) == sh
+              it.hasNext && it.head.getInt(shardIdx) == sh
             def next(): Row = it.next()
           }
-          writePartition(run, urlForShard(sh), sql, cols, keyCols, batchSize,
+          writePartition(run, url, sql, cols, keyCols, batchSize,
             strictCounts = strictCounts)
         }
       }
+  }
+
+  /** partition id = shard id, exactly (the 1:1 writer-per-store map). */
+  private[sinks] class ExactShardPartitioner(n: Int)
+      extends org.apache.spark.Partitioner {
+    def numPartitions: Int = n
+    def getPartition(key: Any): Int = key.asInstanceOf[Int]
+  }
+
+  /** Rows keyed by the shard column at `shardIdx`, placed so partition i
+    * holds exactly shard i. Factored out of [[upsertSharded]] so the spec
+    * can pin the 1:1 guarantee directly.
+    */
+  private[graft] def partitionByShard(withShard: DataFrame, nShards: Int,
+                                      shardIdx: Int)
+      : org.apache.spark.rdd.RDD[Row] =
+    withShard.rdd
+      .map(r => (r.getInt(shardIdx), r))
+      .partitionBy(new ExactShardPartitioner(nShards))
+      .map(_._2)
+
+  /** Per-store layout manifest: one row (shard_id, n_shards) stamped into
+    * every store of a sharded set. The guard that makes a PERSISTENT
+    * sharded store safe: the key→shard map is pure in (key, N), so a
+    * writer configured with the wrong N must refuse loudly rather than
+    * strand keys (see [[upsertSharded]]'s `verifyManifest` and
+    * [[reshard]]).
+    */
+  val manifestTable = "GRAFT_SHARD_MANIFEST"
+
+  /** Stamp (i, urls.size) into each store, replacing any previous row. */
+  def writeShardManifest(urls: IndexedSeq[String]): Unit =
+    urls.zipWithIndex.foreach { case (url, i) =>
+      val conn = DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          s"CREATE TABLE $manifestTable (shard_id INT, n_shards INT)")
+        catch { case _: java.sql.SQLException => () } // exists — keep it
+        st.executeUpdate(s"DELETE FROM $manifestTable"): Unit
+        st.executeUpdate(s"INSERT INTO $manifestTable VALUES ($i, ${urls.size})"): Unit
+        st.close()
+      } finally conn.close()
+    }
+
+  /** Refuse a store whose stamped layout differs from the addressed one. */
+  def checkShardManifest(url: String, shardId: Int, nShards: Int): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs =
+        try conn.createStatement()
+          .executeQuery(s"SELECT shard_id, n_shards FROM $manifestTable")
+        catch { case e: java.sql.SQLException =>
+          throw new IllegalStateException(
+            s"no shard manifest at $url — stamp the store set with " +
+              "writeShardManifest before verifyManifest writes", e)
+        }
+      if (!rs.next()) throw new IllegalStateException(
+        s"empty shard manifest at $url — re-stamp with writeShardManifest")
+      val (sid, n) = (rs.getInt(1), rs.getInt(2))
+      if (sid != shardId || n != nShards)
+        throw new IllegalStateException(
+          s"shard manifest mismatch at $url: store is shard $sid of $n but " +
+            s"this write addresses it as shard $shardId of $nShards — a " +
+            "changed shard count strands keys; migrate with reshard()")
+    } finally conn.close()
+  }
+
+  /** Union-of-shards readback: one JDBC scan per store. */
+  def readSharded(spark: SparkSession, urls: Seq[String], table: String,
+                  driver: String = "org.apache.derby.jdbc.EmbeddedDriver")
+      : DataFrame =
+    urls.map { url =>
+      spark.read.format("jdbc")
+        .option("url", url)
+        .option("driver", driver)
+        .option("dbtable", table).load()
+    }.reduce(_ unionAll _)
+
+  /** Re-shard a persistent sharded store set: read the union of the old
+    * stores, re-derive shard = pmod(xxhash64(key), newUrls.size), MERGE
+    * into the new stores (which must already hold `table`), and stamp the
+    * new manifests. The migration path for a store set that outgrows its
+    * N — without it a shard-count change silently strands keys, because
+    * the shard map moves keys whenever N changes. Idempotent: re-running
+    * re-MERGEs the same rows into the same stores. Returns the migrated
+    * row count.
+    *
+    * `cols` realigns the readback (stores return their canonical
+    * identifier case — Derby: upper) to the original column names/order,
+    * so the key hash and MERGE binding see exactly what the first write
+    * saw.
+    */
+  def reshard(spark: SparkSession, oldUrls: IndexedSeq[String],
+              newUrls: IndexedSeq[String], table: String, cols: Seq[String],
+              keyCols: Seq[String], batchSize: Int = 500): Long = {
+    val back = readSharded(spark, oldUrls, table)
+    val aligned = back.select(cols.map(c =>
+      col(back.columns.find(_.equalsIgnoreCase(c)).getOrElse(c)).as(c)): _*)
+    val n = aligned.count()
+    upsertSharded(aligned, newUrls.size, newUrls(_), table, keyCols, batchSize)
+    writeShardManifest(newUrls)
+    n
   }
 
   /** Whether the zero-update-count check applies. "A key-MERGE affects
