@@ -687,11 +687,16 @@ object CoreOps {
     * the result is exact and portable.
     *
     * In: one row per key with its count. Out: (key, c, alloc). Scale
-    * shape: the input is already one row per DOMAIN (the data-sized
-    * count pass happens upstream as a partial agg); the waterfill runs
-    * over k domain rows in a single-partition window — a driver-sized
-    * frame, deliberately NOT distributed. The cutoff row is the first
-    * (ascending by count) whose candidate level `(B − prefix) div
+    * shape (r17): the input is one row per DOMAIN (the data-sized count
+    * pass happens upstream as a partial agg), but a domain column can be
+    * 100 M keys (urls, users) — so the prefix sums ride
+    * [[rangePrefixSums]] (one range exchange + the P×1 boundary
+    * histogram) instead of an unpartitioned window, which would collapse
+    * to ONE task at any scale (the hazard the eval family's SCALE.md §3b
+    * rule exists for). The global scalars (row count, total mass, cutoff
+    * row) are each a partial-aggregated 1-row frame broadcast back —
+    * nothing driver-sized but those single rows. The cutoff row is the
+    * first (ascending by count) whose candidate level `(B − prefix) div
     * slots-left` fits under its own count; rows below keep everything,
     * rows at and above get the cutoff level.
     */
@@ -701,17 +706,25 @@ object CoreOps {
     require(keyCol != "c" && keyCol != "alloc",
       s"waterfill emits columns (${keyCol}, c, alloc); a key named c/alloc " +
         "would collide — rename it first")
-    val ord = Window.orderBy(col("c"), col("k"))
-    val whole = Window.partitionBy()
-    counts.select(col(keyCol).as("k"), col(countCol).cast(LongType).as("c"))
-      .withColumn("i", row_number().over(ord).cast(LongType))
-      .withColumn("kk", count(lit(1)).over(whole))
-      .withColumn("pre", sum(col("c")).over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("b", expr(s"(sum(c) over () * $budgetNum) div $budgetDen"))
+    val base = counts
+      .select(col(keyCol).as("k"), col(countCol).cast(LongType).as("c"))
+      .withColumn("one", lit(1L))
+    // i = 1-based rank along (c, k) (prefix sum of the unit column),
+    // pre = inclusive prefix sum of c — both from ONE range exchange
+    val pref = rangePrefixSums(base, Seq.empty, Seq(col("c"), col("k")),
+        Seq("c", "one"))
+      .withColumnRenamed("c_cum", "pre").withColumnRenamed("one_cum", "i")
+    // global scalars: k rows -> 1 row (partial agg), broadcast back
+    val totals = base.agg(count(lit(1)).as("kk"),
+      expr(s"(sum(c) * $budgetNum) div $budgetDen").as("b"))
+    val li = pref.crossJoin(broadcast(totals))
       .withColumn("li", expr("(b - (pre - c)) div (kk - i + 1)"))
-      .withColumn("istar", min(when(col("li") <= col("c"), col("i"))).over(whole))
-      .withColumn("lvl", min(when(col("i") === col("istar"), col("li"))).over(whole))
+    // cutoff: first rank whose candidate level fits under its own count
+    // (empty filter -> one all-NULL row, the "budget covers everything"
+    // branch below). min_by is safe: i is unique by construction.
+    val cut = li.filter(col("li") <= col("c"))
+      .agg(min(col("i")).as("istar"), min_by(col("li"), col("i")).as("lvl"))
+    li.crossJoin(broadcast(cut))
       .withColumn("alloc",
         when(col("istar").isNull || col("i") < col("istar"), col("c"))
           .otherwise(col("lvl")))
