@@ -110,6 +110,36 @@ class DedupSpec extends AnyFunSuite {
     assert(bhs.forall(b => b >= 0 && b < (1L << 15)))
   }
 
+  test("incremental banding: mod-P band keys, occupancy content-bounded") {
+    // r17 (VERDICT item 8): the incremental/streaming near-dup paths
+    // (q138/q140/q244) band with MINHASH keys — a fold of per-band row
+    // minima mod P ≈ 2^30 — not a fixed-width simhash band, so they
+    // cannot re-inherit the pinned-width quadratic the q34 gate
+    // migration retired. Pin the two properties that keep them linear:
+    // band keys span the mod-P domain (distinct-bucket count tracks the
+    // corpus, it is not a pinned 2^10 space), and bucket occupancy is
+    // driven by CONTENT (the planted twins), not by corpus size.
+    val rng = new scala.util.Random(42)
+    val base = (1L to 2000L).map { i =>
+      (i, Seq.fill(12)("w" + rng.nextInt(50000)).distinct.mkString(" "))
+    }
+    val twins = base.collect { case (i, t) if i % 40 == 0 => (i + 100000L, t) }
+    val docs = (base ++ twins).toDF("doc_id", "text")
+    val bands = Dedup.minhashBands(docs, "doc_id", "text", 3, 16, 4)
+      .select("band", "bh").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(bands.forall { case (_, bh) => bh >= 0 && bh < Dedup.P })
+    val occ = bands.groupBy(identity).map(_._2.size)
+    // only identical content collides: planted twins pair up (occupancy
+    // 2), unrelated 12-token docs essentially never do in a 2^30 space
+    assert(occ.max <= 4,
+      s"a band bucket holds ${occ.max} docs — occupancy not content-bounded")
+    // the bucket DOMAIN scales with the corpus: ~one bucket per doc per
+    // band minus the planted twins, nowhere near a pinned 1024 buckets
+    val distinctBuckets = bands.distinct.length
+    assert(distinctBuckets > 4 * 2000 * 9 / 10,
+      s"only $distinctBuckets distinct band buckets for ${docs.count()} docs")
+  }
+
   test("simhashShape: gate SFs pin the legacy 30-bit shape, 10x data widens") {
     // Gate SFs (sf0.01=500, sf0.1=5000, sf1=50000 docs) must all derive
     // the bit-identical legacy 30/3 contract with the unscaled threshold —
