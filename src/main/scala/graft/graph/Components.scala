@@ -30,10 +30,16 @@ object Components {
                           maxIters: Int = 50): DataFrame = {
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
+    // Hash-partitioned by the JOIN key before the checkpoint (r17): the
+    // checkpointed frame retains its physical partitioning, so the
+    // per-pass join(und, labels, b = node) stops re-shuffling the edge
+    // list EVERY pass — at cluster scale that exchange was the dominant
+    // per-pass shuffle (full edge list, every iteration); locally it was
+    // one more AQE stage-job per pass.
     val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
+      .distinct().repartition(col("b")).localCheckpoint(eager = false)
     var labels = und.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+      .withColumn("label", col("node")).localCheckpoint(eager = false)
     val labelType = labels.schema("label").dataType
     var changed = true
     var iter = 0
@@ -49,12 +55,17 @@ object Components {
       // recovers it) — convergence becomes a filter over the checkpointed
       // pass output instead of a second join+shuffle job per pass. Exact
       // and type-agnostic: no sum-of-labels overflow, any id type.
+      // LAZY checkpoint + full-scan changed-count (r17): the count job
+      // computes every partition of `next`, which materializes the local
+      // checkpoint as a side effect — one job per pass where the eager
+      // checkpoint + separate limit-probe pair cost two. Exactness
+      // unchanged (same filter, full count instead of limit 1).
       val next = labels.select(col("node"), col("label"), col("label").as("prev"))
         .union(nbr)
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
-        .localCheckpoint()
-      changed = next.filter(col("label") =!= col("prev")).limit(1).count() > 0
+        .localCheckpoint(eager = false)
+      changed = next.filter(col("label") =!= col("prev")).count() > 0
       labels = next.select(col("node"), col("label"))
       iter += 1
     }
@@ -81,16 +92,20 @@ object Components {
     val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
     val nodes = e0.select(col("a").as("node"))
-      .union(e0.select(col("b").as("node"))).distinct().localCheckpoint()
+      .union(e0.select(col("b").as("node"))).distinct().localCheckpoint(eager = false)
     var cur = e0.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(eager = false)
     var changed = true
     var iter = 0
     while (changed) {
       if (iter >= maxIters) throw new IllegalStateException(
         s"connectedComponentsLogN: not settled after $maxIters rounds")
-      val next = star(star(cur, large = true), large = false).localCheckpoint()
+      // LAZY checkpoint (r17): the set-comparison job below scans every
+      // partition of `next`, materializing the checkpoint as a side
+      // effect — one action per round instead of checkpoint + compare.
+      val next = star(star(cur, large = true), large = false)
+        .localCheckpoint(eager = false)
       // Exact set comparison of two checkpointed canonical edge lists in
       // ONE job: tag next rows +1 / cur rows -1 and look for any key whose
       // tags don't cancel (both lists are distinct, so multiset = set).
@@ -98,7 +113,7 @@ object Components {
       changed = next.select(col("a"), col("b"), lit(1L).as("t"))
         .union(cur.select(col("a"), col("b"), lit(-1L).as("t")))
         .groupBy(col("a"), col("b")).agg(sum(col("t")).as("d"))
-        .filter(col("d") =!= 0L).limit(1).count() > 0
+        .filter(col("d") =!= 0L).count() > 0
       cur = next
       iter += 1
     }

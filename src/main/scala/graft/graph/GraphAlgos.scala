@@ -26,7 +26,16 @@ object GraphAlgos {
       case Some(d) =>
         graft.ops.Checkpoints.ensureDir(df.sparkSession.sparkContext, d)
         df.checkpoint()
-      case None => df.localCheckpoint()
+      // LAZY local checkpoint (r17): the logical plan is truncated to a
+      // LogicalRDD immediately (bounded optimizer work per pass — the
+      // reason truncate exists), but materialization rides the NEXT
+      // action over the frame (every loop here follows a truncate with a
+      // convergence count/scalar, and fixed-pass loops chain into the
+      // caller's single action) instead of paying one dedicated job per
+      // pass. The partitions persist on first compute exactly as the
+      // eager form's did. The reliable-checkpoint path (cluster
+      // executor-loss contract, FIXPOINT_LOSS_r16) stays eager.
+      case None => df.localCheckpoint(eager = false)
     }
 
   /** Per-node triangle participation counts over an undirected edge list.
@@ -113,7 +122,8 @@ object GraphAlgos {
                personalization: Option[(DataFrame, String)] = None): DataFrame = {
     val e = truncate(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct(), checkpointDir)
+      .distinct().repartition(col("src")), // per-pass join key (r17)
+      checkpointDir)
     val nodes = truncate(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct(), checkpointDir)
     val nNodes = nodes.count()
@@ -199,8 +209,9 @@ object GraphAlgos {
                 checkpointDir: Option[String] = None): DataFrame = {
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    // pre-partitioned by the per-pass join key (r17, see Components)
     val und = truncate(e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct(), checkpointDir)
+      .distinct().repartition(col("a")), checkpointDir)
     val nodes = und.select(col("a").as("node")).distinct()
     val seed = seeds.select(col(seedCol).as("node")).distinct()
     var d = truncate(nodes.join(seed.withColumn("z", lit(0L)), Seq("node"), "left")
@@ -220,7 +231,9 @@ object GraphAlgos {
           .groupBy(col("node"))
           .agg(min(col("depth")).as("depth"), min(col("prev")).as("prev")),
         checkpointDir)
-      changed = next.filter(!(col("depth") <=> col("prev"))).limit(1).count() > 0
+      // full count, not limit(1): the scan doubles as the lazy
+      // checkpoint's materialization (computes every partition)
+      changed = next.filter(!(col("depth") <=> col("prev"))).count() > 0
       d = next.select(col("node"), col("depth"))
       iter += 1
     }
@@ -259,7 +272,8 @@ object GraphAlgos {
     val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
     val sym = truncate(
-      e0.union(e0.select(col("b").as("a"), col("a").as("b"))).distinct(),
+      e0.union(e0.select(col("b").as("a"), col("a").as("b"))).distinct()
+        .repartition(col("b")), // per-pass join key (r17, see Components)
       checkpointDir)
     var lab = truncate(sym.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lab")), checkpointDir)
@@ -273,9 +287,10 @@ object GraphAlgos {
         .agg(max_by(col("lab"), struct(col("c"), -col("lab"))).as("lab")),
         checkpointDir)
       if (earlyStop) {
+        // full count (materializes the lazy checkpoint in the same job)
         converged = next.join(
             lab.select(col("node"), col("lab").as("lab_prev")), Seq("node"))
-          .filter(col("lab") =!= col("lab_prev")).limit(1).count() == 0
+          .filter(col("lab") =!= col("lab_prev")).count() == 0
       }
       lab = next
       iter += 1
@@ -417,7 +432,8 @@ object GraphAlgos {
         // level; two keeps the stride-deep plan ~2^stride leaves, which
         // Catalyst handles comfortably at stride ≤ 8.)
         val ed = tc(e.select(col("a").as("s"), col("b").as("d"), lit(true).as("fwd"))
-          .union(e.select(col("b").as("s"), col("a").as("d"), lit(false).as("fwd"))))
+          .union(e.select(col("b").as("s"), col("a").as("d"), lit(false).as("fwd")))
+          .repartition(col("s"))) // per-hop join key (r17)
         def hop(c: DataFrame): DataFrame =
           c.select(col("node"), col("f"), col("g"))
             .union(ed.join(c, ed("s") === c("node"))

@@ -13,6 +13,37 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object CoreOps {
 
+  // ------------------------------------------------------------ partitioning
+
+  /** Scale-adaptive width for explicit exchange barriers (kernel
+    * repartitions, range sorts): ceil(estimated input bytes /
+    * `targetBytesPerTask`), clamped to [1, `ceiling`] where the ceiling
+    * defaults to the session's shuffle width. The estimate is the
+    * optimizer's own plan statistic (the same number AQE's coalescing
+    * seeds from), so the width follows DATA SIZE at any scale instead of
+    * pinning a local constant: a tiny input stops paying the per-task
+    * fixed cost (closure deserialization + shuffle-file open + commit,
+    * measured ~50-100 ms/task locally — r17 OPTIMIZATION notes) times
+    * the full core count, while a 100 TB input still saturates the
+    * configured parallelism. Explicit `repartition(n)` is invisible to
+    * AQE's coalescer (the user asked for n), which is exactly why these
+    * barrier sites must derive n from data rather than hardcode it.
+    *
+    * Width only shapes execution, never results: every caller's output
+    * is partitioning-invariant (exact integer aggregates, per-row
+    * kernels, total-order ranks) — the same property the bench's
+    * variable core count already requires.
+    */
+  def adaptiveWidth(df: DataFrame, targetBytesPerTask: Long = 4L << 20,
+                    ceiling: Int = 0): Int = {
+    val cap =
+      if (ceiling > 0) ceiling
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val w = (bytes + BigInt(targetBytesPerTask - 1)) / BigInt(targetBytesPerTask)
+    w.min(BigInt(cap)).max(BigInt(1)).toInt
+  }
+
   // ---------------------------------------------------------------- filters
 
   /** F1/F2 — time-window filter, both ends inclusive-exclusive.

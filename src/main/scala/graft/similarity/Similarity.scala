@@ -64,9 +64,14 @@ object Similarity {
     */
   def bucketNorm(df: DataFrame, idCol: String, vecCol: String,
                  planes: Int, dim: Int, extra: Seq[String] = Nil): DataFrame = {
-    val in = df.select(col(idCol).as("id") +: col(vecCol).as("v") +:
+    // Adaptive barrier width (r17): the per-row kernel cost here is a few
+    // dim-length float loops (~µs), so the width that matters is bytes
+    // per task, not cores — ceil(stats/4 MiB) reaches the full shuffle
+    // width on real corpora while a KB-scale serving batch runs in one
+    // task instead of paying 32 per-task fixed costs per exchange.
+    val in0 = df.select(col(idCol).as("id") +: col(vecCol).as("v") +:
         extra.map(col): _*)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val in = in0.repartition(graft.ops.CoreOps.adaptiveWidth(in0))
     val idType = df.schema(idCol).dataType
     val outSchema = StructType(Seq(
       StructField("bucket", LongType, nullable = false),
@@ -304,14 +309,53 @@ object Similarity {
     require(nProbes.nonEmpty && nProbes == nProbes.sorted && nProbes.distinct == nProbes,
       "nProbes must be distinct and ascending")
     val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k, dim)
-      .select(col("query_id"), col("corpus_id")).localCheckpoint()
-    val perProbe = nProbes.map { p =>
-      multiProbeTopK(corpus, queries, idCol, vecCol, k, planes, p, dim)
-        .select(col("query_id"), col("corpus_id"))
-        .join(exact, Seq("query_id", "corpus_id"))
-        .agg(count(lit(1)).as("n_hits"))
-        .select(lit(p).as("n_probe"), col("n_hits"))
-    }.reduce(_.unionByName(_))
+      .select(col("query_id"), col("corpus_id"))
+      .withColumn("hit", lit(1L))
+    // ONE hash/probe/score pass at max(nProbes) — the same nested-set
+    // collapse as [[ivfRecallCurve]] (r17): a candidate pair matches
+    // exactly one probe index rn (probed buckets are distinct), level
+    // p's top-k rank is the running count of rn ≤ p candidates in the
+    // shared (sim desc, corpus_id asc) window order, and all levels'
+    // hit counts come out of one conditional aggregate instead of one
+    // multiProbeTopK subplan (corpus re-hash + join + window) per level.
+    val maxP = nProbes.max
+    require(maxP >= 1 && maxP <= planes + 1,
+      s"nProbe must be in [1, planes + 1 = ${planes + 1}]")
+    val c = bucketNorm(corpus, idCol, vecCol, planes, dim)
+      .select(col("bucket"), col("id").as("corpus_id"),
+        col("v").as("cv"), col("nrm").as("cnorm"))
+    val q0 = bucketNorm(queries, idCol, vecCol, planes, dim)
+      .select(col("bucket").as("qb"), col("id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qnorm"))
+    val probeCols = (0 until maxP).map { i =>
+      if (i == 0) col("qb")
+      else col("qb").bitwiseXOR(lit(1L << (i - 1)))
+    }
+    val q = q0.select(col("query_id"), col("qv"), col("qnorm"),
+        posexplode(array(probeCols: _*)).as(Seq("pos", "bucket")))
+      .withColumn("rn", col("pos") + 1)
+    val scored = appendCosine(
+      c.join(q, Seq("bucket")).filter(col("corpus_id") =!= col("query_id")),
+      "cv", "qv", "cnorm", "qnorm", "sim")
+    val wOrd = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("corpus_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = nProbes.foldLeft(scored) { (df, p) =>
+      df.withColumn(s"__rk_$p",
+        sum(when(col("rn") <= p, 1L).otherwise(0L)).over(wOrd))
+    }
+    val hitsRow = ranked
+      .join(broadcast(exact), Seq("query_id", "corpus_id"), "left")
+      .agg(nProbes.map(p =>
+        sum(when(col("rn") <= p && col(s"__rk_$p") <= k &&
+          col("hit").isNotNull, 1L).otherwise(0L)).as(s"__h_$p")).head,
+        nProbes.map(p =>
+          sum(when(col("rn") <= p && col(s"__rk_$p") <= k &&
+            col("hit").isNotNull, 1L).otherwise(0L)).as(s"__h_$p")).tail: _*)
+    val perProbe = hitsRow.select(explode(array(nProbes.map(p =>
+        struct(lit(p).as("n_probe"),
+          coalesce(col(s"__h_$p"), lit(0L)).as("n_hits"))): _*)).as("x"))
+      .select(col("x.n_probe").as("n_probe"), col("x.n_hits").as("n_hits"))
     val w = Window.orderBy(col("n_probe"))
       .rowsBetween(Window.unboundedPreceding, -1)
     perProbe.withColumn("monotone_ok",
@@ -377,7 +421,13 @@ object Similarity {
     val planes = java.lang.Integer.numberOfTrailingZeros(nCells)
     val spark = corpus.sparkSession
 
-    val base = bucketNorm(corpus, idCol, vecCol, planes, dim) // bucket,id,v,nrm
+    // Materialized ONCE (r17): base feeds the seed-centroid aggregate plus
+    // one full scan per assign pass (1 + refinePasses of them) — without
+    // the checkpoint each scan re-ran the parquet read + exchange +
+    // bucket/norm kernel (measured 5 recomputations in q143's plan; at
+    // cluster scale each is a full corpus pass).
+    val base = bucketNorm(corpus, idCol, vecCol, planes, dim)
+      .localCheckpoint() // bucket,id,v,nrm
 
     // Exact centroid mean over (cellCol, vecCol): per-dim long micro-sums
     // (order-invariant at any partitioning), one double division, then the
@@ -520,14 +570,51 @@ object Similarity {
       kmeansAssign(corpus, idCol, vecCol, nCells, dim, refinePasses)
     val assigned = assigned0.localCheckpoint()
     val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k, dim)
-      .select(col("query_id"), col("corpus_id")).localCheckpoint()
-    val perProbe = nProbes.map { p =>
-      ivfSearch(assigned, centroidsN, queries, idCol, vecCol, k, p, dim)
-        .select(col("query_id"), col("corpus_id"))
-        .join(exact, Seq("query_id", "corpus_id"))
-        .agg(count(lit(1)).as("n_hits"))
-        .select(lit(p).as("n_probe"), col("n_hits"))
-    }.reduce(_.unionByName(_))
+      .select(col("query_id"), col("corpus_id"))
+      .withColumn("hit", lit(1L))
+    // ONE probe/score/rank pass at max(nProbes) instead of one ivfSearch
+    // subplan per level (r17): candidate sets are nested in the probe
+    // rank rn, so level p's top-k rank is a running count of rn ≤ p
+    // candidates along the SAME (sim desc, corpus_id asc) order the
+    // per-level window used — every level's rank column shares one
+    // window sort and one exchange, and the per-level join+agg towers
+    // (3× the plan, 3× the jobs, 3× the candidate shuffle) collapse
+    // into one conditional aggregate. Hit counts are row-for-row the
+    // old ones: rank_p ≤ k over rn ≤ p candidates IS the old
+    // row_number ≤ k over the p-cell candidate set, same tiebreak.
+    val maxP = nProbes.max
+    val queriesN = bucketNorm(queries, idCol, vecCol, 0, dim)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnorm"))
+    val queryX = appendCosine(
+      queriesN.join(broadcast(centroidsN), lit(true)),
+      "qv", "cv", "qnorm", "cnrm", "csim")
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    val probes = queryX.withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= maxP)
+      .select(col("cell"), col("query_id"), col("qv"), col("qnorm"), col("rn"))
+    val scored = appendCosine(
+      assigned.join(probes, Seq("cell")).filter(col("corpus_id") =!= col("query_id")),
+      "cv2", "qv", "cnorm2", "qnorm", "sim")
+    val wOrd = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("corpus_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = nProbes.foldLeft(scored) { (df, p) =>
+      df.withColumn(s"__rk_$p",
+        sum(when(col("rn") <= p, 1L).otherwise(0L)).over(wOrd))
+    }
+    val hitsRow = ranked
+      .join(broadcast(exact), Seq("query_id", "corpus_id"), "left")
+      .agg(nProbes.map(p =>
+        sum(when(col("rn") <= p && col(s"__rk_$p") <= k &&
+          col("hit").isNotNull, 1L).otherwise(0L)).as(s"__h_$p")).head,
+        nProbes.map(p =>
+          sum(when(col("rn") <= p && col(s"__rk_$p") <= k &&
+            col("hit").isNotNull, 1L).otherwise(0L)).as(s"__h_$p")).tail: _*)
+    val perProbe = hitsRow.select(explode(array(nProbes.map(p =>
+        struct(lit(p).as("n_probe"),
+          coalesce(col(s"__h_$p"), lit(0L)).as("n_hits"))): _*)).as("x"))
+      .select(col("x.n_probe").as("n_probe"), col("x.n_hits").as("n_hits"))
     // 1-row-per-level frame: the unpartitioned window is over |nProbes| rows.
     val w = Window.orderBy(col("n_probe"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -694,8 +781,10 @@ object Similarity {
     val qTables = qRows.map { case (qid, q) => (qid, adcTableFlat(q, cb, sub)) }
     val bc = spark.sparkContext.broadcast((cb, qTables))
     implicit val enc = Encoders.row(pairSchema)
-    val pairs = corpus.select(col(idCol).cast("long").as("id"), microsVec(vecCol).as("vm"))
-      .repartition(spark.sparkContext.defaultParallelism)
+    val corpusVm = corpus.select(col(idCol).cast("long").as("id"),
+      microsVec(vecCol).as("vm"))
+    val pairs = corpusVm
+      .repartition(graft.ops.CoreOps.adaptiveWidth(corpusVm))
       .mapPartitions { it =>
         val (cbv, qts) = bc.value
         val mm = cbv.length
@@ -735,8 +824,10 @@ object Similarity {
       StructField("code", ArrayType(IntegerType, containsNull = false))))
     val codes = {
       implicit val enc = Encoders.row(codeSchema)
-      corpus.select(col(idCol).cast("long").as("id"), microsVec(vecCol).as("vm"))
-        .repartition(spark.sparkContext.defaultParallelism)
+      val corpusVm = corpus.select(col(idCol).cast("long").as("id"),
+        microsVec(vecCol).as("vm"))
+      corpusVm
+        .repartition(graft.ops.CoreOps.adaptiveWidth(corpusVm))
         .mapPartitions { it =>
           val cbv = bcb.value
           val subv = cbv(0).map(c => if (c == null) 0 else c.length).max
