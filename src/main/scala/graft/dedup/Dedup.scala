@@ -472,10 +472,30 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5, bucketCap: Int = 4096): DataFrame = {
-    val banded = minhashBands(df, idCol, textCol, shingleK, numHashes, bands)
-    // Candidate ids only through the band exchange (no set payloads), hot
-    // buckets tiled; sets join back once per side for the exact verify.
+    org.apache.spark.sql.GraftFunctions.register(df.sparkSession)
+    // Band rows carry the shingle-SET SIZE alongside the id (one long,
+    // computed scan-local like the band keys — r17): J(A,B) ≥ t forces
+    // |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so any surviving
+    // pair satisfies min·10⁴ ≥ (t_bp−1)·max — the PPJoin length filter.
+    // Applied BEFORE the candidate distinct and the set join, it prunes
+    // the length-mismatched bulk of weak-band collisions (measured at
+    // sf0.1 on q31's 2-row bands: 616k raw pairs for 255 true pairs)
+    // without touching the result: the bound is necessary for J ≥ t,
+    // and the 1 bp slack keeps the integer filter strictly weaker than
+    // the exact double compare downstream.
+    val banded = widenNarrowInput(
+        df.select(col(idCol).as("id"),
+          coalesce(col(textCol), lit("")).as("text")))
+      .select(col("id"),
+        size(call_function("shingle_hashes", col("text"), lit(shingleK)))
+          .cast("long").as("sz"),
+        posexplode(call_function("minhash_band_keys",
+          col("text"), lit(shingleK), lit(numHashes), lit(bands))))
+      .select(col("pos").as("band"), col("col").as("bh"), col("id"), col("sz"))
+    val thrBp = math.round(threshold * 10000)
     val cand = bucketedPairs(banded, Seq("band", "bh"), "id", bucketCap)
+      .filter(lit(10000L) * least(col("a.sz"), col("b.sz")) >=
+        lit(thrBp - 1) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     val sets = shingleHashSets(df, idCol, textCol, shingleK)
     val withSets = cand
@@ -897,23 +917,15 @@ object Dedup {
     */
   def appendJaccard(df: DataFrame, aCol: String, bCol: String,
                     outName: String): DataFrame = {
-    val schema = StructType(df.schema.fields :+
-      StructField(outName, DoubleType, nullable = false))
-    val (ia, ib) = (df.schema.fieldIndex(aCol), df.schema.fieldIndex(bCol))
-    implicit val enc = Encoders.row(schema)
-    df.mapPartitions { it =>
-      it.map { r =>
-        val a = r.getSeq[Any](ia)
-        val b = r.getSeq[Any](ib)
-        val setA = a.toSet
-        var inter = 0
-        val itB = b.iterator
-        while (itB.hasNext) if (setA.contains(itB.next())) inter += 1
-        val union = setA.size + b.size - inter
-        val j = if (union == 0) 0.0 else inter.toDouble / union
-        Row.fromSeq(r.toSeq :+ j)
-      }
-    }(enc)
+    // Codegen'd expression (r17): the old mapPartitions form paid an
+    // encoder round-trip per candidate pair — every element of both
+    // arrays boxed, a Row.toSeq allocation per row, and a codegen break
+    // at both edges. array_jaccard keeps the arrays primitive and fuses
+    // the verify into the surrounding stage (same arithmetic on the
+    // distinct inputs this contract requires; MinhashExprSpec pins
+    // parity against the old loop).
+    org.apache.spark.sql.GraftFunctions.register(df.sparkSession)
+    df.withColumn(outName, call_function("array_jaccard", col(aCol), col(bCol)))
   }
 
   /** Distinct-token seeded hashes — the SimHash input (materialize this as

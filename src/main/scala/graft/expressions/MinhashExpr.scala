@@ -150,6 +150,60 @@ object MinhashKernels {
   }
 }
 
+/** `array_jaccard(a, b)` — exact Jaccard |A∩B|/|A∪B| of two DISTINCT
+  * array<long> columns as double (0.0 when both empty). Codegen'd
+  * replacement (r17) for the mapPartitions verify kernel: the encoder
+  * round-trip boxed every element of both arrays per candidate pair —
+  * at 10⁵-10⁶ LSH candidates the boxing, `Row.toSeq` allocation and
+  * codegen break dominated the verify stage. Here the arrays stay
+  * primitive (`ArrayData.toLongArray`), the intersection is a sort +
+  * linear merge, and the whole verify fuses into the join's codegen
+  * stage. Arithmetic identical to `Dedup.appendJaccard`'s loop on
+  * distinct inputs (pinned by MinhashExprSpec).
+  */
+object ArrayJaccardKernel {
+  def jaccard(ad: ArrayData, bd: ArrayData): Double = {
+    val a = ad.toLongArray()
+    val b = bd.toLongArray()
+    java.util.Arrays.sort(a)
+    java.util.Arrays.sort(b)
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+}
+
+case class ArrayJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private val longArray = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"array_jaccard requires two array<bigint> inputs, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "array_jaccard"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayJaccardKernel.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.ArrayJaccardKernel.jaccard($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): ArrayJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `simhash_sig(text, bits)` — SimHash signature as one long: bit j set
   * when more than half of the distinct-token seeded hashes have bit j set.
   * Same arithmetic as `Dedup.simhashFromHashes` (HOF form) and

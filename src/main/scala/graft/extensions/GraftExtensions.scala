@@ -142,9 +142,19 @@ object GraftExtensions {
       QualityScore(args.head, stops)
     })
 
+  val arrayJaccardFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("array_jaccard"),
+    info("array_jaccard",
+      "array_jaccard(a, b) - exact Jaccard of two distinct array<bigint> sets",
+      classOf[graft.expressions.ArrayJaccard]),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "array_jaccard expects exactly 2 arguments")
+      graft.expressions.ArrayJaccard(args(0), args(1))
+    })
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(charHashFn, containsAnyTermFn, bloomMightContainFn, shingleHashesFn,
-      minhashBandKeysFn, simhashSigFn, qualityScoreFn)
+      minhashBandKeysFn, simhashSigFn, qualityScoreFn, arrayJaccardFn)
 }
 
 /** Collapse OR-chains of case-insensitive substring tests over one column,

@@ -130,6 +130,36 @@ class MinhashExprSpec extends AnyFunSuite {
       s"non-file local input must still widen for core-parallel hashing:\n$plan")
   }
 
+  test("array_jaccard matches the reference set loop, codegen and empty cases") {
+    // parity pin for the r17 verify-kernel swap: same |A∩B|/|A∪B| on
+    // distinct arrays as the old mapPartitions loop, including the
+    // both-empty -> 0.0 convention.
+    def ref(a: Seq[Long], b: Seq[Long]): Double = {
+      val setA = a.toSet
+      val inter = b.count(setA.contains)
+      val union = setA.size + b.size - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+    val rnd = new scala.util.Random(42)
+    val cases = Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(1L, 2L, 3L), Seq.empty[Long]),
+      (Seq(5L), Seq(5L)),
+      (Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L))) ++
+      (1 to 20).map { _ =>
+        def arr = rnd.shuffle((0L to 50L).toList).take(rnd.nextInt(30)).toSeq
+        (arr, arr)
+      }
+    import spark.implicits._
+    val df = cases.toDF("a", "b")
+    val got = df.select(org.apache.spark.sql.functions.call_function(
+      "array_jaccard", org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b"))).collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((a, b), g) =>
+      assert(g == ref(a, b), s"array_jaccard($a, $b) = $g, want ${ref(a, b)}")
+    }
+  }
+
   test("functions are SQL-callable with literal parameters only") {
     val r = spark.sql(
       "SELECT size(shingle_hashes('a b c d', 2)) AS n, " +
