@@ -335,9 +335,16 @@ object CoreOps {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.StructField
     val spark = df.sparkSession
+    // Adaptive width (r17): the per-row accumulator pass below runs at
+    // ~µs/row, so ~512 KB of narrow rows per task keeps every task's
+    // real work above its fixed cost; a grouped KB-scale input then runs
+    // width 1, where repartitionByRange(1, ...) plans NO sampling job
+    // and the offsets histogram below is skippable — two driver jobs
+    // gone per call. Real corpora still derive the full session width
+    // (the estimate is the optimizer's own, the same one AQE seeds from).
     val nPart =
       if (numPartitions > 0) numPartitions
-      else spark.sessionState.conf.numShufflePartitions
+      else adaptiveWidth(df, targetBytesPerTask = 512L << 10)
     val sortCols = strata.map(col) ++ order
     val sorted = df.repartitionByRange(nPart, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
@@ -346,13 +353,14 @@ object CoreOps {
     def strataKey(r: Row): Seq[Any] = sIdx.map(r.get)
     // P × strata histogram (tiny): how many rows of each stratum sit in
     // each partition, so partition p starts stratum s at the sum of s's
-    // counts in partitions < p.
-    val hist = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Long]()
-      it.foreach { r => val k = strataKey(r); m(k) = m.getOrElse(k, 0L) + 1L }
-      m.iterator.map { case (k, n) => (pid, k, n) }
-    }.collect()
-    val offsets: Map[(Int, Seq[Any]), Long] = {
+    // counts in partitions < p. Width 1 ⇒ every offset is 0 — skip the
+    // collect job outright.
+    val offsets: Map[(Int, Seq[Any]), Long] = if (nPart <= 1) Map.empty else {
+      val hist = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Long]()
+        it.foreach { r => val k = strataKey(r); m(k) = m.getOrElse(k, 0L) + 1L }
+        m.iterator.map { case (k, n) => (pid, k, n) }
+      }.collect()
       val byStratum = hist.groupBy(_._2)
       (for {
         (k, rows) <- byStratum.iterator
@@ -406,9 +414,11 @@ object CoreOps {
         s"weight column $w must be LONG, got ${df.schema(w).dataType.catalogString}")
     }
     val spark = df.sparkSession
+    // Adaptive width + width-1 short-circuits — same rationale as
+    // [[rangeRank]] (r17).
     val nPart =
       if (numPartitions > 0) numPartitions
-      else spark.sessionState.conf.numShufflePartitions
+      else adaptiveWidth(df, targetBytesPerTask = 512L << 10)
     val sortCols = strata.map(col) ++ order
     val sorted = df.repartitionByRange(nPart, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
@@ -418,16 +428,16 @@ object CoreOps {
     def strataKey(r: Row): Seq[Any] = sIdx.map(r.get)
     // P × strata per-weight mass histogram (tiny, the rangeRank artifact
     // class): partition p starts stratum s at the mass in partitions < p.
-    val hist = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Array[Long]]()
-      it.foreach { r =>
-        val acc = m.getOrElseUpdate(strataKey(r), new Array[Long](wIdx.length))
-        var i = 0
-        while (i < wIdx.length) { acc(i) += r.getLong(wIdx(i)); i += 1 }
-      }
-      m.iterator.map { case (k, a) => (pid, k, a) }
-    }.collect()
-    val offsets: Map[(Int, Seq[Any]), Array[Long]] = {
+    val offsets: Map[(Int, Seq[Any]), Array[Long]] = if (nPart <= 1) Map.empty else {
+      val hist = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Array[Long]]()
+        it.foreach { r =>
+          val acc = m.getOrElseUpdate(strataKey(r), new Array[Long](wIdx.length))
+          var i = 0
+          while (i < wIdx.length) { acc(i) += r.getLong(wIdx(i)); i += 1 }
+        }
+        m.iterator.map { case (k, a) => (pid, k, a) }
+      }.collect()
       val byStratum = hist.groupBy(_._2)
       (for {
         (k, rows) <- byStratum.iterator

@@ -1319,23 +1319,32 @@ object AnalyticsQueries {
       val cells = e.groupBy(col("event_type"), col("v"))
         .agg(wSums.head, wSums.tail: _*)
         .localCheckpoint()
+      // ALL 33 replicate masses ride ONE prefix pass as parallel weight
+      // columns (r17): the old shape exploded cells ×33 BEFORE the range
+      // sort, pushing ~33× the rows through the exchange and the per-row
+      // prefix kernel; rangePrefixSums accumulates multiple weights per
+      // row natively, so the replicate dimension unpivots AFTER the
+      // cumulative sums, in codegen, at zero extra kernel rows. Same
+      // cumulative values per (type, r, v), same ⌈N/2⌉ crossing — rows
+      // with a zero weight shift no cumulative sum, so dropping the old
+      // n > 0 pre-filter cannot move any median.
+      val wNames = "w_m1" +: (0 until R).map(r => s"w_$r")
+      val c = CoreOps.rangePrefixSums(cells, Seq("event_type"),
+        Seq(col("v")), wNames)
+      val tot = cells.groupBy(col("event_type"))
+        .agg(sum(col(wNames.head)).as(s"t_${wNames.head}"),
+          wNames.tail.map(w => sum(col(w)).as(s"t_$w")): _*)
       val repArr = array(
-        struct(lit(-1).as("r"), col("w_m1").as("n")) +:
+        struct(lit(-1).as("r"), col("w_m1_cum").as("cum"),
+          col("t_w_m1").as("tot")) +:
         (0 until R).map(r =>
-          struct(lit(r).as("r"), col(s"w_$r").as("n"))): _*)
-      val g = cells
+          struct(lit(r).as("r"), col(s"w_${r}_cum").as("cum"),
+            col(s"t_w_$r").as("tot"))): _*)
+      val med = c.join(broadcast(tot), Seq("event_type"))
         .select(col("event_type"), col("v"), explode(repArr).as("x"))
-        .select(col("event_type"), col("x.r").as("r"), col("v"),
-          col("x.n").as("n"))
-        .filter(col("n") > 0)
-      val c = CoreOps.rangePrefixSums(g, Seq("event_type", "r"),
-        Seq(col("v")), Seq("n"))
-      val tot = g.groupBy(col("event_type"), col("r"))
-        .agg(sum(col("n")).as("n_total"))
-      val med = c.join(broadcast(tot), Seq("event_type", "r"))
-        .groupBy(col("event_type"), col("r"))
-        .agg(min(when(col("n_cum") * 2 >= col("n_total"), col("v")))
-          .as("med"))
+        .filter(col("x.cum") * 2 >= col("x.tot"))
+        .groupBy(col("event_type"), col("x.r").as("r"))
+        .agg(min(col("v")).as("med"))
         .localCheckpoint() // tiny (|type|×33), consumed twice
       val pt = med.filter(col("r") === -1)
         .select(col("event_type"), col("med").as("median_cents"))

@@ -632,8 +632,11 @@ object TextOps {
     import spark.implicits._
     checkpointDir.foreach(d =>
       graft.ops.Checkpoints.ensureDir(spark.sparkContext, d))
+    // LAZY per-round truncation (r17): the next round's pair-count job is
+    // a full scan of `cur`, so it materializes the checkpoint — one job
+    // per round instead of checkpoint + count + re-scan.
     def truncate(ds: org.apache.spark.sql.Dataset[(Long, IndexedSeq[String])]) =
-      if (checkpointDir.isDefined) ds.checkpoint() else ds.localCheckpoint()
+      if (checkpointDir.isDefined) ds.checkpoint() else ds.localCheckpoint(eager = false)
     // Explicit width before the first truncate: the checkpoint freezes
     // its partitioning for EVERY subsequent round's kernels, and a local
     // parquet scan yields ~2 splits — 5 rounds of 2-task merge kernels
@@ -643,39 +646,70 @@ object TextOps {
       .select(col(idCol).cast("long").as("id"),
         split(col(textCol), " ").as("toks"))
       .as[(Long, IndexedSeq[String])])
+    // `split` always yields >= 1 token, so after ANY number of merges
+    // every doc keeps >= 1 token and per doc |pairs| = |toks| - 1; hence
+    // corpus-wide  Σ|toks| = Σ n_pairs + n_docs . That identity lets each
+    // round's ONE aggregate serve double duty (r17): its pair-count total
+    // IS the previous round's n_tokens_after, killing the dedicated
+    // sum(size(toks)) full-corpus pass per round. Tie-break parity with
+    // the old orderBy(n desc, l, r).limit(1): min_by over the
+    // (-n, l, r) struct is the identical lexicographic order.
+    val nDocs = cur.count()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
     var step = 1
     var exhausted = false
-    while (step <= nMerges && !exhausted) {
+    def pairStats(): (Long, Option[(String, String, Long)]) = {
       val tdf = cur.toDF("id", "toks")
       val w = col("toks")
       val pair = zip_with(
         slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
         (l, r) => struct(l.as("l"), r.as("r")))
-      val top = tdf.select(explode(pair).as("p"))
+      val row = tdf.select(explode(pair).as("p"))
         .groupBy(col("p.l"), col("p.r"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("l"), col("r"))
-        .limit(1).as[(String, String, Long)].collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (l, r, n) = top.head
-        // kernelCounter counts merge-kernel doc visits: with per-round
-        // lineage truncation each doc is visited exactly once per round
-        // (rounds × docs total); a broken checkpoint re-runs earlier
-        // kernels and the count goes quadratic — asserted in PlanAuditSpec.
-        cur = truncate(cur.map { case (id, toks) =>
-          kernelCounter.foreach(_.add(1L))
-          (id, greedyMerge(toks, l, r, sep))
-        })
-        // sum(size(toks)) instead of a typed reduce: codegen'd, and
-        // RDD.reduce's ClosureCleaner can't read lambda bytecode under
-        // layered classloaders (sbt test) — NPE'd there.
-        val nAfter = cur.toDF("id", "toks")
-          .agg(sum(size(col("toks")))).head().getLong(0)
-        out += ((step, l, r, n, nAfter))
-        step += 1
+        .agg(sum(col("n")).as("tot"),
+          min_by(struct(col("l"), col("r"), col("n")),
+            struct(-col("n"), col("l"), col("r"))).as("top"))
+        .head()
+      val tot = if (row.isNullAt(0)) 0L else row.getLong(0)
+      val top = if (row.isNullAt(1)) None else {
+        val t = row.getStruct(1)
+        Some((t.getString(0), t.getString(1), t.getLong(2)))
       }
+      (tot, top)
+    }
+    var prevTot = 0L
+    while (step <= nMerges && !exhausted) {
+      val (tot, top) = pairStats()
+      // tot = Σ pairs of the CURRENT corpus -> tokens after the PREVIOUS
+      // merge; backfill that round's n_tokens_after.
+      if (step > 1) {
+        val (s0, l0, r0, n0, _) = out(step - 2)
+        out(step - 2) = (s0, l0, r0, n0, tot + nDocs)
+      }
+      prevTot = tot
+      top match {
+        case None => exhausted = true
+        case Some((l, r, n)) =>
+          // kernelCounter counts merge-kernel doc visits: with per-round
+          // lineage truncation each doc is visited exactly once per round
+          // (rounds × docs total); a broken checkpoint re-runs earlier
+          // kernels and the count goes quadratic — asserted in PlanAuditSpec.
+          cur = truncate(cur.map { case (id, toks) =>
+            kernelCounter.foreach(_.add(1L))
+            (id, greedyMerge(toks, l, r, sep))
+          })
+          out += ((step, l, r, n, -1L))
+          step += 1
+      }
+    }
+    // The LAST merged corpus has no following pair count — one final
+    // (codegen'd) token-sum pass fills its n_tokens_after.
+    if (out.nonEmpty && out.last._5 == -1L) {
+      val nAfter = cur.toDF("id", "toks")
+        .agg(sum(size(col("toks")))).head().getLong(0)
+      val (s0, l0, r0, n0, _) = out.last
+      out(out.length - 1) = (s0, l0, r0, n0, nAfter)
     }
     out.toSeq
       .toDF("step", "left_tok", "right_tok", "n_pairs", "n_tokens_after")
