@@ -152,9 +152,20 @@ object GraftExtensions {
       graft.expressions.ArrayJaccard(args(0), args(1))
     })
 
+  val arrayInterSizeFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("array_inter_size"),
+    info("array_inter_size",
+      "array_inter_size(a, b) - |distinct(a) INTERSECT distinct(b)| of two array<bigint>",
+      classOf[graft.expressions.ArrayInterSize]),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "array_inter_size expects exactly 2 arguments")
+      graft.expressions.ArrayInterSize(args(0), args(1))
+    })
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(charHashFn, containsAnyTermFn, bloomMightContainFn, shingleHashesFn,
-      minhashBandKeysFn, simhashSigFn, qualityScoreFn, arrayJaccardFn)
+      minhashBandKeysFn, simhashSigFn, qualityScoreFn, arrayJaccardFn,
+      arrayInterSizeFn)
 }
 
 /** Collapse OR-chains of case-insensitive substring tests over one column,

@@ -132,6 +132,19 @@ object EntityResolution {
     * `elemsCol` must be a DISTINCT-element array column. Returns
     * `(id_a, id_b, inter, sz_a, sz_b)` plus `carryCols` from the left row.
     */
+  /** |A ∩ B| of the verify sides: the codegen'd `array_inter_size` for
+    * long element sets (the production shingle-hash path), the portable
+    * interpreted `array_intersect` for any other element type.
+    */
+  private def interSizeExpr(elemsType: org.apache.spark.sql.types.DataType): Column =
+    elemsType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _) =>
+        call_function("array_inter_size", col("__ts_a"), col("__ts_b"))
+      case _ =>
+        size(array_intersect(col("__ts_a"), col("__ts_b"))).cast("long")
+    }
+
   def prefixFilterPairs(df: DataFrame, idCol: String, elemsCol: Column,
                         tNum: Int, tDen: Int,
                         carryCols: Seq[String] = Nil,
@@ -151,6 +164,7 @@ object EntityResolution {
     // token-table paths (explode+equi-join drops nulls) and the verify
     // filter's size(__ts) (counts them) — dropping nulls up front makes
     // every size/prefix/intersect computation see the same set.
+    org.apache.spark.sql.GraftFunctions.register(df.sparkSession)
     val r = materializedOnce(df.select((col(idCol).as("__id") +:
       array_compact(elemsCol).as("__ts") +: carryCols.map(col)): _*), checkpointDir)
     val tok = r.select(col("__id"), explode(col("__ts")).as("__t"))
@@ -167,8 +181,17 @@ object EntityResolution {
       .select(col("__id"),
         explode(expr("transform(slice(__ord, 1, int(__p)), x -> x.__t)")).as("__t"))
 
+    // EXPLICIT width on the candidate self-join (r17, the
+    // bucketedPairSides lesson): AQE coalesces this exchange from its
+    // small INPUT bytes (prefix tokens), but the join's OUTPUT — the
+    // candidate expansion — is the quadratic part, invisible to the
+    // input-size heuristic; measured at sf0.1 the whole expansion ran in
+    // 3 AQE-coalesced tasks. An explicit count is exempt from coalescing.
+    val wJoin = df.sparkSession.sessionState.conf.numShufflePartitions
     val cand = ordered.select(col("__id").as("id_a"), col("__t"))
-      .join(ordered.select(col("__id").as("id_b"), col("__t")), Seq("__t"))
+      .repartition(wJoin, col("__t"))
+      .join(ordered.select(col("__id").as("id_b"), col("__t"))
+        .repartition(wJoin, col("__t")), Seq("__t"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
 
@@ -181,7 +204,11 @@ object EntityResolution {
       // Length filter: a pair failing t·|A| ≤ |B| can't pass Jaccard ≥ t.
       .filter(col("sz_a") * tNum <= col("sz_b") * tDen &&
         col("sz_b") * tNum <= col("sz_a") * tDen)
-      .withColumn("inter", size(array_intersect(col("__ts_a"), col("__ts_b"))).cast("long"))
+      // codegen'd intersection size for long element sets (r17) —
+      // array_intersect is interpreted per pair; exact distinct-count
+      // parity spec-pinned. Non-long element types (spec fixtures) keep
+      // the portable form.
+      .withColumn("inter", interSizeExpr(r.schema("__ts").dataType))
       .filter(col("inter") * tDen >= lit(tNum) * (col("sz_a") + col("sz_b") - col("inter")))
       .drop("__ts_a", "__ts_b")
   }
@@ -247,6 +274,7 @@ object EntityResolution {
                        carryCols: Seq[String] = Nil,
                        checkpointDir: Option[String] = None): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    org.apache.spark.sql.GraftFunctions.register(df.sparkSession)
     // The element-set computation feeding this (shingle hashing, an
     // expensive scan-local kernel) has THREE consumers here (frequency
     // census, candidate prefixes, verify sides) — materialize it once at
@@ -291,7 +319,11 @@ object EntityResolution {
     // document's element list) so the earliest-match aggregate is a plain
     // long min — HashAggregate-able, where min(struct(i, j)) forces a
     // SortAggregate pair (two extra sorts on the candidate stream).
-    val cand = pA.join(pB, Seq("__t"))
+    // explicit width: same candidate-expansion rationale as
+    // [[prefixFilterPairs]] (r17)
+    val wJoin = df.sparkSession.sessionState.conf.numShufflePartitions
+    val cand = pA.repartition(wJoin, col("__t"))
+      .join(pB.repartition(wJoin, col("__t")), Seq("__t"))
       .filter(col("__sa") < col("__sb") ||
         (col("__sa") === col("__sb") && col("id_a") < col("id_b")))
       .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"),
@@ -321,7 +353,7 @@ object EntityResolution {
     cand.join(left, "id_a").join(right, "id_b")
       .withColumn("sz_a", size(col("__ts_a")).cast("long"))
       .withColumn("sz_b", size(col("__ts_b")).cast("long"))
-      .withColumn("inter", size(array_intersect(col("__ts_a"), col("__ts_b"))).cast("long"))
+      .withColumn("inter", interSizeExpr(r.schema("__ts").dataType))
       .filter(col("inter") * tDen >= lit(tNum) * col("sz_a"))
       .drop("__ts_a", "__ts_b")
   }

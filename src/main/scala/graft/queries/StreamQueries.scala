@@ -832,10 +832,23 @@ object StreamQueries {
           expr("unix_micros(ts) div 86400000000").as("day"))
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("v"))
         .localCheckpoint()
-      val d0 = daily.agg(min(col("day"))).head().getLong(0)
-      val mu = daily.filter(col("day") < d0 + 15)
-        .groupBy(col("event_type")).agg(expr("sum(v) div count(1)").as("mu"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // ONE bounded collect for both scalars (r17): daily is a grouped
+      // small-domain frame (|types| × |days| rows — the class the
+      // AnalyticsQueries collects already use), so d0 and the per-type
+      // baseline mean come out of a single driver pass over the
+      // checkpointed rows instead of two separate aggregate jobs. Same
+      // integer floor division as the old sum(v) div count(1).
+      val dailyRows = daily.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val d0 = dailyRows.iterator.map(_._2).min
+      val mu = dailyRows.filter(_._2 < d0 + 15)
+        .groupBy(_._1)
+        .map { case (k, rows) =>
+          val s0 = rows.iterator.map(_._3).sum
+          // plain long division: truncation toward zero, exactly Spark's
+          // IntegralDivide (`div`) that the old aggregate used
+          k -> s0 / rows.length.toLong
+        }
       val dailySchema = StructType(Seq(
         StructField("event_type", StringType),
         StructField("day", LongType),

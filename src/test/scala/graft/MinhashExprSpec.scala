@@ -160,6 +160,33 @@ class MinhashExprSpec extends AnyFunSuite {
     }
   }
 
+  test("array_inter_size matches size(array_intersect) incl. duplicates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(1L, 1L, 2L), Seq(1L, 3L)),          // dup on one side
+      (Seq(2L, 2L), Seq(2L, 2L, 2L)),          // dups both sides
+      (Seq(1L, 2L, 3L), Seq(4L, 5L))) ++
+      (1 to 20).map { _ =>
+        def arr = Seq.fill(rnd.nextInt(25))(rnd.nextInt(12).toLong)
+        (arr, arr)
+      }
+    val df = cases.toDF("a", "b")
+    val got = df.select(
+      org.apache.spark.sql.functions.call_function("array_inter_size",
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")),
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.array_intersect(
+          org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b"))).cast("long")).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"array_inter_size=${r.getLong(0)} vs array_intersect size=${r.getLong(1)}")
+    }
+  }
+
   test("functions are SQL-callable with literal parameters only") {
     val r = spark.sql(
       "SELECT size(shingle_hashes('a b c d', 2)) AS n, " +
