@@ -419,7 +419,13 @@ object Dedup {
       case Some(d) =>
         graft.ops.Checkpoints.ensureDir(banded0.sparkSession.sparkContext, d)
         banded0.checkpoint()
-      case None => banded0.localCheckpoint()
+      // LAZY (r17): the hot-bucket census immediately below scans every
+      // partition and materializes the checkpoint in its own job — one
+      // fewer full pass over the banded table per call. Sharing semantics
+      // unchanged: all three consumers read the SAME checkpointed RDD
+      // (the canonicalization-fragility note above concerns ReusedExchange,
+      // not the checkpoint).
+      case None => banded0.localCheckpoint(eager = false)
     }
     val hot = broadcast(
       keyedP.groupBy(keyCols.map(col): _*)

@@ -47,7 +47,11 @@ object EntityResolution {
       case Some(d) =>
         Checkpoints.ensureDir(wide.sparkSession.sparkContext, d)
         wide.checkpoint()
-      case None => wide.localCheckpoint()
+      // LAZY (r17): materialization rides the first consumer's scan
+      // (the frequency census / hot-bucket broadcast jobs scan every
+      // partition) instead of a dedicated job — at cluster scale that is
+      // one fewer full pass over the element-set table.
+      case None => wide.localCheckpoint(eager = false)
     }
   }
 
