@@ -263,6 +263,26 @@ object Dedup {
         call_function("shingle_hashes", col("text"), lit(shingleK)).as("sh"))
   }
 
+  /** [[shingleHashSets]] materialized once (lazy local checkpoint): the
+    * r18 one-kernel-pass base every multi-consumer LSH pipeline derives
+    * band keys, set sizes and verify sides from, instead of re-running
+    * the O(chars) shingle fold per consumer. Stores (id, hashes) only —
+    * the same rows the verify joins must exchange anyway; corpus text
+    * never leaves the scan stage.
+    */
+  private def shingleBase(df: DataFrame, idCol: String, textCol: String,
+                          shingleK: Int): DataFrame =
+    shingleHashSets(df, idCol, textCol, shingleK).localCheckpoint(eager = false)
+
+  /** (band, bh, id) rows derived from a [[shingleBase]] — arithmetic
+    * identical to [[minhashBands]] (MinhashExprSpec pins the from-hashes
+    * kernel against the text form).
+    */
+  private def bandsFromBase(base: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    base.select(col("id"), posexplode(call_function(
+        "minhash_band_keys_from_hashes", col("sh"), lit(numHashes), lit(bands))))
+      .select(col("pos").as("band"), col("col").as("bh"), col("id"))
+
   /** Append an exact benchmark-overlap count per row, STATELESSLY: the
     * bench shingle set rides a broadcast (a bounded model artifact, the
     * same class as a centroid table — fingerprints only, no payload),
@@ -479,34 +499,40 @@ object Dedup {
                       shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5, bucketCap: Int = 4096): DataFrame = {
     org.apache.spark.sql.GraftFunctions.register(df.sparkSession)
-    // Band rows carry the shingle-SET SIZE alongside the id (one long,
-    // computed scan-local like the band keys — r17): J(A,B) ≥ t forces
-    // |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so any surviving
-    // pair satisfies min·10⁴ ≥ (t_bp−1)·max — the PPJoin length filter.
-    // Applied BEFORE the candidate distinct and the set join, it prunes
-    // the length-mismatched bulk of weak-band collisions (measured at
-    // sf0.1 on q31's 2-row bands: 616k raw pairs for 255 true pairs)
-    // without touching the result: the bound is necessary for J ≥ t,
-    // and the 1 bp slack keeps the integer filter strictly weaker than
-    // the exact double compare downstream.
-    val banded = widenNarrowInput(
-        df.select(col(idCol).as("id"),
-          coalesce(col(textCol), lit("")).as("text")))
-      .select(col("id"),
-        size(call_function("shingle_hashes", col("text"), lit(shingleK)))
-          .cast("long").as("sz"),
-        posexplode(call_function("minhash_band_keys",
-          col("text"), lit(shingleK), lit(numHashes), lit(bands))))
+    // ONE kernel pass (r18): the shingle-hash sets are materialized once
+    // as (id, sh) and every downstream consumer — band keys, set sizes,
+    // both verify join sides — derives from them. The previous shape ran
+    // the O(chars) shingle fold up to FOUR times per query: once inside
+    // minhash_band_keys, once for the banding projection's size(), and
+    // once per un-shared verify join side (profiled at sf0.1: the kernel
+    // passes were 3 of q131's 4 heavy stages). At cluster scale each
+    // re-run is a full corpus text pass; the checkpoint stores hashes
+    // only (the same rows the verify joins must exchange anyway) and the
+    // text never leaves the scan stage.
+    val base = shingleBase(df, idCol, textCol, shingleK)
+    // Band rows carry the shingle-SET SIZE alongside the id (one long —
+    // r17): J(A,B) ≥ t forces |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥
+    // max(|A|,|B|), so any surviving pair satisfies
+    // min·10⁴ ≥ (t_bp−1)·max — the PPJoin length filter. Applied BEFORE
+    // the candidate distinct and the set join, it prunes the
+    // length-mismatched bulk of weak-band collisions (measured at sf0.1
+    // on q31's 2-row bands: 616k raw pairs for 255 true pairs) without
+    // touching the result: the bound is necessary for J ≥ t, and the
+    // 1 bp slack keeps the integer filter strictly weaker than the exact
+    // double compare downstream.
+    val banded = base
+      .select(col("id"), size(col("sh")).cast("long").as("sz"),
+        posexplode(call_function("minhash_band_keys_from_hashes",
+          col("sh"), lit(numHashes), lit(bands))))
       .select(col("pos").as("band"), col("col").as("bh"), col("id"), col("sz"))
     val thrBp = math.round(threshold * 10000)
     val cand = bucketedPairs(banded, Seq("band", "bh"), "id", bucketCap)
       .filter(lit(10000L) * least(col("a.sz"), col("b.sz")) >=
         lit(thrBp - 1) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    val sets = shingleHashSets(df, idCol, textCol, shingleK)
     val withSets = cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
     appendJaccard(withSets, "sh_a", "sh_b", "jaccard")
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -630,20 +656,18 @@ object Dedup {
                           shingleK: Int = 3, numHashes: Int = 16,
                           bands: Int = 4, threshold: Double = 0.5,
                           bucketCap: Int = 4096): DataFrame = {
-    val nb = minhashBands(batch, idCol, textCol, shingleK, numHashes, bands)
-    // The history side is banded twice in this in-plan form (main join +
-    // hot-bucket census) — deliberately. Both sharing alternatives were
-    // measured slower on q138: a keyed repartition(band, bh) forces a
-    // full exchange of the band table that AQE's broadcast-batch plan
-    // never needed, and a round-robin exchange above the kernel pays
-    // materialization + sort-before-repartition that outweighs one
-    // fully-pipelined codegen recompute. The production nightly shape
-    // ([[incrementalNearDupsFromState]]) reads bands from parquet state,
-    // where the census's second scan prunes to two columns and is ~free.
-    val hb = minhashBands(history, idCol, textCol, shingleK, numHashes, bands)
-    val hs = shingleHashSets(history, idCol, textCol, shingleK)
-    incrementalVerify(batch, nb, hb, hs, idCol, textCol, shingleK,
-      threshold, bucketCap)
+    // ONE kernel pass per side (r18): each side's (id, sh) base is
+    // materialized once and the band keys derive from it. The history
+    // side previously ran the shingle fold THREE times (main-join bands +
+    // census bands + verify sets) and the batch side twice; the r13
+    // sharing alternatives that measured slower on q138 both forced an
+    // EXCHANGE above the kernel (keyed repartition / round-robin widen) —
+    // the lazy local checkpoint has neither an exchange nor a sort, it
+    // just persists the scan stage's (id, hashes) output partitions.
+    val nbase = shingleBase(batch, idCol, textCol, shingleK)
+    val hbase = shingleBase(history, idCol, textCol, shingleK)
+    incrementalVerify(nbase, bandsFromBase(nbase, numHashes, bands),
+      bandsFromBase(hbase, numHashes, bands), hbase, threshold, bucketCap)
   }
 
   /** Shared candidate+verify tail of the incremental paths.
@@ -659,10 +683,9 @@ object Dedup {
     * results identical, the sketch only moves work off the state
     * exchange (same device as [[dedupAgainstHistory]]'s Bloom gate).
     */
-  private def incrementalVerify(batch: DataFrame, nb: DataFrame,
+  private def incrementalVerify(ns: DataFrame, nb: DataFrame,
                                 hb: DataFrame, hs: DataFrame,
-                                idCol: String, textCol: String,
-                                shingleK: Int, threshold: Double,
+                                threshold: Double,
                                 bucketCap: Int,
                                 hotPre: Option[DataFrame] = None): DataFrame = {
     val cand = incrementalCandidates(nb, hb, bucketCap, hotPre).localCheckpoint()
@@ -688,7 +711,6 @@ object Dedup {
         val sketch = graft.ops.BloomJoin.buildSketch(cand, "id_old", nCand)
         hs.filter(graft.ops.BloomJoin.mightContain(hs, col("id"), sketch))
       }
-    val ns = shingleHashSets(batch, idCol, textCol, shingleK)
     val withSets = cand
       .join(ns.select(col("id").as("id_new"), col("sh").as("sh_a")), "id_new")
       .join(hsPruned.select(col("id").as("id_old"), col("sh").as("sh_b")),
@@ -745,9 +767,18 @@ object Dedup {
                                    bands: Int = 4, threshold: Double = 0.5,
                                    bucketCap: Int = 4096): DataFrame = {
     val spark = batch.sparkSession
-    val nb = minhashBands(batch, idCol, textCol, shingleK, numHashes, bands)
+    // one kernel pass over the batch (r18): bands + verify sets derive
+    // from the materialized (id, sh) base
+    val nbase = shingleBase(batch, idCol, textCol, shingleK)
+    val nb = bandsFromBase(nbase, numHashes, bands)
     val hb = spark.read.parquet(stateDir + "/bands")
-    val hs = spark.read.parquet(stateDir + "/sets")
+    // Explicit read schema (skips footer inference); file sources force
+    // asNullable on user schemas, so the array elements still surface
+    // nullable here — appendJaccard compacts that path (ADVICE r17).
+    val setsSchema = StructType(Seq(
+      StructField("id", batch.schema(idCol).dataType),
+      StructField("sh", ArrayType(LongType, containsNull = false))))
+    val hs = spark.read.schema(setsSchema).parquet(stateDir + "/sets")
     // Use the state-maintained hot-bucket census when the state has one
     // (explicit schema: an all-cold census is an empty parquet dir).
     // Pre-census state dirs fall back to the in-plan census — correct,
@@ -762,8 +793,7 @@ object Dedup {
             StructField("_n", LongType, nullable = false))))
           .parquet(stateDir + "/hot"))
       else None
-    incrementalVerify(batch, nb, hb, hs, idCol, textCol, shingleK,
-      threshold, bucketCap, hotPre)
+    incrementalVerify(nbase, nb, hb, hs, threshold, bucketCap, hotPre)
   }
 
   /** Near-dup CLUSTERS: transitive closure of [[minhashNearDups]] pairs —
@@ -931,7 +961,17 @@ object Dedup {
     // distinct inputs this contract requires; MinhashExprSpec pins
     // parity against the old loop).
     org.apache.spark.sql.GraftFunctions.register(df.sparkSession)
-    df.withColumn(outName, call_function("array_jaccard", col(aCol), col(bCol)))
+    // array_jaccard rejects nullable-element arrays at analysis (its
+    // kernel is null-blind; ADVICE r17). Kernel-built sets arrive as
+    // containsNull=false and pass through untouched; parquet state reads
+    // resurface as nullable (file sources force asNullable) and get an
+    // array_compact — a no-op on the data (the writer guaranteed no
+    // nulls), paid only on the candidate-bounded verify rows.
+    def nn(c: String): Column = df.schema(c).dataType match {
+      case ArrayType(LongType, true) => array_compact(col(c))
+      case _ => col(c)
+    }
+    df.withColumn(outName, call_function("array_jaccard", nn(aCol), nn(bCol)))
   }
 
   /** Distinct-token seeded hashes — the SimHash input (materialize this as

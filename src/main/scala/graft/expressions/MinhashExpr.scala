@@ -121,8 +121,17 @@ object MinhashKernels {
   /** Band keys of a document: element b = fold of rows [b·rpb, (b+1)·rpb)
     * of the minhash signature. Index in the array IS the band id.
     */
-  def bandKeys(s: UTF8String, k: Int, numHashes: Int, bands: Int): ArrayData = {
-    val sh = shingleHashes(s, k)
+  def bandKeys(s: UTF8String, k: Int, numHashes: Int, bands: Int): ArrayData =
+    bandKeysOfHashes(shingleHashes(s, k), numHashes, bands)
+
+  /** Band keys from an already-computed shingle-hash set — the r18
+    * one-kernel-pass form: `minhashNearDups` materializes (id, sh) once
+    * and derives band keys, sizes AND the verify sides from it, where the
+    * text-path twin re-ran the O(chars) shingle fold per consumer.
+    * Arithmetic identical to [[bandKeys]] by construction (it IS the
+    * second half of it; parity pinned in MinhashExprSpec).
+    */
+  def bandKeysOfHashes(sh: Array[Long], numHashes: Int, bands: Int): ArrayData = {
     val rpb = numHashes / bands
     val out = new Array[Long](bands)
     var b = 0
@@ -148,6 +157,9 @@ object MinhashKernels {
     }
     new GenericArrayData(out)
   }
+
+  def bandKeysFromHashesData(sh: ArrayData, numHashes: Int, bands: Int): ArrayData =
+    bandKeysOfHashes(sh.toLongArray(), numHashes, bands)
 }
 
 /** `array_jaccard(a, b)` — exact Jaccard |A∩B|/|A∪B| of two DISTINCT
@@ -211,14 +223,19 @@ object ArrayInterSizeKernel {
 
 case class ArrayInterSize(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  // containsNull=true rejected at ANALYSIS (ADVICE r17): toLongArray is
+  // null-blind (NPE on GenericArrayData, garbage on UnsafeArrayData), and
+  // both functions are SQL-registered so any query could have hit it at
+  // runtime. Production callers pass kernel-built or array_compact'ed
+  // arrays (containsNull=false); nullable-element inputs must compact
+  // first, which also pins WHICH null semantics the caller wants.
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
-      case _ => false
-    })) TypeCheckResult.TypeCheckSuccess
+    if (Seq(left, right).forall(
+      _.dataType == ArrayType(LongType, containsNull = false)))
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"array_inter_size requires two array<bigint> inputs, got " +
-        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+      s"array_inter_size requires two array<bigint> (containsNull=false) " +
+        s"inputs, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "array_inter_size"
@@ -234,15 +251,14 @@ case class ArrayInterSize(left: Expression, right: Expression)
 
 case class ArrayJaccard(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
-  private val longArray = ArrayType(LongType, containsNull = false)
+  // containsNull=false required — see [[ArrayInterSize]] (ADVICE r17).
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
-      case _ => false
-    })) TypeCheckResult.TypeCheckSuccess
+    if (Seq(left, right).forall(
+      _.dataType == ArrayType(LongType, containsNull = false)))
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"array_jaccard requires two array<bigint> inputs, got " +
-        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+      s"array_jaccard requires two array<bigint> (containsNull=false) " +
+        s"inputs, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "array_jaccard"
@@ -300,6 +316,34 @@ case class ShingleHashes(child: Expression, shingleK: Int) extends UnaryExpressi
 /** `minhash_band_keys(text, k, numHashes, bands)` — per-band LSH keys as
   * array<long>; the array index is the band id.
   */
+/** `minhash_band_keys_from_hashes(sh, numHashes, bands)` — per-band LSH
+  * keys from an already-computed shingle-hash array: the one-kernel-pass
+  * twin of [[MinhashBandKeys]] (identical arithmetic, skips the text →
+  * shingle fold). Null elements rejected at analysis like the other
+  * array<long> kernels (toLongArray is null-blind).
+  */
+case class MinhashBandKeysFromHashes(child: Expression, numHashes: Int,
+                                     bands: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != ArrayType(LongType, containsNull = false))
+      TypeCheckResult.TypeCheckFailure(
+        "minhash_band_keys_from_hashes requires array<bigint> " +
+          s"(containsNull=false) input, got ${child.dataType.catalogString}")
+    else if (bands <= 0 || numHashes % bands != 0)
+      TypeCheckResult.TypeCheckFailure("numHashes must be a positive multiple of bands")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_band_keys_from_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashKernels.bandKeysFromHashesData(input.asInstanceOf[ArrayData], numHashes, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.MinhashKernels.bandKeysFromHashesData($c, $numHashes, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashBandKeysFromHashes =
+    copy(child = newChild)
+}
+
 case class MinhashBandKeys(child: Expression, shingleK: Int, numHashes: Int,
                            bands: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =

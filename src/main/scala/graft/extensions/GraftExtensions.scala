@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.expressions.{BloomMightContain, CharHash, ContainsAnyTerm, MinhashBandKeys, QualityScore, ShingleHashes, SimhashSig}
+import graft.expressions.{BloomMightContain, CharHash, ContainsAnyTerm, MinhashBandKeys, MinhashBandKeysFromHashes, QualityScore, ShingleHashes, SimhashSig}
 
 /** Session extensions for the graft engine — `spark.sql.extensions =
   * graft.extensions.GraftExtensions` (set by Verify/Bench/Smoke and the
@@ -113,6 +113,19 @@ object GraftExtensions {
   /** All SQL-function registrations (shared with
     * [[org.apache.spark.sql.GraftFunctions]]'s imperative path).
     */
+  val minhashBandKeysFromHashesFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_band_keys_from_hashes"),
+    info("minhash_band_keys_from_hashes",
+      "minhash_band_keys_from_hashes(sh, numHashes, bands) - per-band LSH " +
+        "keys from a shingle-hash array<bigint> (array index = band id)",
+      classOf[MinhashBandKeysFromHashes]),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        "minhash_band_keys_from_hashes expects (sh, numHashes, bands)")
+      MinhashBandKeysFromHashes(args.head, intArg(args(1), "numHashes"),
+        intArg(args(2), "bands"))
+    })
+
   val simhashSigFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("simhash_sig"),
     info("simhash_sig",
@@ -164,8 +177,8 @@ object GraftExtensions {
 
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(charHashFn, containsAnyTermFn, bloomMightContainFn, shingleHashesFn,
-      minhashBandKeysFn, simhashSigFn, qualityScoreFn, arrayJaccardFn,
-      arrayInterSizeFn)
+      minhashBandKeysFn, minhashBandKeysFromHashesFn, simhashSigFn,
+      qualityScoreFn, arrayJaccardFn, arrayInterSizeFn)
 }
 
 /** Collapse OR-chains of case-insensitive substring tests over one column,

@@ -142,8 +142,11 @@ object EntityResolution {
     */
   private def interSizeExpr(elemsType: org.apache.spark.sql.types.DataType): Column =
     elemsType match {
+      // containsNull=false only (ADVICE r17): array_inter_size now rejects
+      // nullable-element arrays at analysis; the array_compact upstream
+      // yields containsNull=false so the production path always lands here.
       case org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.LongType, _) =>
+          org.apache.spark.sql.types.LongType, false) =>
         call_function("array_inter_size", col("__ts_a"), col("__ts_b"))
       case _ =>
         size(array_intersect(col("__ts_a"), col("__ts_b"))).cast("long")

@@ -30,6 +30,28 @@ class MinhashExprSpec extends AnyFunSuite {
     assert(expr.size == 6 * 4)
   }
 
+  test("minhash_band_keys_from_hashes(shingle_hashes(t)) == minhash_band_keys(t)") {
+    // The r18 one-kernel-pass form must be bit-identical to the text form
+    // for every edge doc (empty text, empty tokens, short docs, dups).
+    org.apache.spark.sql.GraftFunctions.register(spark)
+    val both = docs.select(col("doc_id"),
+      call_function("minhash_band_keys", col("text"), lit(3), lit(16), lit(4)).as("a"),
+      call_function("minhash_band_keys_from_hashes",
+        call_function("shingle_hashes", col("text"), lit(3)), lit(16), lit(4)).as("b"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"band keys diverge for doc ${r.getLong(0)}")
+    }
+    // nullable-element input rejected at analysis, same as the other
+    // array<long> kernels
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(call_function("minhash_band_keys_from_hashes",
+        array(lit(1L), lit(null).cast("long")), lit(16), lit(4))).collect()
+    }
+    assert(err.getMessage.contains("containsNull"))
+  }
+
   test("shingle_hashes expression == mapPartitions kernel") {
     val expr = Dedup.shingleHashSets(docs, "doc_id", "text", 3)
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toMap
