@@ -15,6 +15,18 @@ object Bench {
       // ever added here; disable it so the cache hits across queries.
       .config("spark.sql.artifact.isolation.enabled",
         sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_ISO", "false"))
+      // Generated-class cache sized to the workload (r18): the default
+      // spark.sql.codegen.cache.maxEntries=100 holds ~100 codegen units,
+      // but this session runs 307 distinct queries (~thousands of
+      // whole-stage/projection fragments) round-robin — every pass
+      // evicted everything and re-ran Janino on each fragment (~20-100 ms
+      // apiece), measured as a systematic gap between in-bench timings
+      // and single-query reruns (q116: 1.48 s in-bench vs 0.74 s
+      // isolated). Not local-specific: any long-lived multi-query driver
+      // wants the cache to cover its working set; ~30 KB/class keeps
+      // 8192 entries under ~250 MB of the 8 GiB heap.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -24,6 +24,10 @@ object OptProfile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
       .config("spark.sql.artifact.isolation.enabled", "false")
+      // generated-class cache sized to the 307-query workload (r18,
+      // see Bench.scala): the default 100 entries thrashes across passes
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -6,7 +6,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Throwaway: decompose q31 minhashNearDups cost at sf0.1. */
+/** Throwaway: decompose q187 prefixFilterPairs cost at sf0.1. */
 object Scratch4 {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -35,44 +35,53 @@ object Scratch4 {
         f"taskTime=${taskMs.get / 1000.0}%8.2f s res=$r")
     }
 
-    import graft.dedup.Dedup
+    org.apache.spark.sql.GraftFunctions.register(spark)
     val docs = Tables.load(spark, dir, "documents")
     time("warm")(docs.count())
-    val banded = Dedup.minhashBands(docs, "doc_id", "text", 2, 16, 8)
-    time("banded")(banded.count())
-    time("banded2")(banded.count())
-    val cand0 = Dedup.bucketedPairs(banded, Seq("band", "bh"), "id", 4096)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    time("pairs-nodistinct")(cand0.count())
-    val cand = cand0.distinct()
-    time("cand-distinct")(cand.count())
-    time("cand-distinct2")(cand.count())
-    val sets = Dedup.shingleHashSets(docs, "doc_id", "text", 2)
-    time("sets")(sets.count())
-    time("sets2")(sets.count())
-    val withSets = cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-    time("withSets")(withSets.count())
-    val ver = Dedup.appendJaccard(withSets, "sh_a", "sh_b", "jaccard")
-      .filter(col("jaccard") >= 0.7)
-    time("verified")(ver.count())
-    time("verified2")(ver.count())
-    // prefilter selectivity probe
-    org.apache.spark.sql.GraftFunctions.register(spark)
-    val banded2 = docs.select(col("doc_id").as("id"),
-        coalesce(col("text"), lit("")).as("text"))
-      .repartition(32)
-      .select(col("id"),
-        size(call_function("shingle_hashes", col("text"), lit(2))).cast("long").as("sz"),
-        posexplode(call_function("minhash_band_keys", col("text"), lit(2), lit(16), lit(8))))
-      .select(col("pos").as("band"), col("col").as("bh"), col("id"), col("sz"))
-    val rawPairs = Dedup.bucketedPairs(banded2, Seq("band", "bh"), "id", 4096)
-    time("raw-pairs")(rawPairs.count())
-    time("filt-pairs")(rawPairs.filter(lit(10000L) * least(col("a.sz"), col("b.sz")) >=
-      lit(6999L) * greatest(col("a.sz"), col("b.sz"))).count())
-    time("full")(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.7).count())
-    time("full2")(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.7).count())
+    for (rep <- 1 to 3) {
+      val r0 = docs
+        .select(col("doc_id"), col("lang"),
+          call_function("shingle_hashes", col("text"), lit(3)).as("ts"))
+        .filter(size(col("ts")) >= 1)
+      val (tNum, tDen) = (7, 10)
+      val r = r0.select(col("doc_id").as("__id"),
+          array_compact(col("ts")).as("__ts"), col("lang"))
+        .repartition(32).localCheckpoint(eager = false)
+      time(s"base-ckpt-$rep")(r.count())
+      val tok = r.select(col("__id"), explode(col("__ts")).as("__t"))
+      val freq = tok.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+        .localCheckpoint(eager = false)
+      time(s"freq-$rep")(freq.count())
+      val ordered = tok.join(freq, "__t")
+        .groupBy(col("__id"))
+        .agg(sort_array(collect_list(struct(col("__df"), col("__t")))).as("__ord"))
+        .withColumn("__sz", size(col("__ord")))
+        .withColumn("__p",
+          col("__sz") - expr(s"(__sz * $tNum + ${tDen - 1}) div $tDen") + 1)
+        .select(col("__id"),
+          explode(expr("transform(slice(__ord, 1, int(__p)), x -> x.__t)")).as("__t"))
+        .localCheckpoint(eager = false)
+      time(s"ordered-$rep")(ordered.count())
+      val cand = ordered.select(col("__id").as("id_a"), col("__t"))
+        .repartition(32, col("__t"))
+        .join(ordered.select(col("__id").as("id_b"), col("__t"))
+          .repartition(32, col("__t")), Seq("__t"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+        .localCheckpoint(eager = false)
+      time(s"cand-$rep")(cand.count())
+      val left = r.select(col("__id").as("id_a"), col("__ts").as("__ts_a"), col("lang"))
+      val right = r.select(col("__id").as("id_b"), col("__ts").as("__ts_b"))
+      val verified = cand.join(left, "id_a").join(right, "id_b")
+        .withColumn("sz_a", size(col("__ts_a")).cast("long"))
+        .withColumn("sz_b", size(col("__ts_b")).cast("long"))
+        .filter(col("sz_a") * tNum <= col("sz_b") * tDen &&
+          col("sz_b") * tNum <= col("sz_a") * tDen)
+        .withColumn("inter",
+          call_function("array_inter_size", col("__ts_a"), col("__ts_b")))
+        .filter(col("inter") * tDen >= lit(tNum) * (col("sz_a") + col("sz_b") - col("inter")))
+      time(s"verify-$rep")(verified.count())
+    }
     spark.stop()
   }
 }

@@ -17,6 +17,10 @@ object Verify {
       // compiles, ~0.4-0.6 s per invocation). No runtime artifacts are
       // ever added here; disable it so the cache hits across queries.
       .config("spark.sql.artifact.isolation.enabled", "false")
+      // generated-class cache sized to the 307-query workload (r18,
+      // see Bench.scala): the default 100 entries thrashes across passes
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -272,6 +272,10 @@ object Dedup {
     */
   private def shingleBase(df: DataFrame, idCol: String, textCol: String,
                           shingleK: Int): DataFrame =
+    // the kernel emits sorted-distinct hashes (r18), so the verify
+    // kernels skip their per-PAIR sorts downstream (a sort_array here
+    // would be CodegenFallback and break the scan stage's codegen —
+    // measured 1.3-1.9x worse on q187/q131)
     shingleHashSets(df, idCol, textCol, shingleK).localCheckpoint(eager = false)
 
   /** (band, bh, id) rows derived from a [[shingleBase]] — arithmetic

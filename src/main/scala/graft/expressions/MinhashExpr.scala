@@ -49,16 +49,21 @@ object MinhashKernels {
       out(i) = acc
       i += 1
     }
-    // distinct, first-occurrence order (parity with Array.distinct)
-    val seen = new java.util.HashSet[Long]()
-    val ded = new Array[Long](nSh)
+    // distinct, ASCENDING order (r18): primitive sort + unique scan
+    // replaces the boxing HashSet dedup (one Long box per shingle), and
+    // sorted output lets the verify kernels skip their per-PAIR sorts
+    // (ArrayJaccardKernel.ensureSorted) — candidate pairs outnumber docs
+    // by orders of magnitude. Every consumer is set-semantic (band mins,
+    // explode joins, size, intersection), so element order is free to
+    // choose; parity specs compare as sets.
+    java.util.Arrays.sort(out)
     var n = 0
     i = 0
     while (i < nSh) {
-      if (seen.add(out(i))) { ded(n) = out(i); n += 1 }
+      if (n == 0 || out(i) != out(n - 1)) { out(n) = out(i); n += 1 }
       i += 1
     }
-    java.util.Arrays.copyOf(ded, n)
+    java.util.Arrays.copyOf(out, n)
   }
 
   def shingleHashesData(s: UTF8String, k: Int): ArrayData =
@@ -174,11 +179,22 @@ object MinhashKernels {
   * distinct inputs (pinned by MinhashExprSpec).
   */
 object ArrayJaccardKernel {
+  /** Sort only when needed: callers that pre-sort per DOC (sort_array at
+    * the materialized set table — r18) skip the per-PAIR sort here; the
+    * ascending check is one O(n) scan, negligible against the sort it
+    * replaces. In-place is safe: toLongArray returns a fresh copy.
+    */
+  def ensureSorted(a: Array[Long]): Unit = {
+    var i = 1
+    while (i < a.length && a(i - 1) <= a(i)) i += 1
+    if (i < a.length) java.util.Arrays.sort(a)
+  }
+
   def jaccard(ad: ArrayData, bd: ArrayData): Double = {
     val a = ad.toLongArray()
     val b = bd.toLongArray()
-    java.util.Arrays.sort(a)
-    java.util.Arrays.sort(b)
+    ensureSorted(a)
+    ensureSorted(b)
     var i = 0
     var j = 0
     var inter = 0
@@ -203,8 +219,8 @@ object ArrayInterSizeKernel {
   def interSize(ad: ArrayData, bd: ArrayData): Long = {
     val a = ad.toLongArray()
     val b = bd.toLongArray()
-    java.util.Arrays.sort(a)
-    java.util.Arrays.sort(b)
+    ArrayJaccardKernel.ensureSorted(a)
+    ArrayJaccardKernel.ensureSorted(b)
     var i = 0
     var j = 0
     var inter = 0L

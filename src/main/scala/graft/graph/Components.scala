@@ -101,20 +101,29 @@ object Components {
     while (changed) {
       if (iter >= maxIters) throw new IllegalStateException(
         s"connectedComponentsLogN: not settled after $maxIters rounds")
-      // LAZY checkpoint (r17): the set-comparison job below scans every
-      // partition of `next`, materializing the checkpoint as a side
-      // effect — one action per round instead of checkpoint + compare.
-      val next = star(star(cur, large = true), large = false)
+      // The stars emit a MULTISET (r18): their per-star distinct()s are
+      // gone — star arithmetic (min per node, filters) is duplicate-
+      // insensitive, and per round the row count stays ≤ |edges| + |nodes|
+      // (large: one output row per input edge; small: one per b ≤ a edge
+      // plus one parent edge per node), so nothing compounds. The ONE
+      // exchange below both deduplicates and compares: key-presence tags
+      // (max/min over +1 next / −1 cur) detect any set difference on a
+      // multiset next against a deduped cur — a key only in next has
+      // mx = mn = 1, only in cur has mx = mn = −1, in both mx ≠ mn — and
+      // filter(mx = 1) IS distinct(next), already checkpointed for the
+      // next round. Replaces 2 distinct exchanges + the tag-cancel
+      // exchange + its action per round with 1 exchange + 1 action
+      // (q82: 73 → ~50 AQE stage-jobs; at cluster scale, 2 fewer full
+      // edge-list shuffles per round).
+      val nextRaw = star(star(cur, large = true), large = false)
+      val cmp = nextRaw.select(col("a"), col("b"), lit(1).as("t"))
+        .union(cur.select(col("a"), col("b"), lit(-1).as("t")))
+        .groupBy(col("a"), col("b"))
+        .agg(max(col("t")).as("mx"), min(col("t")).as("mn"))
         .localCheckpoint(eager = false)
-      // Exact set comparison of two checkpointed canonical edge lists in
-      // ONE job: tag next rows +1 / cur rows -1 and look for any key whose
-      // tags don't cancel (both lists are distinct, so multiset = set).
-      // Replaces the count() + left_anti pair — one shuffle, one action.
-      changed = next.select(col("a"), col("b"), lit(1L).as("t"))
-        .union(cur.select(col("a"), col("b"), lit(-1L).as("t")))
-        .groupBy(col("a"), col("b")).agg(sum(col("t")).as("d"))
-        .filter(col("d") =!= 0L).count() > 0
-      cur = next
+      // the count job materializes the lazy checkpoint (r17 pattern)
+      changed = cmp.filter(col("mx") === col("mn")).count() > 0
+      cur = cmp.filter(col("mx") === 1).select(col("a"), col("b"))
       iter += 1
     }
     // Converged edges form a star in canonical (a < b) form: a = the
@@ -127,6 +136,12 @@ object Components {
   /** One star rewrite. m(u) = min(Γ(u) ∪ {u}). Large: (v, m(u)) for
     * neighbors v > u. Small: (v, m(u)) for neighbors v ≤ u (v ≠ m) plus
     * the (u, m(u)) parent edge itself.
+    *
+    * MULTISET in, multiset out (r18): min/filter arithmetic is
+    * duplicate-insensitive, so the per-star distinct() exchange is gone —
+    * the caller deduplicates once per round inside its convergence
+    * compare. Row count per star stays ≤ |in| + |nodes| (see the loop
+    * comment), so duplicates never compound.
     */
   private def star(e: DataFrame, large: Boolean): DataFrame = {
     val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
@@ -142,6 +157,5 @@ object Components {
     out.filter(col("na") =!= col("nb"))
       .select(least(col("na"), col("nb")).as("a"),
         greatest(col("na"), col("nb")).as("b"))
-      .distinct()
   }
 }

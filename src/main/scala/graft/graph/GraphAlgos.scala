@@ -410,10 +410,17 @@ object GraphAlgos {
         s"stronglyConnectedComponents: $maxOuter outer rounds exhausted — " +
           "SCC condensation deeper than the cap; raise maxOuter")
       // 0. trim (single pass; node counts double as convergence scalars
-      // everywhere, one action per materialized frame).
-      val hasOut = e.select(col("a").as("node")).distinct()
-      val hasIn = e.select(col("b").as("node")).distinct()
-      val survivors = tc(nodes.join(hasOut.intersect(hasIn), Seq("node"), "left_semi"))
+      // everywhere, one action per materialized frame). Out/in presence
+      // rides ONE tagged aggregate (r18) — the previous
+      // distinct/intersect/semi chain paid ~4 exchanges for the same set.
+      // Every survivor is in `nodes` by construction (e is semi-joined to
+      // nodes on both sides each round), so no membership join is needed.
+      val survivors = tc(
+        e.select(col("a").as("node"), lit(1).as("o"), lit(0).as("i"))
+          .union(e.select(col("b").as("node"), lit(0).as("o"), lit(1).as("i")))
+          .groupBy(col("node")).agg(max(col("o")).as("o"), max(col("i")).as("i"))
+          .filter(col("o") === 1 && col("i") === 1)
+          .select(col("node")))
       val nSurvivors = survivors.count()
       if (nSurvivors < nNodes) {
         done = done.union(nodes.join(survivors, Seq("node"), "left_anti")

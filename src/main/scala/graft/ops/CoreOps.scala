@@ -39,9 +39,24 @@ object CoreOps {
     val cap =
       if (ceiling > 0) ceiling
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val plan = df.queryExecution.optimizedPlan
+    val bytes = plan.stats.sizeInBytes
+    // Width floor for explode-bearing plans (ADVICE r17): the size-only
+    // stats visitor propagates a Generate's CHILD size (fan-out
+    // invisible), the one systematic UNDER-estimate in the no-CBO
+    // visitor — filters/windows pass the child size through and
+    // aggregates/joins scale it up, so they can only over-width, which
+    // the cap absorbs. An underestimate here would collapse a big range
+    // sort into one task (the r17 q291 explode regression, then fixed by
+    // restructuring; this floors the class structurally). Perf-only
+    // either way: every caller is partitioning-invariant.
+    val floor =
+      if (plan.collectFirst {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }.isDefined) math.max(1, cap / 4)
+      else 1
     val w = (bytes + BigInt(targetBytesPerTask - 1)) / BigInt(targetBytesPerTask)
-    w.min(BigInt(cap)).max(BigInt(1)).toInt
+    w.min(BigInt(cap)).max(BigInt(floor)).toInt
   }
 
   // ---------------------------------------------------------------- filters
@@ -863,36 +878,54 @@ object CoreOps {
   def orderedRuns(df: DataFrame, order: Seq[Column],
                   valueCols: Seq[String],
                   numPartitions: Int = 0): Map[String, Long] = {
-    import org.apache.spark.sql.Row
     val spark = df.sparkSession
     val nPart =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
+    // Audited columns ONLY reach the runs pass (the order columns stay in
+    // the frame for the sort and are projected away above it — same
+    // stage), and the pass iterates INTERNAL rows: `.rdd` forced a full
+    // external-Row conversion per row (every column boxed through the
+    // catalyst deserializer — guide §1.4's df.rdd caveat), measured as
+    // the dominant stage of the q289 audit. Values are copied out of the
+    // reused row buffer only at run BOUNDARIES (and partition edges),
+    // which are rare by definition on RLE-viable data.
     val sorted = df.repartitionByRange(nPart, order: _*)
       .sortWithinPartitions(order: _*)
-    val idx = valueCols.map(df.schema.fieldIndex).toArray
+      .select(valueCols.map(col): _*)
+    val types = valueCols.map(c => df.schema(c).dataType).toArray
+    require(types.forall {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           _: org.apache.spark.sql.types.StructType => false
+      case _ => true
+    }, s"orderedRuns audits atomic columns only, got ${types.mkString(", ")}")
+    def cp(v: Any): Any = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+      case x => x
+    }
     // (pid, rows, within-partition boundaries per col, first/last per col)
-    val stats = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val stats = sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       if (!it.hasNext) Iterator.empty
       else {
-        val first = new Array[Any](idx.length)
-        val last = new Array[Any](idx.length)
-        val bnd = new Array[Long](idx.length)
+        val k = types.length
+        val first = new Array[Any](k)
+        val prev = new Array[Any](k)
+        val bnd = new Array[Long](k)
         var n = 0L
-        var prev: Row = null
         it.foreach { r =>
           var i = 0
-          if (n == 0L) while (i < idx.length) { first(i) = r.get(idx(i)); i += 1 }
-          else while (i < idx.length) {
-            if (r.get(idx(i)) != prev.get(idx(i))) bnd(i) += 1
+          if (n == 0L) while (i < k) {
+            first(i) = cp(r.get(i, types(i))); prev(i) = first(i); i += 1
+          }
+          else while (i < k) {
+            val v = r.get(i, types(i))
+            if (v != prev(i)) { bnd(i) += 1; prev(i) = cp(v) }
             i += 1
           }
-          prev = r
           n += 1
         }
-        var i = 0
-        while (i < idx.length) { last(i) = prev.get(idx(i)); i += 1 }
-        Iterator.single((pid, n, bnd, first.toSeq, last.toSeq))
+        Iterator.single((pid, n, bnd, first.toSeq, prev.toSeq))
       }
     }.collect().sortBy(_._1)
     valueCols.indices.map { i =>

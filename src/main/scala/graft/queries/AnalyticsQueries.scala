@@ -1342,7 +1342,13 @@ object AnalyticsQueries {
             col(s"t_w_$r").as("tot"))): _*)
       val med = c.join(broadcast(tot), Seq("event_type"))
         .select(col("event_type"), col("v"), explode(repArr).as("x"))
-        .filter(col("x.cum") * 2 >= col("x.tot"))
+        // x.tot > 0 (ADVICE r17): a replicate whose total Poisson mass is
+        // zero would pass the crossing filter vacuously (cum·2 ≥ 0) and
+        // emit med = min(v) — the old n > 0-filtered shape dropped that
+        // (type, r) row entirely. Unreachable at gate SFs (every type has
+        // thousands of rows), but the guard pins the drop-empty-replicate
+        // contract.
+        .filter(col("x.tot") > 0 && col("x.cum") * 2 >= col("x.tot"))
         .groupBy(col("event_type"), col("x.r").as("r"))
         .agg(min(col("v")).as("med"))
         .localCheckpoint() // tiny (|type|×33), consumed twice

@@ -248,16 +248,25 @@ object TextOps {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: DataFrame, k: Int): DataFrame = {
     import graft.functions.TopKAgg
-    val tf = docs.select(col(idCol).as("doc_id"),
+    // Doc lengths and per-term tf ride SEPARATE aggregates (r18): the old
+    // shape shuffled a (doc_id, token) aggregate over EVERY corpus token
+    // just to sum it back into doc lengths — at 100 TB that is a full
+    // token-grain corpus exchange. dl is a per-doc count (map-side
+    // partial agg: the exchange carries one row per doc per partition),
+    // and the tf aggregate filters to the broadcast query terms BEFORE
+    // grouping, so only query-term hits reach its exchange. Identical
+    // numbers: dl = Σ tf over all tokens; n_docs counts docs with ≥ 1
+    // non-empty token exactly as the old tf-derived table did.
+    val toks = docs.select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val totals = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("t_tokens"))
     val terms = queryTerms.select(col("term")).distinct()
-    val tfq = tf.join(broadcast(terms), tf("token") === terms("term"))
+    val tfq = toks.join(broadcast(terms), toks("token") === terms("term"))
       .drop("term")
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = tfq.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val scored = tfq
       .join(broadcast(dfreq), "token")
@@ -678,7 +687,6 @@ object TextOps {
       }
       (tot, top)
     }
-    var prevTot = 0L
     while (step <= nMerges && !exhausted) {
       val (tot, top) = pairStats()
       // tot = Σ pairs of the CURRENT corpus -> tokens after the PREVIOUS
@@ -687,7 +695,6 @@ object TextOps {
         val (s0, l0, r0, n0, _) = out(step - 2)
         out(step - 2) = (s0, l0, r0, n0, tot + nDocs)
       }
-      prevTot = tot
       top match {
         case None => exhausted = true
         case Some((l, r, n)) =>
