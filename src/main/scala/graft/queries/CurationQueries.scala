@@ -492,12 +492,17 @@ object CurationQueries {
     // equality): rows still tying are full-tuple duplicates, which are
     // interchangeable for run counting, so the answer is well-defined.
     "q289_encoding_audit" -> ((s, dir) => {
-      val auditCols = Seq("l_returnflag", "l_linestatus", "l_shipdate")
+      val auditCols = Seq("l_returnflag", "l_linestatus", "sd_ts")
+      // The shipdate is audited AS ITS TIMESTAMP (r18): the string cast
+      // is injective, so run boundaries and distinct counts are identical
+      // on either representation — and dropping the duplicated string
+      // column narrows the range exchange (the audit's dominant stage)
+      // by the widest column and turns the third runs compare into a
+      // long compare.
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_returnflag"), col("l_linestatus"),
-          col("l_shipdate").as("sd_ts"),
-          col("l_shipdate").cast("string").as("l_shipdate"))
+          col("l_shipdate").as("sd_ts"))
       // no localCheckpoint: the three consumers (range sampler, runs
       // pass, distinct agg) each re-run a narrow pushed-down parquet
       // scan, which is cheaper than materializing 6M six-column rows
@@ -507,13 +512,16 @@ object CurationQueries {
       val g = li.agg(count(lit(1)).as("n"),
         countDistinct(col("l_returnflag")).as("d0"),
         countDistinct(col("l_linestatus")).as("d1"),
-        countDistinct(col("l_shipdate")).as("d2")).head()
+        countDistinct(col("sd_ts")).as("d2")).head()
       val n = g.getLong(0)
+      // output names stay the AUDITED COLUMN names (sd_ts reports as
+      // l_shipdate — the timestamp is its stand-in, see above)
+      val outNames = Map("sd_ts" -> "l_shipdate").withDefault(identity)
       val rows = auditCols.zipWithIndex.map { case (c, i) =>
         val nd = g.getLong(i + 1)
         val nr = runs(c)
         // nonneg integer division: truncation == the oracle's floor //
-        (c, n, nd, nr, 10000L * nd / n, 10000L * nr / n)
+        (outNames(c), n, nd, nr, 10000L * nd / n, 10000L * nr / n)
       }
       import s.implicits._
       rows.toDF("col_name", "n_rows", "n_distinct", "n_runs",
