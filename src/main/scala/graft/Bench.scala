@@ -79,6 +79,21 @@ object Bench {
       if (x == 42L) System.err.println("") // keep x live
       (System.nanoTime() - t0) / 1e9
     }
+    // CPU-steal sampler (r18): the ALU ruler measures per-core speed but
+    // CANNOT see bursty hypervisor steal — measured live this round: a
+    // boot where the 400M-iteration wide ruler read 0.265 s (same as the
+    // fast boot's 0.271) while a 2G-iteration 32-wide burn degraded 1.69x
+    // per-thread and /proc/stat recorded 10-20% steal, and the full bench
+    // leg inflated 1.65x on byte-identical code. Sampling steal vs total
+    // ticks across the WHOLE leg pins that drift in the artifact: a delta
+    // whose raw ratio tracks (100-steal_prev)/(100-steal_now) is the
+    // host, not the plans. Linux-only; absent keys mean the probe failed.
+    def cpuTicks(): Option[(Long, Long)] = scala.util.Try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
+      (l.lift(7).getOrElse(0L), l.sum)
+    }.toOption
+    val ticks0 = cpuTicks()
     rulerPass() // JIT warmup, untimed
     val ruler1t = rulerPass()
     val nThreads = Runtime.getRuntime.availableProcessors()
@@ -118,6 +133,14 @@ object Bench {
       k -> passes.map(_(k)).sorted.apply((nPasses - 1) / 2)
     }.toMap
     val wallSec = (System.nanoTime() - wall0) / 1e9
+    // Steal percentage over warmup + timed passes (see cpuTicks above).
+    val stealPct: Option[Double] = for {
+      (s0, t0) <- ticks0; (s1, t1) <- cpuTicks(); if t1 > t0
+    } yield 100.0 * (s1 - s0) / (t1 - t0)
+    stealPct.filter(_ > 3.0).foreach(p => System.err.println(
+      f"[bench] *** CPU STEAL $p%.1f%% over this leg — the hypervisor took " +
+        "that share of every core; totals are inflated ~1/(1-steal) or more " +
+        "and NOT comparable to an unstolen leg even ruler-normalized ***"))
     // Two-line emission: the driver captures only a bounded tail of sbt
     // output, and the detailed line (a ~100-query map) overflows it —
     // BENCH_r01..r03 all parsed as null. So: detailed line first (and a
@@ -133,7 +156,8 @@ object Bench {
     // Fixed ruler keys (ADVICE r15): "ruler_wide_sec" + "ruler_threads"
     // instead of the host-dependent "ruler_<N>t_sec", so artifact parsers
     // comparing legs across hosts/VM shapes read one field name.
-    val detailed = s"""{"metric":"total","value":${ms(total)},"unit":"sec","wall":${ms(wallSec)},"passes":$nPasses,"stat":"median","load1_at_start":${ms(load1)},"ruler_1t_sec":${ms(ruler1t)},"ruler_wide_sec":${ms(rulerWide)},"ruler_threads":$nThreads,"errors":$errs,"queries":$qs,"sf":"$sfName"}"""
+    val stealField = stealPct.map(p => s""""steal_pct":${ms(p)},""").getOrElse("")
+    val detailed = s"""{"metric":"total","value":${ms(total)},"unit":"sec","wall":${ms(wallSec)},"passes":$nPasses,"stat":"median","load1_at_start":${ms(load1)},"ruler_1t_sec":${ms(ruler1t)},"ruler_wide_sec":${ms(rulerWide)},"ruler_threads":$nThreads,$stealField"errors":$errs,"queries":$qs,"sf":"$sfName"}"""
     // The short line carries the errors array too: the driver's parsed
     // artifact itself must be red when any query threw — a leg with
     // failures can never read as a clean total (VERDICT r11 item 2: the

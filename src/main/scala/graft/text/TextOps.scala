@@ -185,10 +185,18 @@ object TextOps {
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
+    // tf materialized ONCE (lazy local checkpoint, r18): it has two
+    // consumers — the scored join's tf side and dfreq's input — and
+    // Catalyst plans them as two full explode + (doc, token) aggregate
+    // chains over the corpus (the executed plan carried the Generate
+    // twice; each is a full corpus token pass at 100 TB). The checkpoint
+    // stores the (doc_id, token, tf) aggregate — rows the tf→df join
+    // must exchange anyway — and the text never leaves the scan stage.
     val tf = docs.select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
     // The product is computed in DecimalType: 64-bit `tf * 1000000 *
