@@ -61,12 +61,21 @@ object GraphAlgos {
     val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
     // Directed edge (lo → hi) by (degree, id); both endpoints keep their
     // (deg, id) struct so downstream ordering needs no re-join.
+    // Materialized ONCE (lazy local checkpoint, r18): the ordered edge
+    // list has THREE consumers (both wedge sides + the closing-edge
+    // probe), and left declarative each consumer re-plans the whole
+    // canonicalize + distinct + two degree joins chain — the executed
+    // q92/q203 plans carried the events scan 18-20 times. The checkpoint
+    // stores edge-grain (lo, hi, rhi) rows — the same rows the wedge
+    // join must exchange anyway; at corpus scale each eliminated re-run
+    // is a full edge-list canonicalization pass.
     val dir = und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
       .filter(struct(col("da"), col("a")) < struct(col("db"), col("b")))
       .select(col("a").as("lo"), col("b").as("hi"),
         struct(col("db"), col("b")).as("rhi"))
+      .localCheckpoint(eager = false)
     // Wedges at the low endpoint, canonicalized rhi1 < rhi2; the closing
     // edge must then run hi1 → hi2 in the same ordering.
     val x = dir.select(col("lo"), col("hi").as("h1"), col("rhi").as("r1"))

@@ -374,12 +374,22 @@ object TextOps {
       slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
       (l, r) => struct(l.as("w1"), r.as("w2")))
     val nz = docs.filter(length(col(textCol)) > 0)
+    // Both count tables are materialized ONCE (lazy local checkpoints,
+    // r18): `pairs` has two consumers (the T total and the ranked join)
+    // and `uni` two (the w1 and w2 sides), and Catalyst plans each
+    // consumer as its own full explode + aggregate chain over the corpus
+    // — the executed plan carried the tokenize Generate four times; each
+    // is a full corpus token pass at 100 TB. The checkpoints store the
+    // aggregated (bigram/vocab-domain) tables the joins must exchange
+    // anyway; the text never leaves the scan stage.
     val pairs = nz.select(explode(pair).as("p"))
       .select(col("p.w1"), col("p.w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint(eager = false)
     val uni = nz.select(explode(w).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint(eager = false)
     val total = pairs.agg(sum(col("c12")).as("t_pairs"))
     pairs.filter(col("c12") >= minCount)
       .join(uni.select(col("tok").as("w1"), col("cu").as("c1")), Seq("w1"))
