@@ -107,7 +107,17 @@ object DedupQueries {
         .filter(col("j") >= 0.5)
         .select(col("id_a"), col("id_b")).localCheckpoint()
       val perCfg = Seq(2, 4, 8).map { nb =>
-        val bandRows = Dedup.minhashBands(panel, "doc_id", "text", 3, 16, nb)
+        // Band keys derive from the CHECKPOINTED hash sets (r18):
+        // Dedup.minhashBands(panel, ...) re-ran the corpus generation +
+        // shingle kernel per config AND per join side (6 text passes for
+        // the three configs, 7 with the truth sets) — the §1
+        // one-kernel-pass rule applied to the recall harness.
+        // minhash_band_keys_from_hashes is arithmetic-identical to the
+        // text form (MinhashExprSpec pins parity).
+        val bandRows = sets.select(col("id"),
+            posexplode(call_function("minhash_band_keys_from_hashes",
+              col("sh"), lit(16), lit(nb))))
+          .select(col("pos").as("band"), col("col").as("bh"), col("id"))
         val x = bandRows.select(col("band"), col("bh"), col("id").as("id_a"))
         val y = bandRows.select(col("band"), col("bh"), col("id").as("id_b"))
         x.join(y, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
